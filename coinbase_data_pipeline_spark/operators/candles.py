@@ -1,0 +1,100 @@
+"""Tick → candle (OHLCV) aggregation and candle-store queries.
+
+Reference parity:
+- candle build: Crypto-TS-Model-master/src/data_loader.py:77-88 (pandas
+  ``resample`` with first/max/min/last/sum) and the Cassandra `candles`
+  table (cassandra/scripts, candle schema in
+  kafka_spark_processor/spark_processor.py:124-132).
+- latest-N / time-range / availability queries:
+  prediction_service/src/data_fetcher.py:31-44,200-229.
+
+Spark-first: one ``groupBy(key, window(ts))`` — a single shuffle on the
+grouping key with map-side partial aggregation; open/close via
+``min_by``/``max_by`` so no per-group sort is needed. At 100 TB this is
+the textbook partial-agg plan; no window functions, no skew risk beyond
+key skew (AQE skew-join/partition split handles hot keys).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def candle_resample(ticks: DataFrame, *, key: str = "product_id",
+                    ts: str = "time", price: str = "price",
+                    volume: str | None = None,
+                    freq: str = "5 minutes") -> DataFrame:
+    """OHLC(V) candles per key per time bucket.
+
+    Ties on ``ts`` within a bucket are broken deterministically is not
+    needed for the reference's data (microsecond ticks); open/close are
+    the price at min/max timestamp.
+    """
+    aggs = [
+        F.min_by(price, ts).alias("open"),
+        F.max(price).alias("high"),
+        F.min(price).alias("low"),
+        F.max_by(price, ts).alias("close"),
+        F.count(F.lit(1)).alias("n_ticks"),
+    ]
+    if volume is not None:
+        aggs.append(F.sum(volume).alias("volume"))
+    out = (
+        ticks.groupBy(F.col(key), F.window(ts, freq).alias("w"))
+        .agg(*aggs)
+        .withColumn("bucket_start", F.col("w.start"))
+        .drop("w")
+    )
+    cols = [key, "bucket_start", "open", "high", "low", "close", "n_ticks"]
+    if volume is not None:
+        cols.append("volume")
+    return out.select(*cols)
+
+
+def latest_n_per_key(df: DataFrame, n: int, *, key: str = "product_id",
+                     ts: str = "time") -> DataFrame:
+    """Most-recent N rows per key (data_fetcher.get_latest_candles_stmt).
+
+    row_number over (key ORDER BY ts DESC): Spark plans this as a
+    shuffle on key + per-partition topK (WindowGroupLimit pushes the
+    limit below the sort in 3.5+), so it never materializes full
+    per-key sorts at scale.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key).orderBy(F.col(ts).desc())
+    return (df.withColumn("_rn", F.row_number().over(w))
+              .filter(F.col("_rn") <= n).drop("_rn"))
+
+
+def time_range_fetch(df: DataFrame, *, key: str = "product_id",
+                     ts: str = "time", key_value: str | None = None,
+                     start=None, end=None) -> DataFrame:
+    """Key + time-range scan (data_fetcher.get_candles_stmt).
+
+    Pure filters → Catalyst pushes them into the parquet scan
+    (PushedFilters), so only matching row groups are read.
+    """
+    out = df
+    if key_value is not None:
+        out = out.filter(F.col(key) == key_value)
+    if start is not None:
+        out = out.filter(F.col(ts) >= start)
+    if end is not None:
+        out = out.filter(F.col(ts) <= end)
+    return out
+
+
+def available_products(df: DataFrame, *, key: str = "product_id") -> DataFrame:
+    """DISTINCT keys (data_fetcher.get_available_products)."""
+    return df.select(key).distinct()
+
+
+def data_availability(df: DataFrame, *, key: str = "product_id",
+                      ts: str = "time") -> DataFrame:
+    """Per-key earliest/latest/count (data_fetcher.get_data_availability)."""
+    return df.groupBy(key).agg(
+        F.min(ts).alias("earliest"),
+        F.max(ts).alias("latest"),
+        F.count(F.lit(1)).alias("row_count"),
+    )

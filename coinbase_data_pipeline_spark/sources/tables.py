@@ -1,0 +1,62 @@
+"""Parquet table registry.
+
+Mirrors the reference's storage catalog (Cassandra keyspace `coinbase`
+tables + the S3 archive: /root/reference/cassandra/scripts, consumer.go)
+as a flat parquet namespace. On a cluster these paths are object-store
+URIs; locally they are the driver-generated testdata dirs.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import LongType
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def ensure_runtime_conf(spark: SparkSession) -> None:
+    """Runtime confs this engine's semantics depend on, set defensively
+    because callers (e.g. the verify driver) may pass their own session:
+
+    - nanosAsLong: testdata events.parquet stores TIMESTAMP(NANOS),
+      which Spark 4 otherwise refuses to read;
+    - ansi off: x/0 → NULL (DuckDB/classic-Spark semantics) instead of
+      an error — the engine's documented division semantics.
+    """
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass  # conf locked down → session.py defaults already apply
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one table. Plain parquet scan → Catalyst gets full pushdown."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    ensure_runtime_conf(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
+        # TIMESTAMP(NANOS) read as long (nanosAsLong): integer-divide to
+        # microseconds — lossless for this data and bit-identical to
+        # DuckDB's us-precision read.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view so spark.sql() can be used."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

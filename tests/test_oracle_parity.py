@@ -1,0 +1,73 @@
+"""Local replica of the driver's correctness gate: run every catalog
+query on Spark AND its oracle SQL on DuckDB over the same parquet,
+compare row count, column names, and order-insensitive values.
+
+This is the test that makes CORRECTNESS_r{N}.json green before the
+driver ever runs.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from coinbase_data_pipeline_spark.plans.catalog import ORACLE_SQL, SPARK_QUERIES
+from coinbase_data_pipeline_spark.sources.tables import TABLES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def normalize(rows, cols):
+    """Sort columns by name, stringify values (floats pre-rounded by the
+    queries themselves), sort rows — order-insensitive comparison."""
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in order:
+            v = r[i]
+            if isinstance(v, float):
+                if math.isnan(v):
+                    v = "NaN"
+                else:
+                    v = f"{v:.6f}"
+            vals.append(str(v))
+        out.append(tuple(vals))
+    out.sort()
+    return out
+
+
+@pytest.mark.parametrize("name", sorted(ORACLE_SQL))
+def test_oracle_parity(spark, name):
+    sdf = SPARK_QUERIES[name](spark, SF_DIR)
+    srows = sdf.collect()
+    scols = sdf.columns
+
+    con = duck_con(SF_DIR)
+    res = con.execute(ORACLE_SQL[name])
+    dcols = [d[0] for d in res.description]
+    drows = res.fetchall()
+
+    assert sorted(scols) == sorted(dcols), f"{name}: column mismatch"
+    assert len(srows) == len(drows), f"{name}: row count {len(srows)} vs {len(drows)}"
+
+    s_norm = normalize([tuple(r) for r in srows], scols)
+    d_norm = normalize(drows, dcols)
+    mismatches = [(a, b) for a, b in zip(s_norm, d_norm) if a != b]
+    assert not mismatches, f"{name}: first mismatches {mismatches[:3]}"
+
+
+def test_all_queries_have_rows(spark):
+    for name, fn in SPARK_QUERIES.items():
+        n = fn(spark, SF_DIR).count()
+        assert n >= 0, name
