@@ -1,0 +1,71 @@
+#!/usr/bin/env python3
+"""Headline-query benchmark.
+
+Runs the engine's flagship queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Timing is end-to-end per query: plan + execute + a count-style
+materialization (no driver-side collect of full results).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headliners: the reference's hot path (candles + features), the
+# relational core, and (as implemented) dedup/ANN representatives.
+HEADLINERS = [
+    "candle_resample",
+    "volume_features",
+    "rsi",
+    "obv",
+    "ewm_indicators",
+    "latest_n_per_key",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+]
+
+
+def main() -> None:
+    from coinbase_data_pipeline_spark.plans.catalog import SPARK_QUERIES
+    from coinbase_data_pipeline_spark.session import get_spark
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM + parquet footers once so per-query times measure
+    # execution, not first-touch JIT
+    SPARK_QUERIES["available_products"](spark, SF_DIR).count()
+
+    times: dict[str, float] = {}
+    for name in HEADLINERS:
+        if name not in SPARK_QUERIES:
+            continue
+        fn = SPARK_QUERIES[name]
+        t0 = time.perf_counter()
+        df = fn(spark, SF_DIR)
+        n = df.count()
+        times[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {times[name]}s ({n} rows)", file=sys.stderr)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "headline_queries_total",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
