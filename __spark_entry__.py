@@ -12,7 +12,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from coinbase_data_pipeline_spark.plans import catalog
+from coinbase_data_pipeline_spark.plans import catalog, catalog_ext
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -22,8 +22,8 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(catalog.SPARK_QUERIES)
+    return {**catalog.SPARK_QUERIES, **catalog_ext.SPARK_QUERIES_EXT}
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(catalog.ORACLE_SQL)
+    return {**catalog.ORACLE_SQL, **catalog_ext.ORACLE_SQL_EXT}

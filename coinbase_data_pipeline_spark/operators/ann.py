@@ -1,0 +1,124 @@
+"""Approximate-nearest-neighbor search over embedding columns.
+
+SURVEY.md §2 extension. Two strategies:
+
+- :func:`brute_force_topk` — exact cosine top-k for a (small) query
+  set against the corpus. The query side is broadcast; the corpus is
+  scanned once. Exact baseline and recall oracle.
+- :func:`lsh_topk` — random-hyperplane LSH: sign-bit sketch per
+  vector → bucket join on sketch prefix → within-bucket exact cosine
+  top-k. The bucket join is the scale path: candidate count per query
+  is corpus/2^p on average instead of the full corpus.
+
+Hyperplanes are derived deterministically from the md5-based hash60
+family (functions/text.py) rather than a driver-side RNG, so results
+are reproducible across runs and engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from ..functions.text import hash60
+
+
+def _dot(x: Column, y: Column) -> Column:
+    return F.aggregate(F.zip_with(x, y, lambda a, b: a * b),
+                       F.lit(0.0), lambda acc, z: acc + z)
+
+
+def brute_force_topk(corpus: DataFrame, queries: DataFrame, *,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     k: int = 5) -> DataFrame:
+    """Exact cosine top-k per query vector (query ids broadcast)."""
+    v = F.col(vec_col).cast("array<double>")
+    c = corpus.select(F.col(id_col).alias("nn_id"), v.alias("cv"))
+    c = c.withColumn("cn", F.sqrt(_dot(F.col("cv"), F.col("cv"))))
+    q = queries.select(F.col(id_col).alias("query_id"), v.alias("qv"))
+    q = q.withColumn("qn", F.sqrt(_dot(F.col("qv"), F.col("qv"))))
+    pairs = c.crossJoin(F.broadcast(q)).filter(
+        F.col("query_id") != F.col("nn_id"))
+    cos = _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+    scored = pairs.withColumn("cosine", F.round(cos, 6))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("nn_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "nn_id", "cosine", "rank"))
+
+
+def _hyperplane(dim: int, plane: int) -> Column:
+    """Deterministic pseudo-random hyperplane: component j of plane p
+    is hash60(f"p{p}c{j}") scaled to [-1, 1]."""
+    comps = [
+        (hash60(F.lit(f"p{plane}c{j}")) % F.lit(2000001) - F.lit(1000000))
+        .cast("double") / F.lit(1000000.0)
+        for j in range(dim)
+    ]
+    return F.array(*comps)
+
+
+def sketch(vec: Column, dim: int, planes: int = 8,
+           offset: int = 0) -> Column:
+    """Sign-bit sketch over planes [offset, offset+planes):
+    bit p = (vec · hyperplane_{offset+p}) >= 0."""
+    bits = [
+        F.when(_dot(vec, _hyperplane(dim, offset + p)) >= 0,
+               F.lit(1 << p)).otherwise(F.lit(0))
+        for p in range(planes)
+    ]
+    acc = bits[0]
+    for b in bits[1:]:
+        acc = acc + b
+    return acc.cast("int")
+
+
+def _banded(df: DataFrame, dim: int, planes: int, bands: int) -> DataFrame:
+    """Explode each vector into `bands` (band, bucket) rows, one sketch
+    per band over its own plane family (OR-amplification)."""
+    vec = "cv" if "cv" in df.columns else "qv"
+    buckets = F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 sketch(F.col(vec), dim, planes, offset=b * planes)
+                 .alias("bucket"))
+        for b in range(bands)
+    ])
+    return (df.withColumn("_bb", F.explode(buckets))
+              .withColumn("band", F.col("_bb.band"))
+              .withColumn("bucket", F.col("_bb.bucket"))
+              .drop("_bb"))
+
+
+def lsh_topk(corpus: DataFrame, queries: DataFrame, *,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             dim: int = 64, planes: int = 8, bands: int = 4,
+             k: int = 5) -> DataFrame:
+    """Banded random-hyperplane ANN: a candidate pair is any (query,
+    corpus) sharing a bucket in ANY of the `bands` independent
+    sketches (OR-amplification → recall), each sketch AND-ing `planes`
+    sign bits (→ precision). Exact cosine re-rank within candidates.
+
+    Scale path: the corpus-side shuffle key is (band, bucket) — the
+    per-query candidate count is ~bands * corpus / 2^planes instead of
+    the full corpus; no cross join ever materializes. Recall vs
+    :func:`brute_force_topk` is pytest-gated (tests/test_operators.py).
+    """
+    v = F.col(vec_col).cast("array<double>")
+    c = corpus.select(F.col(id_col).alias("nn_id"), v.alias("cv"))
+    c = c.withColumn("cn", F.sqrt(_dot(F.col("cv"), F.col("cv"))))
+    c = _banded(c, dim, planes, bands)
+    q = queries.select(F.col(id_col).alias("query_id"), v.alias("qv"))
+    q = q.withColumn("qn", F.sqrt(_dot(F.col("qv"), F.col("qv"))))
+    q = _banded(q, dim, planes, bands)
+    # dedupe candidates that collide in several bands BEFORE the
+    # cosine: one score per (query, candidate) pair
+    cand = (c.join(F.broadcast(q), ["band", "bucket"])
+            .filter(F.col("query_id") != F.col("nn_id"))
+            .dropDuplicates(["query_id", "nn_id"]))
+    cos = _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+    scored = cand.withColumn("cosine", F.round(cos, 6))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("nn_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "nn_id", "cosine", "rank"))

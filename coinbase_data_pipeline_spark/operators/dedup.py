@@ -1,0 +1,162 @@
+"""Document deduplication family — exact, MinHash+LSH, SimHash,
+n-gram Jaccard, embedding-cosine.
+
+These extend the reference's capabilities toward large-scale
+training-data pipelines (SURVEY.md §2 "LLM-data-pipeline extensions").
+Every method is expressed so that candidate generation is a hash-
+bucket groupBy/join — pair enumeration only ever happens *within*
+buckets, never as a global cross join; that is the property that
+survives 100 TB.
+
+Hashing uses the md5-based 60-bit family (functions/text.py) which is
+bit-identical in DuckDB, so even MinHash/SimHash results are oracle-
+checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.text import hash60, minhash_signature, token_set, word_shingles
+
+
+def exact_dedup(docs: DataFrame, *, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Exact duplicate grouping on normalized text: per doc, its
+    normalized-text md5, the group's keeper (min id), and whether this
+    row is the keeper. Single hash-groupBy shuffle."""
+    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), "\\s+", " ")
+    h = docs.select(F.col(id_col), F.md5(norm).alias("text_hash"))
+    groups = h.groupBy("text_hash").agg(
+        F.min(id_col).alias("keep_id"),
+        F.count(F.lit(1)).alias("group_size"))
+    return (h.join(groups, "text_hash")
+             .select(id_col, "text_hash", "keep_id", "group_size",
+                     (F.col(id_col) == F.col("keep_id")).alias("is_keeper")))
+
+
+def minhash_lsh_pairs(docs: DataFrame, *, id_col: str = "doc_id",
+                      text_col: str = "text", num_hashes: int = 16,
+                      bands: int = 4,
+                      jaccard_threshold: float = 0.9) -> DataFrame:
+    """MinHash + banded LSH candidate pairs, verified with exact
+    token-set Jaccard.
+
+    Pipeline: token set → k seeded min-hashes → split into bands →
+    groupBy (band, band-signature) buckets → pairs within buckets →
+    exact-Jaccard verify → distinct pairs. Shuffles: one for the
+    band groupBy-join, one distinct. No global cross join.
+    """
+    rows_per_band = num_hashes // bands
+    base = docs.select(F.col(id_col).alias("a_id"),
+                       token_set(text_col).alias("toks"))
+    sig = base.withColumn("sig", minhash_signature(F.col("toks"),
+                                                   k=num_hashes))
+    banded = sig.select(
+        "a_id", "toks",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.concat_ws("_", *[
+                         F.col("sig")[b * rows_per_band + r].cast("string")
+                         for r in range(rows_per_band)]).alias("bsig"))
+            for b in range(bands)])).alias("bb"),
+    ).select("a_id", "toks", "bb.band", "bb.bsig")
+
+    left = banded.alias("l")
+    right = banded.select(F.col("a_id").alias("b_id"),
+                          F.col("toks").alias("btoks"),
+                          "band", "bsig").alias("r")
+    cand = (left.join(right, ["band", "bsig"])
+            .filter(F.col("a_id") < F.col("b_id"))
+            .select("a_id", "b_id", "toks", "btoks")
+            .distinct())
+    inter = F.size(F.array_intersect("toks", "btoks")).cast("double")
+    union = F.size(F.array_union("toks", "btoks")).cast("double")
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return (cand.withColumn("jaccard", F.round(jac, 6))
+                .filter(F.col("jaccard") >= jaccard_threshold)
+                .select(F.col("a_id").alias("doc_a"),
+                        F.col("b_id").alias("doc_b"), "jaccard"))
+
+
+def simhash(docs: DataFrame, *, id_col: str = "doc_id",
+            text_col: str = "text", bits: int = 32) -> DataFrame:
+    """Per-document SimHash over the token set: bit j of the result is
+    the majority vote of bit j across all token hash60s. Pure
+    expression work — zero shuffles."""
+    toks = token_set(text_col)
+    hashes = F.transform(toks, lambda t: hash60(t))
+    def _vote(j: int):
+        # closure factory: extra default params would change how
+        # F.aggregate interprets the lambda's signature
+        return lambda acc, h: acc + F.when(
+            h.bitwiseAND(F.lit(1 << j)) != 0, 1).otherwise(-1)
+
+    bit_cols = []
+    for j in range(bits):
+        votes = F.aggregate(hashes, F.lit(0), _vote(j))
+        bit_cols.append(F.when(votes > 0, F.lit(1 << j)).otherwise(F.lit(0)))
+    sim = bit_cols[0]
+    for b in bit_cols[1:]:
+        sim = sim + b
+    return docs.select(F.col(id_col), sim.cast("long").alias("simhash"))
+
+
+def ngram_jaccard_pairs(docs: DataFrame, *, id_col: str = "doc_id",
+                        text_col: str = "text", shingle_n: int = 1,
+                        threshold: float = 0.9) -> DataFrame:
+    """Exact n-gram-set Jaccard pairs above threshold, blocked on set
+    size (|a∩b|/|a∪b| ≥ t forces |a|/|b| ∈ [t, 1/t], so only size-
+    compatible pairs are compared — the block condition is part of the
+    operator's semantics, identical in the oracle).
+
+    This is the *verification baseline*; the scale path for unknown
+    corpora is :func:`minhash_lsh_pairs` (bucketed candidates). Kept
+    size-blocked self-join here so the exact method is itself bounded.
+    """
+    toks = (token_set(text_col) if shingle_n == 1
+            else word_shingles(token_set(text_col), shingle_n))
+    base = docs.select(F.col(id_col), toks.alias("toks"),
+                       F.size(toks).alias("n"))
+    a = base.select(F.col(id_col).alias("doc_a"),
+                    F.col("toks").alias("atoks"), F.col("n").alias("na"))
+    b = base.select(F.col(id_col).alias("doc_b"),
+                    F.col("toks").alias("btoks"), F.col("n").alias("nb"))
+    pairs = a.join(b, (F.col("doc_a") < F.col("doc_b"))
+                   & (F.col("na") * F.lit(threshold) <= F.col("nb"))
+                   & (F.col("nb") * F.lit(threshold) <= F.col("na")))
+    inter = F.size(F.array_intersect("atoks", "btoks")).cast("double")
+    union = F.size(F.array_union("atoks", "btoks")).cast("double")
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return (pairs.withColumn("jaccard", F.round(jac, 6))
+                 .filter(F.col("jaccard") >= threshold)
+                 .select("doc_a", "doc_b", "jaccard"))
+
+
+def embedding_neighbor_stats(emb: DataFrame, *, id_col: str = "vec_id",
+                             vec_col: str = "embedding",
+                             threshold: float = 0.45) -> DataFrame:
+    """Per-vector near-duplicate stats: how many other vectors sit
+    above `threshold` cosine similarity.
+
+    Brute-force within the catalog (test scale); the 100 TB path is
+    LSH bucketing (operators/ann.py random-hyperplane variant) so the
+    pair space shrinks to within-bucket comparisons.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    base = emb.select(F.col(id_col), v.alias("v"))
+    dot = lambda x, y: F.aggregate(  # noqa: E731
+        F.zip_with(x, y, lambda a, b: a * b), F.lit(0.0),
+        lambda acc, z: acc + z)
+    withn = base.withColumn("norm", F.sqrt(dot(F.col("v"), F.col("v"))))
+    a = withn.select(F.col(id_col).alias("a_id"), F.col("v").alias("av"),
+                     F.col("norm").alias("an"))
+    b = withn.select(F.col(id_col).alias("b_id"), F.col("v").alias("bv"),
+                     F.col("norm").alias("bn"))
+    pairs = a.join(b, F.col("a_id") != F.col("b_id"))
+    cos = dot(F.col("av"), F.col("bv")) / (F.col("an") * F.col("bn"))
+    return (pairs.withColumn("cos", cos)
+            .groupBy(F.col("a_id").alias("vec_id"))
+            .agg(F.sum((F.col("cos") >= threshold).cast("int"))
+                  .alias("near_dup_count"),
+                 F.round(F.max("cos"), 6).alias("max_cosine")))

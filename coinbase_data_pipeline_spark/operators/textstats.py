@@ -1,0 +1,114 @@
+"""Text analysis: language ID, quality scoring, token counting,
+document fingerprinting (SURVEY.md §2 extensions).
+
+All pure pyspark.sql.functions expressions (JVM codegen, no UDFs);
+each has an expression-for-expression DuckDB oracle twin. The
+heuristics are the operator's *defined semantics* — deterministic and
+engine-portable — not attempts to recover the synthetic `lang` label
+(the testdata text is identical word salad for every lang value).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.text import tokens
+
+# tiny per-language stopword lists for the heuristic scorer
+LANG_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is"],
+    "es": ["el", "la", "de", "que", "y", "los", "es"],
+    "fr": ["le", "la", "de", "et", "les", "des", "est"],
+    "de": ["der", "die", "das", "und", "ist", "von", "den"],
+}
+
+
+def lang_id(docs: DataFrame, *, id_col: str = "doc_id",
+            text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: CJK characters → zh; otherwise the
+    stopword list with the most hits wins; ties / no hits → en.
+    Tie-break order is the fixed list en > es > fr > de."""
+    toks = tokens(text_col)
+
+    def _in(words):
+        # closure factory: a 2-param lambda would be read by F.filter
+        # as an (element, index) function
+        arr = F.array(*[F.lit(w) for w in words])
+        return lambda t: F.array_contains(arr, t)
+
+    scores = {}
+    for lang, words in LANG_STOPWORDS.items():
+        scores[lang] = F.size(F.filter(toks, _in(words)))
+    has_cjk = F.col(text_col).rlike("[\\u4e00-\\u9fff]")
+    best = F.lit("en")
+    best_score = scores["en"]
+    for lang in ("es", "fr", "de"):
+        cond = scores[lang] > best_score
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_score = F.when(cond, scores[lang]).otherwise(best_score)
+    pred = F.when(has_cjk, F.lit("zh")).otherwise(best)
+    return docs.select(
+        F.col(id_col), pred.alias("pred_lang"),
+        *[scores[lang].alias(f"hits_{lang}") for lang in LANG_STOPWORDS])
+
+
+def quality_score(docs: DataFrame, *, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword-ratio quality heuristics with a
+    blended 0-1 score (mirrors common pretraining-data filters)."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    toks = tokens(text_col)
+    n_tokens = F.size(toks)
+    mean_tok_len = F.when(n_tokens > 0,
+                          F.aggregate(toks, F.lit(0),
+                                      lambda a, x: a + F.length(x))
+                          .cast("double") / n_tokens).otherwise(F.lit(0.0))
+    n_punct = F.size(F.split(t, "[.,;:!?]")) - 1
+    punct_ratio = F.when(n_chars > 0,
+                         n_punct.cast("double") / n_chars).otherwise(0.0)
+    en = F.array(*[F.lit(w) for w in LANG_STOPWORDS["en"]])
+    stop_ratio = F.when(n_tokens > 0,
+                        F.size(F.filter(toks, lambda x: F.array_contains(en, x)))
+                        .cast("double") / n_tokens).otherwise(0.0)
+    length_ok = ((n_chars >= 50) & (n_chars <= 10000)).cast("double")
+    tok_len_ok = ((mean_tok_len >= 2.0) & (mean_tok_len <= 12.0)) \
+        .cast("double")
+    score = (0.4 * length_ok + 0.3 * tok_len_ok
+             + 0.3 * F.least(stop_ratio * 5.0, F.lit(1.0)))
+    return docs.select(
+        F.col(id_col), n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.round(mean_tok_len, 6).alias("mean_token_len"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(score, 6).alias("quality"))
+
+
+def token_count(docs: DataFrame, *, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Whitespace token count + BPE-ish subword proxy count
+    (runs of letters / single digits / single other non-space)."""
+    t = F.col(text_col)
+    ws = F.size(F.filter(F.split(t, "\\s+"), lambda x: F.length(x) > 0))
+    bpe = F.size(F.regexp_extract_all(
+        F.lower(t), F.lit("[a-z]+|[0-9]|[^a-z0-9\\s]"), F.lit(0)))
+    return docs.select(F.col(id_col),
+                       ws.alias("ws_tokens"),
+                       bpe.alias("bpe_tokens"))
+
+
+def doc_fingerprint(docs: DataFrame, *, id_col: str = "doc_id",
+                    text_col: str = "text", gram: int = 8,
+                    stride: int = 4) -> DataFrame:
+    """Winnowing-style fingerprint: min md5 over character 8-grams
+    sampled every `stride` chars (+ doc length). Deterministic,
+    shuffle-free, engine-portable."""
+    t = F.col(text_col)
+    starts = F.sequence(F.lit(1),
+                        F.greatest(F.length(t) - (gram - 1), F.lit(1)),
+                        F.lit(stride))
+    grams = F.transform(starts, lambda i: F.md5(t.substr(i, F.lit(gram))))
+    return docs.select(F.col(id_col),
+                       F.array_min(grams).alias("fingerprint"),
+                       F.length(t).alias("n_chars"))

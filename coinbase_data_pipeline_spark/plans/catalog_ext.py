@@ -1,0 +1,459 @@
+"""Catalog part 2: as-of join, forecasting, sliding windows, dedup /
+ANN / text-analysis extensions (SURVEY.md §2). Same contract as
+catalog.py: every entry is a (spark_builder, oracle_sql) pair unless
+flagged rows-only.
+
+Repetitive SQL (minhash permutations, simhash bit votes) is generated
+programmatically from the same constants the Spark side uses, so both
+engines execute the same formula by construction.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..functions.text import sql_hash60
+from ..operators import ann as ANN
+from ..operators import asof as ASOF
+from ..operators import dedup as DD
+from ..operators import forecast as FC
+from ..operators import textstats as TS
+from ..operators import windows as W
+from ..sources.tables import load_table
+from .catalog import SQL_BASE, candles, ticks
+
+RND = 6
+
+# DuckDB token fragments (twins of functions.text.tokens / token_set)
+SQL_TOKS_ALL = ("list_filter("
+                "regexp_split_to_array(lower(text), '[^a-z]+'), "
+                "x -> len(x) > 0)")
+SQL_TOKS = f"list_distinct({SQL_TOKS_ALL})"
+
+
+# ----------------------------------------------------------------- asof join
+
+def q_asof_join(spark, sf_dir):
+    """Every tick joined to the most recent candle at-or-before it."""
+    t = ticks(spark, sf_dir).select("product_id", "time", "price", "event_id")
+    c = candles(spark, sf_dir)
+    out = ASOF.asof_join(t, c, key="product_id", left_ts="time",
+                         right_ts="bucket_start",
+                         right_vals=["bucket_start", "close"])
+    return out.select("product_id", "time", "price", "event_id",
+                      F.col("bucket_start_asof"),
+                      (F.round("close_asof", RND) + F.lit(0.0))
+                      .alias("close_asof"))
+
+
+SQL_ASOF_JOIN = SQL_BASE + """
+SELECT t.product_id, t.time, t.price, t.event_id,
+       c.bucket_start AS bucket_start_asof,
+       ROUND(c.close, 6) + 0 AS close_asof
+FROM ticks t ASOF LEFT JOIN candles c
+  ON t.product_id = c.product_id AND t.time >= c.bucket_start
+"""
+
+
+# ---------------------------------------------------------------- forecasting
+
+def q_naive_forecast(spark, sf_dir):
+    out = FC.naive_forecast(candles(spark, sf_dir))
+    return out.withColumn("predicted_price",
+                          F.round("predicted_price", RND) + F.lit(0.0))
+
+
+SQL_NAIVE_FORECAST = SQL_BASE + """
+SELECT product_id,
+       'naive_persistence_v1' AS model_name,
+       bucket_start AS prediction_time,
+       bucket_start + h * INTERVAL 5 MINUTE AS target_time,
+       CAST(h AS INT) AS horizon,
+       ROUND(close, 6) + 0 AS predicted_price
+FROM candles, (SELECT unnest(generate_series(1, 12)) AS h)
+"""
+
+
+def q_forecast_metrics(spark, sf_dir):
+    return FC.forecast_metrics(candles(spark, sf_dir))
+
+
+SQL_FORECAST_METRICS = SQL_BASE + """
+, d AS (
+  SELECT product_id,
+         close AS y,
+         lag(close, 1) OVER w1 AS yhat,
+         close - lag(close, 1) OVER w1 AS dy,
+         lag(close, 1) OVER w1 - lag(close, 2) OVER w1 AS dyhat
+  FROM candles
+  WINDOW w1 AS (PARTITION BY product_id ORDER BY bucket_start)
+)
+SELECT product_id,
+       ROUND(avg(2.0 * abs(y - yhat) / (abs(y) + abs(yhat))) * 100.0, 6) + 0
+         AS smape,
+       ROUND(avg(abs(y - yhat)), 6) + 0 AS mae,
+       ROUND(sqrt(avg((y - yhat) * (y - yhat))), 6) + 0 AS rmse,
+       ROUND(avg(CASE WHEN dyhat IS NOT NULL THEN
+         CAST(sign(dy) = sign(dyhat) AS DOUBLE) END), 6) + 0 AS dir_acc,
+       count(*) AS sample_count
+FROM d WHERE yhat IS NOT NULL
+GROUP BY product_id
+"""
+
+
+# ------------------------------------------------------------ sliding windows
+
+def q_sliding_windows(spark, sf_dir):
+    return W.sliding_windows(candles(spark, sf_dir))
+
+
+SQL_SLIDING_WINDOWS = SQL_BASE + """
+, p AS (
+  SELECT product_id, bucket_start,
+         CAST(round(close * 1000000) AS BIGINT) AS p6
+  FROM candles
+), framed AS (
+  SELECT product_id, bucket_start,
+         list(p6) OVER wx AS x_arr, count(*) OVER wx AS nx,
+         list(p6) OVER wy AS y_arr, count(*) OVER wy AS ny
+  FROM p
+  WINDOW wx AS (PARTITION BY product_id ORDER BY bucket_start
+                ROWS BETWEEN 23 PRECEDING AND CURRENT ROW),
+         wy AS (PARTITION BY product_id ORDER BY bucket_start
+                ROWS BETWEEN 1 FOLLOWING AND 6 FOLLOWING)
+)
+SELECT product_id, bucket_start,
+       array_to_string(x_arr, ',') AS x_sig,
+       array_to_string(y_arr, ',') AS y_sig
+FROM framed WHERE nx = 24 AND ny = 6
+"""
+
+
+# ----------------------------------------------------------------- dedup
+
+def q_dedup_exact_docs(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return DD.exact_dedup(docs)
+
+
+SQL_DEDUP_EXACT = """
+WITH h AS (
+  SELECT doc_id,
+         md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+           AS text_hash
+  FROM documents
+), g AS (
+  SELECT text_hash, min(doc_id) AS keep_id, count(*) AS group_size
+  FROM h GROUP BY text_hash
+)
+SELECT h.doc_id, h.text_hash, g.keep_id, g.group_size,
+       h.doc_id = g.keep_id AS is_keeper
+FROM h JOIN g USING (text_hash)
+"""
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return DD.minhash_lsh_pairs(docs)
+
+
+def _sql_minhash(num_hashes: int = 16, bands: int = 4,
+                 threshold: float = 0.9) -> str:
+    rpb = num_hashes // bands
+    mins = ",\n         ".join(
+        f"list_min(list_transform(toks, t -> {sql_hash60('t', f's{i}')}))"
+        f" AS m{i}" for i in range(num_hashes))
+    band_rows = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, toks, {b} AS band, concat_ws('_', "
+        + ", ".join(f"CAST(m{b * rpb + r} AS VARCHAR)" for r in range(rpb))
+        + ") AS bsig FROM sig" for b in range(bands))
+    return f"""
+WITH base AS (
+  SELECT doc_id, {SQL_TOKS} AS toks FROM documents
+), sig AS (
+  SELECT doc_id, toks,
+         {mins}
+  FROM base
+), banded AS (
+{band_rows}
+), cand AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+         l.toks AS atoks, r.toks AS btoks
+  FROM banded l JOIN banded r
+    ON l.band = r.band AND l.bsig = r.bsig AND l.doc_id < r.doc_id
+), scored AS (
+  SELECT doc_a, doc_b,
+         ROUND(CASE WHEN len(list_distinct(atoks || btoks)) > 0 THEN
+           CAST(len(list_intersect(atoks, btoks)) AS DOUBLE)
+             / len(list_distinct(atoks || btoks))
+           ELSE 0.0 END, 6) + 0 AS jaccard
+  FROM cand
+)
+SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= {threshold}
+"""
+
+
+def q_dedup_simhash(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return DD.simhash(docs)
+
+
+def _sql_simhash(bits: int = 32) -> str:
+    votes = []
+    for j in range(bits):
+        votes.append(
+            f"CASE WHEN COALESCE(list_sum(list_transform(hs, "
+            f"h -> CASE WHEN (h & (1::BIGINT << {j})) != 0 "
+            f"THEN 1 ELSE -1 END)), 0) > 0 "
+            f"THEN (1::BIGINT << {j}) ELSE 0 END")
+    total = "\n       + ".join(votes)
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         list_transform({SQL_TOKS}, t -> {sql_hash60('t')}) AS hs
+  FROM documents
+)
+SELECT doc_id,
+       CAST({total} AS BIGINT) AS simhash
+FROM base
+"""
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return DD.ngram_jaccard_pairs(docs)
+
+
+SQL_DEDUP_NGRAM = f"""
+WITH base AS (
+  SELECT doc_id, {SQL_TOKS} AS toks FROM documents
+), sized AS (
+  SELECT doc_id, toks, len(toks) AS n FROM base
+), scored AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         ROUND(CASE WHEN len(list_distinct(a.toks || b.toks)) > 0 THEN
+           CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+             / len(list_distinct(a.toks || b.toks))
+           ELSE 0.0 END, 6) + 0 AS jaccard
+  FROM sized a JOIN sized b
+    ON a.doc_id < b.doc_id
+   AND a.n * 0.9 <= b.n AND b.n * 0.9 <= a.n
+)
+SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= 0.9
+"""
+
+
+def q_dedup_embedding(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return DD.embedding_neighbor_stats(emb)
+
+
+SQL_DEDUP_EMBEDDING = """
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+), n AS (
+  SELECT vec_id, vec, sqrt(list_inner_product(vec, vec)) AS nrm FROM v
+), pairs AS (
+  SELECT a.vec_id AS vec_id,
+         list_inner_product(a.vec, b.vec) / (a.nrm * b.nrm) AS cos
+  FROM n a JOIN n b ON a.vec_id != b.vec_id
+)
+SELECT vec_id,
+       count(CASE WHEN cos >= 0.45 THEN 1 END) AS near_dup_count,
+       ROUND(max(cos), 6) + 0 AS max_cosine
+FROM pairs GROUP BY vec_id
+"""
+
+
+# -------------------------------------------------------------------- ANN
+
+def q_ann_bruteforce(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ANN.brute_force_topk(emb, queries)
+
+
+SQL_ANN_BRUTEFORCE = """
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+), n AS (
+  SELECT vec_id, vec, sqrt(list_inner_product(vec, vec)) AS nrm FROM v
+), q AS (
+  SELECT vec_id AS query_id, vec AS qv, nrm AS qn FROM n WHERE vec_id < 10
+), scored AS (
+  SELECT q.query_id, n.vec_id AS nn_id,
+         ROUND(list_inner_product(q.qv, n.vec) / (q.qn * n.nrm), 6) + 0
+           AS cosine
+  FROM n JOIN q ON q.query_id != n.vec_id
+), ranked AS (
+  SELECT query_id, nn_id, cosine,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, nn_id) AS INT)
+           AS rank
+  FROM scored
+)
+SELECT query_id, nn_id, cosine, rank FROM ranked WHERE rank <= 5
+"""
+
+
+def q_ann_lsh(spark, sf_dir):
+    """Rows-only: the 512 hyperplane hash expressions are impractical
+    as oracle SQL; recall vs brute force is pytest-checked instead."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ANN.lsh_topk(emb, queries)
+
+
+# ------------------------------------------------------------------- text
+
+def q_lang_id(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    out = TS.lang_id(docs)
+    casts = [F.col(c).cast("long").alias(c)
+             for c in out.columns if c.startswith("hits_")]
+    return out.select("doc_id", "pred_lang", *casts)
+
+
+def _sql_lang_id() -> str:
+    hits = {
+        lang: ("len(list_filter(toks, t -> t IN ("
+               + ", ".join(f"'{w}'" for w in words) + ")))")
+        for lang, words in TS.LANG_STOPWORDS.items()
+    }
+    return f"""
+WITH base AS (
+  SELECT doc_id, text, {SQL_TOKS_ALL} AS toks FROM documents
+), scored AS (
+  SELECT doc_id, text,
+         {hits['en']} AS hits_en, {hits['es']} AS hits_es,
+         {hits['fr']} AS hits_fr, {hits['de']} AS hits_de
+  FROM base
+)
+SELECT doc_id,
+       CASE WHEN regexp_matches(text, '[\\x{{4e00}}-\\x{{9fff}}]') THEN 'zh'
+            WHEN hits_de > greatest(hits_en, hits_es, hits_fr)
+              THEN 'de'
+            WHEN hits_fr > greatest(hits_en, hits_es) THEN 'fr'
+            WHEN hits_es > hits_en THEN 'es'
+            ELSE 'en' END AS pred_lang,
+       hits_en, hits_es, hits_fr, hits_de
+FROM scored
+"""
+
+
+def q_quality_score(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    out = TS.quality_score(docs)
+    return out.select("doc_id",
+                      F.col("n_chars").cast("long").alias("n_chars"),
+                      F.col("n_tokens").cast("long").alias("n_tokens"),
+                      "mean_token_len", "punct_ratio", "stopword_ratio",
+                      "quality")
+
+
+SQL_QUALITY = f"""
+WITH base AS (
+  SELECT doc_id, text, length(text) AS n_chars,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                     x -> len(x) > 0) AS toks
+  FROM documents
+), m AS (
+  SELECT doc_id, n_chars, len(toks) AS n_tokens,
+         CASE WHEN len(toks) > 0 THEN
+           CAST(COALESCE(list_sum(list_transform(toks, x -> len(x))), 0)
+                AS DOUBLE) / len(toks) ELSE 0.0 END AS mean_token_len,
+         CASE WHEN n_chars > 0 THEN
+           CAST(len(regexp_split_to_array(text, '[.,;:!?]')) - 1 AS DOUBLE)
+             / n_chars ELSE 0.0 END AS punct_ratio,
+         CASE WHEN len(toks) > 0 THEN
+           CAST(len(list_filter(toks, x -> x IN
+             ({", ".join(f"'{w}'" for w in TS.LANG_STOPWORDS['en'])})))
+                AS DOUBLE) / len(toks) ELSE 0.0 END AS stopword_ratio
+  FROM base
+)
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       ROUND(mean_token_len, 6) + 0 AS mean_token_len,
+       ROUND(punct_ratio, 6) + 0 AS punct_ratio,
+       ROUND(stopword_ratio, 6) + 0 AS stopword_ratio,
+       ROUND(0.4 * CAST(n_chars BETWEEN 50 AND 10000 AS DOUBLE)
+           + 0.3 * CAST(mean_token_len BETWEEN 2.0 AND 12.0 AS DOUBLE)
+           + 0.3 * least(stopword_ratio * 5.0, 1.0), 6) + 0 AS quality
+FROM m
+"""
+
+
+def q_token_count(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    out = TS.token_count(docs)
+    return out.select("doc_id",
+                      F.col("ws_tokens").cast("long").alias("ws_tokens"),
+                      F.col("bpe_tokens").cast("long").alias("bpe_tokens"))
+
+
+SQL_TOKEN_COUNT = """
+SELECT doc_id,
+       CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                            x -> len(x) > 0)) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(lower(text),
+                '[a-z]+|[0-9]|[^a-z0-9\\s]')) AS BIGINT) AS bpe_tokens
+FROM documents
+"""
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    out = TS.doc_fingerprint(docs)
+    return out.select("doc_id", "fingerprint",
+                      F.col("n_chars").cast("long").alias("n_chars"))
+
+
+SQL_DOC_FINGERPRINT = """
+SELECT doc_id,
+       list_min(list_transform(
+         generate_series(1, greatest(length(text) - 7, 1), 4),
+         i -> md5(substr(text, CAST(i AS INT), 8)))) AS fingerprint,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM documents
+"""
+
+
+# ----------------------------------------------------------------- registry
+
+SPARK_QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "asof_join": q_asof_join,
+    "naive_forecast": q_naive_forecast,
+    "forecast_metrics": q_forecast_metrics,
+    "sliding_windows": q_sliding_windows,
+    "dedup_exact_docs": q_dedup_exact_docs,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_embedding": q_dedup_embedding,
+    "ann_bruteforce": q_ann_bruteforce,
+    "ann_lsh": q_ann_lsh,
+    "lang_id": q_lang_id,
+    "quality_score": q_quality_score,
+    "token_count": q_token_count,
+    "doc_fingerprint": q_doc_fingerprint,
+}
+
+ORACLE_SQL_EXT: dict[str, str] = {
+    "asof_join": SQL_ASOF_JOIN,
+    "naive_forecast": SQL_NAIVE_FORECAST,
+    "forecast_metrics": SQL_FORECAST_METRICS,
+    "sliding_windows": SQL_SLIDING_WINDOWS,
+    "dedup_exact_docs": SQL_DEDUP_EXACT,
+    "dedup_minhash_lsh": _sql_minhash(),
+    "dedup_simhash": _sql_simhash(),
+    "dedup_ngram_jaccard": SQL_DEDUP_NGRAM,
+    "dedup_embedding": SQL_DEDUP_EMBEDDING,
+    "ann_bruteforce": SQL_ANN_BRUTEFORCE,
+    # ann_lsh: rows-only (see q_ann_lsh docstring)
+    "lang_id": _sql_lang_id(),
+    "quality_score": SQL_QUALITY,
+    "token_count": SQL_TOKEN_COUNT,
+    "doc_fingerprint": SQL_DOC_FINGERPRINT,
+}
