@@ -12,7 +12,8 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from coinbase_data_pipeline_spark.plans import catalog, catalog_ext
+from coinbase_data_pipeline_spark.plans import catalog
+from coinbase_data_pipeline_spark.plans.registry import ALL_ORACLES, ALL_QUERIES
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -22,8 +23,8 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {**catalog.SPARK_QUERIES, **catalog_ext.SPARK_QUERIES_EXT}
+    return dict(ALL_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    return {**catalog.ORACLE_SQL, **catalog_ext.ORACLE_SQL_EXT}
+    return dict(ALL_ORACLES)

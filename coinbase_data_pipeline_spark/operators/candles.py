@@ -67,6 +67,22 @@ def latest_n_per_key(df: DataFrame, n: int, *, key: str = "product_id",
               .filter(F.col("_rn") <= n).drop("_rn"))
 
 
+def top_k_per_key(df: DataFrame, n: int, *, key: str = "product_id",
+                  order_col: str = "price",
+                  tiebreak: str | None = None) -> DataFrame:
+    """Top-N rows per key by `order_col` (grouped top-k; one group =
+    global top-k). Same WindowGroupLimit plan as latest_n_per_key:
+    per-partition top-N before the shuffle, never a full sort."""
+    from pyspark.sql import Window
+
+    order = [F.col(order_col).desc()]
+    if tiebreak is not None:
+        order.append(F.col(tiebreak))
+    w = Window.partitionBy(key).orderBy(*order)
+    return (df.withColumn("rank", F.row_number().over(w))
+              .filter(F.col("rank") <= n))
+
+
 def time_range_fetch(df: DataFrame, *, key: str = "product_id",
                      ts: str = "time", key_value: str | None = None,
                      start=None, end=None) -> DataFrame:

@@ -267,6 +267,40 @@ def minmax_scale(df: DataFrame, cols: list[str], *, key: str,
     return out
 
 
+def with_macd_approx(df: DataFrame, *, key: str, ts: str,
+                     price: str = "close", fast: int = 12, slow: int = 26,
+                     trunc: int = 60) -> DataFrame:
+    """Truncated-window EMA MACD — the SQL-checkable variant of the
+    exact EWM MACD in :func:`ewm_features` (data_loader.py:102).
+
+    EMA is approximated by its normalized geometric-weight sum over
+    the trailing `trunc` rows: sum(w_i·x_i)/sum(w_i), w_i=(1-α)^age.
+    With trunc=60 the dropped tail mass for span 26 is (1-α)^60≈1.2%,
+    re-normalized away. Bounded window → no recursion, stays JVM-side
+    (one collect_list per row over the shared key-ordered window).
+    """
+    w = _w(key, ts).rowsBetween(-(trunc - 1), 0)
+    arr = F.collect_list(price).over(w)
+
+    def ema(span: int):
+        a = 2.0 / (span + 1.0)
+        sz = F.size(arr)
+        # element i (1-based, oldest first) has age sz-i
+        weighted = F.aggregate(
+            F.zip_with(arr, F.sequence(F.lit(1), sz),
+                       lambda x, i: x * F.pow(F.lit(1.0 - a),
+                                              (sz - i).cast("double"))),
+            F.lit(0.0), lambda acc, z: acc + z)
+        denom = (1.0 - F.pow(F.lit(1.0 - a), sz.cast("double"))) / F.lit(a)
+        return weighted / denom
+
+    return (df.withColumn("ema_fast_approx", ema(fast))
+              .withColumn("ema_slow_approx", ema(slow))
+              .withColumn("macd_approx",
+                          F.col("ema_fast_approx")
+                          - F.col("ema_slow_approx")))
+
+
 # --------------------------------------------------------------- EWM family
 
 def ewm_features(df: DataFrame, *, key: str, ts: str, price: str = "close",

@@ -1,0 +1,197 @@
+"""Catalog part 3: JSON candle parse, series cleaning, truncated-EMA
+MACD, grouped top-k, generic exact dedup. Same contract as catalog.py.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators import candles as C
+from ..operators import indicators as I
+from ..sources.json_ingest import parse_candles
+from ..sources.tables import load_table
+from .catalog import RND, SQL_BASE, _round, candles, ticks
+
+
+# ------------------------------------------------------------- candle parse
+
+def q_candle_parse(spark, sf_dir):
+    """Round-trip the candle wire format: serialize each candle to the
+    reference's JSON payload — `start` as unix-seconds for even-tick
+    candles, ISO text otherwise — then run the typed parse with
+    timestamp coercion (spark_processor.py:197-215). The oracle states
+    the expected identity: parsing recovers the original candle.
+    """
+    c = candles(spark, sf_dir)
+    start_str = (
+        F.when(F.col("n_ticks") % 2 == 0,
+               F.unix_timestamp("bucket_start").cast("string"))
+         .otherwise(F.date_format("bucket_start", "yyyy-MM-dd HH:mm:ss")))
+    raw = c.select(F.to_json(F.struct(
+        start_str.alias("start"),
+        F.col("high").cast("string").alias("high"),
+        F.col("low").cast("string").alias("low"),
+        F.col("open").cast("string").alias("open"),
+        F.col("close").cast("string").alias("close"),
+        F.col("volume").cast("string").alias("volume"),
+        F.col("product_id"))).alias("value"))
+    out = parse_candles(raw)
+    return _round(out, ["open", "high", "low", "close", "volume"])
+
+
+SQL_CANDLE_PARSE = SQL_BASE + """
+SELECT product_id, bucket_start AS start_time,
+       ROUND(open, 6) + 0 AS open, ROUND(high, 6) + 0 AS high,
+       ROUND(low, 6) + 0 AS low, ROUND(close, 6) + 0 AS close,
+       ROUND(volume, 6) + 0 AS volume
+FROM candles
+"""
+
+
+# ------------------------------------------------------------- clean series
+
+def q_clean_series(spark, sf_dir):
+    df = I.clean_series(candles(spark, sf_dir), key="product_id",
+                        ts="bucket_start")
+    return _round(df.select("product_id", "bucket_start", "close", "volume"),
+                  ["close", "volume"])
+
+
+SQL_CLEAN_SERIES = SQL_BASE + """
+, v0 AS (
+  SELECT product_id, bucket_start, close,
+         CASE WHEN volume != 0 THEN volume END AS v
+  FROM candles
+), v1 AS (
+  SELECT product_id, bucket_start, close,
+         COALESCE(v, quantile_cont(v, 0.5) OVER
+           (PARTITION BY product_id ORDER BY bucket_start
+            ROWS BETWEEN 11 PRECEDING AND CURRENT ROW)) AS vf
+  FROM v0
+), stats AS (
+  SELECT product_id,
+         quantile_cont(close, 0.01) AS c_lo,
+         quantile_cont(close, 0.99) AS c_hi,
+         quantile_cont(vf, 0.01) AS v_lo,
+         quantile_cont(vf, 0.99) AS v_hi
+  FROM v1 GROUP BY product_id
+), clipped AS (
+  SELECT v1.product_id, bucket_start,
+         least(greatest(close, c_lo), c_hi) AS close_c,
+         least(greatest(vf, v_lo), v_hi) AS vol_c
+  FROM v1 JOIN stats USING (product_id)
+)
+SELECT product_id, bucket_start,
+       ROUND(COALESCE(last_value(close_c IGNORE NULLS) OVER wf,
+                      first_value(close_c IGNORE NULLS) OVER wb), 6) + 0
+         AS close,
+       ROUND(COALESCE(last_value(vol_c IGNORE NULLS) OVER wf,
+                      first_value(vol_c IGNORE NULLS) OVER wb), 6) + 0
+         AS volume
+FROM clipped
+WINDOW wf AS (PARTITION BY product_id ORDER BY bucket_start
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+       wb AS (PARTITION BY product_id ORDER BY bucket_start
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+"""
+
+
+# -------------------------------------------------------------- macd approx
+
+def q_macd_approx(spark, sf_dir):
+    df = I.with_macd_approx(candles(spark, sf_dir), key="product_id",
+                            ts="bucket_start")
+    return _round(df.select("product_id", "bucket_start",
+                            "ema_fast_approx", "ema_slow_approx",
+                            "macd_approx"),
+                  ["ema_fast_approx", "ema_slow_approx", "macd_approx"])
+
+
+def _sql_macd_approx(fast: int = 12, slow: int = 26,
+                     trunc: int = 60) -> str:
+    def ema(span: int) -> str:
+        a = 2.0 / (span + 1.0)
+        return (
+            f"list_sum(list_transform(generate_series(1, len(arr)), "
+            f"i -> arr[i] * pow({1.0 - a!r}, len(arr) - i))) "
+            f"/ ((1.0 - pow({1.0 - a!r}, len(arr))) / {a!r})")
+    return SQL_BASE + f"""
+, framed AS (
+  SELECT product_id, bucket_start,
+         list(close) OVER (PARTITION BY product_id ORDER BY bucket_start
+                           ROWS BETWEEN {trunc - 1} PRECEDING AND CURRENT ROW)
+           AS arr
+  FROM candles
+), emas AS (
+  SELECT product_id, bucket_start,
+         {ema(fast)} AS ef,
+         {ema(slow)} AS es
+  FROM framed
+)
+SELECT product_id, bucket_start,
+       ROUND(ef, 6) + 0 AS ema_fast_approx,
+       ROUND(es, 6) + 0 AS ema_slow_approx,
+       ROUND(ef - es, 6) + 0 AS macd_approx
+FROM emas
+"""
+
+
+# ------------------------------------------------------------------- top-k
+
+def q_top_k(spark, sf_dir):
+    """Top 10 highest-priced ticks per product (grouped top-k)."""
+    t = ticks(spark, sf_dir)
+    out = C.top_k_per_key(t, 10, key="product_id", order_col="price",
+                          tiebreak="event_id")
+    return out.select("product_id", "time", "price", "event_id", "rank")
+
+
+SQL_TOP_K = SQL_BASE + """
+SELECT product_id, time, price, event_id, rank FROM (
+  SELECT product_id, time, price, event_id,
+         CAST(row_number() OVER (PARTITION BY product_id
+                                 ORDER BY price DESC, event_id) AS INT)
+           AS rank
+  FROM ticks
+) WHERE rank <= 10
+"""
+
+
+# -------------------------------------------------------------- exact dedup
+
+def q_dedup_exact(spark, sf_dir):
+    """Generic exact dedup on events by content key
+    (user_id, event_type, value): keeper = min event_id, plus group
+    size — the relational-core counterpart of dedup_exact_docs."""
+    ev = load_table(spark, sf_dir, "events")
+    return (ev.groupBy("user_id", "event_type", "value")
+              .agg(F.min("event_id").alias("keep_id"),
+                   F.count(F.lit(1)).alias("group_size")))
+
+
+SQL_DEDUP_EXACT_EVENTS = """
+SELECT user_id, event_type, value,
+       min(event_id) AS keep_id, count(*) AS group_size
+FROM events GROUP BY user_id, event_type, value
+"""
+
+
+# ----------------------------------------------------------------- registry
+
+SPARK_QUERIES_TS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "candle_parse": q_candle_parse,
+    "clean_series": q_clean_series,
+    "macd_approx": q_macd_approx,
+    "top_k": q_top_k,
+    "dedup_exact": q_dedup_exact,
+}
+
+ORACLE_SQL_TS: dict[str, str] = {
+    "candle_parse": SQL_CANDLE_PARSE,
+    "clean_series": SQL_CLEAN_SERIES,
+    "macd_approx": _sql_macd_approx(),
+    "top_k": SQL_TOP_K,
+    "dedup_exact": SQL_DEDUP_EXACT_EVENTS,
+}

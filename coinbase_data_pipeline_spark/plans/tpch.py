@@ -1,0 +1,278 @@
+"""Catalog part 4: the relational/OLAP core widened — TPC-H-shaped
+queries adapted to the testdata star schema (no partsupp table; no
+l_commitdate/l_shipmode/p_container columns, so Q4/Q12/Q19 use
+equivalent predicates over the columns that exist; date constants sit
+inside the synthetic 1995–2001 range).
+
+Shuffle strategy, stated per query and visible in .explain:
+- facts (lineitem, orders) shuffle-join on their key only when both
+  sides are large; every dimension (customer/supplier/nation/region/
+  part — all O(SF^0 .. SF^1) rows) is broadcast.
+- aggregations are partial (map-side combine) before their single
+  exchange.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..sources.tables import load_table
+from .catalog import RND
+
+def _rev():
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+def q4_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape: EXISTS → left-semi join. Adapted predicate
+    (no l_commitdate): a 'late' order has any lineitem shipped more
+    than 60 days after the order date."""
+    od = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01")
+        & (F.col("o_orderdate") < "1997-10-01"))
+    li = load_table(spark, sf_dir, "lineitem")
+    late = od.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate")
+           > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi")
+    return (late.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("order_count")))
+
+
+SQL_Q4 = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-10-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+"""
+
+
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6: pure scan-filter-aggregate; every predicate reaches
+    the parquet scan (PushedFilters), zero joins, one partial agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    out = (li.filter((F.col("l_shipdate") >= "1997-01-01")
+                     & (F.col("l_shipdate") < "1998-01-01")
+                     & (F.col("l_discount") >= 0.05)
+                     & (F.col("l_discount") <= 0.07)
+                     & (F.col("l_quantity") < 24))
+           .agg(F.round(F.sum(F.col("l_extendedprice")
+                              * F.col("l_discount")), RND)
+                 .alias("revenue")))
+    return out
+
+
+SQL_Q6 = """
+SELECT ROUND(sum(l_extendedprice * l_discount), 6) + 0 AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def q7_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape: two nation lenses over one flow; all four dims
+    broadcast, the only shuffle joins lineitem↔orders."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") <= "1997-12-31"))
+    od = load_table(spark, sf_dir, "orders")
+    su = load_table(spark, sf_dir, "supplier")
+    cu = load_table(spark, sf_dir, "customer")
+    na = load_table(spark, sf_dir, "nation")
+    n1 = na.select(F.col("n_nationkey").alias("s_nkey"),
+                   F.col("n_name").alias("supp_nation"))
+    n2 = na.select(F.col("n_nationkey").alias("c_nkey"),
+                   F.col("n_name").alias("cust_nation"))
+    out = (li
+           .join(od, F.col("l_orderkey") == F.col("o_orderkey"))
+           .join(F.broadcast(su), F.col("l_suppkey") == F.col("s_suppkey"))
+           .join(F.broadcast(cu), F.col("o_custkey") == F.col("c_custkey"))
+           .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+           .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+           .filter(((F.col("supp_nation") == "NATION_1")
+                    & (F.col("cust_nation") == "NATION_2"))
+                   | ((F.col("supp_nation") == "NATION_2")
+                      & (F.col("cust_nation") == "NATION_1")))
+           .groupBy("supp_nation", "cust_nation",
+                    F.year("l_shipdate").alias("l_year"))
+           .agg(F.round(F.sum(_rev()), RND).alias("revenue")))
+    return out
+
+
+SQL_Q7 = """
+SELECT supp_nation, cust_nation, l_year,
+       ROUND(sum(volume), 6) + 0 AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS INT) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM supplier, lineitem, orders, customer, nation n1, nation n2
+  WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+    AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+    AND c_nationkey = n2.n_nationkey
+    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    AND l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                       AND TIMESTAMP '1997-12-31 00:00:00'
+) GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+def q10_returned_items(spark, sf_dir):
+    """TPC-H Q10: returned-item revenue per customer; nation broadcast,
+    customer broadcast (SF-proportional but small), fact join shuffles."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R")
+    od = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-10-01")
+        & (F.col("o_orderdate") < "1997-01-01"))
+    cu = load_table(spark, sf_dir, "customer")
+    na = load_table(spark, sf_dir, "nation")
+    out = (li
+           .join(od, F.col("l_orderkey") == F.col("o_orderkey"))
+           .join(F.broadcast(cu), F.col("o_custkey") == F.col("c_custkey"))
+           .join(F.broadcast(na), F.col("c_nationkey") == F.col("n_nationkey"))
+           .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+           .agg(F.round(F.sum(_rev()), RND).alias("revenue")))
+    return out
+
+
+SQL_Q10 = """
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       ROUND(sum(l_extendedprice * (1 - l_discount)), 6) + 0 AS revenue
+FROM customer, orders, lineitem, nation
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+"""
+
+
+def q14_promo_effect(spark, sf_dir):
+    """TPC-H Q14: conditional aggregate over a broadcast part join."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-09-01")
+        & (F.col("l_shipdate") < "1997-10-01"))
+    pa = load_table(spark, sf_dir, "part")
+    out = (li.join(F.broadcast(pa), F.col("l_partkey") == F.col("p_partkey"))
+           .agg((F.round(
+               F.lit(100.0)
+               * F.sum(F.when(F.col("p_type") == "PROMO", _rev())
+                       .otherwise(F.lit(0.0)))
+               / F.sum(_rev()), RND) + F.lit(0.0)).alias("promo_revenue")))
+    return out
+
+
+SQL_Q14 = """
+SELECT ROUND(100.00 * sum(CASE WHEN p_type = 'PROMO'
+                          THEN l_extendedprice * (1 - l_discount)
+                          ELSE 0.0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 6) + 0
+         AS promo_revenue
+FROM lineitem, part
+WHERE l_partkey = p_partkey
+  AND l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'
+"""
+
+
+def q18_large_orders(spark, sf_dir):
+    """TPC-H Q18: self-aggregation of the fact as a semi-join filter.
+    The HAVING subquery is the same lineitem scan aggregated once —
+    AQE turns the IN into a shuffled semi join on orderkey."""
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+    big = (li.groupBy("l_orderkey")
+             .agg(F.sum("l_quantity").alias("_sumq"))
+             .filter(F.col("_sumq") > 200)
+             .select("l_orderkey"))
+    out = (li.join(big.withColumnRenamed("l_orderkey", "b_orderkey"),
+                   F.col("l_orderkey") == F.col("b_orderkey"), "left_semi")
+           .join(od, F.col("l_orderkey") == F.col("o_orderkey"))
+           .join(F.broadcast(cu), F.col("o_custkey") == F.col("c_custkey"))
+           .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                    "o_totalprice")
+           .agg(F.round(F.sum("l_quantity"), RND).alias("sum_qty")))
+    return out
+
+
+SQL_Q18 = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       ROUND(sum(l_quantity), 6) + 0 AS sum_qty
+FROM customer, orders, lineitem
+WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                     GROUP BY l_orderkey HAVING sum(l_quantity) > 200)
+  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+"""
+
+
+def q19_discounted_revenue(spark, sf_dir):
+    """TPC-H Q19 shape: disjunctive multi-attribute predicate across
+    the join (brand/size/quantity stand in for brand/container/qty).
+    Part is broadcast; the OR-of-ANDs evaluates post-join, row-local."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pa = load_table(spark, sf_dir, "part")
+    cond = (
+        ((F.col("p_brand") == "Brand#1")
+         & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 20))
+        | ((F.col("p_brand") == "Brand#2")
+           & F.col("p_size").between(10, 30)
+           & F.col("l_quantity").between(5, 30))
+        | ((F.col("p_brand") == "Brand#3")
+           & F.col("p_size").between(20, 50)
+           & F.col("l_quantity").between(10, 40)))
+    out = (li.join(F.broadcast(pa), F.col("l_partkey") == F.col("p_partkey"))
+           .filter(cond)
+           .agg(F.round(F.sum(_rev()), RND).alias("revenue")))
+    return out
+
+
+SQL_Q19 = """
+SELECT ROUND(sum(l_extendedprice * (1 - l_discount)), 6) + 0 AS revenue
+FROM lineitem, part
+WHERE l_partkey = p_partkey
+  AND ((p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+        AND l_quantity BETWEEN 1 AND 20)
+    OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+        AND l_quantity BETWEEN 5 AND 30)
+    OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+        AND l_quantity BETWEEN 10 AND 40))
+"""
+
+
+# ----------------------------------------------------------------- registry
+
+SPARK_QUERIES_TPCH: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q4_order_priority": q4_order_priority,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "q7_volume_shipping": q7_volume_shipping,
+    "q10_returned_items": q10_returned_items,
+    "q14_promo_effect": q14_promo_effect,
+    "q18_large_orders": q18_large_orders,
+    "q19_discounted_revenue": q19_discounted_revenue,
+}
+
+ORACLE_SQL_TPCH: dict[str, str] = {
+    "q4_order_priority": SQL_Q4,
+    "q6_forecast_revenue": SQL_Q6,
+    "q7_volume_shipping": SQL_Q7,
+    "q10_returned_items": SQL_Q10,
+    "q14_promo_effect": SQL_Q14,
+    "q18_large_orders": SQL_Q18,
+    "q19_discounted_revenue": SQL_Q19,
+}

@@ -13,11 +13,11 @@ import math
 import duckdb
 import pytest
 
-from coinbase_data_pipeline_spark.plans import catalog, catalog_ext
+from coinbase_data_pipeline_spark.plans.registry import (
+    ALL_ORACLES as ORACLE_SQL,
+    ALL_QUERIES as SPARK_QUERIES,
+)
 from coinbase_data_pipeline_spark.sources.tables import TABLES
-
-SPARK_QUERIES = {**catalog.SPARK_QUERIES, **catalog_ext.SPARK_QUERIES_EXT}
-ORACLE_SQL = {**catalog.ORACLE_SQL, **catalog_ext.ORACLE_SQL_EXT}
 
 SF_DIR = "/root/testdata/sf0.001"
 
