@@ -1,0 +1,63 @@
+"""Catalog part 5: Structured Streaming, oracle-checked.
+
+`streaming_candles` replays the tick stream through the REAL streaming
+engine — JSON-lines files → readStream → typed ticker parse → windowed
+OHLC aggregation → memory sink — and the oracle asserts the result
+equals the batch candle aggregation in SQL. Streaming-vs-batch
+equivalence is the strongest check Structured Streaming admits.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..streaming.pipelines import run_file_candle_pipeline
+from .catalog import SQL_BASE, _round, ticks
+
+_TMP_ROOT = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), ".tmp")
+
+
+def ticker_wire_json(t: DataFrame) -> DataFrame:
+    """Tick rows → Advanced-Trade ticker JSON payloads (the producer's
+    wire format, coinbase_kafka_producer/producer.py)."""
+    return t.select(F.to_json(F.struct(
+        F.lit("ticker").alias("type"),
+        F.col("product_id"),
+        F.col("price").cast("string").alias("price"),
+        F.date_format("time", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("time"),
+    )).alias("value"))
+
+
+def q_streaming_candles(spark, sf_dir):
+    replay_dir = os.path.join(_TMP_ROOT, f"replay-{uuid.uuid4().hex[:8]}")
+    try:
+        wire = ticker_wire_json(ticks(spark, sf_dir))
+        wire.write.mode("overwrite").text(replay_dir)
+        out = run_file_candle_pipeline(spark, replay_dir)
+        # memory sink is fully materialized → safe to drop the files
+        return _round(out, ["open", "high", "low", "close"])
+    finally:
+        shutil.rmtree(replay_dir, ignore_errors=True)
+
+
+SQL_STREAMING_CANDLES = SQL_BASE + """
+SELECT product_id, bucket_start,
+       ROUND(open, 6) + 0 AS open, ROUND(high, 6) + 0 AS high,
+       ROUND(low, 6) + 0 AS low, ROUND(close, 6) + 0 AS close, n_ticks
+FROM candles
+"""
+
+
+SPARK_QUERIES_STREAM: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "streaming_candles": q_streaming_candles,
+}
+
+ORACLE_SQL_STREAM: dict[str, str] = {
+    "streaming_candles": SQL_STREAMING_CANDLES,
+}

@@ -11,19 +11,21 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import catalog, catalog_ext, catalog_ts, tpch
+from . import catalog, catalog_ext, catalog_stream, catalog_ts, tpch
 
 _QUERY_PARTS = (
     catalog.SPARK_QUERIES,
     catalog_ext.SPARK_QUERIES_EXT,
     catalog_ts.SPARK_QUERIES_TS,
     tpch.SPARK_QUERIES_TPCH,
+    catalog_stream.SPARK_QUERIES_STREAM,
 )
 _ORACLE_PARTS = (
     catalog.ORACLE_SQL,
     catalog_ext.ORACLE_SQL_EXT,
     catalog_ts.ORACLE_SQL_TS,
     tpch.ORACLE_SQL_TPCH,
+    catalog_stream.ORACLE_SQL_STREAM,
 )
 
 ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

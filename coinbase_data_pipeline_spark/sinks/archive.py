@@ -1,0 +1,47 @@
+"""Partitioned raw archive sink — the Go consumer's S3 layout
+(go_kafka_consumer/consumer.go: object key
+``{dataType}/{productId}/{nanots}.json``) as a Spark partitioned
+write: ``partitionBy(data_type, product_id)``.
+
+Directory-partitioning IS the scale design: the archive is then
+partition-pruned on (data_type, product_id) by every downstream scan,
+exactly what the reference's key prefix buys on S3 — but with parquet
+stats and column pruning on top. JSON output is kept for raw-parity
+(consumer.go archives verbatim payloads); parquet is the default.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def with_archive_keys(df: DataFrame, *, data_type: str,
+                      key: str = "product_id") -> DataFrame:
+    """Tag rows with the archive partition columns."""
+    out = df.withColumn("data_type", F.lit(data_type))
+    if key != "product_id":
+        out = out.withColumn("product_id", F.col(key))
+    return out
+
+
+def archive_write(df: DataFrame, base_path: str, *,
+                  fmt: str = "parquet", mode: str = "append",
+                  partition_cols: tuple[str, ...] = ("data_type",
+                                                     "product_id")) -> None:
+    """Append `df` to the archive under ``base_path`` partitioned by
+    ``partition_cols``. Locally a directory tree; on a cluster the same
+    call with an object-store URI."""
+    (df.write.partitionBy(*partition_cols)
+       .format(fmt).mode(mode).save(base_path))
+
+
+def archive_read(spark, base_path: str, *, fmt: str = "parquet",
+                 data_type: str | None = None,
+                 product_id: str | None = None) -> DataFrame:
+    """Read back, with partition pruning when filters are given."""
+    df = spark.read.format(fmt).load(base_path)
+    if data_type is not None:
+        df = df.filter(F.col("data_type") == data_type)
+    if product_id is not None:
+        df = df.filter(F.col("product_id") == product_id)
+    return df

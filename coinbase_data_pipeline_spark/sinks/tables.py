@@ -1,0 +1,73 @@
+"""Table sinks mirroring the reference's Cassandra keyspace
+(cassandra/scripts/create_tables.cql shapes): prices, candles,
+predictions, predictions_by_horizon, model_metrics — each partitioned
+by product (+model), primary-keyed as below, with Cassandra's
+last-write-wins upsert semantics reproduced as a merge writer.
+
+Local/plain-parquet implementation: a merge snapshots the table
+(read current + new → window-dedupe on the primary key → staging dir
+→ atomic swap). On a real cluster this exact logic is one
+``MERGE INTO`` on a transactional table format (Delta/Iceberg); the
+operator keeps the same signature so only the store swaps.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+# primary keys: partition key first, clustering keys after
+# (cassandra/scripts — all clustered by time DESC per product/model)
+TABLE_KEYS: dict[str, tuple[str, ...]] = {
+    "prices": ("product_id", "time"),
+    "candles": ("product_id", "start_time"),
+    "predictions": ("product_id", "model_name", "prediction_time",
+                    "target_time"),
+    "predictions_by_horizon": ("product_id", "model_name", "horizon",
+                               "prediction_time"),
+    "model_metrics": ("product_id", "model_name", "evaluated_at"),
+}
+
+
+def _path(root: str, table: str) -> str:
+    if table not in TABLE_KEYS:
+        raise KeyError(f"unknown table {table!r}; known: {sorted(TABLE_KEYS)}")
+    return os.path.join(root, table)
+
+
+def write_table(df: DataFrame, root: str, table: str, *,
+                mode: str = "append") -> None:
+    """Plain partitioned append (the streaming foreachBatch path,
+    spark_processor.py:173-186)."""
+    (df.write.partitionBy("product_id")
+       .mode(mode).parquet(_path(root, table)))
+
+
+def read_table(spark: SparkSession, root: str, table: str) -> DataFrame:
+    return spark.read.parquet(_path(root, table))
+
+
+def merge_upsert(spark: SparkSession, df: DataFrame, root: str,
+                 table: str) -> None:
+    """Cassandra-style upsert: new rows replace existing rows with the
+    same primary key; everything else is preserved."""
+    keys = list(TABLE_KEYS[table])
+    path = _path(root, table)
+    new = df.withColumn("_pri", F.lit(1))
+    if os.path.exists(path):
+        current = spark.read.parquet(path).withColumn("_pri", F.lit(0))
+        combined = current.unionByName(new)
+    else:
+        combined = new
+    w = Window.partitionBy(*keys).orderBy(F.col("_pri").desc())
+    merged = (combined.withColumn("_rn", F.row_number().over(w))
+              .filter(F.col("_rn") == 1).drop("_rn", "_pri"))
+
+    staging = f"{path}.staging-{uuid.uuid4().hex[:8]}"
+    merged.write.partitionBy("product_id").mode("overwrite").parquet(staging)
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    os.rename(staging, path)

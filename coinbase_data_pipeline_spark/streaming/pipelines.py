@@ -1,0 +1,112 @@
+"""Structured Streaming pipelines — the Kappa path of the reference
+(kafka_spark_processor/spark_processor.py) re-expressed on Spark's
+streaming engine.
+
+Topology parity:
+- ticker topic → typed parse → prices sink  (:139-188)
+- candle topic → typed parse → candles sink (:190-235)
+- plus a streaming candle AGGREGATION (ticks → OHLC windows), which
+  the reference does offline in pandas (data_loader.resample) but a
+  Kappa design wants on the stream.
+
+The parse stages are the exact batch functions from
+``sources.json_ingest`` — one codepath for both engines, so batch
+oracle parity covers the streaming transform too.
+
+Sources: Kafka when a broker is configured (same options as the
+reference); file/text source for replay and tests (no broker in the
+test env). Sinks: memory (tests), parquet via the sinks package.
+
+Scale notes: the windowed aggregation is keyed on (product_id,
+window) — state per live window per product, bounded by the watermark
+horizon; late rows beyond the watermark are dropped, matching the
+at-most-once candle semantics of the reference's Cassandra upsert.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..sources.json_ingest import parse_tickers
+
+
+def kafka_ticker_source(spark: SparkSession, *, servers: str,
+                        topic: str = "coin-data",
+                        starting_offsets: str = "earliest") -> DataFrame:
+    """Kafka source with the reference's options
+    (spark_processor.py:141-147). Requires the spark-sql-kafka package
+    on the cluster classpath; not available in the test env."""
+    return (spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers", servers)
+            .option("subscribe", topic)
+            .option("startingOffsets", starting_offsets)
+            .option("kafka.security.protocol", "PLAINTEXT")
+            .load())
+
+
+def file_ticker_source(spark: SparkSession, path: str,
+                       *, max_files: int = 16) -> DataFrame:
+    """Replay source: a directory of JSON-lines files, one payload per
+    line, streamed as the `value` column (Kafka-shaped)."""
+    return (spark.readStream.format("text")
+            .option("maxFilesPerTrigger", max_files)
+            .load(path))
+
+
+def ticker_pipeline(raw: DataFrame) -> DataFrame:
+    """raw value column → typed (product_id, time, price) rows — the
+    prices-table stream (spark_processor.py:160-171)."""
+    return parse_tickers(raw, channel_filter=False)
+
+
+def streaming_candles(parsed: DataFrame, *, freq: str = "5 minutes",
+                      watermark: str | None = "30 minutes") -> DataFrame:
+    """Ticks → OHLC candles on the stream.
+
+    Same aggregate family as the batch ``candle_resample``; open/close
+    use min/max-of-struct (streaming-safe ordered aggregate) keyed by
+    event time, which equals min_by/max_by whenever timestamps are
+    unique within a bucket. `watermark=None` → complete-mode use
+    (tests, replay); set a horizon for append-mode production sinks.
+    """
+    src = parsed
+    if watermark is not None:
+        src = src.withWatermark("time", watermark)
+    agg = (src.groupBy(F.col("product_id"),
+                       F.window("time", freq).alias("w"))
+           .agg(F.min(F.struct("time", "price")).alias("_open"),
+                F.max("price").alias("high"),
+                F.min("price").alias("low"),
+                F.max(F.struct("time", "price")).alias("_close"),
+                F.count(F.lit(1)).alias("n_ticks")))
+    return agg.select(
+        "product_id", F.col("w.start").alias("bucket_start"),
+        F.col("_open.price").alias("open"), "high", "low",
+        F.col("_close.price").alias("close"), "n_ticks")
+
+
+def run_to_memory(df: DataFrame, *, name: str | None = None,
+                  output_mode: str = "complete") -> str:
+    """Execute a streaming DataFrame to completion (availableNow) into
+    an in-memory sink; returns the sink table name. The table stays
+    queryable after the stream stops."""
+    name = name or f"stream_{uuid.uuid4().hex[:12]}"
+    q = (df.writeStream.format("memory").queryName(name)
+         .outputMode(output_mode)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return name
+
+
+def run_file_candle_pipeline(spark: SparkSession, json_dir: str,
+                             *, freq: str = "5 minutes") -> DataFrame:
+    """End-to-end replay: JSON-lines dir → ticker parse → candle agg →
+    memory sink; returns the materialized result as a DataFrame."""
+    raw = file_ticker_source(spark, json_dir)
+    parsed = ticker_pipeline(raw)
+    candles = streaming_candles(parsed, freq=freq, watermark=None)
+    name = run_to_memory(candles, output_mode="complete")
+    return spark.table(name)

@@ -1,0 +1,174 @@
+"""Streaming pipelines, sinks, and multimodal operators — behavior
+tests for the parts whose semantics the batch oracle can't fully cover
+(streaming execution, filesystem layout, binary codec plumbing)."""
+
+from __future__ import annotations
+
+import os
+import struct
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------- streaming
+
+def test_streaming_candles_match_batch(spark, tmp_path):
+    """The streaming OHLC aggregation must equal the batch one on the
+    same replayed data (stream/batch equivalence)."""
+    from coinbase_data_pipeline_spark.operators.candles import candle_resample
+    from coinbase_data_pipeline_spark.plans.catalog import ticks
+    from coinbase_data_pipeline_spark.plans.catalog_stream import (
+        ticker_wire_json)
+    from coinbase_data_pipeline_spark.streaming.pipelines import (
+        run_file_candle_pipeline)
+
+    t = ticks(spark, SF)
+    replay = str(tmp_path / "replay")
+    ticker_wire_json(t).write.mode("overwrite").text(replay)
+
+    streamed = run_file_candle_pipeline(spark, replay)
+    batch = candle_resample(t.select("product_id", "time", "price"))
+
+    def key(rows):
+        return {(r.product_id, r.bucket_start): (
+            round(r.open, 6), round(r.high, 6), round(r.low, 6),
+            round(r.close, 6), r.n_ticks) for r in rows}
+
+    s, b = key(streamed.collect()), key(batch.collect())
+    assert s == b
+
+
+def test_streaming_watermark_append_mode(spark, tmp_path):
+    """With a watermark, append mode emits finalized windows only —
+    the production sink path (parquet can only take append)."""
+    from coinbase_data_pipeline_spark.plans.catalog_stream import (
+        ticker_wire_json)
+    from coinbase_data_pipeline_spark.plans.catalog import ticks
+    from coinbase_data_pipeline_spark.streaming.pipelines import (
+        file_ticker_source, run_to_memory, streaming_candles,
+        ticker_pipeline)
+
+    replay = str(tmp_path / "replay2")
+    ticker_wire_json(ticks(spark, SF).limit(2000)) \
+        .write.mode("overwrite").text(replay)
+    parsed = ticker_pipeline(file_ticker_source(spark, replay))
+    candles = streaming_candles(parsed, watermark="10 minutes")
+    name = run_to_memory(candles, output_mode="append")
+    out = spark.table(name)
+    # windows older than max(time) - watermark are finalized and emitted
+    assert out.count() > 0
+    assert set(out.columns) == {"product_id", "bucket_start", "open",
+                                "high", "low", "close", "n_ticks"}
+
+
+# -------------------------------------------------------------------- sinks
+
+def test_archive_layout_and_pruning(spark, tmp_path):
+    from coinbase_data_pipeline_spark.plans.catalog import ticks
+    from coinbase_data_pipeline_spark.sinks.archive import (
+        archive_read, archive_write, with_archive_keys)
+
+    t = with_archive_keys(ticks(spark, SF).limit(500), data_type="ticker")
+    base = str(tmp_path / "archive")
+    archive_write(t, base)
+
+    # consumer.go key layout: {dataType}/{product_id}/...
+    sub = os.listdir(base)
+    assert any(d.startswith("data_type=ticker") for d in sub)
+    inner = os.listdir(os.path.join(base, "data_type=ticker"))
+    assert all(d.startswith("product_id=") for d in inner
+               if not d.startswith(("_", ".")))
+
+    back = archive_read(spark, base, data_type="ticker")
+    assert back.count() == 500
+    one = archive_read(spark, base, data_type="ticker",
+                       product_id=inner[0].split("=", 1)[1])
+    assert 0 < one.count() <= 500
+
+
+def test_merge_upsert_last_write_wins(spark, tmp_path):
+    from coinbase_data_pipeline_spark.sinks.tables import (
+        merge_upsert, read_table)
+
+    root = str(tmp_path / "store")
+    v1 = spark.createDataFrame(
+        [("BTC-USD", "2024-01-01 00:00:00", 100.0),
+         ("ETH-USD", "2024-01-01 00:00:00", 10.0)],
+        "product_id string, time string, price double")
+    merge_upsert(spark, v1, root, "prices")
+    v2 = spark.createDataFrame(
+        [("BTC-USD", "2024-01-01 00:00:00", 999.0),   # overwrite
+         ("BTC-USD", "2024-01-01 00:05:00", 101.0)],  # new
+        "product_id string, time string, price double")
+    merge_upsert(spark, v2, root, "prices")
+
+    got = {(r.product_id, r.time): r.price
+           for r in read_table(spark, root, "prices").collect()}
+    assert got == {("BTC-USD", "2024-01-01 00:00:00"): 999.0,
+                   ("BTC-USD", "2024-01-01 00:05:00"): 101.0,
+                   ("ETH-USD", "2024-01-01 00:00:00"): 10.0}
+
+
+def test_write_table_rejects_unknown(spark, tmp_path):
+    from coinbase_data_pipeline_spark.sinks.tables import write_table
+
+    df = spark.createDataFrame([("a",)], "product_id string")
+    with pytest.raises(KeyError):
+        write_table(df, str(tmp_path), "nope")
+
+
+# --------------------------------------------------------------- multimodal
+
+def _media_df(spark):
+    from coinbase_data_pipeline_spark.operators.multimodal import (
+        encode_audio, encode_image, encode_video)
+
+    img = encode_image(4, 2, bytes(range(8)))
+    vid = encode_video(2, 2, [bytes([i] * 4) for i in range(5)])
+    aud = encode_audio(16000, bytes(100))
+    pdf = pd.DataFrame({"media_id": [1, 2, 3],
+                        "payload": [img, vid, aud]})
+    return spark.createDataFrame(pdf)
+
+
+def test_multimodal_decode_metadata(spark):
+    from coinbase_data_pipeline_spark.operators.multimodal import (
+        decode_metadata)
+
+    meta = {r.media_id: r for r in
+            decode_metadata(_media_df(spark)).collect()}
+    assert meta[1].kind == "image" and (meta[1].width, meta[1].height) == (4, 2)
+    assert meta[2].kind == "video" and meta[2].n_frames == 5
+    assert meta[3].kind == "audio" and meta[3].sample_rate == 16000
+    assert meta[3].n_samples == 100
+
+
+def test_multimodal_resize_and_frames(spark):
+    from coinbase_data_pipeline_spark.operators.multimodal import (
+        frame_sample, image_resize)
+
+    df = _media_df(spark)
+    resized = {r.media_id: r for r in image_resize(df, 2, 2).collect()}
+    assert (resized[1].width, resized[1].height) == (2, 2)
+    pixels = bytes(resized[1].payload)[12:]
+    assert len(pixels) == 4
+    assert pixels == bytes([0, 2, 4, 6])  # nearest-neighbor of range(8)
+    # non-image passes through
+    assert resized[3].width is None
+
+    frames = frame_sample(df, every_n=2).collect()
+    assert [f.frame_idx for f in sorted(frames, key=lambda r: r.frame_idx)] \
+        == [0, 2, 4]
+    assert all(bytes(f.frame)[:4] == b"IMG1" for f in frames)
+
+
+def test_real_decode_is_stubbed():
+    from coinbase_data_pipeline_spark.operators.multimodal import real_decode
+
+    with pytest.raises(NotImplementedError):
+        real_decode(b"\xff\xd8\xff")  # jpeg magic
