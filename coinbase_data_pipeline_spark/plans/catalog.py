@@ -29,15 +29,23 @@ RND = 6  # shared float rounding for hash-stable comparison
 # --------------------------------------------------------------------- bases
 
 def ticks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events → tick stream (typed parse incl. JSON field extraction)."""
+    """events → tick stream (typed parse incl. JSON field extraction).
+
+    `ts_nanos` (the raw scan column, when the parquet stores nanos) is
+    carried along so time-range queries can push range predicates into
+    the scan; column pruning drops it everywhere it goes unused.
+    """
     ev = load_table(spark, sf_dir, "events")
-    return ev.select(
+    cols = [
         F.col("event_type").alias("product_id"),
         F.col("ts").alias("time"),
         F.col("value").alias("price"),
         F.get_json_object("props", "$.k").cast("double").alias("volume"),
         F.col("event_id"),
-    )
+    ]
+    if "ts_nanos" in ev.columns:
+        cols.append(F.col("ts_nanos"))
+    return ev.select(*cols)
 
 
 def candles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -149,11 +157,25 @@ FROM ticks GROUP BY product_id
 
 
 def q_time_range_fetch(spark, sf_dir):
-    """Key + time-range scan with parquet pushdown (data_fetcher.py:31-36)."""
+    """Key + time-range scan with parquet pushdown (data_fetcher.py:31-36).
+
+    The range is applied BOTH on the semantic `time` column and (when
+    the raw nanos scan column exists) on `ts_nanos`, so the predicate
+    reaches the parquet row-group stats — only matching row groups are
+    read (verified in tests/test_plans.py).
+    """
+    from datetime import datetime, timezone
+
+    start, end = "2024-01-05 00:00:00", "2024-01-12 00:00:00"
     t = ticks(spark, sf_dir)
+    if "ts_nanos" in t.columns:
+        def nanos(s: str) -> int:
+            dt = datetime.fromisoformat(s).replace(tzinfo=timezone.utc)
+            return int(dt.timestamp()) * 1_000_000_000
+        t = t.filter(F.col("ts_nanos").between(nanos(start), nanos(end)))
     out = C.time_range_fetch(
         t, key="product_id", ts="time", key_value="click",
-        start="2024-01-05 00:00:00", end="2024-01-12 00:00:00")
+        start=start, end=end)
     return out.select("product_id", "time", "price", "event_id")
 
 

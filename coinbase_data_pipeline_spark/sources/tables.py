@@ -47,8 +47,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
         # TIMESTAMP(NANOS) read as long (nanosAsLong): integer-divide to
         # microseconds — lossless for this data and bit-identical to
-        # DuckDB's us-precision read.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # DuckDB's us-precision read. The raw long survives as
+        # `ts_nanos` so time-range predicates can be expressed on the
+        # scan column itself and reach parquet as PushedFilters (a
+        # filter on the converted expression cannot push down).
+        df = (df.withColumnRenamed("ts", "ts_nanos")
+                .withColumn("ts", F.timestamp_micros(
+                    F.expr("ts_nanos div 1000"))))
     return df
 
 

@@ -1,0 +1,105 @@
+"""Physical-plan audits: the scale properties SURVEY.md §6 promises,
+asserted against `.explain` so a regression (lost pushdown, surprise
+cartesian product, extra shuffle) fails CI instead of shipping.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from coinbase_data_pipeline_spark.plans.registry import ALL_QUERIES
+
+SF = "/root/testdata/sf0.01"
+
+
+def formatted_plan(spark, name: str) -> str:
+    df = ALL_QUERIES[name](spark, SF)
+    jvm = spark._jvm
+    return df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"))
+
+
+def test_time_range_pushdown(spark):
+    """The time-range predicate must reach the parquet scan (row-group
+    pruning), not evaluate post-conversion only."""
+    p = formatted_plan(spark, "time_range_fetch")
+    pushed = [ln for ln in p.splitlines() if "PushedFilters" in ln]
+    assert pushed, "no PushedFilters section"
+    line = pushed[0]
+    assert "EqualTo(event_type,click)" in line
+    # the raw scan column keeps its file name `ts`; the bounds are the
+    # nano-epoch literals
+    assert re.search(r"GreaterThanOrEqual\(ts\w*,17\d+", line)
+    assert re.search(r"LessThanOrEqual\(ts\w*,17\d+", line)
+
+
+def test_q1_pushdown_and_partial_agg(spark):
+    p = formatted_plan(spark, "q1_pricing_summary")
+    assert "LessThanOrEqual(l_shipdate" in p
+    # partial + final HashAggregate around a single exchange
+    tree = p.split("\n\n")[0]
+    assert tree.count("HashAggregate") == 2
+
+
+def test_q1_column_pruning(spark):
+    """The scan must read only the 7 referenced columns, not the
+    full 11-column lineitem schema."""
+    p = formatted_plan(spark, "q1_pricing_summary")
+    read = [ln for ln in p.splitlines() if "ReadSchema" in ln][0]
+    assert "l_orderkey" not in read and "l_partkey" not in read
+    assert "l_quantity" in read and "l_shipdate" in read
+
+
+@pytest.mark.parametrize("name", ["q5_local_supplier", "q7_volume_shipping",
+                                  "q14_promo_effect",
+                                  "q19_discounted_revenue"])
+def test_dims_broadcast_no_sortmerge(spark, name):
+    """Dimension joins must be broadcast; a SortMergeJoin here means a
+    dim shuffled the fact table."""
+    tree = formatted_plan(spark, name).split("\n\n")[0]
+    assert "BroadcastHashJoin" in tree
+    assert "SortMergeJoin" not in tree
+
+
+@pytest.mark.parametrize("name", ["dedup_minhash_lsh", "dedup_embedding",
+                                  "ann_lsh", "dedup_ngram_jaccard"])
+def test_no_cartesian_products(spark, name):
+    """Candidate generation must be bucketed/banded joins — never a
+    cartesian product of the corpus with itself."""
+    tree = formatted_plan(spark, name).split("\n\n")[0]
+    assert "CartesianProduct" not in tree
+
+
+def test_feature_pipeline_single_window_shuffle(spark):
+    """All 24-row rolling features share one window family: exactly one
+    exchange on product_id feeding one Sort + one Window operator."""
+    tree = formatted_plan(spark, "volume_features").split("\n\n")[0]
+    assert len(re.findall(r"\bWindow \(\d+\)", tree)) == 1
+    assert len(re.findall(r"\bSort \(\d+\)", tree)) == 1
+    # two exchanges total: candle agg (product,bucket) + window (product)
+    assert len(re.findall(r"\bExchange \(\d+\)", tree)) == 2
+
+
+def test_full_feature_set_shares_one_window_exchange(spark):
+    """The 26-feature pipeline must not add shuffles per feature: the
+    whole post-candle feature stack rides ONE exchange + one sort."""
+    from coinbase_data_pipeline_spark.operators.indicators import (
+        enhance_features)
+    from coinbase_data_pipeline_spark.plans.catalog import candles
+
+    df = enhance_features(candles(spark, SF))
+    tree = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted")).split("\n\n")[0]
+    assert len(re.findall(r"\bExchange \(\d+\)", tree)) == 2
+    assert len(re.findall(r"\bSort \(\d+\)", tree)) == 1
+
+
+def test_latest_n_uses_window_group_limit(spark):
+    """Top-N per key must push the limit below the sort
+    (WindowGroupLimit) so no full per-key sort materializes."""
+    p = formatted_plan(spark, "latest_n_per_key")
+    assert "WindowGroupLimit" in p
