@@ -17,9 +17,9 @@ are reproducible across runs and engines.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window, functions as F
+import hashlib
 
-from ..functions.text import hash60
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
 def _dot(x: Column, y: Column) -> Column:
@@ -47,15 +47,20 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, *,
             .select("query_id", "nn_id", "cosine", "rank"))
 
 
-def _hyperplane(dim: int, plane: int) -> Column:
+def hyperplane_values(dim: int, plane: int) -> list[float]:
     """Deterministic pseudo-random hyperplane: component j of plane p
-    is hash60(f"p{p}c{j}") scaled to [-1, 1]."""
-    comps = [
-        (hash60(F.lit(f"p{plane}c{j}")) % F.lit(2000001) - F.lit(1000000))
-        .cast("double") / F.lit(1000000.0)
-        for j in range(dim)
-    ]
-    return F.array(*comps)
+    is hash60(f"p{p}c{j}") scaled to [-1, 1]. Computed driver-side as
+    plain floats (they are constants — no reason to re-derive them
+    per-row) so the same numbers can be inlined into oracle SQL."""
+    out = []
+    for j in range(dim):
+        h = int(hashlib.md5(f"p{plane}c{j}".encode()).hexdigest()[:15], 16)
+        out.append((h % 2000001 - 1000000) / 1000000.0)
+    return out
+
+
+def _hyperplane(dim: int, plane: int) -> Column:
+    return F.array(*[F.lit(v) for v in hyperplane_values(dim, plane)])
 
 
 def sketch(vec: Column, dim: int, planes: int = 8,

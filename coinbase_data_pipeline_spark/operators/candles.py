@@ -67,6 +67,27 @@ def latest_n_per_key(df: DataFrame, n: int, *, key: str = "product_id",
               .filter(F.col("_rn") <= n).drop("_rn"))
 
 
+def candle_rollup(candles: DataFrame, *, key: str = "product_id",
+                  bucket: str = "bucket_start",
+                  freq: str = "1 hour") -> DataFrame:
+    """Coarser candles from finer candles — the continuous-aggregate /
+    hypertable-rollup pattern. OHLC re-aggregates hierarchically
+    (open = open of earliest sub-candle, etc.), so the hourly/daily
+    tiers read the already-tiny candle table, never the raw ticks:
+    each rollup tier shrinks input by the bucket ratio."""
+    out = (candles.groupBy(F.col(key), F.window(bucket, freq).alias("w"))
+           .agg(F.min_by("open", bucket).alias("open"),
+                F.max("high").alias("high"),
+                F.min("low").alias("low"),
+                F.max_by("close", bucket).alias("close"),
+                F.sum("n_ticks").alias("n_ticks"),
+                F.sum("volume").alias("volume"))
+           .withColumn("bucket_start", F.col("w.start"))
+           .drop("w"))
+    return out.select(key, "bucket_start", "open", "high", "low", "close",
+                      "n_ticks", "volume")
+
+
 def top_k_per_key(df: DataFrame, n: int, *, key: str = "product_id",
                   order_col: str = "price",
                   tiebreak: str | None = None) -> DataFrame:

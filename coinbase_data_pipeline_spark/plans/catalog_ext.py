@@ -299,11 +299,58 @@ SELECT query_id, nn_id, cosine, rank FROM ranked WHERE rank <= 5
 
 
 def q_ann_lsh(spark, sf_dir):
-    """Rows-only: the 512 hyperplane hash expressions are impractical
-    as oracle SQL; recall vs brute force is pytest-checked instead."""
+    """Banded random-hyperplane ANN. The hyperplanes are deterministic
+    constants, so the full pipeline — bucket sketches, band join,
+    candidate dedup, cosine re-rank — is oracle-checked in SQL with the
+    same inlined plane vectors; recall vs brute force is additionally
+    pytest-gated."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return ANN.lsh_topk(emb, queries)
+
+
+def _sql_ann_lsh(dim: int = 64, planes: int = 8, bands: int = 4,
+                 k: int = 5) -> str:
+    from ..operators.ann import hyperplane_values
+
+    def bucket_expr(b: int) -> str:
+        terms = []
+        for p in range(planes):
+            vals = hyperplane_values(dim, b * planes + p)
+            arr = "[" + ", ".join(repr(v) for v in vals) + "]"
+            terms.append(f"CASE WHEN list_inner_product(vec, {arr}) >= 0 "
+                         f"THEN {1 << p} ELSE 0 END")
+        return " + ".join(terms)
+
+    banded_rows = "\n  UNION ALL\n".join(
+        f"  SELECT vec_id, vec, nrm, {b} AS band,\n"
+        f"         ({bucket_expr(b)}) AS bucket FROM n"
+        for b in range(bands))
+    return f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+), n AS (
+  SELECT vec_id, vec, sqrt(list_inner_product(vec, vec)) AS nrm FROM v
+), banded AS (
+{banded_rows}
+), cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS nn_id,
+         q.vec AS qv, q.nrm AS qn, c.vec AS cv, c.nrm AS cn
+  FROM banded c JOIN (SELECT * FROM banded WHERE vec_id < 10) q
+    ON c.band = q.band AND c.bucket = q.bucket AND q.vec_id != c.vec_id
+), scored AS (
+  SELECT query_id, nn_id,
+         ROUND(list_inner_product(qv, cv) / (qn * cn), 6) + 0 AS cosine
+  FROM cand
+), ranked AS (
+  SELECT query_id, nn_id, cosine,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, nn_id) AS INT)
+           AS rank
+  FROM scored
+)
+SELECT query_id, nn_id, cosine, rank FROM ranked WHERE rank <= {k}
+"""
 
 
 # ------------------------------------------------------------------- text
@@ -451,7 +498,7 @@ ORACLE_SQL_EXT: dict[str, str] = {
     "dedup_ngram_jaccard": SQL_DEDUP_NGRAM,
     "dedup_embedding": SQL_DEDUP_EMBEDDING,
     "ann_bruteforce": SQL_ANN_BRUTEFORCE,
-    # ann_lsh: rows-only (see q_ann_lsh docstring)
+    "ann_lsh": _sql_ann_lsh(),
     "lang_id": _sql_lang_id(),
     "quality_score": SQL_QUALITY,
     "token_count": SQL_TOKEN_COUNT,

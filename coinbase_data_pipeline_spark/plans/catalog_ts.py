@@ -178,6 +178,81 @@ FROM events GROUP BY user_id, event_type, value
 """
 
 
+# ------------------------------------------------------------ candle rollup
+
+def q_candle_rollup(spark, sf_dir):
+    """5-minute candles rolled up to hourly (hierarchical OHLCV
+    re-aggregation — reads candles, not ticks)."""
+    out = C.candle_rollup(candles(spark, sf_dir), freq="1 hour")
+    return _round(out, ["open", "high", "low", "close", "volume"])
+
+
+SQL_CANDLE_ROLLUP = SQL_BASE + """
+SELECT product_id,
+       time_bucket(INTERVAL '1 hour', bucket_start) AS hour_start,
+       ROUND(arg_min(open, bucket_start), 6) + 0 AS open,
+       ROUND(max(high), 6) + 0 AS high,
+       ROUND(min(low), 6) + 0 AS low,
+       ROUND(arg_max(close, bucket_start), 6) + 0 AS close,
+       sum(n_ticks) AS n_ticks,
+       ROUND(sum(volume), 6) + 0 AS volume
+FROM candles GROUP BY 1, 2
+""".replace("AS hour_start", "AS bucket_start")
+
+
+# ------------------------------------------------------- horizon evaluation
+
+def q_prediction_horizon_eval(spark, sf_dir):
+    """Forecast quality per (product, horizon): the naive 12-step
+    forecast joined back to realized candles at target_time, scored
+    with the reference's metric set — the predictions_by_horizon read
+    path (cassandra predictions_by_horizon + metrics.py)."""
+    from ..operators import forecast as FC
+
+    c = candles(spark, sf_dir)
+    preds = FC.naive_forecast(c)
+    actual = c.select("product_id",
+                      F.col("bucket_start").alias("target_time"),
+                      F.col("close").alias("actual_price"))
+    j = preds.join(actual, ["product_id", "target_time"])
+    err = F.col("actual_price") - F.col("predicted_price")
+    smape = (F.lit(2.0) * F.abs(err)
+             / (F.abs("actual_price") + F.abs("predicted_price")))
+    out = (j.groupBy("product_id", "horizon")
+           .agg((F.round(F.avg(smape) * 100.0, RND) + F.lit(0.0))
+                .alias("smape"),
+                (F.round(F.avg(F.abs(err)), RND) + F.lit(0.0)).alias("mae"),
+                (F.round(F.sqrt(F.avg(err * err)), RND) + F.lit(0.0))
+                .alias("rmse"),
+                F.count(F.lit(1)).alias("sample_count")))
+    return out
+
+
+SQL_PREDICTION_HORIZON_EVAL = SQL_BASE + """
+, preds AS (
+  SELECT product_id,
+         bucket_start + h * INTERVAL 5 MINUTE AS target_time,
+         CAST(h AS INT) AS horizon,
+         close AS predicted_price
+  FROM candles, (SELECT unnest(generate_series(1, 12)) AS h)
+), j AS (
+  SELECT p.product_id, p.horizon, p.predicted_price,
+         c.close AS actual_price
+  FROM preds p JOIN candles c
+    ON p.product_id = c.product_id AND p.target_time = c.bucket_start
+)
+SELECT product_id, horizon,
+       ROUND(avg(2.0 * abs(actual_price - predicted_price)
+                 / (abs(actual_price) + abs(predicted_price))) * 100.0, 6)
+         + 0 AS smape,
+       ROUND(avg(abs(actual_price - predicted_price)), 6) + 0 AS mae,
+       ROUND(sqrt(avg((actual_price - predicted_price)
+                      * (actual_price - predicted_price))), 6) + 0 AS rmse,
+       count(*) AS sample_count
+FROM j GROUP BY product_id, horizon
+"""
+
+
 # ----------------------------------------------------------------- registry
 
 SPARK_QUERIES_TS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -186,6 +261,8 @@ SPARK_QUERIES_TS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "macd_approx": q_macd_approx,
     "top_k": q_top_k,
     "dedup_exact": q_dedup_exact,
+    "candle_rollup": q_candle_rollup,
+    "prediction_horizon_eval": q_prediction_horizon_eval,
 }
 
 ORACLE_SQL_TS: dict[str, str] = {
@@ -194,4 +271,6 @@ ORACLE_SQL_TS: dict[str, str] = {
     "macd_approx": _sql_macd_approx(),
     "top_k": SQL_TOP_K,
     "dedup_exact": SQL_DEDUP_EXACT_EVENTS,
+    "candle_rollup": SQL_CANDLE_ROLLUP,
+    "prediction_horizon_eval": SQL_PREDICTION_HORIZON_EVAL,
 }
