@@ -19,23 +19,36 @@ import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# Headliners: the reference's hot path (candles + features), the
-# relational core, and (as implemented) dedup/ANN representatives.
+# Headliners: the reference's hot path (candles + features + forecast
+# eval), the relational core, and the dedup/ANN/text extensions.
 HEADLINERS = [
     "candle_resample",
+    "candle_rollup",
+    "clean_series",
     "volume_features",
     "rsi",
     "obv",
+    "macd_approx",
     "ewm_indicators",
     "latest_n_per_key",
+    "asof_join",
+    "prediction_horizon_eval",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier",
+    "q6_forecast_revenue",
+    "q18_large_orders",
+    "dedup_exact_docs",
+    "dedup_minhash_lsh",
+    "ann_bruteforce",
+    "lang_id",
+    "token_count",
 ]
 
 
 def main() -> None:
-    from coinbase_data_pipeline_spark.plans.catalog import SPARK_QUERIES
+    from coinbase_data_pipeline_spark.plans.registry import (
+        ALL_QUERIES as SPARK_QUERIES)
     from coinbase_data_pipeline_spark.session import get_spark
 
     spark = get_spark("bench")

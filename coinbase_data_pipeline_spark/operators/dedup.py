@@ -43,35 +43,50 @@ def minhash_lsh_pairs(docs: DataFrame, *, id_col: str = "doc_id",
     token-set Jaccard.
 
     Pipeline: token set → k seeded min-hashes → split into bands →
-    groupBy (band, band-signature) buckets → pairs within buckets →
-    exact-Jaccard verify → distinct pairs. Shuffles: one for the
-    band groupBy-join, one distinct. No global cross join.
+    self-join on (band, band-signature) buckets → DISTINCT candidate
+    ID pairs → re-attach token sets → size-ratio block → exact-Jaccard
+    verify. No global cross join.
+
+    Scale notes: the candidate dedup shuffles only (a_id, b_id) pairs
+    — token arrays are re-attached AFTERWARDS by joining the (small,
+    one-row-per-doc) base relation, so template-heavy corpora with
+    big near-dup cliques (candidate count ~clique²) never push array
+    payloads through the distinct. The size-ratio pre-filter is
+    implied by Jaccard ≥ t (min/max ≥ t), so it only removes pairs
+    that could never pass — output is identical, verify work isn't.
     """
     rows_per_band = num_hashes // bands
     base = docs.select(F.col(id_col).alias("a_id"),
                        token_set(text_col).alias("toks"))
-    sig = base.withColumn("sig", minhash_signature(F.col("toks"),
-                                                   k=num_hashes))
+    base = base.withColumn("n", F.size("toks"))
+    sig = base.select("a_id", minhash_signature(F.col("toks"),
+                                                k=num_hashes).alias("sig"))
     banded = sig.select(
-        "a_id", "toks",
+        "a_id",
         F.explode(F.array(*[
             F.struct(F.lit(b).alias("band"),
                      F.concat_ws("_", *[
                          F.col("sig")[b * rows_per_band + r].cast("string")
                          for r in range(rows_per_band)]).alias("bsig"))
             for b in range(bands)])).alias("bb"),
-    ).select("a_id", "toks", "bb.band", "bb.bsig")
+    ).select("a_id", "bb.band", "bb.bsig")
 
-    left = banded.alias("l")
-    right = banded.select(F.col("a_id").alias("b_id"),
-                          F.col("toks").alias("btoks"),
-                          "band", "bsig").alias("r")
-    cand = (left.join(right, ["band", "bsig"])
-            .filter(F.col("a_id") < F.col("b_id"))
-            .select("a_id", "b_id", "toks", "btoks")
-            .distinct())
-    inter = F.size(F.array_intersect("toks", "btoks")).cast("double")
-    union = F.size(F.array_union("toks", "btoks")).cast("double")
+    right = banded.select(F.col("a_id").alias("b_id"), "band", "bsig")
+    cand_ids = (banded.join(right, ["band", "bsig"])
+                .filter(F.col("a_id") < F.col("b_id"))
+                .select("a_id", "b_id")
+                .distinct())
+    t = jaccard_threshold
+    cand = (cand_ids
+            .join(base.select("a_id", F.col("toks").alias("atoks"),
+                              F.col("n").alias("na")), "a_id")
+            .join(base.select(F.col("a_id").alias("b_id"),
+                              F.col("toks").alias("btoks"),
+                              F.col("n").alias("nb")), "b_id")
+            .filter((F.col("na") * t <= F.col("nb"))
+                    & (F.col("nb") * t <= F.col("na"))))
+    inter = F.size(F.array_intersect("atoks", "btoks")).cast("double")
+    union = F.size(F.array_union("atoks", "btoks")).cast("double")
     jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
     return (cand.withColumn("jaccard", F.round(jac, 6))
                 .filter(F.col("jaccard") >= jaccard_threshold)
