@@ -67,6 +67,54 @@ def latest_n_per_key(df: DataFrame, n: int, *, key: str = "product_id",
               .filter(F.col("_rn") <= n).drop("_rn"))
 
 
+def candle_resample_salted(ticks: DataFrame, *, key: str = "product_id",
+                           ts: str = "time", price: str = "price",
+                           volume: str | None = None,
+                           freq: str = "5 minutes",
+                           salt_buckets: int = 8) -> DataFrame:
+    """Skew-resistant candle build: two-level aggregation with a salt.
+
+    A hot key (one product dominating the tick volume — the BTC-USD
+    problem) makes the single-shuffle groupBy reduce onto one task.
+    Salting splits each (key, bucket) group into `salt_buckets`
+    partial groups aggregated independently, then merges partials —
+    the hot key's work spreads over `salt_buckets` tasks and the merge
+    input is tiny (one row per salt per candle). Output is IDENTICAL
+    to :func:`candle_resample` (same oracle): min/max merge freely and
+    open/close merge via each partial's min/max timestamp.
+    """
+    salt = F.pmod(F.xxhash64(F.col(ts)), F.lit(salt_buckets)).alias("_salt")
+    partial_aggs = [
+        F.min_by(price, ts).alias("p_open"),
+        F.max(price).alias("p_high"),
+        F.min(price).alias("p_low"),
+        F.max_by(price, ts).alias("p_close"),
+        F.min(ts).alias("t_min"),
+        F.max(ts).alias("t_max"),
+        F.count(F.lit(1)).alias("p_n"),
+    ]
+    if volume is not None:
+        partial_aggs.append(F.sum(volume).alias("p_vol"))
+    partial = (ticks
+               .groupBy(F.col(key), F.window(ts, freq).alias("w"), salt)
+               .agg(*partial_aggs))
+    merge_aggs = [
+        F.min_by("p_open", "t_min").alias("open"),
+        F.max("p_high").alias("high"),
+        F.min("p_low").alias("low"),
+        F.max_by("p_close", "t_max").alias("close"),
+        F.sum("p_n").alias("n_ticks"),
+    ]
+    if volume is not None:
+        merge_aggs.append(F.sum("p_vol").alias("volume"))
+    out = (partial.groupBy(key, "w").agg(*merge_aggs)
+           .withColumn("bucket_start", F.col("w.start")).drop("w"))
+    cols = [key, "bucket_start", "open", "high", "low", "close", "n_ticks"]
+    if volume is not None:
+        cols.append("volume")
+    return out.select(*cols)
+
+
 def candle_rollup(candles: DataFrame, *, key: str = "product_id",
                   bucket: str = "bucket_start",
                   freq: str = "1 hour") -> DataFrame:

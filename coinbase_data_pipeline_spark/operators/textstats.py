@@ -98,6 +98,25 @@ def token_count(docs: DataFrame, *, id_col: str = "doc_id",
                        bpe.alias("bpe_tokens"))
 
 
+def ngram_doc_frequency(docs: DataFrame, top_n: int = 20, *,
+                        text_col: str = "text", n: int = 2) -> DataFrame:
+    """Corpus-level top-N word n-grams by DOCUMENT frequency (count of
+    docs containing the n-gram — dedupe-robust, unlike raw term
+    frequency). n-grams are adjacent words of the ORIGINAL token
+    sequence (order-defined in any engine), distinct within each doc.
+    explode → count — the word-count plan with map-side partial
+    aggregation; the top-N is a single global sort of the (tiny)
+    distinct-ngram aggregate."""
+    from ..functions.text import tokens, word_shingles
+
+    grams = word_shingles(tokens(text_col), n)
+    exploded = docs.select(F.explode(grams).alias("ngram"))
+    counts = exploded.groupBy("ngram").agg(
+        F.count(F.lit(1)).alias("doc_freq"))
+    return (counts.orderBy(F.col("doc_freq").desc(), F.col("ngram"))
+            .limit(top_n))
+
+
 def doc_fingerprint(docs: DataFrame, *, id_col: str = "doc_id",
                     text_col: str = "text", gram: int = 8,
                     stride: int = 4) -> DataFrame:

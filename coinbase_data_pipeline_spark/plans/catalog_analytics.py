@@ -1,0 +1,156 @@
+"""Catalog part 6: event analytics (sessionization, daily actives,
+grouped quantiles, corpus n-gram frequency) and the skew-resistant
+salted candle build. Same contract as catalog.py.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators import candles as C
+from ..operators import sessions as S
+from ..operators import textstats as TS
+from ..sources.tables import load_table
+from .catalog import SQL_BASE, SQL_CANDLE_RESAMPLE, _round, ticks
+
+
+# ------------------------------------------------------------ sessionization
+
+def q_sessionize(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return S.sessionize(ev, gap_minutes=30)
+
+
+SQL_SESSIONIZE = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts - lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), numbered AS (
+  SELECT user_id, ts,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS session_no
+  FROM flagged
+)
+SELECT user_id, session_no,
+       min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events
+FROM numbered GROUP BY user_id, session_no
+"""
+
+
+# -------------------------------------------------------------- daily actives
+
+def q_daily_active_users(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return (ev.groupBy(F.to_date("ts").alias("day"))
+            .agg(F.count_distinct("user_id").alias("dau"),
+                 F.count(F.lit(1)).alias("n_events")))
+
+
+SQL_DAU = """
+SELECT CAST(ts AS DATE) AS day,
+       count(DISTINCT user_id) AS dau,
+       count(*) AS n_events
+FROM events GROUP BY 1
+"""
+
+
+def q_approx_distinct_users(spark, sf_dir):
+    """HLL++ distinct estimate per event_type — rows-only (sketch
+    internals differ across engines; the exact twin is
+    daily_active_users). The scale point: one pass, mergeable state,
+    no count-distinct expansion."""
+    ev = load_table(spark, sf_dir, "events")
+    return (ev.groupBy("event_type")
+            .agg(F.approx_count_distinct("user_id", 0.02)
+                 .alias("approx_users"),
+                 F.count(F.lit(1)).alias("n_events")))
+
+
+# ------------------------------------------------------------------ quantiles
+
+def q_price_quantiles(spark, sf_dir):
+    """Exact per-product price quantiles (grouped percentile summary —
+    the distribution-profile scan a feature store runs per key)."""
+    t = ticks(spark, sf_dir)
+    qs = {"q25": 0.25, "q50": 0.5, "q75": 0.75, "q90": 0.9, "q99": 0.99}
+    aggs = [(F.round(F.percentile("price", F.lit(p)), 6) + F.lit(0.0))
+            .alias(name) for name, p in qs.items()]
+    return t.groupBy("product_id").agg(*aggs)
+
+
+SQL_PRICE_QUANTILES = SQL_BASE + """
+SELECT product_id,
+       ROUND(quantile_cont(price, 0.25), 6) + 0 AS q25,
+       ROUND(quantile_cont(price, 0.5), 6) + 0 AS q50,
+       ROUND(quantile_cont(price, 0.75), 6) + 0 AS q75,
+       ROUND(quantile_cont(price, 0.9), 6) + 0 AS q90,
+       ROUND(quantile_cont(price, 0.99), 6) + 0 AS q99
+FROM ticks GROUP BY product_id
+"""
+
+
+# ------------------------------------------------------------- ngram docfreq
+
+def q_ngram_doc_frequency(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return TS.ngram_doc_frequency(docs, top_n=20, n=2)
+
+
+SQL_NGRAM_DOC_FREQUENCY = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(
+           regexp_split_to_array(lower(text), '[^a-z]+'),
+           x -> len(x) > 0) AS t
+  FROM documents
+), grams AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           generate_series(1, greatest(len(t) - 1, 0)),
+           i -> t[i] || ' ' || t[i + 1]))) AS ngram
+  FROM toks
+)
+SELECT ngram, count(*) AS doc_freq
+FROM grams GROUP BY ngram
+ORDER BY doc_freq DESC, ngram
+LIMIT 20
+"""
+
+
+# ------------------------------------------------------------- salted candles
+
+def q_candle_resample_salted(spark, sf_dir):
+    """Skew path: two-level salted candle aggregation. Same oracle as
+    candle_resample — the salt must be invisible in the result."""
+    df = C.candle_resample_salted(ticks(spark, sf_dir), volume="volume")
+    return _round(df, ["open", "high", "low", "close", "volume"])
+
+
+# ----------------------------------------------------------------- registry
+
+SPARK_QUERIES_ANALYTICS: dict[
+        str, Callable[[SparkSession, str], DataFrame]] = {
+    "sessionize": q_sessionize,
+    "daily_active_users": q_daily_active_users,
+    "approx_distinct_users": q_approx_distinct_users,
+    "price_quantiles": q_price_quantiles,
+    "ngram_doc_frequency": q_ngram_doc_frequency,
+    "candle_resample_salted": q_candle_resample_salted,
+}
+
+ORACLE_SQL_ANALYTICS: dict[str, str] = {
+    "sessionize": SQL_SESSIONIZE,
+    "daily_active_users": SQL_DAU,
+    # approx_distinct_users: rows-only (engine-specific HLL sketches)
+    "price_quantiles": SQL_PRICE_QUANTILES,
+    "ngram_doc_frequency": SQL_NGRAM_DOC_FREQUENCY,
+    "candle_resample_salted": SQL_CANDLE_RESAMPLE,
+}

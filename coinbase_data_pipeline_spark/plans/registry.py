@@ -11,7 +11,8 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import catalog, catalog_ext, catalog_stream, catalog_ts, tpch
+from . import (catalog, catalog_analytics, catalog_ext, catalog_stream,
+               catalog_ts, tpch)
 
 _QUERY_PARTS = (
     catalog.SPARK_QUERIES,
@@ -19,6 +20,7 @@ _QUERY_PARTS = (
     catalog_ts.SPARK_QUERIES_TS,
     tpch.SPARK_QUERIES_TPCH,
     catalog_stream.SPARK_QUERIES_STREAM,
+    catalog_analytics.SPARK_QUERIES_ANALYTICS,
 )
 _ORACLE_PARTS = (
     catalog.ORACLE_SQL,
@@ -26,6 +28,7 @@ _ORACLE_PARTS = (
     catalog_ts.ORACLE_SQL_TS,
     tpch.ORACLE_SQL_TPCH,
     catalog_stream.ORACLE_SQL_STREAM,
+    catalog_analytics.ORACLE_SQL_ANALYTICS,
 )
 
 ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
