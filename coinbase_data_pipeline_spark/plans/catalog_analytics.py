@@ -134,6 +134,109 @@ def q_candle_resample_salted(spark, sf_dir):
     return _round(df, ["open", "high", "low", "close", "volume"])
 
 
+# ------------------------------------------------------------------ range join
+
+def q_range_join(spark, sf_dir):
+    """Interval join: each purchase event matched to the session
+    interval containing it (same user, ts within [start, end]).
+
+    The equi-key (user_id) carries the join — Spark plans a hash join
+    on user with the interval predicate as a post-join filter, so no
+    interval-only cross pairing ever happens; sessions per user are
+    few, keeping the per-key fanout bounded at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    sessions = S.sessionize(ev, gap_minutes=30)
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .select("user_id", "ts", "event_id", "value"))
+    return (purchases.join(
+        sessions,
+        (purchases["user_id"] == sessions["user_id"])
+        & (F.col("ts") >= F.col("session_start"))
+        & (F.col("ts") <= F.col("session_end")))
+        .select(purchases["user_id"], "ts", "event_id", "value",
+                "session_no", "session_start", "n_events"))
+
+
+SQL_RANGE_JOIN = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts - lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), numbered AS (
+  SELECT user_id, ts,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS session_no
+  FROM flagged
+), sessions AS (
+  SELECT user_id, session_no,
+         min(ts) AS session_start, max(ts) AS session_end,
+         count(*) AS n_events
+  FROM numbered GROUP BY user_id, session_no
+)
+SELECT e.user_id, e.ts, e.event_id, e.value,
+       s.session_no, s.session_start, s.n_events
+FROM events e JOIN sessions s
+  ON e.user_id = s.user_id
+ AND e.ts >= s.session_start AND e.ts <= s.session_end
+WHERE e.event_type = 'purchase'
+"""
+
+
+# ---------------------------------------------------------------------- pivot
+
+def q_event_type_pivot(spark, sf_dir):
+    """Wide per-user event-type counts (pivot). The pivot values are a
+    fixed, declared list — the plan is one groupBy with conditional
+    partial aggregates, not a discovery pass + shuffle per column."""
+    ev = load_table(spark, sf_dir, "events")
+    types = ["view", "click", "purchase", "signup", "error"]
+    out = (ev.groupBy("user_id")
+           .pivot("event_type", types)
+           .agg(F.count(F.lit(1))))
+    for t in types:
+        out = out.withColumn(t, F.coalesce(F.col(t), F.lit(0)))
+    return out
+
+
+SQL_EVENT_TYPE_PIVOT = """
+SELECT user_id,
+       count(*) FILTER (event_type = 'view') AS view,
+       count(*) FILTER (event_type = 'click') AS click,
+       count(*) FILTER (event_type = 'purchase') AS purchase,
+       count(*) FILTER (event_type = 'signup') AS signup,
+       count(*) FILTER (event_type = 'error') AS error
+FROM events GROUP BY user_id
+"""
+
+
+# ------------------------------------------------------------- grouping sets
+
+def q_volume_rollup(spark, sf_dir):
+    """ROLLUP (product, day): per-product-per-day, per-product, and
+    grand-total tick volume in ONE pass (partial aggregates expand the
+    grouping sets map-side; no re-scan per level)."""
+    t = ticks(spark, sf_dir)
+    out = (t.withColumn("day", F.to_date("time"))
+           .rollup("product_id", "day")
+           .agg((F.round(F.sum("volume"), 6) + F.lit(0.0))
+                .alias("total_volume"),
+                F.count(F.lit(1)).alias("n_ticks")))
+    return out
+
+
+SQL_VOLUME_ROLLUP = SQL_BASE + """
+SELECT product_id, CAST(time AS DATE) AS day,
+       ROUND(sum(volume), 6) + 0 AS total_volume,
+       count(*) AS n_ticks
+FROM ticks
+GROUP BY ROLLUP (product_id, day)
+"""
+
+
 # ----------------------------------------------------------------- registry
 
 SPARK_QUERIES_ANALYTICS: dict[
@@ -144,6 +247,9 @@ SPARK_QUERIES_ANALYTICS: dict[
     "price_quantiles": q_price_quantiles,
     "ngram_doc_frequency": q_ngram_doc_frequency,
     "candle_resample_salted": q_candle_resample_salted,
+    "range_join": q_range_join,
+    "event_type_pivot": q_event_type_pivot,
+    "volume_rollup": q_volume_rollup,
 }
 
 ORACLE_SQL_ANALYTICS: dict[str, str] = {
@@ -153,4 +259,7 @@ ORACLE_SQL_ANALYTICS: dict[str, str] = {
     "price_quantiles": SQL_PRICE_QUANTILES,
     "ngram_doc_frequency": SQL_NGRAM_DOC_FREQUENCY,
     "candle_resample_salted": SQL_CANDLE_RESAMPLE,
+    "range_join": SQL_RANGE_JOIN,
+    "event_type_pivot": SQL_EVENT_TYPE_PIVOT,
+    "volume_rollup": SQL_VOLUME_ROLLUP,
 }

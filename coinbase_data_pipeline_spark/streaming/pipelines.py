@@ -87,6 +87,70 @@ def streaming_candles(parsed: DataFrame, *, freq: str = "5 minutes",
         F.col("_close.price").alias("close"), "n_ticks")
 
 
+def streaming_sessionize(events: DataFrame, *, user: str = "user_id",
+                         ts: str = "ts",
+                         gap_minutes: int = 30) -> DataFrame:
+    """Stateful streaming sessionization via ``applyInPandasWithState``
+    — the custom-stateful-operator path (batch twin:
+    operators/sessions.sessionize).
+
+    State per user: the open session (start, end, count) as epoch
+    microseconds (full event-time precision; the gap test compares
+    floor-seconds, matching the batch operator's unix_timestamp
+    semantics). Each micro-batch folds its events (sorted by event time)
+    into the open session; a gap > `gap_minutes` CLOSES the session —
+    closed sessions are emitted downstream, the new one replaces the
+    state. The tail session stays in state; production flushes it with
+    an event-time timeout tied to the watermark (set
+    ``GroupStateTimeout.EventTimeTimeout`` and a
+    ``state.setTimeoutTimestamp(end + gap)``); tests replay finite
+    data and assert emitted == all-but-last-session per user.
+
+    Scale: state is one tiny tuple per ACTIVE user (not per event);
+    the shuffle key is the user — identical layout to every other
+    per-key operator here.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap_s = gap_minutes * 60
+    out_schema = (f"{user} long, session_start timestamp, "
+                  "session_end timestamp, n_events long")
+    state_schema = "start long, end long, n long"
+
+    def _fold(key, pdfs, state):
+        import pandas as pd
+
+        times = []  # epoch microseconds
+        for pdf in pdfs:
+            times.extend(int(v.value) // 1000 for v in pdf[ts])
+        times.sort()
+        if state.exists:
+            start, end, n = state.get
+        else:
+            start = end = n = None
+        closed = []
+        for t in times:
+            if start is None:
+                start, end, n = t, t, 1
+            elif t // 1_000_000 - end // 1_000_000 > gap_s:
+                closed.append((key[0], start, end, n))
+                start, end, n = t, t, 1
+            else:
+                end, n = t, n + 1
+        if start is not None:
+            state.update((start, end, n))
+        yield pd.DataFrame(
+            [(u, pd.Timestamp(s, unit="us"), pd.Timestamp(e, unit="us"), c)
+             for u, s, e, c in closed],
+            columns=[user, "session_start", "session_end", "n_events"])
+
+    return (events.groupBy(user)
+            .applyInPandasWithState(_fold, outputStructType=out_schema,
+                                    stateStructType=state_schema,
+                                    outputMode="append",
+                                    timeoutConf=GroupStateTimeout.NoTimeout))
+
+
 def run_to_memory(df: DataFrame, *, name: str | None = None,
                   output_mode: str = "complete") -> str:
     """Execute a streaming DataFrame to completion (availableNow) into

@@ -66,6 +66,38 @@ def test_streaming_watermark_append_mode(spark, tmp_path):
                                 "high", "low", "close", "n_ticks"}
 
 
+def test_streaming_sessionize_matches_batch(spark, tmp_path):
+    """Closed sessions emitted by the stateful streaming operator must
+    equal the batch sessionization minus each user's open tail session
+    (which waits for the event-time timeout in production)."""
+    from coinbase_data_pipeline_spark.operators.sessions import sessionize
+    from coinbase_data_pipeline_spark.sources.tables import load_table
+    from coinbase_data_pipeline_spark.streaming.pipelines import (
+        run_to_memory, streaming_sessionize)
+    from pyspark.sql import Window, functions as F
+
+    ev = load_table(spark, SF, "events").select("user_id", "ts", "event_id")
+    replay = str(tmp_path / "sess")
+    # single file → one micro-batch → full history per user at once
+    ev.coalesce(1).write.mode("overwrite").parquet(replay)
+
+    stream = (spark.readStream.schema(ev.schema).parquet(replay))
+    sessions = streaming_sessionize(stream, gap_minutes=30)
+    name = run_to_memory(sessions, output_mode="append")
+    streamed = {(r.user_id, r.session_start, r.session_end, r.n_events)
+                for r in spark.table(name).collect()}
+
+    batch = sessionize(ev, gap_minutes=30)
+    w = Window.partitionBy("user_id")
+    all_but_last = (batch
+                    .withColumn("_last", F.max("session_no").over(w))
+                    .filter(F.col("session_no") != F.col("_last")))
+    expected = {(r.user_id, r.session_start, r.session_end, r.n_events)
+                for r in all_but_last.collect()}
+    assert streamed == expected
+    assert len(streamed) > 0
+
+
 # -------------------------------------------------------------------- sinks
 
 def test_archive_layout_and_pruning(spark, tmp_path):
