@@ -43,6 +43,40 @@ def naive_forecast(candles: DataFrame, *, key: str = "product_id",
     )
 
 
+def volatility_rmse(candles: DataFrame, *, key: str = "product_id",
+                    ts: str = "bucket_start", price: str = "close",
+                    vol_window: int = 10) -> DataFrame:
+    """Volatility-RMSE of the 1-step naive forecast per key
+    (metrics.py:35-50): rolling volatility = sqrt(mean of squared
+    1-step diffs over `vol_window`, full windows only), then RMSE
+    between the truth's and the forecast's volatility series.
+
+    Same key-ordered window family as every other feature — no
+    additional shuffle beyond the one exchange on `key`.
+    """
+    w = Window.partitionBy(key).orderBy(ts)
+    wn = w.rowsBetween(-(vol_window - 1), 0)
+    y = F.col(price)
+    yhat = F.lag(price, 1).over(w)
+    d = candles.select(
+        F.col(key), F.col(ts),
+        (y - F.lag(price, 1).over(w)).alias("dy"),
+        (yhat - F.lag(price, 2).over(w)).alias("dyhat"))
+    vol = d.select(
+        F.col(key), F.col(ts),
+        F.when(F.count("dy").over(wn) >= vol_window,
+               F.sqrt(F.avg(F.pow("dy", 2)).over(wn))).alias("true_vol"),
+        F.when(F.count("dyhat").over(wn) >= vol_window,
+               F.sqrt(F.avg(F.pow("dyhat", 2)).over(wn))).alias("pred_vol"))
+    both = vol.filter(F.col("true_vol").isNotNull()
+                      & F.col("pred_vol").isNotNull())
+    err = F.col("true_vol") - F.col("pred_vol")
+    return both.groupBy(key).agg(
+        (F.round(F.sqrt(F.avg(err * err)), 6) + F.lit(0.0))
+        .alias("vol_rmse"),
+        F.count(F.lit(1)).alias("sample_count"))
+
+
 def forecast_metrics(candles: DataFrame, *, key: str = "product_id",
                      ts: str = "bucket_start",
                      price: str = "close") -> DataFrame:

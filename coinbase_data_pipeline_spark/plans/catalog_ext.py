@@ -103,6 +103,37 @@ GROUP BY product_id
 """
 
 
+def q_volatility_rmse(spark, sf_dir):
+    return FC.volatility_rmse(candles(spark, sf_dir))
+
+
+SQL_VOLATILITY_RMSE = SQL_BASE + """
+, d AS (
+  SELECT product_id, bucket_start,
+         close - lag(close, 1) OVER w1 AS dy,
+         lag(close, 1) OVER w1 - lag(close, 2) OVER w1 AS dyhat
+  FROM candles
+  WINDOW w1 AS (PARTITION BY product_id ORDER BY bucket_start)
+), vol AS (
+  SELECT product_id, bucket_start,
+         CASE WHEN count(dy) OVER wn >= 10
+              THEN sqrt(avg(dy * dy) OVER wn) END AS true_vol,
+         CASE WHEN count(dyhat) OVER wn >= 10
+              THEN sqrt(avg(dyhat * dyhat) OVER wn) END AS pred_vol
+  FROM d
+  WINDOW wn AS (PARTITION BY product_id ORDER BY bucket_start
+                ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+)
+SELECT product_id,
+       ROUND(sqrt(avg((true_vol - pred_vol) * (true_vol - pred_vol))), 6)
+         + 0 AS vol_rmse,
+       count(*) AS sample_count
+FROM vol
+WHERE true_vol IS NOT NULL AND pred_vol IS NOT NULL
+GROUP BY product_id
+"""
+
+
 # ------------------------------------------------------------ sliding windows
 
 def q_sliding_windows(spark, sf_dir):
@@ -473,6 +504,7 @@ SPARK_QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_join": q_asof_join,
     "naive_forecast": q_naive_forecast,
     "forecast_metrics": q_forecast_metrics,
+    "volatility_rmse": q_volatility_rmse,
     "sliding_windows": q_sliding_windows,
     "dedup_exact_docs": q_dedup_exact_docs,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -491,6 +523,7 @@ ORACLE_SQL_EXT: dict[str, str] = {
     "asof_join": SQL_ASOF_JOIN,
     "naive_forecast": SQL_NAIVE_FORECAST,
     "forecast_metrics": SQL_FORECAST_METRICS,
+    "volatility_rmse": SQL_VOLATILITY_RMSE,
     "sliding_windows": SQL_SLIDING_WINDOWS,
     "dedup_exact_docs": SQL_DEDUP_EXACT,
     "dedup_minhash_lsh": _sql_minhash(),

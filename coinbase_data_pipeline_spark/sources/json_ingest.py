@@ -26,18 +26,27 @@ def coerce_timestamp(col: Column) -> Column:
 
 
 def parse_tickers(raw: DataFrame, *, value_col: str = "value",
-                  channel_filter: bool = True) -> DataFrame:
+                  channel_filter: bool = True,
+                  fallback_ts_col: str | None = None) -> DataFrame:
     """Raw JSON ticker payloads → (product_id, time, price).
 
     spark_processor.py:160-171; `channel_filter` adds the
     `type == 'ticker'` guard of the legacy job (:58-63).
+    `fallback_ts_col` reproduces the producer's time injection
+    (producer.py:87-91: a payload without `time` gets the transport
+    timestamp) — pass e.g. the Kafka message timestamp column.
     """
     parsed = raw.select(
         F.from_json(F.col(value_col).cast("string"),
-                    TICKER_SCHEMA).alias("t"))
+                    TICKER_SCHEMA).alias("t"),
+        *([F.col(fallback_ts_col)] if fallback_ts_col else []))
+    time_col = F.to_timestamp("t.time")
+    if fallback_ts_col is not None:
+        time_col = F.coalesce(time_col,
+                              F.col(fallback_ts_col).cast("timestamp"))
     out = parsed.select(
         F.col("t.product_id").alias("product_id"),
-        F.to_timestamp("t.time").alias("time"),
+        time_col.alias("time"),
         F.col("t.price").cast("double").alias("price"),
         F.col("t.type").alias("type"),
     )

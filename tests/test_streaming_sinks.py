@@ -154,6 +154,25 @@ def test_write_table_rejects_unknown(spark, tmp_path):
         write_table(df, str(tmp_path), "nope")
 
 
+def test_ticker_parse_time_injection(spark):
+    """A payload without `time` takes the transport timestamp
+    (producer.py:87-91)."""
+    from coinbase_data_pipeline_spark.sources.json_ingest import (
+        parse_tickers)
+
+    raw = spark.createDataFrame(
+        [('{"type":"ticker","product_id":"BTC-USD","price":"10.5",'
+          '"time":"2024-01-01 00:00:00"}', "2024-06-01 12:00:00"),
+         ('{"type":"ticker","product_id":"ETH-USD","price":"2.5"}',
+          "2024-06-01 12:00:01")],
+        "value string, kafka_ts string")
+    out = {r.product_id: r for r in
+           parse_tickers(raw, fallback_ts_col="kafka_ts").collect()}
+    assert str(out["BTC-USD"].time) == "2024-01-01 00:00:00"
+    assert str(out["ETH-USD"].time) == "2024-06-01 12:00:01"
+    assert out["ETH-USD"].price == 2.5
+
+
 # --------------------------------------------------------------- multimodal
 
 def _media_df(spark):
