@@ -154,6 +154,39 @@ def test_write_table_rejects_unknown(spark, tmp_path):
         write_table(df, str(tmp_path), "nope")
 
 
+def test_streaming_foreachbatch_to_merge_sink(spark, tmp_path):
+    """The reference's write path: stream → foreachBatch → upsert table
+    (spark_processor.py:173-186 writes each micro-batch to Cassandra;
+    here each batch merge-upserts the parquet prices store)."""
+    from coinbase_data_pipeline_spark.plans.catalog import ticks
+    from coinbase_data_pipeline_spark.plans.catalog_stream import (
+        ticker_wire_json)
+    from coinbase_data_pipeline_spark.sinks.tables import (
+        merge_upsert, read_table)
+    from coinbase_data_pipeline_spark.streaming.pipelines import (
+        file_ticker_source, ticker_pipeline)
+
+    t = ticks(spark, SF).limit(1000)
+    replay = str(tmp_path / "replay3")
+    ticker_wire_json(t).write.mode("overwrite").text(replay)
+
+    root = str(tmp_path / "store")
+    parsed = ticker_pipeline(file_ticker_source(spark, replay))
+
+    q = (parsed.writeStream
+         .foreachBatch(lambda batch_df, _id:
+                       merge_upsert(spark, batch_df, root, "prices"))
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+
+    stored = read_table(spark, root, "prices")
+    # upsert on (product_id, time): distinct keys survive, replays don't dup
+    expected = t.select("product_id", "time").distinct().count()
+    assert stored.count() == expected
+
+
 def test_ticker_parse_time_injection(spark):
     """A payload without `time` takes the transport timestamp
     (producer.py:87-91)."""
