@@ -253,6 +253,59 @@ FROM j GROUP BY product_id, horizon
 """
 
 
+# ------------------------------------------------------- fit/transform scale
+
+SCALE_SPLIT = "2024-01-22 00:00:00"
+
+
+def q_scale_fit_transform(spark, sf_dir):
+    """Leakage-free serving-time scaling: RobustScaler parameters are
+    FIT on history (bucket_start < split) and APPLIED to the serving
+    window (>= split) — the predictor's fit-on-30d-history /
+    transform-latest-window pattern (prediction_service predictor.py
+    + data_loader.py:128-161), which per-key whole-table scaling
+    (robust_scale) cannot express without leaking future data.
+
+    Plan: per-key stats are one grouped agg over the history range
+    (partial-agg, pushdown on the time filter) broadcast-joined onto
+    the serving slice."""
+    c = candles(spark, sf_dir)
+    hist = c.filter(F.col("bucket_start") < SCALE_SPLIT)
+    stats = hist.groupBy("product_id").agg(
+        F.percentile("close", F.lit(0.5)).alias("c_med"),
+        F.percentile("close", F.lit(0.25)).alias("c_q1"),
+        F.percentile("close", F.lit(0.75)).alias("c_q3"))
+    serve = c.filter(F.col("bucket_start") >= SCALE_SPLIT)
+    iqr = F.col("c_q3") - F.col("c_q1")
+    scaled = F.when(iqr != 0,
+                    (F.col("close") - F.col("c_med")) / iqr) \
+              .otherwise(F.col("close") - F.col("c_med"))
+    out = (serve.join(F.broadcast(stats), "product_id")
+           .select("product_id", "bucket_start",
+                   (F.round(scaled, RND) + F.lit(0.0))
+                   .alias("close_scaled")))
+    return out
+
+
+SQL_SCALE_FIT_TRANSFORM = SQL_BASE + f"""
+, stats AS (
+  SELECT product_id,
+         quantile_cont(close, 0.5) AS c_med,
+         quantile_cont(close, 0.25) AS c_q1,
+         quantile_cont(close, 0.75) AS c_q3
+  FROM candles
+  WHERE bucket_start < TIMESTAMP '{SCALE_SPLIT}'
+  GROUP BY product_id
+)
+SELECT c.product_id, bucket_start,
+       ROUND(CASE WHEN c_q3 - c_q1 != 0
+             THEN (close - c_med) / (c_q3 - c_q1)
+             ELSE close - c_med END, 6) + 0 AS close_scaled
+FROM candles c JOIN stats s ON c.product_id = s.product_id
+WHERE bucket_start >= TIMESTAMP '{SCALE_SPLIT}'
+"""
+
+
 # ----------------------------------------------------------------- registry
 
 SPARK_QUERIES_TS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -263,6 +316,7 @@ SPARK_QUERIES_TS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "candle_rollup": q_candle_rollup,
     "prediction_horizon_eval": q_prediction_horizon_eval,
+    "scale_fit_transform": q_scale_fit_transform,
 }
 
 ORACLE_SQL_TS: dict[str, str] = {
@@ -273,4 +327,5 @@ ORACLE_SQL_TS: dict[str, str] = {
     "dedup_exact": SQL_DEDUP_EXACT_EVENTS,
     "candle_rollup": SQL_CANDLE_ROLLUP,
     "prediction_horizon_eval": SQL_PREDICTION_HORIZON_EVAL,
+    "scale_fit_transform": SQL_SCALE_FIT_TRANSFORM,
 }

@@ -1,0 +1,136 @@
+"""Property-based tests (hypothesis): operator invariants on random
+inputs — ties, duplicates, gaps, and single-row series that
+hand-written fixtures miss.
+
+Strategy data is drawn once per example and pushed through Spark; the
+properties are checked against straightforward Python models.
+"""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+SETTINGS = dict(max_examples=12, deadline=None,
+                suppress_health_check=[HealthCheck.function_scoped_fixture])
+
+# (key, ts, price) rows; ts ints — duplicates and disorder allowed
+ROWS = st.lists(
+    st.tuples(st.sampled_from(["a", "b"]),
+              st.integers(min_value=0, max_value=50),
+              st.integers(min_value=1, max_value=9999)),
+    min_size=1, max_size=60)
+
+
+@given(rows=ROWS)
+@settings(**SETTINGS)
+def test_asof_join_matches_model(spark, rows):
+    """asof_join == per-row model: latest right value at-or-before."""
+    from coinbase_data_pipeline_spark.operators.asof import asof_join
+
+    left_rows = [(k, t) for k, t, _ in rows]
+    right_rows = sorted({(k, t): v for k, t, v in rows}.items())
+    right_rows = [(k, t, float(v)) for (k, t), v in right_rows]
+
+    left = spark.createDataFrame(left_rows, "key string, t long")
+    right = spark.createDataFrame(right_rows,
+                                  "key string, t long, val double")
+    out = asof_join(left, right, key="key", left_ts="t", right_ts="t",
+                    right_vals=["val"]).collect()
+
+    def model(k, t):
+        cands = [(rt, v) for rk, rt, v in right_rows
+                 if rk == k and rt <= t]
+        return max(cands)[1] if cands else None
+
+    for r in out:
+        assert r.val_asof == model(r.key, r.t), (r.key, r.t)
+
+
+@given(rows=ROWS)
+@settings(**SETTINGS)
+def test_salted_candles_equal_unsalted(spark, rows):
+    """The salt must be invisible: salted and unsalted candle builds
+    agree on every bucket (incl. n_ticks and OHLC) even with duplicate
+    timestamps, because equal timestamps land in the same salt group."""
+    from coinbase_data_pipeline_spark.operators.candles import (
+        candle_resample, candle_resample_salted)
+    import datetime
+
+    data = [(k, datetime.datetime(2024, 1, 1) +
+             datetime.timedelta(minutes=t), float(p))
+            for k, t, p in rows]
+    df = spark.createDataFrame(data,
+                               "product_id string, time timestamp, "
+                               "price double")
+    plain = candle_resample(df)
+    salted = candle_resample_salted(df)
+
+    def norm(rows_):
+        return sorted(
+            (r.product_id, r.bucket_start, r.high, r.low, r.n_ticks)
+            for r in rows_)
+
+    assert norm(plain.collect()) == norm(salted.collect())
+    # open/close may differ only when duplicate timestamps tie within
+    # a bucket (both picks are valid min_by/max_by results)
+    p_oc = {(r.product_id, r.bucket_start): (r.open, r.close)
+            for r in plain.collect()}
+    s_oc = {(r.product_id, r.bucket_start): (r.open, r.close)
+            for r in salted.collect()}
+    ts_counts: dict = {}
+    for k, t, _ in rows:
+        ts_counts[(k, t)] = ts_counts.get((k, t), 0) + 1
+    has_dup_ts = {g for g in p_oc
+                  if any(v > 1 for (k, _), v in ts_counts.items()
+                         if k == g[0])}
+    for g in p_oc:
+        if g not in has_dup_ts:
+            assert p_oc[g] == s_oc[g]
+
+
+@given(rows=ROWS)
+@settings(**SETTINGS)
+def test_sessionize_partitions_events(spark, rows):
+    """Sessions partition the events: counts sum to the total, session
+    bounds are consistent, and consecutive sessions of a user are
+    separated by more than the gap."""
+    from coinbase_data_pipeline_spark.operators.sessions import sessionize
+    import datetime
+
+    data = [(hash(k) % 3, datetime.datetime(2024, 1, 1)
+             + datetime.timedelta(minutes=37 * t))
+            for k, t, _ in rows]
+    df = spark.createDataFrame(data, "user_id long, ts timestamp")
+    out = sessionize(df, gap_minutes=60).collect()
+    assert sum(r.n_events for r in out) == len(data)
+    by_user: dict = {}
+    for r in out:
+        assert r.session_start <= r.session_end
+        by_user.setdefault(r.user_id, []).append(r)
+    for sessions in by_user.values():
+        sessions.sort(key=lambda r: r.session_start)
+        for a, b in zip(sessions, sessions[1:]):
+            gap = (b.session_start - a.session_end).total_seconds()
+            assert gap > 3600
+
+
+@given(vals=st.lists(st.floats(min_value=1.0, max_value=1e6,
+                               allow_nan=False), min_size=1,
+                     max_size=40))
+@settings(**SETTINGS)
+def test_minmax_scale_bounds(spark, vals):
+    """Min-max scaled output is inside the feature range and hits both
+    endpoints when the input isn't constant."""
+    from coinbase_data_pipeline_spark.operators.indicators import (
+        minmax_scale)
+
+    df = spark.createDataFrame([("k", float(v)) for v in vals],
+                               "key string, x double")
+    out = [r.x_scaled for r in
+           minmax_scale(df, ["x"], key="key",
+                        feature_range=(-1.0, 1.0)).collect()]
+    assert all(-1.0 - 1e-9 <= v <= 1.0 + 1e-9 for v in out)
+    if max(vals) > min(vals):
+        assert math.isclose(min(out), -1.0) and math.isclose(max(out), 1.0)
