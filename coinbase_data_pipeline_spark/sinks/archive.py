@@ -35,6 +35,34 @@ def archive_write(df: DataFrame, base_path: str, *,
        .format(fmt).mode(mode).save(base_path))
 
 
+def compact_partition(spark, base_path: str, *, data_type: str,
+                      product_id: str, target_files: int = 1,
+                      fmt: str = "parquet") -> int:
+    """Small-files compaction for one archive partition: rewrite
+    ``data_type=X/product_id=Y`` into `target_files` files.
+
+    Streaming appends produce a file per micro-batch per partition; at
+    scale the archive needs periodic compaction or scan planning
+    drowns in file listings. Local implementation stages the rewrite
+    and swaps directories; returns the new file count. (On a
+    transactional table format this is OPTIMIZE/rewrite_data_files.)
+    """
+    import os
+    import shutil
+    import uuid
+
+    part_dir = os.path.join(base_path, f"data_type={data_type}",
+                            f"product_id={product_id}")
+    df = spark.read.format(fmt).load(part_dir)
+    staging = f"{part_dir}.compact-{uuid.uuid4().hex[:8]}"
+    df.coalesce(target_files).write.format(fmt).mode("overwrite") \
+        .save(staging)
+    shutil.rmtree(part_dir)
+    os.rename(staging, part_dir)
+    return len([f for f in os.listdir(part_dir)
+                if not f.startswith(("_", "."))])
+
+
 def archive_read(spark, base_path: str, *, fmt: str = "parquet",
                  data_type: str | None = None,
                  product_id: str | None = None) -> DataFrame:

@@ -9,6 +9,8 @@ import re
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from coinbase_data_pipeline_spark.plans.registry import ALL_QUERIES
 
 SF = "/root/testdata/sf0.01"
@@ -103,3 +105,41 @@ def test_latest_n_uses_window_group_limit(spark):
     (WindowGroupLimit) so no full per-key sort materializes."""
     p = formatted_plan(spark, "latest_n_per_key")
     assert "WindowGroupLimit" in p
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Co-located join via bucketing: two tables bucketed+sorted on the
+    join key join with ZERO exchanges — the strategy for repeated
+    fact-fact joins at 100 TB (shuffle paid once at write time)."""
+    from coinbase_data_pipeline_spark.sources.tables import load_table
+
+    od = load_table(spark, SF, "orders")
+    li = load_table(spark, SF, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice")
+    for name, df, key in (("t_orders_b", od, "o_orderkey"),
+                          ("t_lineitem_b", li, "l_orderkey")):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (df.write.bucketBy(8, key).sortBy(key)
+           .option("path", str(tmp_path / name))
+           .saveAsTable(name))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = (spark.table("t_lineitem_b")
+             .join(spark.table("t_orders_b"),
+                   F.col("l_orderkey") == F.col("o_orderkey"))
+             .groupBy("o_orderpriority")
+             .agg(F.sum("l_quantity")))
+        tree = j._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode
+            .fromString("formatted")).split("\n\n")[0]
+        assert "SortMergeJoin" in tree
+        # the tree prints root-first: everything below the join line is
+        # the join's inputs — bucketed scans, so no Exchange there
+        below_join = tree.split("SortMergeJoin", 1)[1]
+        assert "Exchange" not in below_join, below_join
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_b")

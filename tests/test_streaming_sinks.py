@@ -123,6 +123,33 @@ def test_archive_layout_and_pruning(spark, tmp_path):
     assert 0 < one.count() <= 500
 
 
+def test_archive_compaction(spark, tmp_path):
+    """Compacting a partition must cut file count without changing
+    data."""
+    from coinbase_data_pipeline_spark.plans.catalog import ticks
+    from coinbase_data_pipeline_spark.sinks.archive import (
+        archive_read, archive_write, compact_partition,
+        with_archive_keys)
+    import os
+
+    t = with_archive_keys(ticks(spark, SF).limit(400), data_type="ticker")
+    base = str(tmp_path / "arch")
+    archive_write(t.repartition(10), base)
+
+    pid = sorted(os.listdir(os.path.join(base, "data_type=ticker")))[0] \
+        .split("=", 1)[1]
+    part_dir = os.path.join(base, "data_type=ticker", f"product_id={pid}")
+    before_files = [f for f in os.listdir(part_dir)
+                    if f.endswith(".parquet")]
+    before_rows = spark.read.parquet(part_dir).count()
+    assert len(before_files) > 1
+
+    n_files = compact_partition(spark, base, data_type="ticker",
+                                product_id=pid)
+    assert n_files == 1
+    assert spark.read.parquet(part_dir).count() == before_rows
+
+
 def test_merge_upsert_last_write_wins(spark, tmp_path):
     from coinbase_data_pipeline_spark.sinks.tables import (
         merge_upsert, read_table)
