@@ -117,6 +117,42 @@ def simhash(docs: DataFrame, *, id_col: str = "doc_id",
     return docs.select(F.col(id_col), sim.cast("long").alias("simhash"))
 
 
+def simhash_pairs(docs: DataFrame, *, id_col: str = "doc_id",
+                  text_col: str = "text", bits: int = 32,
+                  bands: int = 4, max_hamming: int = 3) -> DataFrame:
+    """Near-dup candidate pairs from SimHash + hamming bands.
+
+    Pigeonhole: two hashes within hamming distance `bands - 1` must
+    agree on at least one of `bands` equal-width bit bands — so pairs
+    sharing ANY band are the candidates (band groupBy-join, no cross
+    join), then the exact hamming distance filters to `max_hamming`.
+    With bands=4 the candidate recall is exact for distance <= 3.
+    """
+    sh = simhash(docs, id_col=id_col, text_col=text_col, bits=bits)
+    width = bits // bands
+    mask = (1 << width) - 1
+    banded = sh.select(
+        F.col(id_col).alias("a_id"), F.col("simhash").alias("ah"),
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.shiftright("simhash", b * width)
+                     .bitwiseAND(F.lit(mask)).alias("bval"))
+            for b in range(bands)])).alias("bb"),
+    ).select("a_id", "ah", "bb.band", "bb.bval")
+    right = banded.select(F.col("a_id").alias("b_id"),
+                          F.col("ah").alias("bh"), "band", "bval")
+    cand = (banded.join(right, ["band", "bval"])
+            .filter(F.col("a_id") < F.col("b_id"))
+            .select("a_id", "b_id", "ah", "bh")
+            .dropDuplicates(["a_id", "b_id"]))
+    ham = F.bit_count(F.col("ah").bitwiseXOR(F.col("bh")))
+    return (cand.withColumn("hamming", ham)
+            .filter(F.col("hamming") <= max_hamming)
+            .select(F.col("a_id").alias("doc_a"),
+                    F.col("b_id").alias("doc_b"),
+                    F.col("hamming").cast("int").alias("hamming")))
+
+
 def ngram_jaccard_pairs(docs: DataFrame, *, id_col: str = "doc_id",
                         text_col: str = "text", shingle_n: int = 1,
                         threshold: float = 0.9) -> DataFrame:

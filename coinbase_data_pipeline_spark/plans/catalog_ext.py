@@ -252,6 +252,36 @@ FROM base
 """
 
 
+def q_dedup_simhash_pairs(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return DD.simhash_pairs(docs)
+
+
+def _sql_simhash_pairs(bits: int = 32, bands: int = 4,
+                       max_hamming: int = 3) -> str:
+    width = bits // bands
+    mask = (1 << width) - 1
+    sim = _sql_simhash(bits)
+    band_rows = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, simhash, {b} AS band, "
+        f"(simhash >> {b * width}) & {mask} AS bval FROM sim"
+        for b in range(bands))
+    return f"""
+WITH sim AS ({sim}
+), banded AS (
+{band_rows}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS ah, b.simhash AS bh
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(ah, bh)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(ah, bh)) <= {max_hamming}
+"""
+
+
 def q_dedup_ngram_jaccard(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return DD.ngram_jaccard_pairs(docs)
@@ -509,6 +539,7 @@ SPARK_QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact_docs": q_dedup_exact_docs,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_embedding": q_dedup_embedding,
     "ann_bruteforce": q_ann_bruteforce,
@@ -528,6 +559,7 @@ ORACLE_SQL_EXT: dict[str, str] = {
     "dedup_exact_docs": SQL_DEDUP_EXACT,
     "dedup_minhash_lsh": _sql_minhash(),
     "dedup_simhash": _sql_simhash(),
+    "dedup_simhash_pairs": _sql_simhash_pairs(),
     "dedup_ngram_jaccard": SQL_DEDUP_NGRAM,
     "dedup_embedding": SQL_DEDUP_EMBEDDING,
     "ann_bruteforce": SQL_ANN_BRUTEFORCE,

@@ -255,6 +255,130 @@ WHERE l_partkey = p_partkey
 """
 
 
+def q13_customer_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: LEFT OUTER join (customers with zero orders
+    kept) → per-customer count → count-of-counts distribution."""
+    cu = load_table(spark, sf_dir, "customer")
+    od = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (cu.join(od, F.col("c_custkey") == F.col("o_custkey"),
+                        "left_outer")
+                .groupBy("c_custkey")
+                .agg(F.count("o_orderkey").alias("c_count")))
+    return (per_cust.groupBy("c_count")
+            .agg(F.count(F.lit(1)).alias("custdist")))
+
+
+SQL_Q13 = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: revenue view + argmax — the max is a window
+    over the aggregate (one pass), not a re-scan subquery."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1997-04-01"))
+    su = load_table(spark, sf_dir, "supplier")
+    revenue = (li.groupBy("l_suppkey")
+               .agg(F.round(F.sum(_rev()), RND).alias("total_revenue")))
+    top = (revenue.withColumn("_max", F.max("total_revenue").over(
+               Window.partitionBy()))
+           .filter(F.col("total_revenue") == F.col("_max")).drop("_max"))
+    return (top.join(F.broadcast(su),
+                     F.col("l_suppkey") == F.col("s_suppkey"))
+            .select("s_suppkey", "s_name",
+                    (F.col("total_revenue") + F.lit(0.0))
+                    .alias("total_revenue")))
+
+
+SQL_Q15 = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         ROUND(sum(l_extendedprice * (1 - l_discount)), 6) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue + 0 AS total_revenue
+FROM supplier, revenue
+WHERE s_suppkey = supplier_no
+  AND total_revenue = (SELECT max(total_revenue) FROM revenue)
+"""
+
+
+def q17_small_quantity(spark, sf_dir):
+    """TPC-H Q17 shape: the correlated per-part average becomes a
+    grouped aggregate joined back to the fact (one extra pass, no
+    correlated re-execution)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pa = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#5")
+    avg_qty = (li.groupBy(F.col("l_partkey").alias("a_partkey"))
+               .agg((F.lit(0.2) * F.avg("l_quantity")).alias("qty_lim")))
+    out = (li.join(F.broadcast(pa), F.col("l_partkey") == F.col("p_partkey"))
+           .join(avg_qty, F.col("l_partkey") == F.col("a_partkey"))
+           .filter(F.col("l_quantity") < F.col("qty_lim"))
+           .agg((F.round(F.sum("l_extendedprice") / 7.0, RND)
+                 + F.lit(0.0)).alias("avg_yearly")))
+    return out
+
+
+SQL_Q17 = """
+SELECT ROUND(sum(l_extendedprice) / 7.0, 6) + 0 AS avg_yearly
+FROM lineitem, part
+WHERE p_partkey = l_partkey AND p_brand = 'Brand#5'
+  AND l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem
+                    WHERE l_partkey = p_partkey)
+"""
+
+
+def q22_global_sales_opportunity(spark, sf_dir):
+    """TPC-H Q22 shape: ANTI join gated by a broadcast scalar (average
+    positive balance). Adapted predicate: 'lapsed' high-balance
+    customers — none of their orders fall after the cutoff (every
+    synthetic customer has SOME order, so the classic no-orders-ever
+    filter would be empty)."""
+    cu = load_table(spark, sf_dir, "customer")
+    od = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= "2000-06-01")
+    avg_bal = (cu.filter(F.col("c_acctbal") > 0.0)
+               .agg(F.avg("c_acctbal").alias("avg_bal")))
+    no_orders = cu.join(od, F.col("c_custkey") == F.col("o_custkey"),
+                        "left_anti")
+    out = (no_orders.crossJoin(F.broadcast(avg_bal))
+           .filter(F.col("c_acctbal") > F.col("avg_bal"))
+           .groupBy("c_mktsegment")
+           .agg(F.count(F.lit(1)).alias("numcust"),
+                (F.round(F.sum("c_acctbal"), RND) + F.lit(0.0))
+                .alias("totacctbal")))
+    return out
+
+
+SQL_Q22 = """
+SELECT c_mktsegment, count(*) AS numcust,
+       ROUND(sum(c_acctbal), 6) + 0 AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                   WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-06-01 00:00:00')
+GROUP BY c_mktsegment
+"""
+
+
 # ----------------------------------------------------------------- registry
 
 SPARK_QUERIES_TPCH: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -265,6 +389,10 @@ SPARK_QUERIES_TPCH: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q14_promo_effect": q14_promo_effect,
     "q18_large_orders": q18_large_orders,
     "q19_discounted_revenue": q19_discounted_revenue,
+    "q13_customer_distribution": q13_customer_distribution,
+    "q15_top_supplier": q15_top_supplier,
+    "q17_small_quantity": q17_small_quantity,
+    "q22_global_sales_opportunity": q22_global_sales_opportunity,
 }
 
 ORACLE_SQL_TPCH: dict[str, str] = {
@@ -275,4 +403,8 @@ ORACLE_SQL_TPCH: dict[str, str] = {
     "q14_promo_effect": SQL_Q14,
     "q18_large_orders": SQL_Q18,
     "q19_discounted_revenue": SQL_Q19,
+    "q13_customer_distribution": SQL_Q13,
+    "q15_top_supplier": SQL_Q15,
+    "q17_small_quantity": SQL_Q17,
+    "q22_global_sales_opportunity": SQL_Q22,
 }
