@@ -33,13 +33,18 @@ def token_set(text: Column | str) -> Column:
 
 
 def word_shingles(toks: Column, n: int = 3) -> Column:
-    """Word n-gram shingles (space-joined), distinct.
+    """Word n-gram shingles (space-joined), distinct. Fewer than n
+    tokens → empty list (guarded: Spark's sequence(1, 0) would yield
+    the DESCENDING [1, 0], unlike DuckDB's empty generate_series, and
+    slice(_, 0, n) throws).
 
     DuckDB: list_distinct(list_transform(
         generate_series(1, greatest(len(toks) - {n-1}, 0)),
         i -> array_to_string(toks[i:i+{n-1}], ' ')))
     """
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    last = F.size(toks) - (n - 1)
+    idx = F.when(last >= 1, F.sequence(F.lit(1), last)) \
+           .otherwise(F.array().cast("array<int>"))
     return F.array_distinct(
         F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " ")))
 
@@ -58,7 +63,10 @@ def sql_hash60(expr: str, seed: str = "") -> str:
 
 def minhash_signature(toks: Column, k: int = 16) -> Column:
     """MinHash signature: array of k minima of seeded hash60 over the
-    token set. Empty token list → NULL entries guarded to hash of ''.
+    token set. An empty token list yields an all-NULL signature —
+    callers must exclude empty docs from LSH banding (an all-NULL
+    signature would put every empty doc in one bucket; see
+    dedup.minhash_lsh_pairs).
 
     DuckDB per element i:
       list_min(list_transform(toks, t -> «sql_hash60('t', f's{i}')»))

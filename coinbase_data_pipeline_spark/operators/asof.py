@@ -37,8 +37,7 @@ def asof_join(left: DataFrame, right: DataFrame, *, key: str,
         *[F.col(c).alias(f"_r_{c}") for c in right_vals],
     ).withColumn("_side", F.lit(0))
 
-    u = l.unionByName(r.withColumn("_dummy", F.lit(None)).drop("_dummy"),
-                      allowMissingColumns=True)
+    u = l.unionByName(r, allowMissingColumns=True)
     # right rows sort before left rows at equal _t → inclusive match
     w = (Window.partitionBy(key).orderBy(F.col("_t"), F.col("_side"))
          .rowsBetween(Window.unboundedPreceding, 0))

@@ -52,17 +52,22 @@ def candle_resample(ticks: DataFrame, *, key: str = "product_id",
 
 
 def latest_n_per_key(df: DataFrame, n: int, *, key: str = "product_id",
-                     ts: str = "time") -> DataFrame:
+                     ts: str = "time",
+                     tiebreak: str | None = None) -> DataFrame:
     """Most-recent N rows per key (data_fetcher.get_latest_candles_stmt).
 
     row_number over (key ORDER BY ts DESC): Spark plans this as a
     shuffle on key + per-partition topK (WindowGroupLimit pushes the
     limit below the sort in 3.5+), so it never materializes full
-    per-key sorts at scale.
+    per-key sorts at scale. `tiebreak` (descending) makes the picked
+    rows deterministic when timestamps collide.
     """
     from pyspark.sql import Window
 
-    w = Window.partitionBy(key).orderBy(F.col(ts).desc())
+    order = [F.col(ts).desc()]
+    if tiebreak is not None:
+        order.append(F.col(tiebreak).desc())
+    w = Window.partitionBy(key).orderBy(*order)
     return (df.withColumn("_rn", F.row_number().over(w))
               .filter(F.col("_rn") <= n).drop("_rn"))
 

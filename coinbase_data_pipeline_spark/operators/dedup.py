@@ -59,6 +59,10 @@ def minhash_lsh_pairs(docs: DataFrame, *, id_col: str = "doc_id",
     base = docs.select(F.col(id_col).alias("a_id"),
                        token_set(text_col).alias("toks"))
     base = base.withColumn("n", F.size("toks"))
+    # empty-token docs can never reach jaccard >= t (union 0 → 0.0);
+    # excluding them here also prevents the all-NULL-signature bucket
+    # from forming an O(m²) candidate clique of empty docs
+    base = base.filter(F.col("n") > 0)
     sig = base.select("a_id", minhash_signature(F.col("toks"),
                                                 k=num_hashes).alias("sig"))
     banded = sig.select(
@@ -98,23 +102,34 @@ def simhash(docs: DataFrame, *, id_col: str = "doc_id",
             text_col: str = "text", bits: int = 32) -> DataFrame:
     """Per-document SimHash over the token set: bit j of the result is
     the majority vote of bit j across all token hash60s. Pure
-    expression work — zero shuffles."""
+    expression work — zero shuffles.
+
+    Single-pass fold: each token's md5 is computed ONCE and expanded
+    into a ±1 bit-vector summed into an array of `bits` counters
+    (Catalyst does not CSE across higher-order lambdas, so a
+    per-bit-fold formulation would re-hash every token `bits` times).
+    """
     toks = token_set(text_col)
     hashes = F.transform(toks, lambda t: hash60(t))
-    def _vote(j: int):
-        # closure factory: extra default params would change how
-        # F.aggregate interprets the lambda's signature
-        return lambda acc, h: acc + F.when(
-            h.bitwiseAND(F.lit(1 << j)) != 0, 1).otherwise(-1)
 
-    bit_cols = []
-    for j in range(bits):
-        votes = F.aggregate(hashes, F.lit(0), _vote(j))
-        bit_cols.append(F.when(votes > 0, F.lit(1 << j)).otherwise(F.lit(0)))
-    sim = bit_cols[0]
-    for b in bit_cols[1:]:
-        sim = sim + b
-    return docs.select(F.col(id_col), sim.cast("long").alias("simhash"))
+    def bitvec(h):
+        return F.array(*[
+            F.when(h.bitwiseAND(F.lit(1 << j)) != 0, 1).otherwise(-1)
+            for j in range(bits)])
+
+    zero = F.array_repeat(F.lit(0), bits)
+    votes = F.aggregate(
+        hashes, zero,
+        lambda acc, h: F.zip_with(acc, bitvec(h), lambda a, b: a + b))
+    # reference `votes` exactly once (no CSE across lambdas): zip with
+    # the constant 2^j array and sum the contributing powers
+    powers = F.array(*[F.lit(1 << j).cast("long") for j in range(bits)])
+    contrib = F.zip_with(votes, powers,
+                         lambda v, p: F.when(v > 0, p)
+                                       .otherwise(F.lit(0).cast("long")))
+    sim = F.aggregate(contrib, F.lit(0).cast("long"),
+                      lambda a, x: a + x)
+    return docs.select(F.col(id_col), sim.alias("simhash"))
 
 
 def simhash_pairs(docs: DataFrame, *, id_col: str = "doc_id",

@@ -211,10 +211,14 @@ def clean_series(df: DataFrame, *, key: str, ts: str,
         F.percentile("_vf", F.lit(0.99)).alias("_v_hi"),
     )
     tmp = tmp.join(F.broadcast(stats), on=key, how="left")
-    clipped_c = F.least(F.greatest(F.col(close), F.col("_c_lo")), F.col("_c_hi"))
-    clipped_v = F.least(F.greatest(F.col("_vf"), F.col("_v_lo")), F.col("_v_hi"))
-    tmp = (tmp.withColumn(close, clipped_c)
-              .withColumn(volume, clipped_v)
+    # Spark's greatest/least SKIP NULLs (greatest(NULL, p01) = p01), so
+    # clipping must preserve NULL explicitly or it would turn gaps into
+    # the p01 bound and starve the ffill below of work
+    def _clip(col, lo, hi):
+        return F.when(col.isNotNull(),
+                      F.least(F.greatest(col, F.col(lo)), F.col(hi)))
+    tmp = (tmp.withColumn(close, _clip(F.col(close), "_c_lo", "_c_hi"))
+              .withColumn(volume, _clip(F.col("_vf"), "_v_lo", "_v_hi"))
               .drop("_v", "_vf", "_c_lo", "_c_hi", "_v_lo", "_v_hi"))
 
     ffill = _w(key, ts).rowsBetween(Window.unboundedPreceding, 0)

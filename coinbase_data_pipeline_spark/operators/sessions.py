@@ -25,8 +25,11 @@ def sessionize(events: DataFrame, *, user: str = "user_id",
     w = Window.partitionBy(user).orderBy(ts)
     gap_s = gap_minutes * 60
     prev = F.lag(ts).over(w)
+    # fractional-second gap (timestamp→double keeps microseconds);
+    # unix_timestamp would truncate and mis-split gaps within 1s of
+    # the threshold
     is_new = (prev.isNull()
-              | ((F.unix_timestamp(F.col(ts)) - F.unix_timestamp(prev))
+              | ((F.col(ts).cast("double") - prev.cast("double"))
                  > gap_s)).cast("long")
     numbered = (events
                 .withColumn("_new", is_new)

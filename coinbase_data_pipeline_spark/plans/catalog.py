@@ -121,11 +121,9 @@ FROM candles
 def q_latest_n(spark, sf_dir):
     """Latest 100 ticks per product (data_fetcher.py:38-44)."""
     t = ticks(spark, sf_dir)
-    w = Window.partitionBy("product_id").orderBy(
-        F.col("time").desc(), F.col("event_id").desc())
-    return (t.withColumn("_rn", F.row_number().over(w))
-             .filter(F.col("_rn") <= 100).drop("_rn")
-             .select("product_id", "time", "price", "event_id"))
+    out = C.latest_n_per_key(t, 100, key="product_id", ts="time",
+                             tiebreak="event_id")
+    return out.select("product_id", "time", "price", "event_id")
 
 
 SQL_LATEST_N = SQL_BASE + """

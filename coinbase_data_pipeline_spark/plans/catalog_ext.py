@@ -146,9 +146,11 @@ SQL_SLIDING_WINDOWS = SQL_BASE + """
          CAST(round(close * 1000000) AS BIGINT) AS p6
   FROM candles
 ), framed AS (
+  -- count(p6), not count(*): Spark's collect_list drops NULLs, so a
+  -- full window means seq_len NON-NULL prices on both engines
   SELECT product_id, bucket_start,
-         list(p6) OVER wx AS x_arr, count(*) OVER wx AS nx,
-         list(p6) OVER wy AS y_arr, count(*) OVER wy AS ny
+         list(p6) OVER wx AS x_arr, count(p6) OVER wx AS nx,
+         list(p6) OVER wy AS y_arr, count(p6) OVER wy AS ny
   FROM p
   WINDOW wx AS (PARTITION BY product_id ORDER BY bucket_start
                 ROWS BETWEEN 23 PRECEDING AND CURRENT ROW),

@@ -78,9 +78,12 @@ SQL_CLEAN_SERIES = SQL_BASE + """
          quantile_cont(vf, 0.99) AS v_hi
   FROM v1 GROUP BY product_id
 ), clipped AS (
+  -- NULL-preserving clip (DuckDB least/greatest also skip NULLs)
   SELECT v1.product_id, bucket_start,
-         least(greatest(close, c_lo), c_hi) AS close_c,
-         least(greatest(vf, v_lo), v_hi) AS vol_c
+         CASE WHEN close IS NOT NULL
+              THEN least(greatest(close, c_lo), c_hi) END AS close_c,
+         CASE WHEN vf IS NOT NULL
+              THEN least(greatest(vf, v_lo), v_hi) END AS vol_c
   FROM v1 JOIN stats USING (product_id)
 )
 SELECT product_id, bucket_start,

@@ -42,5 +42,21 @@ def get_spark(app_name: str = "coinbase-data-pipeline-spark",
     )
     active = SparkSession.getActiveSession()
     if active is not None:
+        # can't rebuild a live session, but the runtime-settable confs
+        # the engine's semantics depend on must still apply — silently
+        # returning a default-config session would flip ANSI/timezone
+        # behavior and the caller's shuffle sizing
+        for k, v in (
+            ("spark.sql.shuffle.partitions", str(shuffle_partitions)),
+            ("spark.sql.adaptive.enabled", "true"),
+            ("spark.sql.session.timeZone", "UTC"),
+            ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+            ("spark.sql.ansi.enabled", "false"),
+            ("spark.sql.execution.arrow.pyspark.enabled", "true"),
+        ):
+            try:
+                active.conf.set(k, v)
+            except Exception:
+                pass  # static or locked conf — builder defaults apply
         return active
     return builder.master(f"local[{cpus}]").getOrCreate()

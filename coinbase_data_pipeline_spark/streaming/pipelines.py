@@ -96,8 +96,7 @@ def streaming_sessionize(events: DataFrame, *, user: str = "user_id",
 
     State per user: the open session (start, end, count) as epoch
     microseconds (full event-time precision; the gap test compares
-    floor-seconds, matching the batch operator's unix_timestamp
-    semantics). Each micro-batch folds its events (sorted by event time)
+    fractional seconds, matching the batch operator). Each micro-batch folds its events (sorted by event time)
     into the open session; a gap > `gap_minutes` CLOSES the session —
     closed sessions are emitted downstream, the new one replaces the
     state. The tail session stays in state; production flushes it with
@@ -132,7 +131,7 @@ def streaming_sessionize(events: DataFrame, *, user: str = "user_id",
         for t in times:
             if start is None:
                 start, end, n = t, t, 1
-            elif t // 1_000_000 - end // 1_000_000 > gap_s:
+            elif t - end > gap_s * 1_000_000:
                 closed.append((key[0], start, end, n))
                 start, end, n = t, t, 1
             else:

@@ -5,6 +5,7 @@ semantics, EWM agreement with pandas."""
 from __future__ import annotations
 
 import pandas as pd
+import pytest
 
 from pyspark.sql import functions as F
 
@@ -65,6 +66,48 @@ def test_ewm_matches_pandas(spark):
     pd.testing.assert_series_equal(
         out["ema_fast"], expect_fast, check_names=False,
         check_index=False, atol=1e-9)
+
+
+def test_short_and_empty_docs_survive_text_ops(spark):
+    """Docs with <n tokens (or none at all) must not crash shingling
+    or produce degenerate LSH cliques."""
+    from coinbase_data_pipeline_spark.operators.dedup import (
+        minhash_lsh_pairs, simhash_pairs)
+    from coinbase_data_pipeline_spark.operators.textstats import (
+        ngram_doc_frequency)
+
+    docs = spark.createDataFrame(
+        [(1, "hello"), (2, ""), (3, "12345 !!!"), (4, "one two three"),
+         (5, "one two three"), (6, "漢字漢字")],
+        "doc_id long, text string")
+    # bigram doc frequency: only doc 4/5 have >= 2 tokens
+    grams = {r.ngram for r in ngram_doc_frequency(docs, top_n=10).collect()}
+    assert grams == {"one two", "two three"}
+    # empty-token docs (2, 3, 6) must not pair with each other
+    pairs = minhash_lsh_pairs(docs).collect()
+    assert {(r.doc_a, r.doc_b) for r in pairs} == {(4, 5)}
+    sp = simhash_pairs(docs).collect()
+    assert (4, 5) in {(r.doc_a, r.doc_b) for r in sp}
+
+
+def test_clean_series_ffills_null_volume(spark):
+    """A NULL-after-clip value must take the previous observation
+    (ffill), not the p01 clip bound."""
+    from coinbase_data_pipeline_spark.operators.indicators import (
+        clean_series)
+
+    rows = [("k", i, 100.0 + i, 0.0 if i < 2 else float(10 + i))
+            for i in range(30)]
+    df = spark.createDataFrame(
+        rows, "product_id string, bucket_start long, close double, "
+              "volume double")
+    out = {r.bucket_start: r.volume
+           for r in clean_series(df, key="product_id",
+                                 ts="bucket_start").collect()}
+    # first two rows: volume 0 → NULL → no prior data → rolling median
+    # NULL → ffill has nothing → bfill takes the first real value
+    assert out[0] == out[1] == out[2]
+    assert out[2] == pytest.approx(12.0, abs=1.0)  # clipped p01 nearby
 
 
 def test_sliding_windows_shape(spark):
