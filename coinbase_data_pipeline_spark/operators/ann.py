@@ -27,6 +27,25 @@ def _dot(x: Column, y: Column) -> Column:
                        F.lit(0.0), lambda acc, z: acc + z)
 
 
+def embedding_centroids(emb: DataFrame, *, label_col: str = "label",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Per-label element-wise mean vector in long format
+    (label, pos, mean_val) — the centroid computation underlying IVF
+    partitioning / k-means assignment steps.
+
+    posexplode → groupBy(label, pos): stays JVM-side with map-side
+    partial averages; the output is tiny (labels × dim), so downstream
+    assignment broadcasts it. Long format keeps the oracle comparison
+    free of array-reassembly order concerns.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    exploded = emb.select(F.col(label_col),
+                          F.posexplode(v).alias("pos", "val"))
+    return (exploded.groupBy(label_col, "pos")
+            .agg((F.round(F.avg("val"), 6) + F.lit(0.0)).alias("mean_val"),
+                 F.count(F.lit(1)).alias("n_vectors")))
+
+
 def brute_force_topk(corpus: DataFrame, queries: DataFrame, *,
                      id_col: str = "vec_id", vec_col: str = "embedding",
                      k: int = 5) -> DataFrame:

@@ -199,6 +199,40 @@ def ngram_jaccard_pairs(docs: DataFrame, *, id_col: str = "doc_id",
                  .select("doc_a", "doc_b", "jaccard"))
 
 
+def connected_components(pairs: DataFrame, *, src: str = "doc_a",
+                         dst: str = "doc_b",
+                         iterations: int = 4) -> DataFrame:
+    """Connected components over a near-dup pair list by iterative
+    min-label propagation — turns pairwise matches into canonical
+    dedup groups (component id = min doc id in the component).
+
+    `iterations` bounds propagation to graphs of diameter <=
+    iterations; near-dup components are clique-like (diameter 1-2), so
+    4 rounds converge with margin. Each round is one join + one
+    groupBy on the (small) vertex set — the classic large-star /
+    small-star schema, O(iterations) shuffles total, no driver-side
+    collect.
+    """
+    edges = (pairs.select(F.col(src).alias("e_src"),
+                          F.col(dst).alias("e_dst"))
+             .union(pairs.select(F.col(dst), F.col(src))))
+    labels = (edges.select(F.col("e_src").alias("id")).distinct()
+              .withColumn("label", F.col("id")))
+    for _ in range(iterations):
+        neigh = (edges.join(labels,
+                            labels["id"] == edges["e_dst"])
+                 .groupBy(F.col("e_src").alias("n_id"))
+                 .agg(F.min("label").alias("n_min")))
+        labels = (labels.join(neigh, labels["id"] == F.col("n_id"),
+                              "left")
+                  .select(F.col("id"),
+                          F.least(F.col("label"),
+                                  F.coalesce("n_min", "label"))
+                          .alias("label")))
+    return labels.select(F.col("id").alias("doc_id"),
+                         F.col("label").alias("component_id"))
+
+
 def embedding_neighbor_stats(emb: DataFrame, *, id_col: str = "vec_id",
                              vec_col: str = "embedding",
                              threshold: float = 0.45) -> DataFrame:

@@ -330,7 +330,59 @@ FROM pairs GROUP BY vec_id
 """
 
 
+def q_dedup_components(spark, sf_dir):
+    """Canonical dedup groups: connected components over the MinHash
+    near-dup pairs (iterative min-label propagation, 4 rounds)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = DD.minhash_lsh_pairs(docs)
+    return DD.connected_components(pairs)
+
+
+def _sql_components(iterations: int = 4) -> str:
+    pair_sql = _sql_minhash().strip()
+    rounds = []
+    prev = "l0"
+    for i in range(1, iterations + 1):
+        rounds.append(f"""
+, l{i} AS (
+  SELECT v.id, least(v.label, coalesce(min(u.label), v.label)) AS label
+  FROM {prev} v
+  LEFT JOIN edges e ON e.src = v.id
+  LEFT JOIN {prev} u ON u.id = e.dst
+  GROUP BY v.id, v.label
+)""")
+        prev = f"l{i}"
+    return f"""
+WITH pairs AS ({pair_sql}
+), edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+), l0 AS (
+  SELECT DISTINCT src AS id, src AS label FROM edges
+){''.join(rounds)}
+SELECT id AS doc_id, label AS component_id FROM {prev}
+"""
+
+
 # -------------------------------------------------------------------- ANN
+
+def q_embedding_centroids(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ANN.embedding_centroids(emb)
+
+
+SQL_EMBEDDING_CENTROIDS = """
+WITH v AS (
+  SELECT label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+)
+SELECT label, CAST(t.i - 1 AS INT) AS pos,
+       ROUND(avg(emb[t.i]), 6) + 0 AS mean_val,
+       count(*) AS n_vectors
+FROM v, unnest(generate_series(1, len(emb))) AS t(i)
+GROUP BY 1, 2
+"""
+
 
 def q_ann_bruteforce(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
@@ -544,6 +596,8 @@ SPARK_QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_embedding": q_dedup_embedding,
+    "dedup_components": q_dedup_components,
+    "embedding_centroids": q_embedding_centroids,
     "ann_bruteforce": q_ann_bruteforce,
     "ann_lsh": q_ann_lsh,
     "lang_id": q_lang_id,
@@ -564,6 +618,8 @@ ORACLE_SQL_EXT: dict[str, str] = {
     "dedup_simhash_pairs": _sql_simhash_pairs(),
     "dedup_ngram_jaccard": SQL_DEDUP_NGRAM,
     "dedup_embedding": SQL_DEDUP_EMBEDDING,
+    "dedup_components": _sql_components(),
+    "embedding_centroids": SQL_EMBEDDING_CENTROIDS,
     "ann_bruteforce": SQL_ANN_BRUTEFORCE,
     "ann_lsh": _sql_ann_lsh(),
     "lang_id": _sql_lang_id(),
