@@ -113,6 +113,56 @@ def _banded(df: DataFrame, dim: int, planes: int, bands: int) -> DataFrame:
               .drop("_bb"))
 
 
+def ivf_topk(corpus: DataFrame, queries: DataFrame, *,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             label_col: str = "label", nprobe: int = 3,
+             k: int = 5) -> DataFrame:
+    """IVF-style ANN: the corpus is inverted-file-partitioned by its
+    cluster assignment (here the existing `label` column stands in for
+    a k-means assignment; see :func:`embedding_centroids` for the
+    centroid step), queries probe the `nprobe` nearest centroids and
+    re-rank exactly within those partitions only.
+
+    Scale path: per query the candidate set is nprobe/n_lists of the
+    corpus; the centroid table (lists × dim) broadcasts everywhere.
+    Recall vs brute force is pytest-gated (rows-only semantics — the
+    probe choice depends on float argmin ties, so no SQL oracle).
+    """
+    v = F.col(vec_col).cast("array<double>")
+    cents = (embedding_centroids(corpus, label_col=label_col,
+                                 vec_col=vec_col)
+             .groupBy(label_col)
+             .agg(F.array_sort(F.collect_list(
+                 F.struct("pos", "mean_val"))).alias("_pm"))
+             .select(F.col(label_col).alias("c_label"),
+                     F.transform("_pm", lambda s: s["mean_val"])
+                     .alias("cv")))
+    q = queries.select(F.col(id_col).alias("query_id"), v.alias("qv"))
+    q = q.withColumn("qn", F.sqrt(_dot(F.col("qv"), F.col("qv"))))
+    # rank centroids per query, keep nprobe nearest (by cosine)
+    qc = q.crossJoin(F.broadcast(cents))
+    ccos = _dot(F.col("qv"), F.col("cv")) / (
+        F.col("qn") * F.sqrt(_dot(F.col("cv"), F.col("cv"))))
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("_ccos").desc(), F.col("c_label"))
+    probes = (qc.withColumn("_ccos", ccos)
+              .withColumn("_pr", F.row_number().over(wq))
+              .filter(F.col("_pr") <= nprobe)
+              .select("query_id", "qv", "qn", "c_label"))
+    c = corpus.select(F.col(id_col).alias("nn_id"), v.alias("cv2"),
+                      F.col(label_col).alias("c_label"))
+    c = c.withColumn("cn", F.sqrt(_dot(F.col("cv2"), F.col("cv2"))))
+    cand = (c.join(F.broadcast(probes), "c_label")
+            .filter(F.col("query_id") != F.col("nn_id")))
+    cos = _dot(F.col("qv"), F.col("cv2")) / (F.col("qn") * F.col("cn"))
+    scored = cand.withColumn("cosine", F.round(cos, 6))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("nn_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "nn_id", "cosine", "rank"))
+
+
 def lsh_topk(corpus: DataFrame, queries: DataFrame, *,
              id_col: str = "vec_id", vec_col: str = "embedding",
              dim: int = 64, planes: int = 8, bands: int = 4,

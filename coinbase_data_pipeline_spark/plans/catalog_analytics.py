@@ -237,6 +237,50 @@ GROUP BY ROLLUP (product_id, day)
 """
 
 
+# --------------------------------------------------------------------- funnel
+
+def q_funnel(spark, sf_dir):
+    """Ordered conversion funnel view → click → purchase: a user
+    counts at each step only if the event happened strictly after the
+    previous step's first event. Three grouped aggregates (each one
+    pass, partial-agg), joined on the (small) per-user step tables."""
+    ev = load_table(spark, sf_dir, "events")
+    v = (ev.filter(F.col("event_type") == "view")
+         .groupBy("user_id").agg(F.min("ts").alias("t_view")))
+    c = (ev.filter(F.col("event_type") == "click")
+         .join(v, "user_id")
+         .filter(F.col("ts") > F.col("t_view"))
+         .groupBy("user_id").agg(F.min("ts").alias("t_click")))
+    p = (ev.filter(F.col("event_type") == "purchase")
+         .join(c, "user_id")
+         .filter(F.col("ts") > F.col("t_click"))
+         .groupBy("user_id").agg(F.min("ts").alias("t_purchase")))
+    return (v.agg(F.count(F.lit(1)).alias("step_view"))
+            .crossJoin(c.agg(F.count(F.lit(1)).alias("step_click")))
+            .crossJoin(p.agg(F.count(F.lit(1)).alias("step_purchase"))))
+
+
+SQL_FUNNEL = """
+WITH v AS (
+  SELECT user_id, min(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, min(e.ts) AS t_click
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t_view
+  GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, min(e.ts) AS t_purchase
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+  GROUP BY e.user_id
+)
+SELECT (SELECT count(*) FROM v) AS step_view,
+       (SELECT count(*) FROM c) AS step_click,
+       (SELECT count(*) FROM p) AS step_purchase
+"""
+
+
 # ----------------------------------------------------------------- registry
 
 SPARK_QUERIES_ANALYTICS: dict[
@@ -250,6 +294,7 @@ SPARK_QUERIES_ANALYTICS: dict[
     "range_join": q_range_join,
     "event_type_pivot": q_event_type_pivot,
     "volume_rollup": q_volume_rollup,
+    "funnel": q_funnel,
 }
 
 ORACLE_SQL_ANALYTICS: dict[str, str] = {
@@ -262,4 +307,5 @@ ORACLE_SQL_ANALYTICS: dict[str, str] = {
     "range_join": SQL_RANGE_JOIN,
     "event_type_pivot": SQL_EVENT_TYPE_PIVOT,
     "volume_rollup": SQL_VOLUME_ROLLUP,
+    "funnel": SQL_FUNNEL,
 }

@@ -470,6 +470,14 @@ SELECT query_id, nn_id, cosine, rank FROM ranked WHERE rank <= {k}
 
 # ------------------------------------------------------------------- text
 
+def q_ann_ivf(spark, sf_dir):
+    """IVF-partitioned ANN (rows-only: probe selection depends on
+    float argmin ties; recall vs brute force is pytest-gated)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ANN.ivf_topk(emb, queries)
+
+
 def q_lang_id(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     out = TS.lang_id(docs)
@@ -600,6 +608,7 @@ SPARK_QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_centroids": q_embedding_centroids,
     "ann_bruteforce": q_ann_bruteforce,
     "ann_lsh": q_ann_lsh,
+    "ann_ivf": q_ann_ivf,
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
     "token_count": q_token_count,

@@ -32,6 +32,23 @@ def test_ann_lsh_recall(spark):
     assert all(r.rank <= 5 for r in approx)
 
 
+def test_ann_ivf_recall(spark):
+    """IVF probing must recover a reasonable fraction of the exact
+    top-k (candidates limited to the nprobe nearest label lists)."""
+    from coinbase_data_pipeline_spark.operators.ann import (
+        brute_force_topk, ivf_topk)
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = brute_force_topk(emb, q, k=5).collect()
+    approx = ivf_topk(emb, q, k=5, nprobe=3).collect()
+    exact_set = {(r.query_id, r.nn_id) for r in exact}
+    approx_set = {(r.query_id, r.nn_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.3, f"IVF recall {recall} suspiciously low"
+    assert all(r.rank <= 5 for r in approx)
+
+
 def test_asof_join_inclusive_semantics(spark):
     """Right row at exactly left_ts must match (inclusive as-of)."""
     from coinbase_data_pipeline_spark.operators.asof import asof_join
