@@ -255,6 +255,95 @@ WHERE l_partkey = p_partkey
 """
 
 
+def q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: one nation's share of regional revenue per year
+    — conditional aggregate over a 6-way join, every dim broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") <= "1997-12-31"))
+    cu = load_table(spark, sf_dir, "customer")
+    su = load_table(spark, sf_dir, "supplier")
+    pa = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "ECONOMY")
+    na = load_table(spark, sf_dir, "nation")
+    re = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "ASIA")
+    n_cust = na.select(F.col("n_nationkey").alias("cn_key"),
+                       F.col("n_regionkey").alias("cr_key"))
+    n_supp = na.select(F.col("n_nationkey").alias("sn_key"),
+                       F.col("n_name").alias("supp_nation"))
+    joined = (li
+              .join(od, F.col("l_orderkey") == F.col("o_orderkey"))
+              .join(F.broadcast(pa), F.col("l_partkey") == F.col("p_partkey"))
+              .join(F.broadcast(cu), F.col("o_custkey") == F.col("c_custkey"))
+              .join(F.broadcast(su), F.col("l_suppkey") == F.col("s_suppkey"))
+              .join(F.broadcast(n_cust), F.col("c_nationkey") == F.col("cn_key"))
+              .join(F.broadcast(re), F.col("cr_key") == F.col("r_regionkey"))
+              .join(F.broadcast(n_supp), F.col("s_nationkey") == F.col("sn_key")))
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    out = (joined.groupBy(F.year("o_orderdate").alias("o_year"))
+           .agg((F.round(
+               F.sum(F.when(F.col("supp_nation") == "NATION_3", vol)
+                     .otherwise(F.lit(0.0))) / F.sum(vol), RND)
+               + F.lit(0.0)).alias("mkt_share")))
+    return out
+
+
+SQL_Q8 = """
+SELECT o_year,
+       ROUND(sum(CASE WHEN nation = 'NATION_3' THEN volume
+                 ELSE 0.0 END) / sum(volume), 6) + 0 AS mkt_share
+FROM (
+  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+         l_extendedprice * (1 - l_discount) AS volume,
+         n2.n_name AS nation
+  FROM part, supplier, lineitem, orders, customer, nation n1,
+       nation n2, region
+  WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+    AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+    AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+    AND r_name = 'ASIA' AND s_nationkey = n2.n_nationkey
+    AND o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                        AND TIMESTAMP '1997-12-31 00:00:00'
+    AND p_type = 'ECONOMY'
+)
+GROUP BY o_year
+"""
+
+
+def q9_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape (no partsupp → profit = discounted revenue):
+    per supplier-nation per year over a part name filter."""
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders")
+    su = load_table(spark, sf_dir, "supplier")
+    pa = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").contains("red"))
+    na = load_table(spark, sf_dir, "nation")
+    out = (li
+           .join(od, F.col("l_orderkey") == F.col("o_orderkey"))
+           .join(F.broadcast(pa), F.col("l_partkey") == F.col("p_partkey"))
+           .join(F.broadcast(su), F.col("l_suppkey") == F.col("s_suppkey"))
+           .join(F.broadcast(na), F.col("s_nationkey") == F.col("n_nationkey"))
+           .groupBy(F.col("n_name").alias("nation"),
+                    F.year("o_orderdate").alias("o_year"))
+           .agg((F.round(F.sum(_rev()), RND) + F.lit(0.0))
+                .alias("sum_profit")))
+    return out
+
+
+SQL_Q9 = """
+SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+       ROUND(sum(l_extendedprice * (1 - l_discount)), 6) + 0 AS sum_profit
+FROM part, supplier, lineitem, orders, nation
+WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+  AND l_orderkey = o_orderkey AND s_nationkey = n_nationkey
+  AND p_name LIKE '%red%'
+GROUP BY n_name, o_year
+"""
+
+
 def q13_customer_distribution(spark, sf_dir):
     """TPC-H Q13 shape: LEFT OUTER join (customers with zero orders
     kept) → per-customer count → count-of-counts distribution."""
@@ -389,6 +478,8 @@ SPARK_QUERIES_TPCH: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q14_promo_effect": q14_promo_effect,
     "q18_large_orders": q18_large_orders,
     "q19_discounted_revenue": q19_discounted_revenue,
+    "q8_market_share": q8_market_share,
+    "q9_product_profit": q9_product_profit,
     "q13_customer_distribution": q13_customer_distribution,
     "q15_top_supplier": q15_top_supplier,
     "q17_small_quantity": q17_small_quantity,
@@ -403,6 +494,8 @@ ORACLE_SQL_TPCH: dict[str, str] = {
     "q14_promo_effect": SQL_Q14,
     "q18_large_orders": SQL_Q18,
     "q19_discounted_revenue": SQL_Q19,
+    "q8_market_share": SQL_Q8,
+    "q9_product_profit": SQL_Q9,
     "q13_customer_distribution": SQL_Q13,
     "q15_top_supplier": SQL_Q15,
     "q17_small_quantity": SQL_Q17,

@@ -107,6 +107,22 @@ def test_short_and_empty_docs_survive_text_ops(spark):
     assert (4, 5) in {(r.doc_a, r.doc_b) for r in sp}
 
 
+def test_simhash_band_recall_is_exact(spark):
+    """Pigeonhole guarantee: with 4 bands over 32 bits, EVERY pair at
+    hamming distance <= 3 must be found (compare against brute-force
+    all-pairs hamming on the collected signatures)."""
+    from coinbase_data_pipeline_spark.operators.dedup import (
+        simhash, simhash_pairs)
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(120)
+    sigs = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+    ids = sorted(sigs)
+    truth = {(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]
+             if bin(sigs[a] ^ sigs[b]).count("1") <= 3}
+    found = {(r.doc_a, r.doc_b) for r in simhash_pairs(docs).collect()}
+    assert found == truth
+
+
 def test_clean_series_ffills_null_volume(spark):
     """A NULL-after-clip value must take the previous observation
     (ffill), not the p01 clip bound."""
