@@ -117,6 +117,46 @@ def ngram_doc_frequency(docs: DataFrame, top_n: int = 20, *,
             .limit(top_n))
 
 
+def tfidf_top_terms(docs: DataFrame, top_n: int = 3, *,
+                    id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Top-N TF-IDF terms per document.
+
+    tf = term count within the doc (full token list), idf =
+    ln(N / doc_freq) with doc_freq = #docs containing the term.
+    Plan: one explode → (doc, term) counts → per-term doc_freq
+    aggregate joined back (term dictionary is vastly smaller than the
+    corpus → broadcast) → per-doc top-N window. Ties break on term
+    text for determinism.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.text import tokens
+
+    n_docs = docs.select(
+        F.count(F.lit(1)).cast("double").alias("_n_docs"))
+    terms = docs.select(F.col(id_col),
+                        F.explode(tokens(text_col)).alias("term"))
+    tf = terms.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("doc_freq"))
+    scored = (tf.join(F.broadcast(df_), "term")
+              .crossJoin(F.broadcast(n_docs))
+              .withColumn("tfidf",
+                          F.round(F.col("tf")
+                                  * F.log(F.col("_n_docs")
+                                          / F.col("doc_freq")), 6)
+                          + F.lit(0.0)))
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("term"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= top_n)
+            .select(id_col, "term",
+                    F.col("tf").alias("term_count"), "tfidf",
+                    F.col("rank").cast("int").alias("rank")))
+
+
 def doc_fingerprint(docs: DataFrame, *, id_col: str = "doc_id",
                     text_col: str = "text", gram: int = 8,
                     stride: int = 4) -> DataFrame:

@@ -237,6 +237,40 @@ GROUP BY ROLLUP (product_id, day)
 """
 
 
+# -------------------------------------------------------------------- tf-idf
+
+def q_tfidf_top_terms(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return TS.tfidf_top_terms(docs, top_n=3)
+
+
+SQL_TFIDF = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                            x -> len(x) > 0)) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+), df AS (
+  SELECT term, CAST(count(*) AS DOUBLE) AS doc_freq FROM tf GROUP BY term
+), n AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         ROUND(tf.tf * ln(n.n_docs / df.doc_freq), 6) + 0 AS tfidf
+  FROM tf, df, n WHERE tf.term = df.term
+), ranked AS (
+  SELECT doc_id, term, tf, tfidf,
+         CAST(row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY tfidf DESC, term) AS INT) AS rank
+  FROM scored
+)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS term_count, tfidf, rank
+FROM ranked WHERE rank <= 3
+"""
+
+
 # --------------------------------------------------------------------- funnel
 
 def q_funnel(spark, sf_dir):
@@ -295,6 +329,7 @@ SPARK_QUERIES_ANALYTICS: dict[
     "event_type_pivot": q_event_type_pivot,
     "volume_rollup": q_volume_rollup,
     "funnel": q_funnel,
+    "tfidf_top_terms": q_tfidf_top_terms,
 }
 
 ORACLE_SQL_ANALYTICS: dict[str, str] = {
@@ -308,4 +343,5 @@ ORACLE_SQL_ANALYTICS: dict[str, str] = {
     "event_type_pivot": SQL_EVENT_TYPE_PIVOT,
     "volume_rollup": SQL_VOLUME_ROLLUP,
     "funnel": SQL_FUNNEL,
+    "tfidf_top_terms": SQL_TFIDF,
 }
