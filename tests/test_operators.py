@@ -143,6 +143,28 @@ def test_clean_series_ffills_null_volume(spark):
     assert out[2] == pytest.approx(12.0, abs=1.0)  # clipped p01 nearby
 
 
+def test_ewm_keys_are_independent(spark):
+    """ewm_features must compute each key's recursion independently —
+    interleaved keys must match per-key pandas exactly."""
+    from coinbase_data_pipeline_spark.operators.indicators import (
+        ewm_features)
+
+    frames = []
+    for k, base in (("a", 100.0), ("b", 500.0)):
+        frames.append(pd.DataFrame({
+            "k": [k] * 40, "t": range(40),
+            "close": [base + ((i * 11) % 7) * 2.5 for i in range(40)]}))
+    pdf = pd.concat(frames, ignore_index=True)
+    out = (ewm_features(spark.createDataFrame(pdf), key="k", ts="t")
+           .orderBy("k", "t").toPandas())
+    for k in ("a", "b"):
+        got = out[out["k"] == k]["ema_slow"].reset_index(drop=True)
+        want = (pdf[pdf["k"] == k]["close"]
+                .ewm(span=26, adjust=False).mean().reset_index(drop=True))
+        pd.testing.assert_series_equal(got, want, check_names=False,
+                                       atol=1e-9)
+
+
 def test_sliding_windows_shape(spark):
     from coinbase_data_pipeline_spark.operators.windows import sliding_windows
 
