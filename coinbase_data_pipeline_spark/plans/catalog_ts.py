@@ -309,6 +309,49 @@ WHERE bucket_start >= TIMESTAMP '{SCALE_SPLIT}'
 """
 
 
+# ------------------------------------------------------- returns correlation
+
+def q_returns_correlation(spark, sf_dir):
+    """Pairwise Pearson correlation of per-product log returns over
+    time-aligned candles (the cross-asset similarity scan).
+
+    Plan: the self-join aligns on bucket_start (equi-join), pairs are
+    keyed (product_a < product_b), and corr() partial-aggregates — at
+    k products the pair space is k²/2 but each pair streams through
+    one co-grouped aggregation, no driver-side matrix."""
+    df = I.with_log_returns(candles(spark, sf_dir), key="product_id",
+                            ts="bucket_start")
+    lr = (df.select("product_id", "bucket_start", "log_returns")
+          .filter(F.col("log_returns").isNotNull()))
+    a = lr.select(F.col("product_id").alias("product_a"),
+                  "bucket_start", F.col("log_returns").alias("r_a"))
+    b = lr.select(F.col("product_id").alias("product_b"),
+                  "bucket_start", F.col("log_returns").alias("r_b"))
+    return (a.join(b, "bucket_start")
+            .filter(F.col("product_a") < F.col("product_b"))
+            .groupBy("product_a", "product_b")
+            .agg((F.round(F.corr("r_a", "r_b"), RND) + F.lit(0.0))
+                 .alias("corr"),
+                 F.count(F.lit(1)).alias("n_obs")))
+
+
+SQL_RETURNS_CORRELATION = SQL_BASE + """
+, lr AS (
+  SELECT product_id, bucket_start,
+         ln(close / lag(close) OVER (PARTITION BY product_id
+                                     ORDER BY bucket_start)) AS r
+  FROM candles
+)
+SELECT a.product_id AS product_a, b.product_id AS product_b,
+       ROUND(corr(a.r, b.r), 6) + 0 AS corr,
+       count(*) AS n_obs
+FROM lr a JOIN lr b
+  ON a.bucket_start = b.bucket_start AND a.product_id < b.product_id
+WHERE a.r IS NOT NULL AND b.r IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
 # ----------------------------------------------------------------- registry
 
 SPARK_QUERIES_TS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -320,6 +363,7 @@ SPARK_QUERIES_TS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "candle_rollup": q_candle_rollup,
     "prediction_horizon_eval": q_prediction_horizon_eval,
     "scale_fit_transform": q_scale_fit_transform,
+    "returns_correlation": q_returns_correlation,
 }
 
 ORACLE_SQL_TS: dict[str, str] = {
@@ -331,4 +375,5 @@ ORACLE_SQL_TS: dict[str, str] = {
     "candle_rollup": SQL_CANDLE_ROLLUP,
     "prediction_horizon_eval": SQL_PREDICTION_HORIZON_EVAL,
     "scale_fit_transform": SQL_SCALE_FIT_TRANSFORM,
+    "returns_correlation": SQL_RETURNS_CORRELATION,
 }

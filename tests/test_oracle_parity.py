@@ -19,7 +19,12 @@ from coinbase_data_pipeline_spark.plans.registry import (
 )
 from coinbase_data_pipeline_spark.sources.tables import TABLES
 
-SF_DIR = "/root/testdata/sf0.001"
+import os
+
+# default: fast sf0.001; set SPARK_GRAFT_PARITY_SF_DIR=/root/testdata/sf0.01
+# to replicate the driver's exact scale
+SF_DIR = os.environ.get("SPARK_GRAFT_PARITY_SF_DIR",
+                        "/root/testdata/sf0.001")
 
 
 def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
