@@ -352,6 +352,92 @@ GROUP BY 1, 2
 """
 
 
+# ----------------------------------------------------------------- gap audit
+
+def q_candle_gaps(spark, sf_dir):
+    """Missing-bucket audit per product: expected 5-minute grid from
+    each product's min to max bucket (generated with sequence(), no
+    driver loop) anti-joined against observed candles. The per-key
+    grid is generated map-side from the tiny min/max aggregate —
+    at scale this is one small generate + one anti-join on
+    (product, bucket), not a calendar cross join."""
+    c = candles(spark, sf_dir).select("product_id", "bucket_start")
+    span = c.groupBy("product_id").agg(
+        F.min("bucket_start").alias("t0"),
+        F.max("bucket_start").alias("t1"))
+    grid = span.select(
+        "product_id",
+        F.explode(F.sequence("t0", "t1",
+                             F.expr("INTERVAL 5 MINUTES")))
+        .alias("bucket_start"))
+    missing = grid.join(c, ["product_id", "bucket_start"], "left_anti")
+    return (missing.groupBy("product_id")
+            .agg(F.count(F.lit(1)).alias("missing_buckets"),
+                 F.min("bucket_start").alias("first_gap"),
+                 F.max("bucket_start").alias("last_gap")))
+
+
+SQL_CANDLE_GAPS = SQL_BASE + """
+, span AS (
+  SELECT product_id, min(bucket_start) AS t0, max(bucket_start) AS t1
+  FROM candles GROUP BY product_id
+), grid AS (
+  SELECT product_id,
+         unnest(generate_series(t0, t1, INTERVAL 5 MINUTE))
+           AS bucket_start
+  FROM span
+), missing AS (
+  SELECT g.product_id, g.bucket_start
+  FROM grid g LEFT JOIN candles c
+    ON g.product_id = c.product_id AND g.bucket_start = c.bucket_start
+  WHERE c.product_id IS NULL
+)
+SELECT product_id, count(*) AS missing_buckets,
+       min(bucket_start) AS first_gap, max(bucket_start) AS last_gap
+FROM missing GROUP BY product_id
+"""
+
+
+# ------------------------------------------------------------------ cohorts
+
+def q_retention_cohorts(spark, sf_dir):
+    """Weekly retention: users grouped by first-seen week (cohort),
+    counted distinct in each subsequent activity week. Two aggregates
+    over one events scan + a broadcast join of the (tiny) per-user
+    first-week table."""
+    ev = load_table(spark, sf_dir, "events")
+    wk = F.to_date(F.date_trunc("week", F.col("ts")))
+    first = (ev.groupBy("user_id")
+             .agg(F.to_date(F.date_trunc("week", F.min("ts")))
+                  .alias("cohort_week")))
+    out = (ev.select("user_id", wk.alias("active_week"))
+           .join(F.broadcast(first), "user_id")
+           .groupBy("cohort_week", "active_week")
+           .agg(F.count_distinct("user_id").alias("active_users"))
+           .withColumn("weeks_since",
+                       F.datediff("active_week", "cohort_week")
+                       .cast("int") / 7)
+           .withColumn("weeks_since", F.col("weeks_since").cast("int")))
+    return out
+
+
+SQL_RETENTION_COHORTS = """
+WITH first AS (
+  SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE)
+           AS cohort_week
+  FROM events GROUP BY user_id
+)
+SELECT f.cohort_week,
+       CAST(date_trunc('week', e.ts) AS DATE) AS active_week,
+       count(DISTINCT e.user_id) AS active_users,
+       CAST(date_diff('day', f.cohort_week,
+                      CAST(date_trunc('week', e.ts) AS DATE)) / 7 AS INT)
+         AS weeks_since
+FROM events e JOIN first f ON e.user_id = f.user_id
+GROUP BY 1, 2
+"""
+
+
 # ----------------------------------------------------------------- registry
 
 SPARK_QUERIES_TS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -364,6 +450,8 @@ SPARK_QUERIES_TS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "prediction_horizon_eval": q_prediction_horizon_eval,
     "scale_fit_transform": q_scale_fit_transform,
     "returns_correlation": q_returns_correlation,
+    "candle_gaps": q_candle_gaps,
+    "retention_cohorts": q_retention_cohorts,
 }
 
 ORACLE_SQL_TS: dict[str, str] = {
@@ -376,4 +464,6 @@ ORACLE_SQL_TS: dict[str, str] = {
     "prediction_horizon_eval": SQL_PREDICTION_HORIZON_EVAL,
     "scale_fit_transform": SQL_SCALE_FIT_TRANSFORM,
     "returns_correlation": SQL_RETURNS_CORRELATION,
+    "candle_gaps": SQL_CANDLE_GAPS,
+    "retention_cohorts": SQL_RETENTION_COHORTS,
 }

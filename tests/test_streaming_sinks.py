@@ -181,6 +181,65 @@ def test_write_table_rejects_unknown(spark, tmp_path):
         write_table(df, str(tmp_path), "nope")
 
 
+def test_streaming_watermark_drops_late_data(spark, tmp_path):
+    """An event older than the watermark arriving in a later
+    micro-batch must be dropped from the aggregation (late-data
+    semantics the reference's at-most-once Cassandra upsert implies)."""
+    import json
+
+    from coinbase_data_pipeline_spark.streaming.pipelines import (
+        streaming_candles, ticker_pipeline)
+
+    replay = tmp_path / "late"
+    replay.mkdir()
+
+    def wire(ts, price):
+        return json.dumps({"type": "ticker", "product_id": "X-USD",
+                           "price": str(price),
+                           "time": f"2024-03-01 {ts}"})
+
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        raw = (spark.readStream.format("text").load(str(replay)))
+        candles = streaming_candles(ticker_pipeline(raw),
+                                    watermark="10 minutes")
+        q = (candles.writeStream
+             .foreachBatch(lambda bdf, _id:
+                           bdf.write.mode("append").parquet(out_dir))
+             .outputMode("update")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination()
+
+    # run 1: two ticks in the 10:00 bucket + one at 11:00 that
+    # advances the watermark (delay 10m) past 10:05 at run end
+    (replay / "a_batch1.json").write_text("\n".join(
+        [wire("10:00:10", 1.0), wire("10:01:00", 2.0),
+         wire("11:00:00", 5.0)]))
+    run_once()
+    # run 2 (same checkpoint → watermark persisted): a LATE tick for
+    # the closed 10:00 bucket + a fresh one
+    (replay / "b_batch2.json").write_text("\n".join(
+        [wire("10:02:00", 9.0), wire("11:01:00", 6.0)]))
+    run_once()
+
+    rows = spark.read.parquet(out_dir).collect()
+    by_bucket = {}
+    for r in rows:
+        key = str(r.bucket_start)
+        by_bucket.setdefault(key, []).append(r)
+    early = by_bucket["2024-03-01 10:00:00"]
+    # late tick (10:02, price 9.0) was dropped: the bucket never grew
+    # beyond the first batch's 2 ticks and the high never saw 9.0
+    assert max(r.n_ticks for r in early) == 2
+    assert max(r.high for r in early) == 2.0
+    late_bucket = by_bucket["2024-03-01 11:00:00"]
+    assert max(r.n_ticks for r in late_bucket) == 2  # 11:00 + 11:01
+
+
 def test_streaming_foreachbatch_to_merge_sink(spark, tmp_path):
     """The reference's write path: stream → foreachBatch → upsert table
     (spark_processor.py:173-186 writes each micro-batch to Cassandra;
