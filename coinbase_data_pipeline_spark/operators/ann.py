@@ -46,24 +46,42 @@ def embedding_centroids(emb: DataFrame, *, label_col: str = "label",
                  F.count(F.lit(1)).alias("n_vectors")))
 
 
-def brute_force_topk(corpus: DataFrame, queries: DataFrame, *,
-                     id_col: str = "vec_id", vec_col: str = "embedding",
-                     k: int = 5) -> DataFrame:
-    """Exact cosine top-k per query vector (query ids broadcast)."""
-    v = F.col(vec_col).cast("array<double>")
-    c = corpus.select(F.col(id_col).alias("nn_id"), v.alias("cv"))
-    c = c.withColumn("cn", F.sqrt(_dot(F.col("cv"), F.col("cv"))))
-    q = queries.select(F.col(id_col).alias("query_id"), v.alias("qv"))
-    q = q.withColumn("qn", F.sqrt(_dot(F.col("qv"), F.col("qv"))))
-    pairs = c.crossJoin(F.broadcast(q)).filter(
-        F.col("query_id") != F.col("nn_id"))
+def _rerank(cand: DataFrame, k: int) -> DataFrame:
+    """Shared exact re-rank: candidates (query_id, nn_id, qv, qn, cv,
+    cn) → cosine rounded to 6dp, top-k per query, ties broken on
+    nn_id. The ONE place the scoring/tie-break policy lives — the
+    recall tests compare brute force vs LSH vs IVF, so all three must
+    score identically."""
     cos = _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
-    scored = pairs.withColumn("cosine", F.round(cos, 6))
+    scored = cand.withColumn("cosine", F.round(cos, 6))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("nn_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "nn_id", "cosine", "rank"))
+
+
+def _corpus_side(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    v = F.col(vec_col).cast("array<double>")
+    out = df.select(F.col(id_col).alias("nn_id"), v.alias("cv"))
+    return out.withColumn("cn", F.sqrt(_dot(F.col("cv"), F.col("cv"))))
+
+
+def _query_side(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    v = F.col(vec_col).cast("array<double>")
+    out = df.select(F.col(id_col).alias("query_id"), v.alias("qv"))
+    return out.withColumn("qn", F.sqrt(_dot(F.col("qv"), F.col("qv"))))
+
+
+def brute_force_topk(corpus: DataFrame, queries: DataFrame, *,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     k: int = 5) -> DataFrame:
+    """Exact cosine top-k per query vector (query ids broadcast)."""
+    c = _corpus_side(corpus, id_col, vec_col)
+    q = _query_side(queries, id_col, vec_col)
+    pairs = c.crossJoin(F.broadcast(q)).filter(
+        F.col("query_id") != F.col("nn_id"))
+    return _rerank(pairs, k)
 
 
 def hyperplane_values(dim: int, plane: int) -> list[float]:
@@ -127,18 +145,21 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, *,
     corpus; the centroid table (lists × dim) broadcasts everywhere.
     Recall vs brute force is pytest-gated (rows-only semantics — the
     probe choice depends on float argmin ties, so no SQL oracle).
+    Centroids are computed UNROUNDED here (embedding_centroids rounds
+    its output for oracle hashing; probe ranking shouldn't inherit
+    that quantization).
     """
     v = F.col(vec_col).cast("array<double>")
-    cents = (embedding_centroids(corpus, label_col=label_col,
-                                 vec_col=vec_col)
-             .groupBy(label_col)
+    cents = (corpus.select(F.col(label_col).alias("c_label"),
+                           F.posexplode(v).alias("pos", "val"))
+             .groupBy("c_label", "pos")
+             .agg(F.avg("val").alias("m"))
+             .groupBy("c_label")
              .agg(F.array_sort(F.collect_list(
-                 F.struct("pos", "mean_val"))).alias("_pm"))
-             .select(F.col(label_col).alias("c_label"),
-                     F.transform("_pm", lambda s: s["mean_val"])
-                     .alias("cv")))
-    q = queries.select(F.col(id_col).alias("query_id"), v.alias("qv"))
-    q = q.withColumn("qn", F.sqrt(_dot(F.col("qv"), F.col("qv"))))
+                 F.struct("pos", "m"))).alias("_pm"))
+             .select("c_label",
+                     F.transform("_pm", lambda s: s["m"]).alias("cv")))
+    q = _query_side(queries, id_col, vec_col)
     # rank centroids per query, keep nprobe nearest (by cosine)
     qc = q.crossJoin(F.broadcast(cents))
     ccos = _dot(F.col("qv"), F.col("cv")) / (
@@ -149,18 +170,12 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, *,
               .withColumn("_pr", F.row_number().over(wq))
               .filter(F.col("_pr") <= nprobe)
               .select("query_id", "qv", "qn", "c_label"))
-    c = corpus.select(F.col(id_col).alias("nn_id"), v.alias("cv2"),
+    c = corpus.select(F.col(id_col).alias("nn_id"), v.alias("cv"),
                       F.col(label_col).alias("c_label"))
-    c = c.withColumn("cn", F.sqrt(_dot(F.col("cv2"), F.col("cv2"))))
+    c = c.withColumn("cn", F.sqrt(_dot(F.col("cv"), F.col("cv"))))
     cand = (c.join(F.broadcast(probes), "c_label")
             .filter(F.col("query_id") != F.col("nn_id")))
-    cos = _dot(F.col("qv"), F.col("cv2")) / (F.col("qn") * F.col("cn"))
-    scored = cand.withColumn("cosine", F.round(cos, 6))
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("nn_id"))
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select("query_id", "nn_id", "cosine", "rank"))
+    return _rerank(cand, k)
 
 
 def lsh_topk(corpus: DataFrame, queries: DataFrame, *,
@@ -177,22 +192,13 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, *,
     the full corpus; no cross join ever materializes. Recall vs
     :func:`brute_force_topk` is pytest-gated (tests/test_operators.py).
     """
-    v = F.col(vec_col).cast("array<double>")
-    c = corpus.select(F.col(id_col).alias("nn_id"), v.alias("cv"))
-    c = c.withColumn("cn", F.sqrt(_dot(F.col("cv"), F.col("cv"))))
-    c = _banded(c, dim, planes, bands)
-    q = queries.select(F.col(id_col).alias("query_id"), v.alias("qv"))
-    q = q.withColumn("qn", F.sqrt(_dot(F.col("qv"), F.col("qv"))))
-    q = _banded(q, dim, planes, bands)
+    c = _banded(_corpus_side(corpus, id_col, vec_col),
+                dim, planes, bands)
+    q = _banded(_query_side(queries, id_col, vec_col),
+                dim, planes, bands)
     # dedupe candidates that collide in several bands BEFORE the
     # cosine: one score per (query, candidate) pair
     cand = (c.join(F.broadcast(q), ["band", "bucket"])
             .filter(F.col("query_id") != F.col("nn_id"))
             .dropDuplicates(["query_id", "nn_id"]))
-    cos = _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
-    scored = cand.withColumn("cosine", F.round(cos, 6))
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("nn_id"))
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select("query_id", "nn_id", "cosine", "rank"))
+    return _rerank(cand, k)

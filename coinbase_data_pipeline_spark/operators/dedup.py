@@ -201,23 +201,33 @@ def ngram_jaccard_pairs(docs: DataFrame, *, id_col: str = "doc_id",
 
 def connected_components(pairs: DataFrame, *, src: str = "doc_a",
                          dst: str = "doc_b",
-                         iterations: int = 4) -> DataFrame:
+                         iterations: int = 8) -> DataFrame:
     """Connected components over a near-dup pair list by iterative
     min-label propagation — turns pairwise matches into canonical
     dedup groups (component id = min doc id in the component).
 
-    `iterations` bounds propagation to graphs of diameter <=
-    iterations; near-dup components are clique-like (diameter 1-2), so
-    4 rounds converge with margin. Each round is one join + one
-    groupBy on the (small) vertex set — the classic large-star /
-    small-star schema, O(iterations) shuffles total, no driver-side
+    CONTRACT: 1-hop propagation is exact only for components of
+    diameter <= `iterations`; a longer chain would split. Near-dup
+    components are clique-like (diameter 1-2) so the default 8 has a
+    large margin — tests assert one extra round changes nothing on the
+    test corpora. For adversarial graphs switch to pointer-jumping
+    (label = label-of-label each round, O(log diameter) rounds) or a
+    driver-side convergence loop on the changed-label count. Each
+    round is one join + one groupBy on the vertex set, no driver-side
     collect.
     """
+    from pyspark import StorageLevel
+
     edges = (pairs.select(F.col(src).alias("e_src"),
                           F.col(dst).alias("e_dst"))
              .union(pairs.select(F.col(dst), F.col(src))))
+    # materialize: each round references edges and the previous labels
+    # twice — without truncation the pair-generation lineage would be
+    # re-executed O(2^iterations) times
+    edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
     labels = (edges.select(F.col("e_src").alias("id")).distinct()
-              .withColumn("label", F.col("id")))
+              .withColumn("label", F.col("id"))
+              .localCheckpoint(eager=True))
     for _ in range(iterations):
         neigh = (edges.join(labels,
                             labels["id"] == edges["e_dst"])
@@ -228,7 +238,9 @@ def connected_components(pairs: DataFrame, *, src: str = "doc_a",
                   .select(F.col("id"),
                           F.least(F.col("label"),
                                   F.coalesce("n_min", "label"))
-                          .alias("label")))
+                          .alias("label"))
+                  .localCheckpoint(eager=True))
+    edges.unpersist()
     return labels.select(F.col("id").alias("doc_id"),
                          F.col("label").alias("component_id"))
 

@@ -332,19 +332,23 @@ FROM pairs GROUP BY vec_id
 
 def q_dedup_components(spark, sf_dir):
     """Canonical dedup groups: connected components over the MinHash
-    near-dup pairs (iterative min-label propagation, 4 rounds)."""
+    near-dup pairs (iterative min-label propagation, 8 rounds — see
+    the operator's diameter contract)."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = DD.minhash_lsh_pairs(docs)
     return DD.connected_components(pairs)
 
 
-def _sql_components(iterations: int = 4) -> str:
+def _sql_components(iterations: int = 8) -> str:
     pair_sql = _sql_minhash().strip()
+    # AS MATERIALIZED is load-bearing: each round references the
+    # previous one twice, so un-materialized CTE inlining would expand
+    # the whole minhash pipeline 2^iterations times
     rounds = []
     prev = "l0"
     for i in range(1, iterations + 1):
         rounds.append(f"""
-, l{i} AS (
+, l{i} AS MATERIALIZED (
   SELECT v.id, least(v.label, coalesce(min(u.label), v.label)) AS label
   FROM {prev} v
   LEFT JOIN edges e ON e.src = v.id
@@ -353,12 +357,12 @@ def _sql_components(iterations: int = 4) -> str:
 )""")
         prev = f"l{i}"
     return f"""
-WITH pairs AS ({pair_sql}
-), edges AS (
+WITH pairs AS MATERIALIZED ({pair_sql}
+), edges AS MATERIALIZED (
   SELECT doc_a AS src, doc_b AS dst FROM pairs
   UNION ALL
   SELECT doc_b, doc_a FROM pairs
-), l0 AS (
+), l0 AS MATERIALIZED (
   SELECT DISTINCT src AS id, src AS label FROM edges
 ){''.join(rounds)}
 SELECT id AS doc_id, label AS component_id FROM {prev}

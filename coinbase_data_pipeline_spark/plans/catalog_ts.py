@@ -403,15 +403,16 @@ FROM missing GROUP BY product_id
 def q_retention_cohorts(spark, sf_dir):
     """Weekly retention: users grouped by first-seen week (cohort),
     counted distinct in each subsequent activity week. Two aggregates
-    over one events scan + a broadcast join of the (tiny) per-user
-    first-week table."""
+    over one events scan joined on user_id; the first-week table is
+    one row PER USER (unbounded at scale), so the join is left to AQE
+    — broadcast only if it actually fits, shuffle-join otherwise."""
     ev = load_table(spark, sf_dir, "events")
     wk = F.to_date(F.date_trunc("week", F.col("ts")))
     first = (ev.groupBy("user_id")
              .agg(F.to_date(F.date_trunc("week", F.min("ts")))
                   .alias("cohort_week")))
     out = (ev.select("user_id", wk.alias("active_week"))
-           .join(F.broadcast(first), "user_id")
+           .join(first, "user_id")
            .groupBy("cohort_week", "active_week")
            .agg(F.count_distinct("user_id").alias("active_users"))
            .withColumn("weeks_since",

@@ -100,10 +100,10 @@ def q7_volume_shipping(spark, sf_dir):
            .join(F.broadcast(cu), F.col("o_custkey") == F.col("c_custkey"))
            .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
            .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
-           .filter(((F.col("supp_nation") == "NATION_1")
-                    & (F.col("cust_nation") == "NATION_2"))
-                   | ((F.col("supp_nation") == "NATION_2")
-                      & (F.col("cust_nation") == "NATION_1")))
+           .filter(((F.col("supp_nation") == "NATION_12")
+                    & (F.col("cust_nation") == "NATION_10"))
+                   | ((F.col("supp_nation") == "NATION_10")
+                      & (F.col("cust_nation") == "NATION_12")))
            .groupBy("supp_nation", "cust_nation",
                     F.year("l_shipdate").alias("l_year"))
            .agg(F.round(F.sum(_rev()), RND).alias("revenue")))
@@ -121,8 +121,8 @@ FROM (
   WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
     AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
     AND c_nationkey = n2.n_nationkey
-    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    AND ((n1.n_name = 'NATION_12' AND n2.n_name = 'NATION_10')
+      OR (n1.n_name = 'NATION_10' AND n2.n_name = 'NATION_12'))
     AND l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
                        AND TIMESTAMP '1997-12-31 00:00:00'
 ) GROUP BY supp_nation, cust_nation, l_year

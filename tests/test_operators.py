@@ -107,6 +107,26 @@ def test_short_and_empty_docs_survive_text_ops(spark):
     assert (4, 5) in {(r.doc_a, r.doc_b) for r in sp}
 
 
+def test_connected_components_converged(spark):
+    """The fixed-round label propagation must have converged on the
+    test corpus: one extra round changes no label, and members of one
+    exact-duplicate group share a component."""
+    from coinbase_data_pipeline_spark.operators.dedup import (
+        connected_components, minhash_lsh_pairs)
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    pairs = minhash_lsh_pairs(docs)
+    a = {(r.doc_id, r.component_id)
+         for r in connected_components(pairs, iterations=8).collect()}
+    b = {(r.doc_id, r.component_id)
+         for r in connected_components(pairs, iterations=9).collect()}
+    assert a == b
+    # every pair's two docs must share a component
+    comp = dict(a)
+    for r in pairs.collect():
+        assert comp[r.doc_a] == comp[r.doc_b], (r.doc_a, r.doc_b)
+
+
 def test_simhash_band_recall_is_exact(spark):
     """Pigeonhole guarantee: with 4 bands over 32 bits, EVERY pair at
     hamming distance <= 3 must be found (compare against brute-force
@@ -114,7 +134,10 @@ def test_simhash_band_recall_is_exact(spark):
     from coinbase_data_pipeline_spark.operators.dedup import (
         simhash, simhash_pairs)
 
-    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(120)
+    # deterministic subset (an unordered limit() may pick different
+    # rows per action, and two actions consume `docs` here)
+    docs = (spark.read.parquet(f"{SF}/documents.parquet")
+            .filter(F.col("doc_id") < 120))
     sigs = {r.doc_id: r.simhash for r in simhash(docs).collect()}
     ids = sorted(sigs)
     truth = {(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]
