@@ -17,8 +17,10 @@ from coinbase_data_pipeline_spark.plans.registry import ALL_ORACLES, ALL_QUERIES
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: tick stream → 5-min OHLCV candles → full feature set
-    (the reference's core candles+features path) at sf0.001."""
+    """Flagship smoke: tick stream → typed parse → 5-min OHLCV candles
+    at sf0.001 — the reference's core ingest+aggregate path. The full
+    feature set, forecasts, and every other capability run through
+    queries()/oracle_sql()."""
     return catalog.q_candle_resample(spark, "/root/testdata/sf0.001")
 
 
