@@ -271,6 +271,38 @@ def minmax_scale(df: DataFrame, cols: list[str], *, key: str,
     return out
 
 
+def with_bollinger(df: DataFrame, *, key: str, ts: str,
+                   price: str = "close", window: int = 20,
+                   num_std: float = 2.0) -> DataFrame:
+    """Bollinger bands: MA(window) ± num_std·stddev(window), full
+    windows only. Same shared key-ordered window family."""
+    wn = _rows(key, ts, window)
+    full = F.count(price).over(wn) >= window
+    ma = F.when(full, F.avg(price).over(wn))
+    sd = F.when(full, F.stddev_samp(F.col(price)).over(wn))
+    return (df.withColumn("bb_mid", ma)
+              .withColumn("bb_upper", ma + num_std * sd)
+              .withColumn("bb_lower", ma - num_std * sd))
+
+
+def with_stochastic(df: DataFrame, *, key: str, ts: str,
+                    high: str = "high", low: str = "low",
+                    close: str = "close", window: int = 14,
+                    smooth: int = 3) -> DataFrame:
+    """Stochastic oscillator: %K = 100·(close−minLow)/(maxHigh−minLow)
+    over `window` rows (full windows), %D = SMA(smooth) of %K."""
+    wn = _rows(key, ts, window)
+    full = F.count(close).over(wn) >= window
+    lo = F.min(low).over(wn)
+    hi = F.max(high).over(wn)
+    k = F.when(full, 100.0 * (F.col(close) - lo) / (hi - lo))
+    out = df.withColumn("stoch_k", k)
+    wd = _rows(key, ts, smooth)
+    d = F.when(F.count("stoch_k").over(wd) >= smooth,
+               F.avg("stoch_k").over(wd))
+    return out.withColumn("stoch_d", d)
+
+
 def with_macd_approx(df: DataFrame, *, key: str, ts: str,
                      price: str = "close", fast: int = 12, slow: int = 26,
                      trunc: int = 60) -> DataFrame:

@@ -352,6 +352,90 @@ GROUP BY 1, 2
 """
 
 
+# ------------------------------------------------------------ more indicators
+
+def q_vwap(spark, sf_dir):
+    """Per-bucket VWAP (volume-weighted average price) straight from
+    ticks — one partial-agg groupBy, the canonical market-data
+    aggregate the candle table doesn't carry."""
+    t = ticks(spark, sf_dir)
+    out = (t.groupBy(F.col("product_id"),
+                     F.window("time", "5 minutes").alias("w"))
+           .agg((F.round(F.sum(F.col("price") * F.col("volume"))
+                         / F.sum("volume"), RND) + F.lit(0.0))
+                .alias("vwap"),
+                (F.round(F.sum("volume"), RND) + F.lit(0.0))
+                .alias("volume"))
+           .withColumn("bucket_start", F.col("w.start"))
+           .drop("w")
+           .select("product_id", "bucket_start", "vwap", "volume"))
+    return out
+
+
+SQL_VWAP = SQL_BASE + """
+SELECT product_id,
+       time_bucket(INTERVAL '5 minutes', time) AS bucket_start,
+       ROUND(sum(price * volume) / sum(volume), 6) + 0 AS vwap,
+       ROUND(sum(volume), 6) + 0 AS volume
+FROM ticks GROUP BY 1, 2
+"""
+
+
+def q_bollinger(spark, sf_dir):
+    df = I.with_bollinger(candles(spark, sf_dir), key="product_id",
+                          ts="bucket_start")
+    return _round(df.select("product_id", "bucket_start", "bb_mid",
+                            "bb_upper", "bb_lower"),
+                  ["bb_mid", "bb_upper", "bb_lower"])
+
+
+SQL_BOLLINGER = SQL_BASE + """
+SELECT product_id, bucket_start,
+       ROUND(CASE WHEN count(close) OVER w20 >= 20
+             THEN avg(close) OVER w20 END, 6) + 0 AS bb_mid,
+       ROUND(CASE WHEN count(close) OVER w20 >= 20
+             THEN avg(close) OVER w20
+                  + 2.0 * stddev_samp(close) OVER w20 END, 6) + 0
+         AS bb_upper,
+       ROUND(CASE WHEN count(close) OVER w20 >= 20
+             THEN avg(close) OVER w20
+                  - 2.0 * stddev_samp(close) OVER w20 END, 6) + 0
+         AS bb_lower
+FROM candles
+WINDOW w20 AS (PARTITION BY product_id ORDER BY bucket_start
+               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_stochastic(spark, sf_dir):
+    df = I.with_stochastic(candles(spark, sf_dir), key="product_id",
+                           ts="bucket_start")
+    return _round(df.select("product_id", "bucket_start", "stoch_k",
+                            "stoch_d"),
+                  ["stoch_k", "stoch_d"])
+
+
+SQL_STOCHASTIC = SQL_BASE + """
+, k AS (
+  SELECT product_id, bucket_start,
+         CASE WHEN count(close) OVER w14 >= 14 THEN
+           100.0 * (close - min(low) OVER w14)
+                 / (max(high) OVER w14 - min(low) OVER w14)
+         END AS stoch_k
+  FROM candles
+  WINDOW w14 AS (PARTITION BY product_id ORDER BY bucket_start
+                 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+)
+SELECT product_id, bucket_start,
+       ROUND(stoch_k, 6) + 0 AS stoch_k,
+       ROUND(CASE WHEN count(stoch_k) OVER w3 >= 3
+             THEN avg(stoch_k) OVER w3 END, 6) + 0 AS stoch_d
+FROM k
+WINDOW w3 AS (PARTITION BY product_id ORDER BY bucket_start
+              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+"""
+
+
 # ----------------------------------------------------------------- gap audit
 
 def q_candle_gaps(spark, sf_dir):
@@ -453,6 +537,9 @@ SPARK_QUERIES_TS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "returns_correlation": q_returns_correlation,
     "candle_gaps": q_candle_gaps,
     "retention_cohorts": q_retention_cohorts,
+    "vwap": q_vwap,
+    "bollinger": q_bollinger,
+    "stochastic": q_stochastic,
 }
 
 ORACLE_SQL_TS: dict[str, str] = {
@@ -467,4 +554,7 @@ ORACLE_SQL_TS: dict[str, str] = {
     "returns_correlation": SQL_RETURNS_CORRELATION,
     "candle_gaps": SQL_CANDLE_GAPS,
     "retention_cohorts": SQL_RETENTION_COHORTS,
+    "vwap": SQL_VWAP,
+    "bollinger": SQL_BOLLINGER,
+    "stochastic": SQL_STOCHASTIC,
 }
