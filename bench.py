@@ -38,11 +38,20 @@ HEADLINERS = [
     "q5_local_supplier",
     "q6_forecast_revenue",
     "q18_large_orders",
+    "q13_customer_distribution",
     "dedup_exact_docs",
     "dedup_minhash_lsh",
+    "dedup_simhash_pairs",
     "ann_bruteforce",
     "lang_id",
     "token_count",
+    "tfidf_top_terms",
+    "vwap",
+    "bollinger",
+    "sessionize",
+    "funnel",
+    "range_join",
+    "volume_rollup",
 ]
 
 
