@@ -55,6 +55,11 @@ def minhash_lsh_pairs(docs: DataFrame, *, id_col: str = "doc_id",
     implied by Jaccard ≥ t (min/max ≥ t), so it only removes pairs
     that could never pass — output is identical, verify work isn't.
     """
+    if num_hashes % bands:
+        # trailing hashes would be silently dropped, weakening recall —
+        # and the generated DuckDB oracle assumes exact divisibility
+        raise ValueError(
+            f"bands={bands} must divide num_hashes={num_hashes}")
     rows_per_band = num_hashes // bands
     base = docs.select(F.col(id_col).alias("a_id"),
                        token_set(text_col).alias("toks"))
@@ -171,26 +176,48 @@ def simhash_pairs(docs: DataFrame, *, id_col: str = "doc_id",
 def ngram_jaccard_pairs(docs: DataFrame, *, id_col: str = "doc_id",
                         text_col: str = "text", shingle_n: int = 1,
                         threshold: float = 0.9) -> DataFrame:
-    """Exact n-gram-set Jaccard pairs above threshold, blocked on set
-    size (|a∩b|/|a∪b| ≥ t forces |a|/|b| ∈ [t, 1/t], so only size-
-    compatible pairs are compared — the block condition is part of the
-    operator's semantics, identical in the oracle).
+    """Exact n-gram-set Jaccard pairs above threshold.
 
-    This is the *verification baseline*; the scale path for unknown
-    corpora is :func:`minhash_lsh_pairs` (bucketed candidates). Kept
-    size-blocked self-join here so the exact method is itself bounded.
+    |a∩b|/|a∪b| ≥ t forces |a|/|b| ∈ [t, 1/t], so candidates are
+    LENGTH-BUCKETED: bucket = number of binary digits of the set size
+    (exact integer arithmetic, no float log). With t > 0.5 any
+    size-compatible pair has ratio < 2, hence sits in the same or an
+    adjacent bucket — one side joins at its own bucket, the other
+    explodes to {k-1, k, k+1}, making candidate generation a hash
+    equi-join (never a nested-loop/cartesian plan) that LOSES NO PAIR:
+    the output is bit-identical to the all-pairs formulation, which is
+    why the plain all-pairs SQL stays the oracle. Within-bucket pair
+    counts are bounded by the per-size-octave corpus profile — the
+    property that survives 100 TB. The even-tighter-candidate path for
+    unknown corpora is :func:`minhash_lsh_pairs` (probabilistic bands);
+    this operator is the exact method.
     """
+    if not threshold > 0.5:
+        raise ValueError("threshold must exceed 0.5 for adjacent-bucket"
+                         f" completeness (got {threshold})")
     toks = (token_set(text_col) if shingle_n == 1
             else word_shingles(token_set(text_col), shingle_n))
     base = docs.select(F.col(id_col), toks.alias("toks"),
                        F.size(toks).alias("n"))
+    # n = 0 docs can never reach jaccard >= t (> 0): empty∩empty has
+    # union 0 → jaccard 0; excluding them is output-identical
+    base = base.filter(F.col("n") > 0)
+    bucket = F.length(F.bin(F.col("n").cast("long")))
     a = base.select(F.col(id_col).alias("doc_a"),
-                    F.col("toks").alias("atoks"), F.col("n").alias("na"))
-    b = base.select(F.col(id_col).alias("doc_b"),
-                    F.col("toks").alias("btoks"), F.col("n").alias("nb"))
-    pairs = a.join(b, (F.col("doc_a") < F.col("doc_b"))
-                   & (F.col("na") * F.lit(threshold) <= F.col("nb"))
-                   & (F.col("nb") * F.lit(threshold) <= F.col("na")))
+                    F.col("toks").alias("atoks"), F.col("n").alias("na"),
+                    bucket.alias("bk"))
+    b = (base.select(F.col(id_col).alias("doc_b"),
+                     F.col("toks").alias("btoks"), F.col("n").alias("nb"),
+                     bucket.alias("_k"))
+         .withColumn("bk", F.explode(F.array(F.col("_k") - 1, F.col("_k"),
+                                             F.col("_k") + 1)))
+         .drop("_k"))
+    # each qualifying pair matches on exactly ONE exploded bucket row,
+    # so no post-join dedup is needed
+    pairs = a.join(b, ["bk"]).filter(
+        (F.col("doc_a") < F.col("doc_b"))
+        & (F.col("na") * F.lit(threshold) <= F.col("nb"))
+        & (F.col("nb") * F.lit(threshold) <= F.col("na")))
     inter = F.size(F.array_intersect("atoks", "btoks")).cast("double")
     union = F.size(F.array_union("atoks", "btoks")).cast("double")
     jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
@@ -202,28 +229,29 @@ def ngram_jaccard_pairs(docs: DataFrame, *, id_col: str = "doc_id",
 def connected_components(pairs: DataFrame, *, src: str = "doc_a",
                          dst: str = "doc_b",
                          iterations: int = 8) -> DataFrame:
-    """Connected components over a near-dup pair list by iterative
-    min-label propagation — turns pairwise matches into canonical
-    dedup groups (component id = min doc id in the component).
+    """Connected components over a near-dup pair list by min-label
+    propagation WITH pointer jumping — turns pairwise matches into
+    canonical dedup groups (component id = min doc id in the
+    component).
 
-    CONTRACT: 1-hop propagation is exact only for components of
-    diameter <= `iterations`; a longer chain would split. Near-dup
-    components are clique-like (diameter 1-2) so the default 8 has a
-    large margin — tests assert one extra round changes nothing on the
-    test corpora. For adversarial graphs switch to pointer-jumping
-    (label = label-of-label each round, O(log diameter) rounds) or a
-    driver-side convergence loop on the changed-label count. Each
-    round is one join + one groupBy on the vertex set, no driver-side
-    collect.
+    Each round does (a) a 1-hop step — every vertex takes the min of
+    its neighbours' labels — then (b) a pointer-jump step — every
+    vertex takes its label's label. The jump roughly doubles the
+    propagation distance per round, so `iterations` rounds cover
+    components of diameter ~2^iterations (tests include a long-chain
+    graph that plain 1-hop at the same round count would split).
+    Near-dup components are clique-like (diameter 1-2), so the default
+    8 has an astronomically large margin. Each round is two joins +
+    one groupBy on the vertex set, no driver-side collect.
     """
     from pyspark import StorageLevel
 
     edges = (pairs.select(F.col(src).alias("e_src"),
                           F.col(dst).alias("e_dst"))
              .union(pairs.select(F.col(dst), F.col(src))))
-    # materialize: each round references edges and the previous labels
-    # twice — without truncation the pair-generation lineage would be
-    # re-executed O(2^iterations) times
+    # materialize: each round references edges once and the previous
+    # labels three times — without truncation the pair-generation
+    # lineage would be re-executed O(3^iterations) times
     edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
     labels = (edges.select(F.col("e_src").alias("id")).distinct()
               .withColumn("label", F.col("id"))
@@ -233,11 +261,23 @@ def connected_components(pairs: DataFrame, *, src: str = "doc_a",
                             labels["id"] == edges["e_dst"])
                  .groupBy(F.col("e_src").alias("n_id"))
                  .agg(F.min("label").alias("n_min")))
-        labels = (labels.join(neigh, labels["id"] == F.col("n_id"),
-                              "left")
-                  .select(F.col("id"),
-                          F.least(F.col("label"),
-                                  F.coalesce("n_min", "label"))
+        half = (labels.join(neigh, labels["id"] == F.col("n_id"),
+                            "left")
+                .select(F.col("id"),
+                        F.least(F.col("label"),
+                                F.coalesce("n_min", "label"))
+                        .alias("label"))
+                .localCheckpoint(eager=True))
+        # pointer jump: labels are always vertex ids, so label-of-label
+        # is a self-join of the label table (left join only for safety
+        # — every label is present as an id)
+        parent = half.select(F.col("id").alias("p_id"),
+                             F.col("label").alias("p_label"))
+        labels = (half.join(parent, half["label"] == F.col("p_id"),
+                            "left")
+                  .select(half["id"],
+                          F.least(half["label"],
+                                  F.coalesce("p_label", half["label"]))
                           .alias("label"))
                   .localCheckpoint(eager=True))
     edges.unpersist()
@@ -245,29 +285,86 @@ def connected_components(pairs: DataFrame, *, src: str = "doc_a",
                          F.col("label").alias("component_id"))
 
 
+def _vec_dot(x, y):
+    return F.aggregate(F.zip_with(x, y, lambda a, b: a * b), F.lit(0.0),
+                       lambda acc, z: acc + z)
+
+
 def embedding_neighbor_stats(emb: DataFrame, *, id_col: str = "vec_id",
                              vec_col: str = "embedding",
                              threshold: float = 0.45) -> DataFrame:
-    """Per-vector near-duplicate stats: how many other vectors sit
-    above `threshold` cosine similarity.
+    """Per-vector near-duplicate stats over ALL other vectors: how many
+    sit above `threshold` cosine similarity, and the max cosine.
 
-    Brute-force within the catalog (test scale); the 100 TB path is
-    LSH bucketing (operators/ann.py random-hyperplane variant) so the
-    pair space shrinks to within-bucket comparisons.
+    All-pairs — exact but O(n²); this is the RECALL ORACLE for
+    :func:`embedding_neighbor_stats_lsh`, which is the scale path and
+    the catalog entry. Kept for tests only.
     """
     v = F.col(vec_col).cast("array<double>")
     base = emb.select(F.col(id_col), v.alias("v"))
-    dot = lambda x, y: F.aggregate(  # noqa: E731
-        F.zip_with(x, y, lambda a, b: a * b), F.lit(0.0),
-        lambda acc, z: acc + z)
-    withn = base.withColumn("norm", F.sqrt(dot(F.col("v"), F.col("v"))))
+    withn = base.withColumn("norm", F.sqrt(_vec_dot(F.col("v"),
+                                                    F.col("v"))))
     a = withn.select(F.col(id_col).alias("a_id"), F.col("v").alias("av"),
                      F.col("norm").alias("an"))
     b = withn.select(F.col(id_col).alias("b_id"), F.col("v").alias("bv"),
                      F.col("norm").alias("bn"))
     pairs = a.join(b, F.col("a_id") != F.col("b_id"))
-    cos = dot(F.col("av"), F.col("bv")) / (F.col("an") * F.col("bn"))
+    cos = _vec_dot(F.col("av"), F.col("bv")) / (F.col("an") * F.col("bn"))
     return (pairs.withColumn("cos", cos)
+            .groupBy(F.col("a_id").alias("vec_id"))
+            .agg(F.sum((F.col("cos") >= threshold).cast("int"))
+                  .alias("near_dup_count"),
+                 F.round(F.max("cos"), 6).alias("max_cosine")))
+
+
+def embedding_neighbor_stats_lsh(emb: DataFrame, *,
+                                 id_col: str = "vec_id",
+                                 vec_col: str = "embedding",
+                                 threshold: float = 0.45,
+                                 dim: int = 64, planes: int = 4,
+                                 bands: int = 8) -> DataFrame:
+    """LSH-bucketed per-vector near-duplicate stats — the 100 TB path.
+
+    Candidates are pairs sharing a random-hyperplane sketch bucket in
+    ANY of `bands` independent bands (operators/ann.py machinery:
+    deterministic hash-derived planes, so the full pipeline is
+    SQL-oracle-checkable with the same inlined plane constants). The
+    bucket join shuffles (band, bucket)-keyed rows; candidate ids are
+    distinct'd as bare pairs and vectors re-attach AFTERWARDS (the
+    minhash_lsh_pairs lesson: never push array payloads through the
+    distinct). Stats then aggregate exactly over the candidate set.
+
+    Recall vs the exact :func:`embedding_neighbor_stats` is
+    pytest-gated; per-pair candidate probability at cosine c is
+    1-(1-(1-acos(c)/pi)^planes)^bands (~0.8 at c=0.45, higher for
+    nearer duplicates).
+    """
+    from .ann import sketch
+
+    v = F.col(vec_col).cast("array<double>")
+    base = emb.select(F.col(id_col).alias("a_id"), v.alias("v"))
+    base = base.withColumn("norm", F.sqrt(_vec_dot(F.col("v"),
+                                                   F.col("v"))))
+    buckets = F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 sketch(F.col("v"), dim, planes, offset=b * planes)
+                 .alias("bucket"))
+        for b in range(bands)])
+    banded = (base.select("a_id", F.explode(buckets).alias("bb"))
+              .select("a_id", "bb.band", "bb.bucket"))
+    right = banded.select(F.col("a_id").alias("b_id"), "band", "bucket")
+    cand_ids = (banded.join(right, ["band", "bucket"])
+                .filter(F.col("a_id") != F.col("b_id"))
+                .select("a_id", "b_id")
+                .distinct())
+    cand = (cand_ids
+            .join(base.select("a_id", F.col("v").alias("av"),
+                              F.col("norm").alias("an")), "a_id")
+            .join(base.select(F.col("a_id").alias("b_id"),
+                              F.col("v").alias("bv"),
+                              F.col("norm").alias("bn")), "b_id"))
+    cos = _vec_dot(F.col("av"), F.col("bv")) / (F.col("an") * F.col("bn"))
+    return (cand.withColumn("cos", cos)
             .groupBy(F.col("a_id").alias("vec_id"))
             .agg(F.sum((F.col("cos") >= threshold).cast("int"))
                   .alias("near_dup_count"),

@@ -309,31 +309,64 @@ SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= 0.9
 
 
 def q_dedup_embedding(spark, sf_dir):
+    """LSH-bucketed embedding near-dup stats: candidates share a
+    random-hyperplane sketch bucket in any band; exact cosine within
+    candidates. The hyperplanes are deterministic constants, so the
+    whole bucketed pipeline is oracle-checked with the same inlined
+    plane vectors; recall vs the exact all-pairs baseline is
+    pytest-gated (tests/test_operators.py)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return DD.embedding_neighbor_stats(emb)
+    return DD.embedding_neighbor_stats_lsh(emb)
 
 
-SQL_DEDUP_EMBEDDING = """
+def _sql_dedup_embedding(dim: int = 64, planes: int = 4, bands: int = 8,
+                         threshold: float = 0.45) -> str:
+    from ..operators.ann import hyperplane_values
+
+    def bucket_expr(b: int) -> str:
+        terms = []
+        for p in range(planes):
+            vals = hyperplane_values(dim, b * planes + p)
+            arr = "[" + ", ".join(repr(v) for v in vals) + "]"
+            terms.append(f"CASE WHEN list_inner_product(vec, {arr}) >= 0 "
+                         f"THEN {1 << p} ELSE 0 END")
+        return " + ".join(terms)
+
+    banded_rows = "\n  UNION ALL\n".join(
+        f"  SELECT vec_id, {b} AS band,\n"
+        f"         ({bucket_expr(b)}) AS bucket FROM n"
+        for b in range(bands))
+    return f"""
 WITH v AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
 ), n AS (
   SELECT vec_id, vec, sqrt(list_inner_product(vec, vec)) AS nrm FROM v
+), banded AS (
+{banded_rows}
+), cand AS (
+  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id != b.vec_id
 ), pairs AS (
-  SELECT a.vec_id AS vec_id,
-         list_inner_product(a.vec, b.vec) / (a.nrm * b.nrm) AS cos
-  FROM n a JOIN n b ON a.vec_id != b.vec_id
+  SELECT c.a_id AS vec_id,
+         list_inner_product(x.vec, y.vec) / (x.nrm * y.nrm) AS cos
+  FROM cand c JOIN n x ON x.vec_id = c.a_id
+              JOIN n y ON y.vec_id = c.b_id
 )
 SELECT vec_id,
-       count(CASE WHEN cos >= 0.45 THEN 1 END) AS near_dup_count,
+       count(CASE WHEN cos >= {threshold} THEN 1 END) AS near_dup_count,
        ROUND(max(cos), 6) + 0 AS max_cosine
 FROM pairs GROUP BY vec_id
 """
 
 
+SQL_DEDUP_EMBEDDING = _sql_dedup_embedding()
+
+
 def q_dedup_components(spark, sf_dir):
     """Canonical dedup groups: connected components over the MinHash
-    near-dup pairs (iterative min-label propagation, 8 rounds — see
-    the operator's diameter contract)."""
+    near-dup pairs (min-label propagation + pointer jumping, 8 rounds
+    → covers diameter ~2^8)."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = DD.minhash_lsh_pairs(docs)
     return DD.connected_components(pairs)
@@ -342,18 +375,23 @@ def q_dedup_components(spark, sf_dir):
 def _sql_components(iterations: int = 8) -> str:
     pair_sql = _sql_minhash().strip()
     # AS MATERIALIZED is load-bearing: each round references the
-    # previous one twice, so un-materialized CTE inlining would expand
-    # the whole minhash pipeline 2^iterations times
+    # previous one several times, so un-materialized CTE inlining would
+    # expand the whole minhash pipeline exponentially. Each round is
+    # the exact twin of the Spark operator: 1-hop neighbour min, then
+    # pointer jump (label := label's label).
     rounds = []
     prev = "l0"
     for i in range(1, iterations + 1):
         rounds.append(f"""
-, l{i} AS MATERIALIZED (
+, h{i} AS MATERIALIZED (
   SELECT v.id, least(v.label, coalesce(min(u.label), v.label)) AS label
   FROM {prev} v
   LEFT JOIN edges e ON e.src = v.id
   LEFT JOIN {prev} u ON u.id = e.dst
   GROUP BY v.id, v.label
+), l{i} AS MATERIALIZED (
+  SELECT v.id, least(v.label, coalesce(p.label, v.label)) AS label
+  FROM h{i} v LEFT JOIN h{i} p ON p.id = v.label
 )""")
         prev = f"l{i}"
     return f"""

@@ -197,7 +197,7 @@ SELECT product_id,
        ROUND(max(high), 6) + 0 AS high,
        ROUND(min(low), 6) + 0 AS low,
        ROUND(arg_max(close, bucket_start), 6) + 0 AS close,
-       sum(n_ticks) AS n_ticks,
+       CAST(sum(n_ticks) AS BIGINT) AS n_ticks,
        ROUND(sum(volume), 6) + 0 AS volume
 FROM candles GROUP BY 1, 2
 """.replace("AS hour_start", "AS bucket_start")

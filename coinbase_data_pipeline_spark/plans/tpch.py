@@ -81,8 +81,9 @@ WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
 
 
 def q7_volume_shipping(spark, sf_dir):
-    """TPC-H Q7 shape: two nation lenses over one flow; all four dims
-    broadcast, the only shuffle joins lineitem↔orders."""
+    """TPC-H Q7 shape: two nation lenses over one flow; only the
+    fixed-cardinality nation dims are force-broadcast — supplier and
+    customer grow with SF, so AQE picks their join strategy."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1996-01-01")
         & (F.col("l_shipdate") <= "1997-12-31"))
@@ -96,8 +97,8 @@ def q7_volume_shipping(spark, sf_dir):
                    F.col("n_name").alias("cust_nation"))
     out = (li
            .join(od, F.col("l_orderkey") == F.col("o_orderkey"))
-           .join(F.broadcast(su), F.col("l_suppkey") == F.col("s_suppkey"))
-           .join(F.broadcast(cu), F.col("o_custkey") == F.col("c_custkey"))
+           .join(su, F.col("l_suppkey") == F.col("s_suppkey"))
+           .join(cu, F.col("o_custkey") == F.col("c_custkey"))
            .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
            .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
            .filter(((F.col("supp_nation") == "NATION_12")
@@ -131,7 +132,7 @@ FROM (
 
 def q10_returned_items(spark, sf_dir):
     """TPC-H Q10: returned-item revenue per customer; nation broadcast,
-    customer broadcast (SF-proportional but small), fact join shuffles."""
+    customer is SF-proportional so AQE sizes that join."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_returnflag") == "R")
     od = load_table(spark, sf_dir, "orders").filter(
@@ -141,7 +142,7 @@ def q10_returned_items(spark, sf_dir):
     na = load_table(spark, sf_dir, "nation")
     out = (li
            .join(od, F.col("l_orderkey") == F.col("o_orderkey"))
-           .join(F.broadcast(cu), F.col("o_custkey") == F.col("c_custkey"))
+           .join(cu, F.col("o_custkey") == F.col("c_custkey"))
            .join(F.broadcast(na), F.col("c_nationkey") == F.col("n_nationkey"))
            .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
            .agg(F.round(F.sum(_rev()), RND).alias("revenue")))
@@ -202,7 +203,7 @@ def q18_large_orders(spark, sf_dir):
     out = (li.join(big.withColumnRenamed("l_orderkey", "b_orderkey"),
                    F.col("l_orderkey") == F.col("b_orderkey"), "left_semi")
            .join(od, F.col("l_orderkey") == F.col("o_orderkey"))
-           .join(F.broadcast(cu), F.col("o_custkey") == F.col("c_custkey"))
+           .join(cu, F.col("o_custkey") == F.col("c_custkey"))
            .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate",
                     "o_totalprice")
            .agg(F.round(F.sum("l_quantity"), RND).alias("sum_qty")))
@@ -256,8 +257,9 @@ WHERE l_partkey = p_partkey
 
 
 def q8_market_share(spark, sf_dir):
-    """TPC-H Q8 shape: one nation's share of regional revenue per year
-    — conditional aggregate over a 6-way join, every dim broadcast."""
+    """TPC-H Q8 shape: one nation's share of regional revenue per year.
+    Fixed-cardinality dims (nation, region) and the tightly filtered
+    part slice broadcast; customer/supplier scale with SF → AQE."""
     li = load_table(spark, sf_dir, "lineitem")
     od = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= "1996-01-01")
@@ -276,8 +278,8 @@ def q8_market_share(spark, sf_dir):
     joined = (li
               .join(od, F.col("l_orderkey") == F.col("o_orderkey"))
               .join(F.broadcast(pa), F.col("l_partkey") == F.col("p_partkey"))
-              .join(F.broadcast(cu), F.col("o_custkey") == F.col("c_custkey"))
-              .join(F.broadcast(su), F.col("l_suppkey") == F.col("s_suppkey"))
+              .join(cu, F.col("o_custkey") == F.col("c_custkey"))
+              .join(su, F.col("l_suppkey") == F.col("s_suppkey"))
               .join(F.broadcast(n_cust), F.col("c_nationkey") == F.col("cn_key"))
               .join(F.broadcast(re), F.col("cr_key") == F.col("r_regionkey"))
               .join(F.broadcast(n_supp), F.col("s_nationkey") == F.col("sn_key")))
@@ -324,7 +326,7 @@ def q9_product_profit(spark, sf_dir):
     out = (li
            .join(od, F.col("l_orderkey") == F.col("o_orderkey"))
            .join(F.broadcast(pa), F.col("l_partkey") == F.col("p_partkey"))
-           .join(F.broadcast(su), F.col("l_suppkey") == F.col("s_suppkey"))
+           .join(su, F.col("l_suppkey") == F.col("s_suppkey"))
            .join(F.broadcast(na), F.col("s_nationkey") == F.col("n_nationkey"))
            .groupBy(F.col("n_name").alias("nation"),
                     F.year("o_orderdate").alias("o_year"))

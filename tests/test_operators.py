@@ -201,3 +201,40 @@ def test_sliding_windows_shape(spark):
     assert first.t == 23
     assert first.x_sig.split(",")[0] == "0"
     assert first.y_sig == ",".join(str(i * 1000000) for i in range(24, 30))
+
+
+def test_connected_components_long_chain(spark):
+    """Pointer jumping must close a chain far longer than the round
+    count: a 150-edge path has diameter 150, so plain 1-hop at 8
+    rounds would leave ~18 distinct labels — the jump step makes the
+    propagation distance grow exponentially instead."""
+    from coinbase_data_pipeline_spark.operators.dedup import (
+        connected_components)
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(150)], "doc_a long, doc_b long")
+    got = connected_components(pairs, iterations=8).collect()
+    assert len(got) == 151
+    assert {r.component_id for r in got} == {0}
+
+
+def test_embedding_lsh_neighbor_recall(spark):
+    """The LSH-bucketed near-dup stats must recover most of the exact
+    all-pairs near-duplicate mass (pairs sharing >= 1 of 8 band
+    buckets; per-pair candidate probability ~0.8 at cosine 0.45 and
+    higher for nearer pairs)."""
+    from coinbase_data_pipeline_spark.operators.dedup import (
+        embedding_neighbor_stats, embedding_neighbor_stats_lsh)
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    exact = {r.vec_id: r.near_dup_count
+             for r in embedding_neighbor_stats(emb).collect()}
+    lsh = {r.vec_id: r.near_dup_count
+           for r in embedding_neighbor_stats_lsh(emb).collect()}
+    total_exact = sum(exact.values())
+    total_lsh = sum(lsh.get(k, 0) for k in exact)
+    assert total_exact > 0
+    recall = total_lsh / total_exact
+    assert recall >= 0.5, f"embedding LSH recall {recall}"
+    # LSH counts can never exceed the exact counts (candidate subset)
+    assert all(lsh.get(k, 0) <= v for k, v in exact.items())

@@ -67,12 +67,38 @@ def test_dims_broadcast_no_sortmerge(spark, name):
 
 
 @pytest.mark.parametrize("name", ["dedup_minhash_lsh", "dedup_embedding",
-                                  "ann_lsh", "dedup_ngram_jaccard"])
+                                  "ann_lsh", "dedup_ngram_jaccard",
+                                  "dedup_simhash_pairs"])
 def test_no_cartesian_products(spark, name):
-    """Candidate generation must be bucketed/banded joins — never a
-    cartesian product of the corpus with itself."""
+    """Candidate generation must be bucketed/banded equi-joins — never
+    a cartesian product or nested-loop join of the corpus with itself
+    (BroadcastNestedLoopJoin is the O(n²) plan Spark picks for
+    non-equi self-joins; it dies at 100 TB even when the local run
+    finishes)."""
     tree = formatted_plan(spark, name).split("\n\n")[0]
     assert "CartesianProduct" not in tree
+    assert "BroadcastNestedLoopJoin" not in tree
+
+
+TPCH_QUERIES = [n for n in ALL_QUERIES
+                if re.match(r"q\d+_", n)]
+
+
+@pytest.mark.parametrize("name", TPCH_QUERIES)
+def test_no_forced_broadcast_of_sf_proportional_tables(spark, name):
+    """Broadcast hints are only allowed on fixed-cardinality dims
+    (nation, region) and tightly filtered part slices — customer,
+    supplier, orders and lineitem grow with SF, so a forced broadcast
+    of them OOMs at scale no matter what the local run shows. AQE
+    picks the strategy for those sides at runtime."""
+    df = ALL_QUERIES[name](spark, SF)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    hinted = []
+    for chunk in analyzed.split("ResolvedHint")[1:]:
+        m = re.search(r"(\w+)\.parquet", chunk)
+        if m:
+            hinted.append(m.group(1))
+    assert set(hinted) <= {"nation", "region", "part"}, hinted
 
 
 def test_feature_pipeline_single_window_shuffle(spark):
