@@ -17,6 +17,8 @@ import os
 import sys
 import time
 
+from pyspark.sql import functions as F
+
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 # Headliners: the reference's hot path (candles + features + forecast
@@ -74,7 +76,15 @@ def main() -> None:
         fn = SPARK_QUERIES[name]
         t0 = time.perf_counter()
         df = fn(spark, SF_DIR)
-        n = df.count()
+        # materialize EVERY output column: a bare count() lets
+        # ColumnPruning strip unreferenced projections/windows, which
+        # under-measures expression-only queries. count(xxhash64(*))
+        # must evaluate all columns to test null-ness; bit_xor keeps
+        # the hash from being optimized out.
+        row = df.agg(F.count(F.lit(1)).alias("n"),
+                     F.bit_xor(F.xxhash64(*df.columns)).alias("h")
+                     ).collect()[0]
+        n = row["n"]
         times[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {times[name]}s ({n} rows)", file=sys.stderr)
 

@@ -271,6 +271,51 @@ def minmax_scale(df: DataFrame, cols: list[str], *, key: str,
     return out
 
 
+def grouped_scale(df: DataFrame, *, key: str, ts: str, split: str,
+                  robust_cols: list[str], minmax_cols: list[str],
+                  feature_range: tuple[float, float] = (-1.0, 1.0),
+                  ) -> DataFrame:
+    """Grouped scaler-matrix fit/transform — the reference's
+    _fit_scalers/_scale_data contract (data_loader.py:127-161): one
+    scaler object per column GROUP (RobustScaler for the price/volume
+    groups, MinMaxScaler(feature_range) for the indicator/time
+    groups), per-column statistics FIT on the TRAIN split only
+    (ts < split), and the transform applied to the whole feature
+    matrix. The split argument makes the train/serve leakage boundary
+    explicit — whole-table fitting (robust_scale/minmax_scale) cannot
+    express it.
+
+    Plan: ALL group statistics come from ONE grouped aggregation over
+    the train range (partial-agg + time-filter pushdown, one shuffle
+    regardless of matrix width), broadcast-joined back onto the full
+    matrix; transforms are pure column expressions. Adds
+    `{col}_scaled` for every column in either group.
+    """
+    lo, hi = feature_range
+    aggs = []
+    for c in robust_cols:
+        aggs += [F.percentile(c, F.lit(0.5)).alias(f"_{c}_med"),
+                 F.percentile(c, F.lit(0.25)).alias(f"_{c}_q1"),
+                 F.percentile(c, F.lit(0.75)).alias(f"_{c}_q3")]
+    for c in minmax_cols:
+        aggs += [F.min(c).alias(f"_{c}_min"), F.max(c).alias(f"_{c}_max")]
+    stats = df.filter(F.col(ts) < split).groupBy(key).agg(*aggs)
+    out = df.join(F.broadcast(stats), on=key, how="inner")
+    for c in robust_cols:
+        iqr = F.col(f"_{c}_q3") - F.col(f"_{c}_q1")
+        scaled = F.when(iqr != 0, (F.col(c) - F.col(f"_{c}_med")) / iqr) \
+                  .otherwise(F.col(c) - F.col(f"_{c}_med"))
+        out = out.withColumn(f"{c}_scaled", scaled) \
+                 .drop(f"_{c}_med", f"_{c}_q1", f"_{c}_q3")
+    for c in minmax_cols:
+        rng = F.col(f"_{c}_max") - F.col(f"_{c}_min")
+        unit = F.when(rng != 0, (F.col(c) - F.col(f"_{c}_min")) / rng) \
+                .otherwise(F.lit(0.0))
+        out = out.withColumn(f"{c}_scaled", unit * (hi - lo) + lo) \
+                 .drop(f"_{c}_min", f"_{c}_max")
+    return out
+
+
 def with_bollinger(df: DataFrame, *, key: str, ts: str,
                    price: str = "close", window: int = 20,
                    num_std: float = 2.0) -> DataFrame:

@@ -1,0 +1,125 @@
+"""Model batch scoring over sliding windows.
+
+Reference parity: the prediction service's core loop loads a trained
+model, feeds it the latest seq_len feature window per product, and
+writes one row per forecast horizon (prediction_service/src/
+predictor.py predict() + data_writer.py write shape;
+prediction_service.py wires fetch → window → model → write). The
+engine expresses that loop as a DISTRIBUTED batch scorer: any
+Python model callable applied to the sliding_windows table via
+mapInPandas — Arrow-batched, never a row-at-a-time UDF, never a
+driver-side collect.
+
+The default model is a DETERMINISTIC STUB (same policy as
+operators/multimodal.py): a linear autoregressive head with
+exponential-decay lag weights, pure NumPy, so the plumbing — window
+decode, batch shapes, per-horizon explode, output schema — is real
+and tested while the torch checkpoint seam stays env-gated behind
+:func:`real_model`. Scores are intentionally NOT oracle-paired:
+NumPy matmul uses pairwise/SIMD summation whose last-ulp results
+differ from any SQL engine's sequential fold, so the catalog entry
+is rows-only and the numeric contract is pytest-gated against a
+driver-side NumPy reference instead.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import numpy as np
+
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (DoubleType, IntegerType, StringType,
+                               StructField, StructType)
+
+PRICE_SCALE = 1e6  # sliding_windows encodes prices as round(price*1e6)
+
+
+def stub_linear_model(seq_len: int, pred_len: int, *,
+                      decay: float = 0.9) -> Callable[[np.ndarray],
+                                                      np.ndarray]:
+    """Deterministic linear AR head: horizon h predicts a weighted
+    average of the input window with exponential-decay lag weights,
+    flattened toward the window mean as the horizon grows (far
+    horizons are less momentum-driven). No RNG anywhere — every
+    executor builds bit-identical weights."""
+    lag_w = decay ** np.arange(seq_len - 1, -1, -1, dtype=np.float64)
+    lag_w /= lag_w.sum()
+    mean_w = np.full(seq_len, 1.0 / seq_len)
+    rows = []
+    for h in range(1, pred_len + 1):
+        alpha = h / (pred_len + 1.0)
+        rows.append((1.0 - alpha) * lag_w + alpha * mean_w)
+    weights = np.stack(rows)  # (pred_len, seq_len)
+
+    def model(x: np.ndarray) -> np.ndarray:
+        return x @ weights.T
+
+    return model
+
+
+def real_model(checkpoint_path: str):  # pragma: no cover - env-gated
+    """Load a trained torch checkpoint (the reference's
+    predictor.py _load_model seam). STUB: torch is not installed in
+    this environment."""
+    try:
+        import torch  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "real model scoring requires torch; this environment "
+            "ships none — use stub_linear_model, or any callable "
+            "(n, seq_len) -> (n, pred_len)") from e
+    raise NotImplementedError("wire checkpoint loading here")
+
+
+def score_windows(windows: DataFrame, *,
+                  key: str = "product_id", ts: str = "bucket_start",
+                  x_col: str = "x_sig", seq_len: int = 24,
+                  pred_len: int = 6,
+                  model: Callable[[np.ndarray], np.ndarray] | None = None,
+                  model_version: str = "stub-linear-1") -> DataFrame:
+    """Apply `model` to every sliding window, one output row per
+    (window, horizon) — the predictions-table shape
+    (product_id, origin_time, horizon, predicted_price,
+    model_version) that the merge-upsert sink consumes.
+
+    Scale: mapInPandas streams Arrow batches; per batch the windows
+    decode into one (n, seq_len) float64 matrix and score in a single
+    vectorized call — model cost amortizes over the batch exactly as
+    the reference's torch batch inference does. Partitioning is
+    whatever the input carries (sliding_windows: the per-key window
+    family), so scoring adds NO shuffle.
+    """
+    mdl = model if model is not None else stub_linear_model(seq_len,
+                                                            pred_len)
+    key_field = windows.schema[key]
+    ts_field = windows.schema[ts]
+    schema = StructType([
+        StructField(key, key_field.dataType),
+        StructField("origin_time", ts_field.dataType),
+        StructField("horizon", IntegerType()),
+        StructField("predicted_price", DoubleType()),
+        StructField("model_version", StringType()),
+    ])
+    horizons = np.arange(1, pred_len + 1)
+
+    def _score(batches: Iterator) -> Iterator:
+        import pandas as pd
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = (pdf[x_col].str.split(",", expand=True)
+                 .to_numpy(dtype=np.float64))
+            x /= PRICE_SCALE
+            preds = mdl(x)  # (n, pred_len)
+            n = len(pdf)
+            yield pd.DataFrame({
+                key: pdf[key].to_numpy().repeat(pred_len),
+                "origin_time": pdf[ts].to_numpy().repeat(pred_len),
+                "horizon": np.tile(horizons, n).astype(np.int32),
+                "predicted_price": preds.reshape(-1),
+                "model_version": model_version,
+            })
+
+    return windows.select(key, ts, x_col).mapInPandas(_score,
+                                                      schema=schema)

@@ -632,6 +632,24 @@ FROM documents
 """
 
 
+def q_model_score(spark, sf_dir):
+    """Distributed model batch scoring: the stub linear AR head
+    applied to every sliding window via mapInPandas, one row per
+    forecast horizon (the prediction service's model loop —
+    predictor.py predict() feeding data_writer.py — as a table
+    operator). Rows-only: NumPy matmul summation order is not
+    reproducible in SQL at the last ulp; the numeric contract is
+    pytest-gated against a driver-side NumPy reference
+    (tests/test_operators.py)."""
+    from ..operators import scoring as SC
+
+    win = W.sliding_windows(candles(spark, sf_dir))
+    out = SC.score_windows(win)
+    return out.select("product_id", "origin_time", "horizon",
+                      (F.round("predicted_price", RND) + F.lit(0.0))
+                      .alias("predicted_price"), "model_version")
+
+
 # ----------------------------------------------------------------- registry
 
 SPARK_QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -655,6 +673,7 @@ SPARK_QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_score": q_quality_score,
     "token_count": q_token_count,
     "doc_fingerprint": q_doc_fingerprint,
+    "model_score": q_model_score,
 }
 
 ORACLE_SQL_EXT: dict[str, str] = {

@@ -309,6 +309,79 @@ WHERE bucket_start >= TIMESTAMP '{SCALE_SPLIT}'
 """
 
 
+# ------------------------------------------------- grouped scaler matrix
+
+GS_ROBUST = ["open", "high", "low", "close", "volume"]
+GS_MINMAX = ["hour_sin", "hour_cos", "dow_sin", "dow_cos",
+             "is_weekend", "is_market_open"]
+
+
+def q_grouped_scale(spark, sf_dir):
+    """The reference's grouped scaler-matrix contract
+    (data_loader.py:127-161): RobustScaler over the price+volume
+    column group, MinMaxScaler(-1,1) over the time column group, all
+    statistics fit on the train split only, transform applied to the
+    full matrix. One stats shuffle for the whole matrix. The full
+    26-feature variant over enhance_features is exercised in
+    tests/test_operators.py (its indicator columns need the rolling
+    pipeline, which the oracle already checks piecewise)."""
+    feat = I.with_time_features(candles(spark, sf_dir), ts="bucket_start")
+    out = I.grouped_scale(feat, key="product_id", ts="bucket_start",
+                          split=SCALE_SPLIT, robust_cols=GS_ROBUST,
+                          minmax_cols=GS_MINMAX)
+    return out.select(
+        "product_id", "bucket_start",
+        *[(F.round(F.col(f"{c}_scaled"), RND) + F.lit(0.0))
+          .alias(f"{c}_scaled") for c in GS_ROBUST + GS_MINMAX])
+
+
+def _sql_grouped_scale() -> str:
+    feat_exprs = """
+         sin(2 * pi() * hour(bucket_start) / 24.0) AS hour_sin,
+         cos(2 * pi() * hour(bucket_start) / 24.0) AS hour_cos,
+         sin(2 * pi() * (isodow(bucket_start) - 1) / 7.0) AS dow_sin,
+         cos(2 * pi() * (isodow(bucket_start) - 1) / 7.0) AS dow_cos,
+         CAST(isodow(bucket_start) - 1 IN (5, 6) AS INT) AS is_weekend,
+         CAST(hour(bucket_start) >= 8 AND hour(bucket_start) < 20 AS INT)
+           AS is_market_open"""
+    stat_parts = []
+    sel_parts = []
+    for c in GS_ROBUST:
+        stat_parts.append(
+            f"quantile_cont({c}, 0.5) AS {c}_med, "
+            f"quantile_cont({c}, 0.25) AS {c}_q1, "
+            f"quantile_cont({c}, 0.75) AS {c}_q3")
+        sel_parts.append(
+            f"ROUND(CASE WHEN {c}_q3 - {c}_q1 != 0 "
+            f"THEN ({c} - {c}_med) / ({c}_q3 - {c}_q1) "
+            f"ELSE {c} - {c}_med END, 6) + 0 AS {c}_scaled")
+    for c in GS_MINMAX:
+        stat_parts.append(f"min({c}) AS {c}_min, max({c}) AS {c}_max")
+        sel_parts.append(
+            f"ROUND((CASE WHEN {c}_max - {c}_min != 0 "
+            f"THEN ({c} - {c}_min) / ({c}_max - {c}_min) "
+            f"ELSE 0.0 END) * 2.0 - 1.0, 6) + 0 AS {c}_scaled")
+    stats = ",\n         ".join(stat_parts)
+    sels = ",\n       ".join(sel_parts)
+    return SQL_BASE + f"""
+, feat AS (
+  SELECT product_id, bucket_start, open, high, low, close, volume,{feat_exprs}
+  FROM candles
+), stats AS (
+  SELECT product_id,
+         {stats}
+  FROM feat WHERE bucket_start < TIMESTAMP '{SCALE_SPLIT}'
+  GROUP BY product_id
+)
+SELECT f.product_id, bucket_start,
+       {sels}
+FROM feat f JOIN stats s ON f.product_id = s.product_id
+"""
+
+
+SQL_GROUPED_SCALE = _sql_grouped_scale()
+
+
 # ------------------------------------------------------- returns correlation
 
 def q_returns_correlation(spark, sf_dir):
@@ -534,6 +607,7 @@ SPARK_QUERIES_TS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "candle_rollup": q_candle_rollup,
     "prediction_horizon_eval": q_prediction_horizon_eval,
     "scale_fit_transform": q_scale_fit_transform,
+    "grouped_scale": q_grouped_scale,
     "returns_correlation": q_returns_correlation,
     "candle_gaps": q_candle_gaps,
     "retention_cohorts": q_retention_cohorts,
@@ -551,6 +625,7 @@ ORACLE_SQL_TS: dict[str, str] = {
     "candle_rollup": SQL_CANDLE_ROLLUP,
     "prediction_horizon_eval": SQL_PREDICTION_HORIZON_EVAL,
     "scale_fit_transform": SQL_SCALE_FIT_TRANSFORM,
+    "grouped_scale": SQL_GROUPED_SCALE,
     "returns_correlation": SQL_RETURNS_CORRELATION,
     "candle_gaps": SQL_CANDLE_GAPS,
     "retention_cohorts": SQL_RETENTION_COHORTS,

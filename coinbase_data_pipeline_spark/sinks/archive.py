@@ -57,8 +57,12 @@ def compact_partition(spark, base_path: str, *, data_type: str,
     staging = f"{part_dir}.compact-{uuid.uuid4().hex[:8]}"
     df.coalesce(target_files).write.format(fmt).mode("overwrite") \
         .save(staging)
-    shutil.rmtree(part_dir)
+    # destructive step LAST: a crash mid-swap leaves the old data in
+    # the trash dir (recoverable) instead of losing the partition
+    trash = f"{part_dir}.trash-{uuid.uuid4().hex[:8]}"
+    os.rename(part_dir, trash)
     os.rename(staging, part_dir)
+    shutil.rmtree(trash)
     return len([f for f in os.listdir(part_dir)
                 if not f.startswith(("_", "."))])
 

@@ -51,23 +51,38 @@ def read_table(spark: SparkSession, root: str, table: str) -> DataFrame:
 
 
 def merge_upsert(spark: SparkSession, df: DataFrame, root: str,
-                 table: str) -> None:
+                 table: str, *, seq_col: str | None = None) -> None:
     """Cassandra-style upsert: new rows replace existing rows with the
-    same primary key; everything else is preserved."""
+    same primary key; everything else is preserved.
+
+    Duplicate primary keys WITHIN one incoming batch: Cassandra's
+    last-write-wins needs a write order, which a distributed frame
+    does not carry implicitly — pass `seq_col` (an ingest
+    sequence/offset column) to break ties deterministically toward
+    the highest value; without it, intra-batch duplicates resolve
+    arbitrarily (documented contract)."""
     keys = list(TABLE_KEYS[table])
     path = _path(root, table)
     new = df.withColumn("_pri", F.lit(1))
     if os.path.exists(path):
         current = spark.read.parquet(path).withColumn("_pri", F.lit(0))
-        combined = current.unionByName(new)
+        combined = current.unionByName(new, allowMissingColumns=True)
     else:
         combined = new
-    w = Window.partitionBy(*keys).orderBy(F.col("_pri").desc())
+    order = [F.col("_pri").desc()]
+    if seq_col is not None:
+        order.append(F.col(seq_col).desc_nulls_last())
+    w = Window.partitionBy(*keys).orderBy(*order)
     merged = (combined.withColumn("_rn", F.row_number().over(w))
               .filter(F.col("_rn") == 1).drop("_rn", "_pri"))
 
     staging = f"{path}.staging-{uuid.uuid4().hex[:8]}"
     merged.write.partitionBy("product_id").mode("overwrite").parquet(staging)
     if os.path.exists(path):
-        shutil.rmtree(path)
-    os.rename(staging, path)
+        # destructive step LAST (see sinks/archive.py compaction swap)
+        trash = f"{path}.trash-{uuid.uuid4().hex[:8]}"
+        os.rename(path, trash)
+        os.rename(staging, path)
+        shutil.rmtree(trash)
+    else:
+        os.rename(staging, path)

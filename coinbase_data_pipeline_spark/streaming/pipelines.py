@@ -87,6 +87,32 @@ def streaming_candles(parsed: DataFrame, *, freq: str = "5 minutes",
         F.col("_close.price").alias("close"), "n_ticks")
 
 
+def fold_session_times(times: list[int], prev: tuple | None,
+                       gap_us: int) -> tuple[list[tuple], tuple | None]:
+    """Pure cross-batch session fold (unit-testable without a stream):
+    fold sorted event times (epoch µs) into the open session carried
+    in `prev` = (start, end, n); returns (closed sessions as
+    (start, end, n) tuples, new open-session state).
+
+    Open-session bounds only ever WIDEN: an in-gap event landing
+    inside — or before — the stored bounds (file sources split
+    history across micro-batches in arbitrary order) must not move
+    session_end backward."""
+    times = sorted(times)
+    start, end, n = prev if prev is not None else (None, None, None)
+    closed = []
+    for t in times:
+        if start is None:
+            start, end, n = t, t, 1
+        elif t - end > gap_us:
+            closed.append((start, end, n))
+            start, end, n = t, t, 1
+        else:
+            start, end, n = min(start, t), max(end, t), n + 1
+    new_state = (start, end, n) if start is not None else None
+    return closed, new_state
+
+
 def streaming_sessionize(events: DataFrame, *, user: str = "user_id",
                          ts: str = "ts",
                          gap_minutes: int = 30) -> DataFrame:
@@ -122,25 +148,14 @@ def streaming_sessionize(events: DataFrame, *, user: str = "user_id",
         times = []  # epoch microseconds
         for pdf in pdfs:
             times.extend(int(v.value) // 1000 for v in pdf[ts])
-        times.sort()
-        if state.exists:
-            start, end, n = state.get
-        else:
-            start = end = n = None
-        closed = []
-        for t in times:
-            if start is None:
-                start, end, n = t, t, 1
-            elif t - end > gap_s * 1_000_000:
-                closed.append((key[0], start, end, n))
-                start, end, n = t, t, 1
-            else:
-                end, n = t, n + 1
-        if start is not None:
-            state.update((start, end, n))
+        prev = state.get if state.exists else None
+        closed, new_state = fold_session_times(times, prev,
+                                               gap_s * 1_000_000)
+        if new_state is not None:
+            state.update(new_state)
         yield pd.DataFrame(
-            [(u, pd.Timestamp(s, unit="us"), pd.Timestamp(e, unit="us"), c)
-             for u, s, e, c in closed],
+            [(key[0], pd.Timestamp(s, unit="us"),
+              pd.Timestamp(e, unit="us"), c) for s, e, c in closed],
             columns=[user, "session_start", "session_end", "n_events"])
 
     return (events.groupBy(user)

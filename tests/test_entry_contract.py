@@ -16,7 +16,7 @@ def test_contract_shapes(spark):
     assert set(osql) <= set(qs)
     rows_only = set(qs) - set(osql)
     assert rows_only == {"ewm_indicators", "approx_distinct_users",
-                         "ann_ivf"}
+                         "ann_ivf", "model_score"}
     for name, fn in qs.items():
         assert callable(fn), name
     for name, sql in osql.items():

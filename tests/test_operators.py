@@ -238,3 +238,78 @@ def test_embedding_lsh_neighbor_recall(spark):
     assert recall >= 0.5, f"embedding LSH recall {recall}"
     # LSH counts can never exceed the exact counts (candidate subset)
     assert all(lsh.get(k, 0) <= v for k, v in exact.items())
+
+
+def test_score_windows_matches_numpy(spark):
+    """The distributed scorer must reproduce a driver-side NumPy run
+    of the SAME model on the same windows — this pins the mapInPandas
+    plumbing (window decode, batch shapes, horizon explode), which is
+    the part that breaks silently."""
+    import numpy as np
+    from coinbase_data_pipeline_spark.operators.scoring import (
+        score_windows, stub_linear_model)
+    from coinbase_data_pipeline_spark.operators.windows import (
+        sliding_windows)
+
+    pdf = pd.DataFrame({"k": ["x"] * 40 + ["y"] * 40, "t": list(range(40)) * 2,
+                        "close": [100.0 + (i % 9) for i in range(40)]
+                                 + [50.0 + (i % 5) for i in range(40)]})
+    win = sliding_windows(spark.createDataFrame(pdf), key="k", ts="t",
+                          seq_len=24, pred_len=6)
+    got = {(r.k, r.origin_time, r.horizon): r.predicted_price
+           for r in score_windows(win, key="k", ts="t").collect()}
+
+    model = stub_linear_model(24, 6)
+    want = {}
+    for r in win.collect():
+        x = np.array([[int(v) for v in r.x_sig.split(",")]],
+                     dtype=np.float64) / 1e6
+        preds = model(x)[0]
+        for h in range(1, 7):
+            want[(r.k, r.t, h)] = preds[h - 1]
+    assert set(got) == set(want)
+    for kk, v in want.items():
+        assert abs(got[kk] - v) < 1e-9, kk
+
+
+def test_grouped_scale_full_matrix(spark):
+    """grouped_scale over the full 24-feature enhance_features matrix
+    (the reference's scaler-matrix contract): per-column stats must
+    come from the TRAIN split only, verified against a NumPy
+    recomputation for one column of each scaler kind."""
+    import numpy as np
+    from coinbase_data_pipeline_spark.operators.indicators import (
+        enhance_features, grouped_scale)
+    from coinbase_data_pipeline_spark.plans.catalog import candles
+
+    feat = enhance_features(candles(spark, SF)).na.drop()
+    robust = ["open", "high", "low", "close", "price_ma_ratio",
+              "price_spread", "volume", "volume_zscore",
+              "volume_ma_ratio", "liquidity"]
+    minmax = ["rsi", "atr", "obv", "log_returns", "volatility_6",
+              "volatility_12", "volatility_24", "momentum_3_6",
+              "momentum_6_12", "hour_sin", "hour_cos", "dow_sin",
+              "dow_cos", "is_weekend", "is_market_open"]
+    split = "2024-01-22 00:00:00"
+    out = grouped_scale(feat, key="product_id", ts="bucket_start",
+                        split=split, robust_cols=robust,
+                        minmax_cols=minmax)
+    assert {f"{c}_scaled" for c in robust + minmax} <= set(out.columns)
+
+    pfeat = feat.toPandas()
+    pout = out.toPandas()
+    prod = pfeat["product_id"].iloc[0]
+    mine = pfeat[pfeat["product_id"] == prod]
+    train = mine[mine["bucket_start"] < pd.Timestamp(split)]
+    got = pout[pout["product_id"] == prod].sort_values("bucket_start")
+
+    med, q1, q3 = (np.percentile(train["close"], p) for p in (50, 25, 75))
+    want_close = (mine.sort_values("bucket_start")["close"] - med) / (q3 - q1)
+    np.testing.assert_allclose(got["close_scaled"].to_numpy(),
+                               want_close.to_numpy(), atol=1e-9)
+
+    lo, hi = train["rsi"].min(), train["rsi"].max()
+    want_rsi = ((mine.sort_values("bucket_start")["rsi"] - lo)
+                / (hi - lo)) * 2.0 - 1.0
+    np.testing.assert_allclose(got["rsi_scaled"].to_numpy(),
+                               want_rsi.to_numpy(), atol=1e-9)

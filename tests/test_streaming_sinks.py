@@ -342,3 +342,29 @@ def test_real_decode_is_stubbed():
 
     with pytest.raises(NotImplementedError):
         real_decode(b"\xff\xd8\xff")  # jpeg magic
+
+
+def test_fold_session_times_cross_batch_reorder():
+    """An in-gap event delivered in a LATER micro-batch with an
+    earlier timestamp must widen the open session, never shrink it
+    (session_end moving backward was possible before the fold
+    clamped bounds)."""
+    from coinbase_data_pipeline_spark.streaming.pipelines import (
+        fold_session_times)
+
+    gap = 60_000_000  # 60s in µs
+    # batch 1: events at t=100s and t=150s → open session [100, 150]
+    closed, st = fold_session_times([100_000_000, 150_000_000], None, gap)
+    assert closed == [] and st == (100_000_000, 150_000_000, 2)
+    # batch 2 delivers a straggler at t=120s (inside the open bounds)
+    closed, st = fold_session_times([120_000_000], st, gap)
+    assert closed == []
+    assert st == (100_000_000, 150_000_000, 3)  # bounds unchanged, n+1
+    # and one at t=60s (before start, within gap): start widens back
+    closed, st = fold_session_times([60_000_000], st, gap)
+    assert closed == []
+    assert st == (60_000_000, 150_000_000, 4)
+    # a genuinely new-session event closes the widened session intact
+    closed, st = fold_session_times([400_000_000], st, gap)
+    assert closed == [(60_000_000, 150_000_000, 4)]
+    assert st == (400_000_000, 400_000_000, 1)
