@@ -43,17 +43,24 @@ def minhash_lsh_pairs(docs: DataFrame, *, id_col: str = "doc_id",
     token-set Jaccard.
 
     Pipeline: token set → k seeded min-hashes → split into bands →
-    self-join on (band, band-signature) buckets → DISTINCT candidate
-    ID pairs → re-attach token sets → size-ratio block → exact-Jaccard
+    self-join on (band, band-signature) buckets → first-matching-band
+    filter → re-attach token sets → size-ratio block → exact-Jaccard
     verify. No global cross join.
 
-    Scale notes: the candidate dedup shuffles only (a_id, b_id) pairs
-    — token arrays are re-attached AFTERWARDS by joining the (small,
-    one-row-per-doc) base relation, so template-heavy corpora with
-    big near-dup cliques (candidate count ~clique²) never push array
-    payloads through the distinct. The size-ratio pre-filter is
-    implied by Jaccard ≥ t (min/max ≥ t), so it only removes pairs
-    that could never pass — output is identical, verify work isn't.
+    Scale notes. (1) Candidate dedup is FREE: each banded row carries
+    the full per-band signature list (bands × ~80 B — the arrays that
+    must NOT travel are the token sets), and a pair is kept only in
+    the FIRST band where the two signatures agree — so every
+    candidate pair is emitted exactly once and the global
+    6M+-row DISTINCT shuffle the naive join-then-dedup needs never
+    happens, nor does duplicate verify work. (2) The size-ratio
+    pre-filter is implied by Jaccard ≥ t (min/max ≥ t), so it only
+    removes pairs that could never pass — output is identical,
+    verify work isn't. (3) Exact Jaccard uses array_union only:
+    token sets are distinct, so |a∩b| = na + nb - |a∪b| arithmetically
+    — one O(n) array op per pair instead of two. Token arrays attach
+    via two joins against the one-row-per-doc base relation (small →
+    AQE broadcasts them).
     """
     if num_hashes % bands:
         # trailing hashes would be silently dropped, weakening recall —
@@ -68,34 +75,70 @@ def minhash_lsh_pairs(docs: DataFrame, *, id_col: str = "doc_id",
     # excluding them here also prevents the all-NULL-signature bucket
     # from forming an O(m²) candidate clique of empty docs
     base = base.filter(F.col("n") > 0)
-    sig = base.select("a_id", minhash_signature(F.col("toks"),
-                                                k=num_hashes).alias("sig"))
-    banded = sig.select(
-        "a_id",
-        F.explode(F.array(*[
-            F.struct(F.lit(b).alias("band"),
-                     F.concat_ws("_", *[
-                         F.col("sig")[b * rows_per_band + r].cast("string")
-                         for r in range(rows_per_band)]).alias("bsig"))
-            for b in range(bands)])).alias("bb"),
-    ).select("a_id", "bb.band", "bb.bsig")
-
-    right = banded.select(F.col("a_id").alias("b_id"), "band", "bsig")
+    # spread the k-way md5 signature work across the cluster: the raw
+    # document scan often has far fewer input splits than cores, and
+    # everything downstream (banding, bucket join, verify) inherits
+    # its parallelism otherwise
+    base = base.repartition(F.col("a_id"))
+    sig = base.select("a_id", F.col("n"),
+                      minhash_signature(F.col("toks"),
+                                        k=num_hashes).alias("sig"))
+    # per-band bucket key = xxhash64 of the band's hash slice: an
+    # 8-byte join key with scalar (whole-stage-codegen) comparisons —
+    # string concat keys and higher-order array filters dominate the
+    # candidate join's hot loop otherwise. A hash collision could only
+    # ADD a candidate (~2^-64/pair), which the exact-Jaccard verify
+    # then removes — output unchanged.
+    slice_hash = [
+        F.xxhash64(*[F.col("sig")[b * rows_per_band + r]
+                     for r in range(rows_per_band)]).alias(f"s{b}")
+        for b in range(bands)]
+    sigd = sig.select("a_id", "n", *slice_hash)
+    banded = sigd.select(
+        "a_id", F.col("n").alias("na"),
+        *[F.col(f"s{b}").alias(f"a_s{b}") for b in range(bands)],
+        F.posexplode(F.array(*[f"s{b}" for b in range(bands)]))
+        .alias("band", "bsig"))
+    right = banded.select(
+        F.col("a_id").alias("b_id"), F.col("na").alias("nb"),
+        *[F.col(f"a_s{b}").alias(f"b_s{b}") for b in range(bands)],
+        "band", "bsig")
+    # keep the pair only in the FIRST band whose buckets agree →
+    # exactly-once semantics without a global distinct; all-scalar
+    # CASE chain, stays inside codegen
+    first_match = F.col("band") == 0
+    for b in range(1, bands):
+        earlier_differ = F.lit(True)
+        for j in range(b):
+            earlier_differ = earlier_differ & (F.col(f"a_s{j}")
+                                               != F.col(f"b_s{j}"))
+        first_match = first_match | ((F.col("band") == b)
+                                     & earlier_differ)
+    t = jaccard_threshold
     cand_ids = (banded.join(right, ["band", "bsig"])
                 .filter(F.col("a_id") < F.col("b_id"))
+                .filter(first_match)
+                # size-ratio block applied before anything
+                # materializes: implied by jaccard >= t, so it only
+                # drops pairs that could never pass
+                .filter((F.col("na") * t <= F.col("nb"))
+                        & (F.col("nb") * t <= F.col("na")))
                 .select("a_id", "b_id")
-                .distinct())
-    t = jaccard_threshold
+                # spread the verify stage: without an exchange here the
+                # whole pipeline inherits the document scan's (few)
+                # input partitions and the O(pairs × tokens) exact
+                # verify runs near-serial. Shuffles only the bare id
+                # pairs, already first-match-deduped — the cheapest
+                # possible redistribution point
+                .repartition(F.col("a_id"), F.col("b_id")))
     cand = (cand_ids
             .join(base.select("a_id", F.col("toks").alias("atoks"),
                               F.col("n").alias("na")), "a_id")
             .join(base.select(F.col("a_id").alias("b_id"),
                               F.col("toks").alias("btoks"),
-                              F.col("n").alias("nb")), "b_id")
-            .filter((F.col("na") * t <= F.col("nb"))
-                    & (F.col("nb") * t <= F.col("na"))))
-    inter = F.size(F.array_intersect("atoks", "btoks")).cast("double")
+                              F.col("n").alias("nb")), "b_id"))
     union = F.size(F.array_union("atoks", "btoks")).cast("double")
+    inter = (F.col("na") + F.col("nb")).cast("double") - union
     jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
     return (cand.withColumn("jaccard", F.round(jac, 6))
                 .filter(F.col("jaccard") >= jaccard_threshold)
@@ -151,20 +194,34 @@ def simhash_pairs(docs: DataFrame, *, id_col: str = "doc_id",
     sh = simhash(docs, id_col=id_col, text_col=text_col, bits=bits)
     width = bits // bands
     mask = (1 << width) - 1
-    banded = sh.select(
-        F.col(id_col).alias("a_id"), F.col("simhash").alias("ah"),
-        F.explode(F.array(*[
-            F.struct(F.lit(b).alias("band"),
-                     F.shiftright("simhash", b * width)
-                     .bitwiseAND(F.lit(mask)).alias("bval"))
-            for b in range(bands)])).alias("bb"),
-    ).select("a_id", "ah", "bb.band", "bb.bval")
-    right = banded.select(F.col("a_id").alias("b_id"),
-                          F.col("ah").alias("bh"), "band", "bval")
+    bvals = [F.shiftright("simhash", b * width).bitwiseAND(F.lit(mask))
+             .alias(f"s{b}") for b in range(bands)]
+    sigd = sh.select(F.col(id_col).alias("a_id"),
+                     F.col("simhash").alias("ah"), *bvals)
+    banded = sigd.select(
+        "a_id", "ah",
+        *[F.col(f"s{b}").alias(f"a_s{b}") for b in range(bands)],
+        F.posexplode(F.array(*[f"s{b}" for b in range(bands)]))
+        .alias("band", "bval"))
+    right = banded.select(
+        F.col("a_id").alias("b_id"), F.col("ah").alias("bh"),
+        *[F.col(f"a_s{b}").alias(f"b_s{b}") for b in range(bands)],
+        "band", "bval")
+    # emit each pair only from the FIRST band whose values agree —
+    # exactly-once without a global dropDuplicates shuffle of the
+    # (candidate-count-sized) pair stream; all-scalar, codegen-friendly
+    first_match = F.col("band") == 0
+    for b in range(1, bands):
+        earlier_differ = F.lit(True)
+        for j in range(b):
+            earlier_differ = earlier_differ & (F.col(f"a_s{j}")
+                                               != F.col(f"b_s{j}"))
+        first_match = first_match | ((F.col("band") == b)
+                                     & earlier_differ)
     cand = (banded.join(right, ["band", "bval"])
             .filter(F.col("a_id") < F.col("b_id"))
-            .select("a_id", "b_id", "ah", "bh")
-            .dropDuplicates(["a_id", "b_id"]))
+            .filter(first_match)
+            .select("a_id", "b_id", "ah", "bh"))
     ham = F.bit_count(F.col("ah").bitwiseXOR(F.col("bh")))
     return (cand.withColumn("hamming", ham)
             .filter(F.col("hamming") <= max_hamming)
@@ -218,8 +275,10 @@ def ngram_jaccard_pairs(docs: DataFrame, *, id_col: str = "doc_id",
         (F.col("doc_a") < F.col("doc_b"))
         & (F.col("na") * F.lit(threshold) <= F.col("nb"))
         & (F.col("nb") * F.lit(threshold) <= F.col("na")))
-    inter = F.size(F.array_intersect("atoks", "btoks")).cast("double")
+    # shingle sets are distinct → |a∩b| = na + nb - |a∪b| exactly;
+    # one O(n) array op per pair instead of intersect + union
     union = F.size(F.array_union("atoks", "btoks")).cast("double")
+    inter = (F.col("na") + F.col("nb")).cast("double") - union
     jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
     return (pairs.withColumn("jaccard", F.round(jac, 6))
                  .filter(F.col("jaccard") >= threshold)

@@ -201,7 +201,22 @@ def clean_series(df: DataFrame, *, key: str, ts: str,
     w1 = _w(key, ts)
     v_null = F.when(F.col(volume) != 0, F.col(volume))
     tmp = df.withColumn("_v", v_null)
-    med = F.percentile("_v", F.lit(0.5)).over(_rows(key, ts, median_window))
+    # rolling median via sorted frame array: F.percentile as a moving-
+    # frame window re-runs its interpreted aggregation buffer per row
+    # (~8 s for 39k rows at sf0.1); collect_list + array_sort +
+    # element_at stays in cheap buffer appends and codegen'd
+    # projections for the same exact linear-interpolation result
+    # (odd m → middle, even m → mean of the two middles, NULLs
+    # skipped, empty frame → NULL)
+    frame = F.array_sort(
+        F.collect_list("_v").over(_rows(key, ts, median_window)))
+    m = F.size(frame)
+    mid = F.element_at(frame, ((m + 1) / 2).cast("int"))
+    med = (F.when(m == 0, F.lit(None).cast("double"))
+           .when(m % 2 == 1, mid)
+           .otherwise((F.element_at(frame, (m / 2).cast("int"))
+                       + F.element_at(frame, (m / 2).cast("int") + 1))
+                      / 2.0))
     tmp = tmp.withColumn("_vf", F.coalesce(F.col("_v"), med))
 
     stats = tmp.groupBy(key).agg(
