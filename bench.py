@@ -54,6 +54,11 @@ HEADLINERS = [
     "funnel",
     "range_join",
     "volume_rollup",
+    "dedup_ngram_jaccard",
+    "dedup_embedding",
+    "dedup_components",
+    "grouped_scale",
+    "model_score",
 ]
 
 

@@ -259,22 +259,39 @@ def ngram_jaccard_pairs(docs: DataFrame, *, id_col: str = "doc_id",
     # n = 0 docs can never reach jaccard >= t (> 0): empty∩empty has
     # union 0 → jaccard 0; excluding them is output-identical
     base = base.filter(F.col("n") > 0)
+    # parallelize shingling past the scan's input splits (see
+    # minhash_lsh_pairs)
+    base = base.repartition(F.col(id_col))
     bucket = F.length(F.bin(F.col("n").cast("long")))
+    # candidate generation over BARE (id, size) rows — token arrays
+    # attach after the pair stream is final, exactly as in
+    # minhash_lsh_pairs; homogeneous-length corpora put most docs in
+    # one size octave, so candidates ~ octave², and dragging arrays
+    # through that join is what would hurt
     a = base.select(F.col(id_col).alias("doc_a"),
-                    F.col("toks").alias("atoks"), F.col("n").alias("na"),
-                    bucket.alias("bk"))
+                    F.col("n").alias("na"), bucket.alias("bk"))
     b = (base.select(F.col(id_col).alias("doc_b"),
-                     F.col("toks").alias("btoks"), F.col("n").alias("nb"),
-                     bucket.alias("_k"))
+                     F.col("n").alias("nb"), bucket.alias("_k"))
          .withColumn("bk", F.explode(F.array(F.col("_k") - 1, F.col("_k"),
                                              F.col("_k") + 1)))
          .drop("_k"))
     # each qualifying pair matches on exactly ONE exploded bucket row,
     # so no post-join dedup is needed
-    pairs = a.join(b, ["bk"]).filter(
-        (F.col("doc_a") < F.col("doc_b"))
-        & (F.col("na") * F.lit(threshold) <= F.col("nb"))
-        & (F.col("nb") * F.lit(threshold) <= F.col("na")))
+    cand_ids = (a.join(b, ["bk"])
+                .filter((F.col("doc_a") < F.col("doc_b"))
+                        & (F.col("na") * F.lit(threshold) <= F.col("nb"))
+                        & (F.col("nb") * F.lit(threshold) <= F.col("na")))
+                .select("doc_a", "doc_b")
+                # spread the verify stage across the cluster (the
+                # bucket join alone keeps the scan's partitioning)
+                .repartition(F.col("doc_a"), F.col("doc_b")))
+    pairs = (cand_ids
+             .join(base.select(F.col(id_col).alias("doc_a"),
+                               F.col("toks").alias("atoks"),
+                               F.col("n").alias("na")), "doc_a")
+             .join(base.select(F.col(id_col).alias("doc_b"),
+                               F.col("toks").alias("btoks"),
+                               F.col("n").alias("nb")), "doc_b"))
     # shingle sets are distinct → |a∩b| = na + nb - |a∪b| exactly;
     # one O(n) array op per pair instead of intersect + union
     union = F.size(F.array_union("atoks", "btoks")).cast("double")
@@ -428,3 +445,27 @@ def embedding_neighbor_stats_lsh(emb: DataFrame, *,
             .agg(F.sum((F.col("cos") >= threshold).cast("int"))
                   .alias("near_dup_count"),
                  F.round(F.max("cos"), 6).alias("max_cosine")))
+
+
+def dedup_keep_decision(docs: DataFrame, pairs: DataFrame, *,
+                        id_col: str = "doc_id",
+                        iterations: int = 8) -> DataFrame:
+    """The dedup END DECISION a curation pipeline actually consumes:
+    every document mapped to the canonical keeper of its near-dup
+    component (minimum doc id — exactly the converged component
+    label), with an is_keeper flag. Documents in no near-dup pair
+    keep themselves.
+
+    One connected-components run over the pair list plus a left join
+    back onto the corpus — the join is on the corpus' own key, so it
+    co-partitions with any downstream per-doc work.
+    """
+    comp = connected_components(pairs, iterations=iterations)
+    labels = comp.select(F.col("doc_id").alias(id_col),
+                         F.col("component_id").alias("_keep"))
+    out = docs.select(id_col).join(labels, on=id_col, how="left")
+    keep = F.coalesce("_keep", F.col(id_col))
+    return out.select(
+        F.col(id_col),
+        keep.alias("keep_id"),
+        (keep == F.col(id_col)).alias("is_keeper"))

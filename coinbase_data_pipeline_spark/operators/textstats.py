@@ -171,3 +171,32 @@ def doc_fingerprint(docs: DataFrame, *, id_col: str = "doc_id",
     return docs.select(F.col(id_col),
                        F.array_min(grams).alias("fingerprint"),
                        F.length(t).alias("n_chars"))
+
+
+def repetition_score(docs: DataFrame, *, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Token-level repetition metrics per document — the standard
+    boilerplate/template detector in training-data curation (heavily
+    repeated tokens → low-information doc): total and distinct token
+    counts, duplicate-token ratio (1 - distinct/total) and the share
+    of the single most frequent token.
+
+    Plan: explode → (doc, token) partial-count → per-doc aggregate;
+    two map-side-combining shuffles keyed by doc id, no per-doc
+    quadratic expression work. Docs with zero alpha tokens drop out
+    (nothing to score) — identical in the oracle.
+    """
+    tok = (docs.select(F.col(id_col),
+                       F.explode(tokens(text_col)).alias("tok"))
+           .groupBy(id_col, "tok")
+           .agg(F.count(F.lit(1)).alias("cnt")))
+    out = tok.groupBy(id_col).agg(
+        F.sum("cnt").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("cnt").alias("_top"))
+    dup = 1.0 - F.col("n_distinct") / F.col("n_tokens")
+    top = F.col("_top") / F.col("n_tokens")
+    return out.select(
+        id_col, "n_tokens", "n_distinct",
+        (F.round(dup, 6) + F.lit(0.0)).alias("dup_ratio"),
+        (F.round(top, 6) + F.lit(0.0)).alias("top_token_share"))

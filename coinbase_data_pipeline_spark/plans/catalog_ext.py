@@ -632,6 +632,49 @@ FROM documents
 """
 
 
+def q_repetition_score(spark, sf_dir):
+    """Token-repetition curation metrics (boilerplate detector):
+    duplicate-token ratio and top-token share per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TS.repetition_score(docs)
+
+
+SQL_REPETITION = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({SQL_TOKS_ALL}) AS tok FROM documents
+), cnt AS (
+  SELECT doc_id, tok, count(*) AS cnt FROM tok GROUP BY doc_id, tok
+)
+SELECT doc_id,
+       CAST(sum(cnt) AS BIGINT) AS n_tokens,
+       count(*) AS n_distinct,
+       ROUND(1.0 - count(*) / CAST(sum(cnt) AS DOUBLE), 6) + 0
+         AS dup_ratio,
+       ROUND(max(cnt) / CAST(sum(cnt) AS DOUBLE), 6) + 0
+         AS top_token_share
+FROM cnt GROUP BY doc_id
+"""
+
+
+def q_dedup_keep(spark, sf_dir):
+    """End-to-end dedup decision table: every document mapped to its
+    near-dup component keeper (min doc id) with an is_keeper flag —
+    the table a curation pipeline joins against to drop duplicates."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = DD.minhash_lsh_pairs(docs)
+    return DD.dedup_keep_decision(docs, pairs)
+
+
+def _sql_dedup_keep() -> str:
+    comp = _sql_components().strip()
+    return f"""
+SELECT d.doc_id,
+       coalesce(c.component_id, d.doc_id) AS keep_id,
+       coalesce(c.component_id, d.doc_id) = d.doc_id AS is_keeper
+FROM documents d LEFT JOIN ({comp}) c ON c.doc_id = d.doc_id
+"""
+
+
 def q_model_score(spark, sf_dir):
     """Distributed model batch scoring: the stub linear AR head
     applied to every sliding window via mapInPandas, one row per
@@ -673,6 +716,8 @@ SPARK_QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_score": q_quality_score,
     "token_count": q_token_count,
     "doc_fingerprint": q_doc_fingerprint,
+    "repetition_score": q_repetition_score,
+    "dedup_keep": q_dedup_keep,
     "model_score": q_model_score,
 }
 
@@ -696,4 +741,6 @@ ORACLE_SQL_EXT: dict[str, str] = {
     "quality_score": SQL_QUALITY,
     "token_count": SQL_TOKEN_COUNT,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
+    "repetition_score": SQL_REPETITION,
+    "dedup_keep": _sql_dedup_keep(),
 }

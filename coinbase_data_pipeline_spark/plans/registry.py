@@ -60,7 +60,7 @@ _CHECK_FIRST = [
     "dedup_embedding", "dedup_ngram_jaccard", "dedup_components",
     "dedup_minhash_lsh",
     # new in round 2
-    "grouped_scale", "model_score",
+    "grouped_scale", "model_score", "repetition_score", "dedup_keep",
 ]
 
 ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
