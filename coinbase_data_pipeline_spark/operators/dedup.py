@@ -18,6 +18,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from ..functions.text import hash60, minhash_signature, token_set, word_shingles
+# summation order of the fold-based dot product is an oracle-parity
+# contract — exactly one implementation may exist (ann.py)
+from .ann import _dot as _vec_dot
 
 
 def exact_dedup(docs: DataFrame, *, id_col: str = "doc_id",
@@ -33,6 +36,25 @@ def exact_dedup(docs: DataFrame, *, id_col: str = "doc_id",
     return (h.join(groups, "text_hash")
              .select(id_col, "text_hash", "keep_id", "group_size",
                      (F.col(id_col) == F.col("keep_id")).alias("is_keeper")))
+
+
+def _first_match_band(bands: int):
+    """Predicate over a banded LSH self-join row: this row's band is
+    the FIRST of the `bands` per-band signature columns (a_s{j} vs
+    b_s{j}) where the two sides agree. Emitting a pair only from its
+    first matching band is the exactly-once invariant that replaces a
+    global distinct over the candidate stream — all-scalar CASE
+    chain, stays inside whole-stage codegen. Load-bearing for BOTH
+    minhash and simhash candidate generation; change here, not
+    inline."""
+    pred = F.col("band") == 0
+    for b in range(1, bands):
+        earlier_differ = F.lit(True)
+        for j in range(b):
+            earlier_differ = earlier_differ & (F.col(f"a_s{j}")
+                                               != F.col(f"b_s{j}"))
+        pred = pred | ((F.col("band") == b) & earlier_differ)
+    return pred
 
 
 def minhash_lsh_pairs(docs: DataFrame, *, id_col: str = "doc_id",
@@ -103,21 +125,11 @@ def minhash_lsh_pairs(docs: DataFrame, *, id_col: str = "doc_id",
         F.col("a_id").alias("b_id"), F.col("na").alias("nb"),
         *[F.col(f"a_s{b}").alias(f"b_s{b}") for b in range(bands)],
         "band", "bsig")
-    # keep the pair only in the FIRST band whose buckets agree →
-    # exactly-once semantics without a global distinct; all-scalar
-    # CASE chain, stays inside codegen
-    first_match = F.col("band") == 0
-    for b in range(1, bands):
-        earlier_differ = F.lit(True)
-        for j in range(b):
-            earlier_differ = earlier_differ & (F.col(f"a_s{j}")
-                                               != F.col(f"b_s{j}"))
-        first_match = first_match | ((F.col("band") == b)
-                                     & earlier_differ)
     t = jaccard_threshold
     cand_ids = (banded.join(right, ["band", "bsig"])
                 .filter(F.col("a_id") < F.col("b_id"))
-                .filter(first_match)
+                # exactly-once pair emission (no global distinct)
+                .filter(_first_match_band(bands))
                 # size-ratio block applied before anything
                 # materializes: implied by jaccard >= t, so it only
                 # drops pairs that could never pass
@@ -207,20 +219,10 @@ def simhash_pairs(docs: DataFrame, *, id_col: str = "doc_id",
         F.col("a_id").alias("b_id"), F.col("ah").alias("bh"),
         *[F.col(f"a_s{b}").alias(f"b_s{b}") for b in range(bands)],
         "band", "bval")
-    # emit each pair only from the FIRST band whose values agree —
-    # exactly-once without a global dropDuplicates shuffle of the
-    # (candidate-count-sized) pair stream; all-scalar, codegen-friendly
-    first_match = F.col("band") == 0
-    for b in range(1, bands):
-        earlier_differ = F.lit(True)
-        for j in range(b):
-            earlier_differ = earlier_differ & (F.col(f"a_s{j}")
-                                               != F.col(f"b_s{j}"))
-        first_match = first_match | ((F.col("band") == b)
-                                     & earlier_differ)
     cand = (banded.join(right, ["band", "bval"])
             .filter(F.col("a_id") < F.col("b_id"))
-            .filter(first_match)
+            # exactly-once pair emission (no global dropDuplicates)
+            .filter(_first_match_band(bands))
             .select("a_id", "b_id", "ah", "bh"))
     ham = F.bit_count(F.col("ah").bitwiseXOR(F.col("bh")))
     return (cand.withColumn("hamming", ham)
@@ -361,9 +363,6 @@ def connected_components(pairs: DataFrame, *, src: str = "doc_a",
                          F.col("label").alias("component_id"))
 
 
-def _vec_dot(x, y):
-    return F.aggregate(F.zip_with(x, y, lambda a, b: a * b), F.lit(0.0),
-                       lambda acc, z: acc + z)
 
 
 def embedding_neighbor_stats(emb: DataFrame, *, id_col: str = "vec_id",
@@ -390,7 +389,8 @@ def embedding_neighbor_stats(emb: DataFrame, *, id_col: str = "vec_id",
             .groupBy(F.col("a_id").alias("vec_id"))
             .agg(F.sum((F.col("cos") >= threshold).cast("int"))
                   .alias("near_dup_count"),
-                 F.round(F.max("cos"), 6).alias("max_cosine")))
+                 (F.round(F.max("cos"), 6) + F.lit(0.0))
+                 .alias("max_cosine")))
 
 
 def embedding_neighbor_stats_lsh(emb: DataFrame, *,
@@ -444,7 +444,8 @@ def embedding_neighbor_stats_lsh(emb: DataFrame, *,
             .groupBy(F.col("a_id").alias("vec_id"))
             .agg(F.sum((F.col("cos") >= threshold).cast("int"))
                   .alias("near_dup_count"),
-                 F.round(F.max("cos"), 6).alias("max_cosine")))
+                 (F.round(F.max("cos"), 6) + F.lit(0.0))
+                 .alias("max_cosine")))
 
 
 def dedup_keep_decision(docs: DataFrame, pairs: DataFrame, *,

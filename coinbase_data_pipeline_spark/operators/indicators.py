@@ -205,18 +205,20 @@ def clean_series(df: DataFrame, *, key: str, ts: str,
     # frame window re-runs its interpreted aggregation buffer per row
     # (~8 s for 39k rows at sf0.1); collect_list + array_sort +
     # element_at stays in cheap buffer appends and codegen'd
-    # projections for the same exact linear-interpolation result
-    # (odd m → middle, even m → mean of the two middles, NULLs
-    # skipped, empty frame → NULL)
+    # projections (NULLs skipped, empty frame → NULL). The even-count
+    # interpolation MUST be lo + (hi - lo) * 0.5 — the formula both
+    # F.percentile and DuckDB quantile_cont use — not (lo + hi) / 2:
+    # the two differ in the last ulp, which can flip a ROUND(x, 6)
+    # half-boundary between engines.
     frame = F.array_sort(
         F.collect_list("_v").over(_rows(key, ts, median_window)))
     m = F.size(frame)
-    mid = F.element_at(frame, ((m + 1) / 2).cast("int"))
+    lo = F.element_at(frame, (m / 2).cast("int"))
+    hi = F.element_at(frame, (m / 2).cast("int") + 1)
     med = (F.when(m == 0, F.lit(None).cast("double"))
-           .when(m % 2 == 1, mid)
-           .otherwise((F.element_at(frame, (m / 2).cast("int"))
-                       + F.element_at(frame, (m / 2).cast("int") + 1))
-                      / 2.0))
+           .when(m % 2 == 1,
+                 F.element_at(frame, ((m + 1) / 2).cast("int")))
+           .otherwise(lo + (hi - lo) * 0.5))
     tmp = tmp.withColumn("_vf", F.coalesce(F.col("_v"), med))
 
     stats = tmp.groupBy(key).agg(
@@ -315,7 +317,10 @@ def grouped_scale(df: DataFrame, *, key: str, ts: str, split: str,
     for c in minmax_cols:
         aggs += [F.min(c).alias(f"_{c}_min"), F.max(c).alias(f"_{c}_max")]
     stats = df.filter(F.col(ts) < split).groupBy(key).agg(*aggs)
-    out = df.join(F.broadcast(stats), on=key, how="inner")
+    # LEFT join: a key with no train-split rows has no stats and its
+    # scaled columns come out NULL — visible downstream, instead of
+    # its entire history silently vanishing from the matrix
+    out = df.join(F.broadcast(stats), on=key, how="left")
     for c in robust_cols:
         iqr = F.col(f"_{c}_q3") - F.col(f"_{c}_q1")
         scaled = F.when(iqr != 0, (F.col(c) - F.col(f"_{c}_med")) / iqr) \

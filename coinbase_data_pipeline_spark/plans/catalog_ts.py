@@ -375,7 +375,7 @@ def _sql_grouped_scale() -> str:
 )
 SELECT f.product_id, bucket_start,
        {sels}
-FROM feat f JOIN stats s ON f.product_id = s.product_id
+FROM feat f LEFT JOIN stats s ON f.product_id = s.product_id
 """
 
 

@@ -58,7 +58,7 @@ _CHECK_FIRST = [
     "candle_rollup",
     # implementation changed in round 2 — needs a fresh row
     "dedup_embedding", "dedup_ngram_jaccard", "dedup_components",
-    "dedup_minhash_lsh",
+    "dedup_minhash_lsh", "dedup_simhash_pairs", "clean_series",
     # new in round 2
     "grouped_scale", "model_score", "repetition_score", "dedup_keep",
 ]

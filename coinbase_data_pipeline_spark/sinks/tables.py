@@ -66,7 +66,13 @@ def merge_upsert(spark: SparkSession, df: DataFrame, root: str,
     new = df.withColumn("_pri", F.lit(1))
     if os.path.exists(path):
         current = spark.read.parquet(path).withColumn("_pri", F.lit(0))
-        combined = current.unionByName(new, allowMissingColumns=True)
+        # the ingest-sequence column may be new to the stored table —
+        # backfill it as NULL (sorts last) so the union stays STRICT:
+        # any other schema drift must fail loudly, not merge as NULLs
+        if seq_col is not None and seq_col not in current.columns:
+            current = current.withColumn(
+                seq_col, F.lit(None).cast(new.schema[seq_col].dataType))
+        combined = current.unionByName(new)
     else:
         combined = new
     order = [F.col("_pri").desc()]
