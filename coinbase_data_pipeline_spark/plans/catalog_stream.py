@@ -16,7 +16,8 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..streaming.pipelines import run_file_candle_pipeline
+from ..streaming.pipelines import (run_file_candle_pipeline,
+                                   run_file_dedup_pipeline)
 from .catalog import SQL_BASE, _round, ticks
 
 _TMP_ROOT = os.path.join(os.path.dirname(os.path.dirname(
@@ -54,10 +55,43 @@ FROM candles
 """
 
 
+def q_streaming_dedup(spark, sf_dir):
+    """Streaming exact dedup, oracle-checked by streaming-vs-batch
+    equivalence: every tick is replayed TWICE (duplicates injected on
+    purpose, split across micro-batches by maxFilesPerTrigger) and
+    the keyed dropDuplicates state must emit each event_id exactly
+    once — the result equals the plain batch tick relation. Prices
+    round-trip the JSON wire as strings (Spark double→string→double
+    is lossless shortest-repr)."""
+    replay_dir = os.path.join(_TMP_ROOT, f"dedup-{uuid.uuid4().hex[:8]}")
+    try:
+        t = ticks(spark, sf_dir).select(
+            "event_id", "product_id",
+            F.col("price").cast("string").alias("price"))
+        t.unionAll(t).write.mode("overwrite").json(replay_dir)
+        out = run_file_dedup_pipeline(
+            spark, replay_dir,
+            schema="event_id long, product_id string, price string",
+            key_cols=["event_id"])
+        return out.select(
+            "event_id", "product_id",
+            (F.round(F.col("price").cast("double"), 6) + F.lit(0.0))
+            .alias("price"))
+    finally:
+        shutil.rmtree(replay_dir, ignore_errors=True)
+
+
+SQL_STREAMING_DEDUP = SQL_BASE + """
+SELECT event_id, product_id, ROUND(price, 6) + 0 AS price FROM ticks
+"""
+
+
 SPARK_QUERIES_STREAM: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_candles": q_streaming_candles,
+    "streaming_dedup": q_streaming_dedup,
 }
 
 ORACLE_SQL_STREAM: dict[str, str] = {
     "streaming_candles": SQL_STREAMING_CANDLES,
+    "streaming_dedup": SQL_STREAMING_DEDUP,
 }

@@ -188,3 +188,26 @@ def run_file_candle_pipeline(spark: SparkSession, json_dir: str,
     candles = streaming_candles(parsed, freq=freq, watermark=None)
     name = run_to_memory(candles, output_mode="complete")
     return spark.table(name)
+
+
+def run_file_dedup_pipeline(spark: SparkSession, json_dir: str, *,
+                            schema: str, key_cols: list[str],
+                            max_files: int = 16) -> DataFrame:
+    """Streaming exact deduplication: JSON-lines dir → readStream →
+    dropDuplicates(key_cols) → append-mode memory sink; returns the
+    materialized result. Duplicates are dropped across micro-batch
+    boundaries (keyed state), so a replay that splits copies of the
+    same event across batches still emits each key exactly once.
+
+    State note: plain dropDuplicates keeps one state entry per key
+    forever — exact, right for bounded replays and for the
+    streaming-vs-batch equivalence oracle. The bounded-state
+    production variant is `withWatermark(ts, d)` +
+    `dropDuplicatesWithinWatermark`, trading exactness on
+    later-than-watermark duplicates for O(window) state.
+    """
+    raw = (spark.readStream.schema(schema)
+           .option("maxFilesPerTrigger", max_files).json(json_dir))
+    name = run_to_memory(raw.dropDuplicates(list(key_cols)),
+                         output_mode="append")
+    return spark.table(name)

@@ -368,3 +368,23 @@ def test_fold_session_times_cross_batch_reorder():
     closed, st = fold_session_times([400_000_000], st, gap)
     assert closed == [(60_000_000, 150_000_000, 4)]
     assert st == (400_000_000, 400_000_000, 1)
+
+
+def test_streaming_dedup_across_micro_batches(spark, tmp_path):
+    """Duplicates split across micro-batches (one file per trigger)
+    must still collapse to one row per key — keyed dedup state has to
+    survive batch boundaries."""
+    import json
+    from coinbase_data_pipeline_spark.streaming.pipelines import (
+        run_file_dedup_pipeline)
+
+    d = tmp_path / "replay"
+    d.mkdir()
+    rows = [{"event_id": i, "val": f"v{i}"} for i in range(5)]
+    (d / "a.json").write_text("\n".join(json.dumps(r) for r in rows))
+    (d / "b.json").write_text("\n".join(json.dumps(r) for r in rows[:3]))
+    out = run_file_dedup_pipeline(
+        spark, str(d), schema="event_id long, val string",
+        key_cols=["event_id"], max_files=1)
+    got = sorted((r.event_id, r.val) for r in out.collect())
+    assert got == [(i, f"v{i}") for i in range(5)]
