@@ -675,6 +675,38 @@ FROM documents d LEFT JOIN ({comp}) c ON c.doc_id = d.doc_id
 """
 
 
+def q_corpus_curation(spark, sf_dir):
+    """The composed end-to-end curation pipeline a pretraining-data
+    run actually executes: language filter + quality filter + near-dup
+    keeper selection in ONE plan. Each stage is an already-oracled
+    operator (lang_id, quality_score, dedup_keep); the joins are all
+    on doc_id, so at scale the stages co-partition on the corpus key
+    and the only heavy shuffle is the MinHash pair generation inside
+    dedup_keep."""
+    docs = load_table(spark, sf_dir, "documents")
+    lang = TS.lang_id(docs).select("doc_id", "pred_lang")
+    qual = TS.quality_score(docs).select("doc_id", "quality")
+    keep = DD.dedup_keep_decision(docs, DD.minhash_lsh_pairs(docs))
+    return (lang.join(qual, "doc_id").join(keep, "doc_id")
+            .filter((F.col("pred_lang") == "en")
+                    & (F.col("quality") >= 0.5)
+                    & F.col("is_keeper"))
+            .select("doc_id", "pred_lang",
+                    (F.round("quality", 6) + F.lit(0.0)).alias("quality"),
+                    "keep_id"))
+
+
+def _sql_corpus_curation() -> str:
+    return f"""
+SELECT l.doc_id, l.pred_lang, ROUND(q.quality, 6) + 0 AS quality,
+       k.keep_id
+FROM ({_sql_lang_id()}) l
+JOIN ({SQL_QUALITY}) q ON q.doc_id = l.doc_id
+JOIN ({_sql_dedup_keep()}) k ON k.doc_id = l.doc_id
+WHERE l.pred_lang = 'en' AND q.quality >= 0.5 AND k.is_keeper
+"""
+
+
 def q_model_score(spark, sf_dir):
     """Distributed model batch scoring: the stub linear AR head
     applied to every sliding window via mapInPandas, one row per
@@ -718,6 +750,7 @@ SPARK_QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprint": q_doc_fingerprint,
     "repetition_score": q_repetition_score,
     "dedup_keep": q_dedup_keep,
+    "corpus_curation": q_corpus_curation,
     "model_score": q_model_score,
 }
 
@@ -743,4 +776,5 @@ ORACLE_SQL_EXT: dict[str, str] = {
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "repetition_score": SQL_REPETITION,
     "dedup_keep": _sql_dedup_keep(),
+    "corpus_curation": _sql_corpus_curation(),
 }

@@ -61,7 +61,7 @@ _CHECK_FIRST = [
     "dedup_minhash_lsh", "dedup_simhash_pairs", "clean_series",
     # new in round 2
     "grouped_scale", "model_score", "repetition_score", "dedup_keep",
-    "streaming_dedup",
+    "streaming_dedup", "corpus_curation",
 ]
 
 ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
