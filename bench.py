@@ -59,6 +59,8 @@ HEADLINERS = [
     "dedup_components",
     "grouped_scale",
     "model_score",
+    "doc_chunk",
+    "token_packing",
 ]
 
 

@@ -1,0 +1,126 @@
+"""Corpus-preparation operators for LLM training-data pipelines:
+fixed-token chunking, context-window packing, deterministic stratified
+sampling, and text normalization.
+
+All four are pure pyspark.sql.functions expressions — JVM-side,
+whole-stage-codegen, no UDFs — and each documents its exact DuckDB
+twin so the catalog oracles mirror them expression-for-expression.
+
+100 TB posture:
+- chunking/normalization are per-row map work: no shuffle at all, the
+  explode multiplies rows inside the same task (narrow dependency).
+- packing shuffles ONCE on the stratum key (lang) for its window
+  cumsum; the pack assignment is integer math on the running total,
+  so no second pass or driver-side loop.
+- sampling is a pushed filter over a hash gate — no shuffle, no
+  state, reproducible across runs/retries (hash60 of the doc id,
+  never rand()).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from ..functions.text import hash60, tokens
+
+
+def doc_chunk(docs: DataFrame, size: int = 64, stride: int = 48,
+              text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Sliding fixed-token chunks per document (size tokens, stride
+    step → size-stride token overlap), the standard pre-tokenization
+    split for long documents.
+
+    Chunk count for n tokens: 1 + ceil((n - size) / stride) when
+    n > size, else 1; docs with zero tokens are dropped (they have
+    nothing to chunk and a 0-length sequence would emit a bogus
+    descending range — see functions.text.word_shingles).
+
+    DuckDB twin (1-based inclusive list slices both engines):
+      toks[1 + c*stride : c*stride + size]
+    """
+    if stride <= 0 or size <= 0:
+        raise ValueError("size and stride must be positive")
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    extra = F.ceil((n - F.lit(size)) / F.lit(float(stride)))
+    n_chunks = (F.when(n > size, extra.cast("int") + F.lit(1))
+                .otherwise(F.lit(1)))
+    out = (docs
+           .select(F.col(id_col), toks.alias("_toks"),
+                   n.alias("n_tokens"), n_chunks.alias("_nc"))
+           .filter(F.col("n_tokens") > 0)
+           .select(id_col, "n_tokens", "_toks",
+                   F.explode(F.sequence(F.lit(0), F.col("_nc") - 1))
+                    .alias("chunk_id")))
+    start = F.col("chunk_id") * stride + 1
+    piece = F.slice(F.col("_toks"), start, size)
+    return (out.select(
+        id_col, "chunk_id", "n_tokens",
+        F.size(piece).alias("chunk_tokens"),
+        F.array_join(piece, " ").alias("chunk_text")))
+
+
+def token_packing(docs: DataFrame, budget: int = 512,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  stratum_col: str = "lang") -> DataFrame:
+    """Concat-and-split context-window packing: documents are laid out
+    back-to-back per stratum in id order, and the token stream is cut
+    every `budget` tokens. Each doc is assigned the pack where it
+    starts (pack_id) plus its offset inside that pack — the exact
+    bookkeeping a sequence-packing data loader needs.
+
+    One shuffle (window on the stratum key); the assignment itself is
+    BIGINT division of the running total, identical in DuckDB.
+    """
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    w = (Window.partitionBy(stratum_col).orderBy(id_col)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    tok_count = F.size(tokens(F.col(text_col))).cast("long")
+    return (docs
+            .select(stratum_col, id_col, tok_count.alias("n_tokens"))
+            .withColumn("_before",
+                        F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+            .select(stratum_col, id_col, "n_tokens",
+                    (F.col("_before") / budget).cast("long")
+                    .alias("pack_id"),
+                    (F.col("_before") % budget).alias("pack_offset")))
+
+
+def stratified_sample(docs: DataFrame, rates: dict[str, float],
+                      default_rate: float = 0.1,
+                      stratum_col: str = "lang",
+                      id_col: str = "doc_id",
+                      seed: str = "sample") -> DataFrame:
+    """Deterministic per-stratum downsampling: keep a row when
+    hash60(seed:id) mod 10000 falls under the stratum's rate. Unlike
+    df.sample(), the decision is a pure function of the row id — stable
+    across retries, executors and engines (the DuckDB oracle applies
+    the same gate), which is what makes a 100 TB sampling job
+    reproducible and resumable.
+    """
+    gate = hash60(F.col(id_col).cast("string"), seed) % 10000
+    rate = None
+    for k, v in sorted(rates.items()):
+        branch = F.when(F.col(stratum_col) == k, F.lit(int(v * 10000)))
+        rate = branch if rate is None else rate.when(
+            F.col(stratum_col) == k, F.lit(int(v * 10000)))
+    rate = (rate.otherwise(F.lit(int(default_rate * 10000)))
+            if rate is not None else F.lit(int(default_rate * 10000)))
+    return docs.filter(gate < rate)
+
+
+def text_normalize(docs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Canonical text form: lowercase alpha tokens re-joined by single
+    spaces (case/punctuation/whitespace-run insensitive), plus its
+    hash60 fingerprint — the normalization stage exact dedup keys on.
+
+    DuckDB twin: array_to_string(«tokens», ' ') and the shared
+    sql_hash60 over it.
+    """
+    norm = F.array_join(tokens(F.col(text_col)), " ")
+    return docs.select(
+        id_col,
+        norm.alias("norm_text"),
+        hash60(norm, "norm").alias("norm_hash"))

@@ -306,7 +306,7 @@ def ngram_jaccard_pairs(docs: DataFrame, *, id_col: str = "doc_id",
 
 def connected_components(pairs: DataFrame, *, src: str = "doc_a",
                          dst: str = "doc_b",
-                         iterations: int = 8) -> DataFrame:
+                         iterations: int = 16) -> DataFrame:
     """Connected components over a near-dup pair list by min-label
     propagation WITH pointer jumping — turns pairwise matches into
     canonical dedup groups (component id = min doc id in the
@@ -315,12 +315,19 @@ def connected_components(pairs: DataFrame, *, src: str = "doc_a",
     Each round does (a) a 1-hop step — every vertex takes the min of
     its neighbours' labels — then (b) a pointer-jump step — every
     vertex takes its label's label. The jump roughly doubles the
-    propagation distance per round, so `iterations` rounds cover
-    components of diameter ~2^iterations (tests include a long-chain
-    graph that plain 1-hop at the same round count would split).
-    Near-dup components are clique-like (diameter 1-2), so the default
-    8 has an astronomically large margin. Each round is two joins +
-    one groupBy on the vertex set, no driver-side collect.
+    propagation distance per round, so the rounds cover components of
+    diameter ~2^iterations (tests include a long-chain graph that
+    plain 1-hop at the same round count would split).
+
+    The loop exits at the FIXED POINT: when a round changes no label,
+    the labeling is final (min-label propagation is monotone), so the
+    result is exact regardless of the cap — near-dup graphs are
+    clique-like and typically converge in 2-3 rounds; `iterations` is
+    only a runaway bound for adversarial diameter-2^16 graphs. The
+    convergence probe is an isEmpty() on the just-checkpointed round
+    output, so it costs a short local scan, not a recompute. Each
+    round is two joins + one groupBy on the vertex set, no
+    driver-side collect.
     """
     from pyspark import StorageLevel
 
@@ -341,7 +348,7 @@ def connected_components(pairs: DataFrame, *, src: str = "doc_a",
                  .agg(F.min("label").alias("n_min")))
         half = (labels.join(neigh, labels["id"] == F.col("n_id"),
                             "left")
-                .select(F.col("id"),
+                .select(F.col("id"), F.col("label").alias("old"),
                         F.least(F.col("label"),
                                 F.coalesce("n_min", "label"))
                         .alias("label"))
@@ -351,13 +358,16 @@ def connected_components(pairs: DataFrame, *, src: str = "doc_a",
         # — every label is present as an id)
         parent = half.select(F.col("id").alias("p_id"),
                              F.col("label").alias("p_label"))
-        labels = (half.join(parent, half["label"] == F.col("p_id"),
-                            "left")
-                  .select(half["id"],
-                          F.least(half["label"],
-                                  F.coalesce("p_label", half["label"]))
-                          .alias("label"))
-                  .localCheckpoint(eager=True))
+        stepped = (half.join(parent, half["label"] == F.col("p_id"),
+                             "left")
+                   .select(half["id"], half["old"],
+                           F.least(half["label"],
+                                   F.coalesce("p_label", half["label"]))
+                           .alias("label"))
+                   .localCheckpoint(eager=True))
+        labels = stepped.select("id", "label")
+        if stepped.filter(F.col("label") != F.col("old")).isEmpty():
+            break
     edges.unpersist()
     return labels.select(F.col("id").alias("doc_id"),
                          F.col("label").alias("component_id"))

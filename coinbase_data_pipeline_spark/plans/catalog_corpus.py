@@ -1,0 +1,177 @@
+"""Catalog part 7: corpus-preparation operators for training-data
+pipelines — chunking, context-window packing, deterministic stratified
+sampling, text normalization, corpus composition stats. Same contract
+as catalog.py; operators live in operators/corpus.py.
+
+Every oracle reuses the engine-identical token/hash60 family from
+functions/text.py, so the DuckDB SQL mirrors the Spark expressions
+token-for-token (the parity gate checks values, not just counts).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.text import sql_hash60
+from ..operators import corpus as CP
+from ..sources.tables import load_table
+from .catalog_ext import SQL_TOKS_ALL
+
+# ------------------------------------------------------------------ chunking
+
+CHUNK_SIZE, CHUNK_STRIDE = 64, 48
+
+
+def q_doc_chunk(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return CP.doc_chunk(docs, size=CHUNK_SIZE, stride=CHUNK_STRIDE)
+
+
+SQL_DOC_CHUNK = f"""
+WITH toked AS (
+  SELECT doc_id, {SQL_TOKS_ALL} AS toks FROM documents
+), sized AS (
+  SELECT doc_id, toks, len(toks) AS n_tokens,
+         CASE WHEN len(toks) > {CHUNK_SIZE}
+              THEN CAST(ceil((len(toks) - {CHUNK_SIZE})
+                             / {float(CHUNK_STRIDE)}) AS INT) + 1
+              ELSE 1 END AS nc
+  FROM toked WHERE len(toks) > 0
+), exploded AS (
+  SELECT doc_id, n_tokens, toks,
+         unnest(generate_series(0, nc - 1)) AS chunk_id
+  FROM sized
+)
+SELECT doc_id, chunk_id, n_tokens,
+       len(toks[chunk_id * {CHUNK_STRIDE} + 1
+                : chunk_id * {CHUNK_STRIDE} + {CHUNK_SIZE}])
+         AS chunk_tokens,
+       array_to_string(toks[chunk_id * {CHUNK_STRIDE} + 1
+                            : chunk_id * {CHUNK_STRIDE} + {CHUNK_SIZE}], ' ')
+         AS chunk_text
+FROM exploded
+"""
+
+
+# ------------------------------------------------------------------- packing
+
+PACK_BUDGET = 512
+
+
+def q_token_packing(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return CP.token_packing(docs, budget=PACK_BUDGET)
+
+
+SQL_TOKEN_PACKING = f"""
+WITH counted AS (
+  SELECT lang, doc_id, CAST(len({SQL_TOKS_ALL}) AS BIGINT) AS n_tokens
+  FROM documents
+), running AS (
+  SELECT lang, doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING), 0) AS before
+  FROM counted
+)
+SELECT lang, doc_id, n_tokens,
+       CAST(before // {PACK_BUDGET} AS BIGINT) AS pack_id,
+       CAST(before % {PACK_BUDGET} AS BIGINT) AS pack_offset
+FROM running
+"""
+
+
+# ------------------------------------------------------------------ sampling
+
+SAMPLE_RATES = {"en": 0.5, "de": 0.3, "fr": 0.3, "es": 0.3, "zh": 0.2}
+SAMPLE_DEFAULT = 0.1
+
+
+def q_stratified_sample(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return CP.stratified_sample(
+        docs.select("doc_id", "lang", "source", "n_chars"),
+        SAMPLE_RATES, default_rate=SAMPLE_DEFAULT)
+
+
+_RATE_CASES = "\n".join(
+    f"           WHEN lang = '{k}' THEN {int(v * 10000)}"
+    for k, v in sorted(SAMPLE_RATES.items()))
+
+SQL_STRATIFIED_SAMPLE = f"""
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE {sql_hash60("CAST(doc_id AS VARCHAR)", "sample")} % 10000
+      < CASE
+{_RATE_CASES}
+           ELSE {int(SAMPLE_DEFAULT * 10000)} END
+"""
+
+
+# ------------------------------------------------------------- normalization
+
+def q_text_normalize(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return CP.text_normalize(docs)
+
+
+SQL_TEXT_NORMALIZE = f"""
+WITH normed AS (
+  SELECT doc_id, array_to_string({SQL_TOKS_ALL}, ' ') AS norm_text
+  FROM documents
+)
+SELECT doc_id, norm_text,
+       {sql_hash60('norm_text', 'norm')} AS norm_hash
+FROM normed
+"""
+
+
+# -------------------------------------------------------------- corpus stats
+
+def q_corpus_stats(spark, sf_dir):
+    """Per (lang, source) composition report — the mix table a data
+    curator balances against: doc count, token mass, char spread.
+    One partial-aggregating shuffle; sums stay BIGINT on both engines
+    (the oracle casts DuckDB's HUGEINT sum back down)."""
+    docs = load_table(spark, sf_dir, "documents")
+    from ..functions.text import tokens
+    return (docs
+            .select("lang", "source", "n_chars",
+                    F.size(tokens(F.col("text"))).alias("_nt"))
+            .groupBy("lang", "source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.col("_nt").cast("long")).alias("total_tokens"),
+                 F.sum("n_chars").alias("total_chars"),
+                 F.min("n_chars").alias("min_chars"),
+                 F.max("n_chars").alias("max_chars")))
+
+
+SQL_CORPUS_STATS = f"""
+SELECT lang, source, count(*) AS n_docs,
+       CAST(sum(len({SQL_TOKS_ALL})) AS BIGINT) AS total_tokens,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       min(n_chars) AS min_chars, max(n_chars) AS max_chars
+FROM documents
+GROUP BY lang, source
+"""
+
+
+# ----------------------------------------------------------------- registry
+
+SPARK_QUERIES_CORPUS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "doc_chunk": q_doc_chunk,
+    "token_packing": q_token_packing,
+    "stratified_sample": q_stratified_sample,
+    "text_normalize": q_text_normalize,
+    "corpus_stats": q_corpus_stats,
+}
+
+ORACLE_SQL_CORPUS: dict[str, str] = {
+    "doc_chunk": SQL_DOC_CHUNK,
+    "token_packing": SQL_TOKEN_PACKING,
+    "stratified_sample": SQL_STRATIFIED_SAMPLE,
+    "text_normalize": SQL_TEXT_NORMALIZE,
+    "corpus_stats": SQL_CORPUS_STATS,
+}

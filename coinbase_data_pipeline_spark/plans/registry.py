@@ -11,8 +11,8 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import (catalog, catalog_analytics, catalog_ext, catalog_stream,
-               catalog_ts, tpch)
+from . import (catalog, catalog_analytics, catalog_corpus, catalog_ext,
+               catalog_stream, catalog_ts, tpch)
 
 _QUERY_PARTS = (
     catalog.SPARK_QUERIES,
@@ -21,6 +21,7 @@ _QUERY_PARTS = (
     tpch.SPARK_QUERIES_TPCH,
     catalog_stream.SPARK_QUERIES_STREAM,
     catalog_analytics.SPARK_QUERIES_ANALYTICS,
+    catalog_corpus.SPARK_QUERIES_CORPUS,
 )
 _ORACLE_PARTS = (
     catalog.ORACLE_SQL,
@@ -29,6 +30,7 @@ _ORACLE_PARTS = (
     tpch.ORACLE_SQL_TPCH,
     catalog_stream.ORACLE_SQL_STREAM,
     catalog_analytics.ORACLE_SQL_ANALYTICS,
+    catalog_corpus.ORACLE_SQL_CORPUS,
 )
 
 _MERGED: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -51,7 +53,9 @@ _CHECK_FIRST = [
     "q19_discounted_revenue", "q8_market_share", "q9_product_profit",
     "q13_customer_distribution", "q15_top_supplier", "q17_small_quantity",
     "q22_global_sales_opportunity", "streaming_candles", "sessionize",
-    "daily_active_users", "approx_distinct_users", "price_quantiles",
+    # approx_distinct_users is rows-only (weakest driver signal) —
+    # deferred behind the oracle-paired queries
+    "daily_active_users", "price_quantiles",
     "ngram_doc_frequency", "candle_resample_salted", "range_join",
     "event_type_pivot", "volume_rollup", "funnel", "tfidf_top_terms",
     # red in round 1 (oracle type fix) — needs a fresh row
@@ -62,6 +66,11 @@ _CHECK_FIRST = [
     # new in round 2
     "grouped_scale", "model_score", "repetition_score", "dedup_keep",
     "streaming_dedup", "corpus_curation",
+    "q2_min_cost_supplier", "q11_important_stock", "q12_priority_shipping",
+    "q16_supplier_cnt", "q20_part_promotion", "q21_suppliers_kept_waiting",
+    "doc_chunk", "token_packing",
+    # (first-50 window now full: stratified_sample, text_normalize,
+    #  corpus_stats queue for the round-3 window)
 ]
 
 ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

@@ -5,9 +5,11 @@ equivalent predicates over the columns that exist; date constants sit
 inside the synthetic 1995–2001 range).
 
 Shuffle strategy, stated per query and visible in .explain:
-- facts (lineitem, orders) shuffle-join on their key only when both
-  sides are large; every dimension (customer/supplier/nation/region/
-  part — all O(SF^0 .. SF^1) rows) is broadcast.
+- broadcast HINTS only on fixed-cardinality dims (nation, region).
+  Everything SF-proportional (customer, supplier, part, orders) is
+  left unhinted: Catalyst's parquet size stats broadcast it while it
+  fits under autoBroadcastJoinThreshold, and AQE shuffles it when it
+  doesn't — the plan that survives a 100× scale-up.
 - aggregations are partial (map-side combine) before their single
   exchange.
 """
@@ -162,12 +164,14 @@ GROUP BY c_custkey, c_name, c_acctbal, n_name
 
 
 def q14_promo_effect(spark, sf_dir):
-    """TPC-H Q14: conditional aggregate over a broadcast part join."""
+    """TPC-H Q14: conditional aggregate over a part join. No broadcast
+    hint — part is SF-proportional; Catalyst's size stats broadcast it
+    while it fits and AQE shuffles it when it doesn't."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1997-09-01")
         & (F.col("l_shipdate") < "1997-10-01"))
     pa = load_table(spark, sf_dir, "part")
-    out = (li.join(F.broadcast(pa), F.col("l_partkey") == F.col("p_partkey"))
+    out = (li.join(pa, F.col("l_partkey") == F.col("p_partkey"))
            .agg((F.round(
                F.lit(100.0)
                * F.sum(F.when(F.col("p_type") == "PROMO", _rev())
@@ -224,7 +228,8 @@ GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
 def q19_discounted_revenue(spark, sf_dir):
     """TPC-H Q19 shape: disjunctive multi-attribute predicate across
     the join (brand/size/quantity stand in for brand/container/qty).
-    Part is broadcast; the OR-of-ANDs evaluates post-join, row-local."""
+    The OR-of-ANDs evaluates post-join, row-local; part carries no
+    broadcast hint (SF-proportional — planner stats/AQE decide)."""
     li = load_table(spark, sf_dir, "lineitem")
     pa = load_table(spark, sf_dir, "part")
     cond = (
@@ -237,7 +242,7 @@ def q19_discounted_revenue(spark, sf_dir):
         | ((F.col("p_brand") == "Brand#3")
            & F.col("p_size").between(20, 50)
            & F.col("l_quantity").between(10, 40)))
-    out = (li.join(F.broadcast(pa), F.col("l_partkey") == F.col("p_partkey"))
+    out = (li.join(pa, F.col("l_partkey") == F.col("p_partkey"))
            .filter(cond)
            .agg(F.round(F.sum(_rev()), RND).alias("revenue")))
     return out
@@ -277,7 +282,7 @@ def q8_market_share(spark, sf_dir):
                        F.col("n_name").alias("supp_nation"))
     joined = (li
               .join(od, F.col("l_orderkey") == F.col("o_orderkey"))
-              .join(F.broadcast(pa), F.col("l_partkey") == F.col("p_partkey"))
+              .join(pa, F.col("l_partkey") == F.col("p_partkey"))
               .join(cu, F.col("o_custkey") == F.col("c_custkey"))
               .join(su, F.col("l_suppkey") == F.col("s_suppkey"))
               .join(F.broadcast(n_cust), F.col("c_nationkey") == F.col("cn_key"))
@@ -325,7 +330,7 @@ def q9_product_profit(spark, sf_dir):
     na = load_table(spark, sf_dir, "nation")
     out = (li
            .join(od, F.col("l_orderkey") == F.col("o_orderkey"))
-           .join(F.broadcast(pa), F.col("l_partkey") == F.col("p_partkey"))
+           .join(pa, F.col("l_partkey") == F.col("p_partkey"))
            .join(su, F.col("l_suppkey") == F.col("s_suppkey"))
            .join(F.broadcast(na), F.col("s_nationkey") == F.col("n_nationkey"))
            .groupBy(F.col("n_name").alias("nation"),
@@ -386,7 +391,7 @@ def q15_top_supplier(spark, sf_dir):
     top = (revenue.withColumn("_max", F.max("total_revenue").over(
                Window.partitionBy()))
            .filter(F.col("total_revenue") == F.col("_max")).drop("_max"))
-    return (top.join(F.broadcast(su),
+    return (top.join(su,
                      F.col("l_suppkey") == F.col("s_suppkey"))
             .select("s_suppkey", "s_name",
                     (F.col("total_revenue") + F.lit(0.0))
@@ -418,7 +423,7 @@ def q17_small_quantity(spark, sf_dir):
         F.col("p_brand") == "Brand#5")
     avg_qty = (li.groupBy(F.col("l_partkey").alias("a_partkey"))
                .agg((F.lit(0.2) * F.avg("l_quantity")).alias("qty_lim")))
-    out = (li.join(F.broadcast(pa), F.col("l_partkey") == F.col("p_partkey"))
+    out = (li.join(pa, F.col("l_partkey") == F.col("p_partkey"))
            .join(avg_qty, F.col("l_partkey") == F.col("a_partkey"))
            .filter(F.col("l_quantity") < F.col("qty_lim"))
            .agg((F.round(F.sum("l_extendedprice") / 7.0, RND)
@@ -470,6 +475,263 @@ GROUP BY c_mktsegment
 """
 
 
+def q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape (no partsupp → unit cost observed from lineitem):
+    for each STANDARD small part, the cheapest EUROPE supplier. The
+    correlated MIN subquery becomes one grouped aggregate joined back
+    on (part, cost) — one extra pass instead of per-row re-execution.
+    Unit cost is an IEEE division, bit-identical across engines, so the
+    equality join-back is exact."""
+    pa = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "STANDARD") & (F.col("p_size") <= 10))
+    su = load_table(spark, sf_dir, "supplier")
+    na = load_table(spark, sf_dir, "nation")
+    re_ = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "EUROPE")
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "unit_cost", F.col("l_extendedprice") / F.col("l_quantity"))
+    offers = (li
+              .join(pa, F.col("l_partkey") == F.col("p_partkey"))
+              .join(su, F.col("l_suppkey") == F.col("s_suppkey"))
+              .join(F.broadcast(na),
+                    F.col("s_nationkey") == F.col("n_nationkey"))
+              .join(F.broadcast(re_),
+                    F.col("n_regionkey") == F.col("r_regionkey")))
+    min_cost = (offers.groupBy(F.col("p_partkey").alias("m_partkey"))
+                .agg(F.min("unit_cost").alias("m_cost")))
+    return (offers
+            .join(min_cost,
+                  (F.col("p_partkey") == F.col("m_partkey"))
+                  & (F.col("unit_cost") == F.col("m_cost")))
+            .select("s_acctbal", "s_name", "n_name", "p_partkey",
+                    "p_name",
+                    (F.round(F.col("unit_cost"), RND) + F.lit(0.0))
+                    .alias("min_cost"))
+            .distinct())
+
+
+SQL_Q2 = """
+WITH offers AS (
+  SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+         l_extendedprice / l_quantity AS unit_cost
+  FROM lineitem, part, supplier, nation, region
+  WHERE l_partkey = p_partkey AND l_suppkey = s_suppkey
+    AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+    AND r_name = 'EUROPE' AND p_type = 'STANDARD' AND p_size <= 10
+)
+SELECT DISTINCT s_acctbal, s_name, n_name, p_partkey, p_name,
+       ROUND(unit_cost, 6) + 0 AS min_cost
+FROM offers o
+WHERE unit_cost = (SELECT min(unit_cost) FROM offers
+                   WHERE p_partkey = o.p_partkey)
+"""
+
+
+def q11_important_stock(spark, sf_dir):
+    """TPC-H Q11 shape (no partsupp → part value observed from one
+    nation's shipped revenue): per-part revenue over NATION_3
+    suppliers, kept when above 2× the average part value — a
+    scale-invariant gate (the classic fixed fraction of the total
+    empties as part count grows with SF). The scalar HAVING subquery
+    is a broadcast-scalar crossJoin, never a re-scan."""
+    su = load_table(spark, sf_dir, "supplier")
+    na = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_3")
+    li = load_table(spark, sf_dir, "lineitem")
+    flow = (li.join(su, F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(F.broadcast(na),
+                  F.col("s_nationkey") == F.col("n_nationkey")))
+    per_part = (flow.groupBy("l_partkey")
+                .agg(F.sum(_rev()).alias("part_value")))
+    total = per_part.agg(
+        (F.avg("part_value") * F.lit(2.0)).alias("threshold"))
+    return (per_part.crossJoin(F.broadcast(total))
+            .filter(F.col("part_value") > F.col("threshold"))
+            .select("l_partkey",
+                    (F.round(F.col("part_value"), RND) + F.lit(0.0))
+                    .alias("part_value")))
+
+
+SQL_Q11 = """
+WITH per_part AS (
+  SELECT l_partkey, sum(l_extendedprice * (1 - l_discount)) AS part_value
+  FROM lineitem, supplier, nation
+  WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+    AND n_name = 'NATION_3'
+  GROUP BY l_partkey
+)
+SELECT l_partkey, ROUND(part_value, 6) + 0 AS part_value
+FROM per_part
+WHERE part_value > (SELECT avg(part_value) * 2.0 FROM per_part)
+"""
+
+
+def q12_priority_shipping(spark, sf_dir):
+    """TPC-H Q12 shape (no l_shipmode/l_commitdate → linestatus buckets
+    and shipped-late predicate): per linestatus, how many late lines
+    carried high- vs low-priority orders. Fact-fact join on orderkey +
+    CASE counts; every filter reaches the lineitem scan."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01"))
+    od = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (li.join(od, F.col("l_orderkey") == F.col("o_orderkey"))
+            .filter(F.col("l_shipdate")
+                    > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+            .groupBy("l_linestatus")
+            .agg(F.count(F.when(high, F.lit(1))).alias("high_line_count"),
+                 F.count(F.when(~high, F.lit(1))).alias("low_line_count")))
+
+
+SQL_Q12 = """
+SELECT l_linestatus,
+       count(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 END) AS high_line_count,
+       count(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                  THEN 1 END) AS low_line_count
+FROM lineitem, orders
+WHERE l_orderkey = o_orderkey
+  AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+GROUP BY l_linestatus
+"""
+
+
+def q16_supplier_cnt(spark, sf_dir):
+    """TPC-H Q16 shape: distinct-supplier counts per part attribute
+    combo, minus an excluded supplier set (negative-balance stands in
+    for the complaints comment). The NOT IN becomes a left-anti join;
+    count(distinct) shuffles once on the group keys."""
+    pa = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 14, 23, 45))
+    bad = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0).select("s_suppkey")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (li.join(pa, F.col("l_partkey") == F.col("p_partkey"))
+            .join(bad, F.col("l_suppkey") == F.col("s_suppkey"),
+                  "left_anti")
+            .groupBy("p_brand", "p_type", "p_size")
+            .agg(F.countDistinct("l_suppkey").alias("supplier_cnt")))
+
+
+SQL_Q16 = """
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem, part
+WHERE l_partkey = p_partkey
+  AND p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+  AND p_size IN (1, 14, 23, 45)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                        WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+def q20_part_promotion(spark, sf_dir):
+    """TPC-H Q20 shape (no partsupp → shipped volume stands in for
+    stock): EUROPE suppliers that moved more than 20 units of some
+    red part during 1997. Two nested semi-joins, both derived from
+    grouped aggregates — no correlated re-execution; quantity sums
+    are exact small-integer doubles so the >20 gate is stable."""
+    pa = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").contains("red")).select("p_partkey")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01"))
+    heavy = (li.join(pa, F.col("l_partkey") == F.col("p_partkey"),
+                     "left_semi")
+             .groupBy("l_suppkey", "l_partkey")
+             .agg(F.sum("l_quantity").alias("qty"))
+             .filter(F.col("qty") > 20)
+             .select("l_suppkey").distinct())
+    su = load_table(spark, sf_dir, "supplier")
+    na = load_table(spark, sf_dir, "nation")
+    re_ = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "EUROPE")
+    return (su.join(heavy, F.col("s_suppkey") == F.col("l_suppkey"),
+                    "left_semi")
+            .join(F.broadcast(na),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .join(F.broadcast(re_),
+                  F.col("n_regionkey") == F.col("r_regionkey"))
+            .select("s_name", "s_acctbal"))
+
+
+SQL_Q20 = """
+SELECT s_name, s_acctbal
+FROM supplier, nation, region
+WHERE s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'EUROPE'
+  AND s_suppkey IN (
+    SELECT l_suppkey FROM lineitem
+    WHERE l_partkey IN (SELECT p_partkey FROM part
+                        WHERE p_name LIKE '%red%')
+      AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_suppkey, l_partkey
+    HAVING sum(l_quantity) > 20)
+"""
+
+
+def q21_suppliers_kept_waiting(spark, sf_dir):
+    """TPC-H Q21 shape (late = shipped >60 days after order date):
+    ASIA-region suppliers who were the sole late supplier on a finished
+    multi-supplier order, counted once per order (the classic query
+    counts late lines; the oracle's count(DISTINCT orderkey) pins the
+    per-order semantics). The EXISTS / NOT EXISTS pair over other
+    suppliers' lines collapses into one grouped pass per order
+    (distinct suppliers, distinct late suppliers, the single late
+    supplier) — no self-join re-scan of lineitem."""
+    od = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F")
+    li = load_table(spark, sf_dir, "lineitem")
+    late = F.col("l_shipdate") > (F.col("o_orderdate")
+                                  + F.expr("INTERVAL 60 DAYS"))
+    per_order = (li.join(od, F.col("l_orderkey") == F.col("o_orderkey"))
+                 .groupBy("l_orderkey")
+                 .agg(F.countDistinct("l_suppkey").alias("nsupp"),
+                      F.countDistinct(
+                          F.when(late, F.col("l_suppkey"))).alias("nlate"),
+                      F.max(F.when(late, F.col("l_suppkey")))
+                       .alias("late_supp"))
+                 .filter((F.col("nsupp") >= 2) & (F.col("nlate") == 1)))
+    su = load_table(spark, sf_dir, "supplier")
+    na = load_table(spark, sf_dir, "nation")
+    re_ = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "ASIA")
+    return (per_order
+            .join(su, F.col("late_supp") == F.col("s_suppkey"))
+            .join(F.broadcast(na),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .join(F.broadcast(re_),
+                  F.col("n_regionkey") == F.col("r_regionkey"))
+            .groupBy("s_name")
+            .agg(F.count(F.lit(1)).alias("numwait")))
+
+
+SQL_Q21 = """
+SELECT s_name, count(DISTINCT l1.l_orderkey) AS numwait
+FROM supplier, lineitem l1, orders, nation, region
+WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+  AND o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+GROUP BY s_name
+"""
+
+
 # ----------------------------------------------------------------- registry
 
 SPARK_QUERIES_TPCH: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -486,6 +748,12 @@ SPARK_QUERIES_TPCH: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q15_top_supplier": q15_top_supplier,
     "q17_small_quantity": q17_small_quantity,
     "q22_global_sales_opportunity": q22_global_sales_opportunity,
+    "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q11_important_stock": q11_important_stock,
+    "q12_priority_shipping": q12_priority_shipping,
+    "q16_supplier_cnt": q16_supplier_cnt,
+    "q20_part_promotion": q20_part_promotion,
+    "q21_suppliers_kept_waiting": q21_suppliers_kept_waiting,
 }
 
 ORACLE_SQL_TPCH: dict[str, str] = {
@@ -502,4 +770,10 @@ ORACLE_SQL_TPCH: dict[str, str] = {
     "q15_top_supplier": SQL_Q15,
     "q17_small_quantity": SQL_Q17,
     "q22_global_sales_opportunity": SQL_Q22,
+    "q2_min_cost_supplier": SQL_Q2,
+    "q11_important_stock": SQL_Q11,
+    "q12_priority_shipping": SQL_Q12,
+    "q16_supplier_cnt": SQL_Q16,
+    "q20_part_promotion": SQL_Q20,
+    "q21_suppliers_kept_waiting": SQL_Q21,
 }

@@ -313,3 +313,74 @@ def test_grouped_scale_full_matrix(spark):
                 / (hi - lo)) * 2.0 - 1.0
     np.testing.assert_allclose(got["rsi_scaled"].to_numpy(),
                                want_rsi.to_numpy(), atol=1e-9)
+
+
+def test_doc_chunk_overlap_and_coverage(spark):
+    """Chunks tile the token stream with the configured overlap: chunk
+    i starts at token i*stride, all chunks but the last are full-size,
+    and re-assembling chunk heads reproduces the token stream."""
+    from coinbase_data_pipeline_spark.functions.text import tokens
+    from coinbase_data_pipeline_spark.operators.corpus import doc_chunk
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(50)
+    out = doc_chunk(docs, size=16, stride=10).collect()
+    toks = {r.doc_id: r.toks for r in
+            docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+            .collect()}
+    assert out, "no chunks produced"
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r.chunk_id)
+        stream = toks[doc_id]
+        for r in chunks:
+            start = r.chunk_id * 10
+            expect = stream[start:start + 16]
+            assert r.chunk_text.split(" ") == expect
+            assert r.chunk_tokens == len(expect)
+        # every token is covered: the last chunk reaches the end
+        last = chunks[-1]
+        assert last.chunk_id * 10 + last.chunk_tokens == len(stream)
+        # all but the last chunk are full-size
+        assert all(c.chunk_tokens == 16 for c in chunks[:-1])
+
+
+def test_token_packing_budget_arithmetic(spark):
+    """pack_id/pack_offset follow the running token total per stratum:
+    offset < budget, and consecutive docs advance the stream exactly
+    by their token counts."""
+    from coinbase_data_pipeline_spark.operators.corpus import token_packing
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    rows = (token_packing(docs, budget=128)
+            .orderBy("lang", "doc_id").collect())
+    assert rows
+    running: dict[str, int] = {}
+    for r in rows:
+        before = running.get(r.lang, 0)
+        assert r.pack_id == before // 128
+        assert r.pack_offset == before % 128
+        assert 0 <= r.pack_offset < 128
+        running[r.lang] = before + r.n_tokens
+
+
+def test_stratified_sample_deterministic_and_rated(spark):
+    """The hash gate is reproducible (two runs agree row-for-row) and
+    per-stratum rates order the kept fractions as configured."""
+    from coinbase_data_pipeline_spark.operators.corpus import (
+        stratified_sample)
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    rates = {"en": 0.9, "zh": 0.1}
+    a = stratified_sample(docs, rates, default_rate=0.5).collect()
+    b = stratified_sample(docs, rates, default_rate=0.5).collect()
+    assert sorted(r.doc_id for r in a) == sorted(r.doc_id for r in b)
+    total = {r.lang: c for r, c in
+             [(r, r.cnt) for r in docs.groupBy("lang")
+              .agg(F.count(F.lit(1)).alias("cnt")).collect()]}
+    kept: dict[str, int] = {}
+    for r in a:
+        kept[r.lang] = kept.get(r.lang, 0) + 1
+    frac = {k: kept.get(k, 0) / total[k] for k in total}
+    assert frac["en"] > frac["zh"], frac

@@ -87,10 +87,11 @@ TPCH_QUERIES = [n for n in ALL_QUERIES
 @pytest.mark.parametrize("name", TPCH_QUERIES)
 def test_no_forced_broadcast_of_sf_proportional_tables(spark, name):
     """Broadcast hints are only allowed on fixed-cardinality dims
-    (nation, region) and tightly filtered part slices — customer,
-    supplier, orders and lineitem grow with SF, so a forced broadcast
-    of them OOMs at scale no matter what the local run shows. AQE
-    picks the strategy for those sides at runtime."""
+    (nation, region) — customer, supplier, part, orders and lineitem
+    all grow with SF, so a forced broadcast of them OOMs at scale no
+    matter what the local run shows. Catalyst's size stats still
+    broadcast the small sides at test SF; AQE picks the strategy at
+    runtime when they outgrow the threshold."""
     df = ALL_QUERIES[name](spark, SF)
     analyzed = df._jdf.queryExecution().analyzed().toString()
     hinted = []
@@ -98,7 +99,7 @@ def test_no_forced_broadcast_of_sf_proportional_tables(spark, name):
         m = re.search(r"(\w+)\.parquet", chunk)
         if m:
             hinted.append(m.group(1))
-    assert set(hinted) <= {"nation", "region", "part"}, hinted
+    assert set(hinted) <= {"nation", "region"}, hinted
 
 
 def test_feature_pipeline_single_window_shuffle(spark):
