@@ -23,6 +23,19 @@ from ..functions.text import hash60, minhash_signature, token_set, word_shingles
 from .ann import _dot as _vec_dot
 
 
+def _dense_spread(df: DataFrame, *cols) -> DataFrame:
+    """Repartition a compute-dense, byte-small relation with an
+    EXPLICIT partition count (2 × cluster parallelism). AQE's
+    coalescer is byte-based, and the dedup candidate/verify stages are
+    the opposite shape — tiny rows (bare id pairs) each carrying an
+    O(tokens) array comparison downstream — so byte-targeted
+    coalescing halves the usable cores right where CPU is the
+    bottleneck. An explicit count is exempt from AQE coalescing; 2×
+    parallelism also smooths residual per-bucket skew."""
+    parts = 2 * df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(parts, *cols)
+
+
 def exact_dedup(docs: DataFrame, *, id_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:
     """Exact duplicate grouping on normalized text: per doc, its
@@ -101,7 +114,7 @@ def minhash_lsh_pairs(docs: DataFrame, *, id_col: str = "doc_id",
     # document scan often has far fewer input splits than cores, and
     # everything downstream (banding, bucket join, verify) inherits
     # its parallelism otherwise
-    base = base.repartition(F.col("a_id"))
+    base = _dense_spread(base, F.col("a_id"))
     sig = base.select("a_id", F.col("n"),
                       minhash_signature(F.col("toks"),
                                         k=num_hashes).alias("sig"))
@@ -135,14 +148,13 @@ def minhash_lsh_pairs(docs: DataFrame, *, id_col: str = "doc_id",
                 # drops pairs that could never pass
                 .filter((F.col("na") * t <= F.col("nb"))
                         & (F.col("nb") * t <= F.col("na")))
-                .select("a_id", "b_id")
-                # spread the verify stage: without an exchange here the
-                # whole pipeline inherits the document scan's (few)
-                # input partitions and the O(pairs × tokens) exact
-                # verify runs near-serial. Shuffles only the bare id
-                # pairs, already first-match-deduped — the cheapest
-                # possible redistribution point
-                .repartition(F.col("a_id"), F.col("b_id")))
+                .select("a_id", "b_id"))
+    # spread the verify stage: without an exchange here the whole
+    # pipeline inherits the document scan's (few) input partitions and
+    # the O(pairs × tokens) exact verify runs near-serial. Shuffles
+    # only the bare id pairs, already first-match-deduped — the
+    # cheapest possible redistribution point
+    cand_ids = _dense_spread(cand_ids, F.col("a_id"), F.col("b_id"))
     cand = (cand_ids
             .join(base.select("a_id", F.col("toks").alias("atoks"),
                               F.col("n").alias("na")), "a_id")
@@ -263,7 +275,7 @@ def ngram_jaccard_pairs(docs: DataFrame, *, id_col: str = "doc_id",
     base = base.filter(F.col("n") > 0)
     # parallelize shingling past the scan's input splits (see
     # minhash_lsh_pairs)
-    base = base.repartition(F.col(id_col))
+    base = _dense_spread(base, F.col(id_col))
     bucket = F.length(F.bin(F.col("n").cast("long")))
     # candidate generation over BARE (id, size) rows — token arrays
     # attach after the pair stream is final, exactly as in
@@ -283,10 +295,10 @@ def ngram_jaccard_pairs(docs: DataFrame, *, id_col: str = "doc_id",
                 .filter((F.col("doc_a") < F.col("doc_b"))
                         & (F.col("na") * F.lit(threshold) <= F.col("nb"))
                         & (F.col("nb") * F.lit(threshold) <= F.col("na")))
-                .select("doc_a", "doc_b")
-                # spread the verify stage across the cluster (the
-                # bucket join alone keeps the scan's partitioning)
-                .repartition(F.col("doc_a"), F.col("doc_b")))
+                .select("doc_a", "doc_b"))
+    # spread the verify stage across the cluster (the bucket join
+    # alone keeps the scan's partitioning)
+    cand_ids = _dense_spread(cand_ids, F.col("doc_a"), F.col("doc_b"))
     pairs = (cand_ids
              .join(base.select(F.col(id_col).alias("doc_a"),
                                F.col("toks").alias("atoks"),
@@ -443,6 +455,9 @@ def embedding_neighbor_stats_lsh(emb: DataFrame, *,
                 .filter(F.col("a_id") != F.col("b_id"))
                 .select("a_id", "b_id")
                 .distinct())
+    # the candidate verify (64-dim dot product per pair) is CPU-dense
+    # over byte-small rows — see _dense_spread
+    cand_ids = _dense_spread(cand_ids, F.col("a_id"), F.col("b_id"))
     cand = (cand_ids
             .join(base.select("a_id", F.col("v").alias("av"),
                               F.col("norm").alias("an")), "a_id")
