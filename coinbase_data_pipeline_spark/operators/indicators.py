@@ -239,10 +239,18 @@ def clean_series(df: DataFrame, *, key: str, ts: str,
               .drop("_v", "_vf", "_c_lo", "_c_hi", "_v_lo", "_v_hi"))
 
     ffill = _w(key, ts).rowsBetween(Window.unboundedPreceding, 0)
-    bfill = _w(key, ts).rowsBetween(0, Window.unboundedFollowing)
+    # bfill = "first non-null at or after this row", expressed as a
+    # RUNNING last() over DESCENDING time. The direct frame
+    # [current, unboundedFollowing] hits Spark's
+    # UnboundedFollowingWindowFunctionFrame, which re-aggregates the
+    # whole remaining frame for every row — O(n²) per key (~8 s at
+    # sf0.1); the reversed running frame is incremental O(n). Same
+    # partitionBy, so no extra Exchange — just a second local sort.
+    bfill = (Window.partitionBy(key).orderBy(F.desc(ts))
+             .rowsBetween(Window.unboundedPreceding, 0))
     for c in (close, volume):
         filled = F.coalesce(F.last(c, ignorenulls=True).over(ffill),
-                            F.first(c, ignorenulls=True).over(bfill))
+                            F.last(c, ignorenulls=True).over(bfill))
         tmp = tmp.withColumn(c, filled)
     return tmp
 
