@@ -348,8 +348,16 @@ def connected_components(pairs: DataFrame, *, src: str = "doc_a",
              .union(pairs.select(F.col(dst), F.col(src))))
     # materialize: each round references edges once and the previous
     # labels three times — without truncation the pair-generation
-    # lineage would be re-executed O(3^iterations) times
-    edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    # lineage would be re-executed O(3^iterations) times. Hash-
+    # partition by e_src at cluster parallelism BEFORE persisting:
+    # the per-round groupBy(e_src) then reuses the cached
+    # partitioning (no per-round edge exchange), and the round's
+    # task count is the cluster's, not whatever the upstream pair
+    # pipeline used (its 2×-spread layout doubled per-round
+    # scheduling overhead for zero work).
+    parts = pairs.sparkSession.sparkContext.defaultParallelism
+    edges = (edges.repartition(parts, F.col("e_src"))
+             .persist(StorageLevel.MEMORY_AND_DISK))
     labels = (edges.select(F.col("e_src").alias("id")).distinct()
               .withColumn("label", F.col("id"))
               .localCheckpoint(eager=True))
