@@ -177,3 +177,54 @@ def frame_sample(df: DataFrame, every_n: int = 2, *,
                 rows, columns=[f.name for f in FRAME_SCHEMA])
 
     return df.mapInPandas(_sample, schema=FRAME_SCHEMA)
+
+
+MEDIA_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("payload", BinaryType()),
+])
+
+
+def synthesize_corpus_media(docs: DataFrame, *, id_col: str = "doc_id",
+                            size_col: str = "n_chars") -> DataFrame:
+    """Deterministic fake-media table derived from a document corpus —
+    the distributed twin of the encode_* helpers, so the full
+    binary-column pipeline (encode → opaque payload → mapInPandas
+    decode) can run, and be ORACLE-CHECKED, on the stock testdata:
+    every metadata field is pure integer arithmetic on
+    (doc_id, n_chars), which plain SQL reproduces without touching
+    the bytes.
+
+    kind = doc_id % 3 → image | video | audio;
+    image: w = n_chars%16+1, h = doc_id%16+1, pixel i = (doc_id+i)%256
+    video: frames = doc_id%4+1, w = n_chars%8+1, h = doc_id%8+1
+    audio: rate = 8000 + doc_id%4 * 4000, samples = n_chars%64+1
+    """
+
+    def _synth(batches: Iterator) -> Iterator:
+        import pandas as pd
+        for pdf in batches:
+            rows = []
+            for did, n_chars in zip(pdf[id_col], pdf[size_col]):
+                did, n_chars = int(did), int(n_chars)
+                kind = did % 3
+                if kind == 0:
+                    w, h = n_chars % 16 + 1, did % 16 + 1
+                    px = bytes((did + i) % 256 for i in range(w * h))
+                    payload = encode_image(w, h, px)
+                elif kind == 1:
+                    nf, w, h = did % 4 + 1, n_chars % 8 + 1, did % 8 + 1
+                    frames = [bytes((did + f + i) % 256
+                                    for i in range(w * h))
+                              for f in range(nf)]
+                    payload = encode_video(w, h, frames)
+                else:
+                    rate, ns = 8000 + did % 4 * 4000, n_chars % 64 + 1
+                    payload = encode_audio(
+                        rate, bytes((did + i) % 256 for i in range(ns)))
+                rows.append({"media_id": did, "payload": payload})
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in MEDIA_SCHEMA])
+
+    return docs.select(id_col, size_col).mapInPandas(
+        _synth, schema=MEDIA_SCHEMA)

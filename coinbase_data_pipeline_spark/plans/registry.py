@@ -12,7 +12,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from . import (catalog, catalog_analytics, catalog_corpus, catalog_ext,
-               catalog_stream, catalog_ts, tpch)
+               catalog_multimodal, catalog_stream, catalog_ts, tpch)
 
 _QUERY_PARTS = (
     catalog.SPARK_QUERIES,
@@ -22,6 +22,7 @@ _QUERY_PARTS = (
     catalog_stream.SPARK_QUERIES_STREAM,
     catalog_analytics.SPARK_QUERIES_ANALYTICS,
     catalog_corpus.SPARK_QUERIES_CORPUS,
+    catalog_multimodal.SPARK_QUERIES_MULTIMODAL,
 )
 _ORACLE_PARTS = (
     catalog.ORACLE_SQL,
@@ -31,6 +32,7 @@ _ORACLE_PARTS = (
     catalog_stream.ORACLE_SQL_STREAM,
     catalog_analytics.ORACLE_SQL_ANALYTICS,
     catalog_corpus.ORACLE_SQL_CORPUS,
+    catalog_multimodal.ORACLE_SQL_MULTIMODAL,
 )
 
 _MERGED: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
