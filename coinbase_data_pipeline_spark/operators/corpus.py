@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-from ..functions.text import hash60, tokens
+from ..functions.text import hash60, tokens, word_shingles
 
 
 def doc_chunk(docs: DataFrame, size: int = 64, stride: int = 48,
@@ -124,3 +124,77 @@ def text_normalize(docs: DataFrame, text_col: str = "text",
         id_col,
         norm.alias("norm_text"),
         hash60(norm, "norm").alias("norm_hash"))
+
+
+def decontaminate(corpus: DataFrame, eval_docs: DataFrame, *,
+                  n: int = 5, min_overlap: int = 2,
+                  text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing ≥
+    `min_overlap` distinct word n-grams with an evaluation set — the
+    standard guard against test-set leakage into training data.
+
+    Plan: the eval side collapses to a DISTINCT n-gram set and is
+    BROADCAST (eval suites are fixed-size — thousands of docs — no
+    matter how big the corpus gets); the corpus side explodes its
+    per-doc distinct n-grams, hits the broadcast join map-side, and
+    aggregates per doc — exactly ONE shuffle, keyed by the corpus'
+    own doc key. If an eval set ever outgrows broadcast, swap the
+    join for a bloom-filter pre-pass + shuffle join; the operator
+    shape is unchanged.
+    """
+    ev_grams = (eval_docs
+                .select(F.explode(word_shingles(tokens(F.col(text_col)),
+                                                n)).alias("gram"))
+                .distinct())
+    doc_grams = corpus.select(
+        F.col(id_col),
+        F.explode(word_shingles(tokens(F.col(text_col)), n))
+        .alias("gram"))
+    # per-doc shingles are already distinct (word_shingles), so the
+    # post-join count IS the distinct-overlap count
+    hits = (doc_grams.join(F.broadcast(ev_grams), "gram")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("overlap_ngrams")))
+    return (corpus.select(id_col)
+            .join(hits, id_col, "left")
+            .select(id_col,
+                    F.coalesce("overlap_ngrams", F.lit(0))
+                    .alias("overlap_ngrams"),
+                    (F.coalesce("overlap_ngrams", F.lit(0))
+                     >= min_overlap).alias("is_contaminated")))
+
+
+# scrub patterns shared verbatim by the DuckDB oracle: restricted to
+# the syntax subset Java regex and RE2 agree on (no lookarounds, no
+# \b word boundaries — RE2 supports \b but with different corner
+# semantics around string edges)
+PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PII_PHONE = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+PII_IPV4 = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+
+def pii_scrub(docs: DataFrame, *, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """Redact emails / phone numbers / IPv4 addresses, reporting
+    per-doc match counts and the scrubbed text (+ hash60 fingerprint
+    so oracles can value-check the full redacted content cheaply).
+
+    Pure regexp expressions — JVM-side, no shuffle, no UDF; order is
+    email → phone → ip (the patterns are mutually non-overlapping,
+    order only matters if a future pattern nests inside another).
+    """
+    t = F.col(text_col)
+    n_email = F.regexp_count(t, F.lit(PII_EMAIL))
+    scrubbed = F.regexp_replace(t, PII_EMAIL, "<EMAIL>")
+    n_phone = F.regexp_count(scrubbed, F.lit(PII_PHONE))
+    scrubbed = F.regexp_replace(scrubbed, PII_PHONE, "<PHONE>")
+    n_ip = F.regexp_count(scrubbed, F.lit(PII_IPV4))
+    scrubbed = F.regexp_replace(scrubbed, PII_IPV4, "<IP>")
+    return docs.select(
+        id_col,
+        n_email.cast("int").alias("n_emails"),
+        n_phone.cast("int").alias("n_phones"),
+        n_ip.cast("int").alias("n_ipv4"),
+        scrubbed.alias("text_clean"),
+        hash60(scrubbed, "pii").alias("clean_hash"))

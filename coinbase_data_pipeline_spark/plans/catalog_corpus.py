@@ -158,6 +158,96 @@ GROUP BY lang, source
 """
 
 
+# ---------------------------------------------------------- decontamination
+
+DECON_N, DECON_MIN_OVERLAP, EVAL_MOD = 5, 2, 97
+
+
+def q_decontaminate(spark, sf_dir):
+    """Test-set leakage guard: docs with doc_id % 97 == 0 stand in for
+    the benchmark suite; every corpus doc is scored by distinct shared
+    5-grams against it (eval n-gram set broadcast, one shuffle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % EVAL_MOD == 0)
+    return CP.decontaminate(docs, ev, n=DECON_N,
+                            min_overlap=DECON_MIN_OVERLAP)
+
+
+_SQL_GRAM = (f"list_distinct(list_transform("
+             f"generate_series(1, greatest(len(toks) - {DECON_N - 1}, 0)),"
+             f" i -> array_to_string(toks[i:i+{DECON_N - 1}], ' ')))")
+
+SQL_DECONTAMINATE = f"""
+WITH toked AS (
+  SELECT doc_id, {SQL_TOKS_ALL} AS toks FROM documents
+), grams AS (
+  SELECT doc_id, unnest({_SQL_GRAM}) AS gram FROM toked
+), ev AS (
+  SELECT DISTINCT gram FROM grams WHERE doc_id % {EVAL_MOD} = 0
+), hits AS (
+  SELECT doc_id, count(*) AS overlap_ngrams
+  FROM grams JOIN ev USING (gram) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(h.overlap_ngrams, 0) AS BIGINT) AS overlap_ngrams,
+       coalesce(h.overlap_ngrams, 0) >= {DECON_MIN_OVERLAP}
+         AS is_contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+"""
+
+
+# -------------------------------------------------------------- PII scrub
+
+def q_pii_scrub(spark, sf_dir):
+    """Regex PII redaction. The synthetic corpus carries no PII, so the
+    query plants deterministic markers first (email per doc, phone on
+    doc_id%3==0, IPv4 on doc_id%5==0) — the scrub path, counts and
+    redacted-text fingerprint are then value-checked end to end."""
+    docs = load_table(spark, sf_dir, "documents")
+    salted = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.format_string(" user%d@example.com", F.col("doc_id")),
+            F.when(F.col("doc_id") % 3 == 0,
+                   F.lit(" call 415-555-0123")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 5 == 0,
+                   F.format_string(" host 10.0.0.%d",
+                                   F.col("doc_id") % 255))
+            .otherwise(F.lit(""))))
+    return CP.pii_scrub(salted)
+
+
+def _sql_pii() -> str:
+    from ..operators.corpus import PII_EMAIL, PII_IPV4, PII_PHONE
+    salted = ("text || ' user' || doc_id || '@example.com'"
+              " || CASE WHEN doc_id % 3 = 0 THEN ' call 415-555-0123'"
+              " ELSE '' END"
+              " || CASE WHEN doc_id % 5 = 0"
+              " THEN ' host 10.0.0.' || (doc_id % 255) ELSE '' END")
+    s1 = f"regexp_replace(t, '{PII_EMAIL}', '<EMAIL>', 'g')"
+    s2 = f"regexp_replace({s1}, '{PII_PHONE}', '<PHONE>', 'g')"
+    s3 = f"regexp_replace({s2}, '{PII_IPV4}', '<IP>', 'g')"
+    return f"""
+WITH salted AS (
+  SELECT doc_id, {salted} AS t FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{PII_EMAIL}')) AS INT)
+         AS n_emails,
+       CAST(len(regexp_extract_all({s1}, '{PII_PHONE}')) AS INT)
+         AS n_phones,
+       CAST(len(regexp_extract_all({s2}, '{PII_IPV4}')) AS INT)
+         AS n_ipv4,
+       {s3} AS text_clean,
+       {sql_hash60(s3, "pii")} AS clean_hash
+FROM salted
+"""
+
+
+SQL_PII_SCRUB = _sql_pii()
+
+
 # ----------------------------------------------------------------- registry
 
 SPARK_QUERIES_CORPUS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -166,6 +256,8 @@ SPARK_QUERIES_CORPUS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stratified_sample": q_stratified_sample,
     "text_normalize": q_text_normalize,
     "corpus_stats": q_corpus_stats,
+    "decontaminate": q_decontaminate,
+    "pii_scrub": q_pii_scrub,
 }
 
 ORACLE_SQL_CORPUS: dict[str, str] = {
@@ -174,4 +266,6 @@ ORACLE_SQL_CORPUS: dict[str, str] = {
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "text_normalize": SQL_TEXT_NORMALIZE,
     "corpus_stats": SQL_CORPUS_STATS,
+    "decontaminate": SQL_DECONTAMINATE,
+    "pii_scrub": SQL_PII_SCRUB,
 }
