@@ -61,6 +61,9 @@ HEADLINERS = [
     "model_score",
     "doc_chunk",
     "token_packing",
+    "decontaminate",
+    "pii_scrub",
+    "multimodal_meta",
 ]
 
 
