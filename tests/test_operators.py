@@ -384,3 +384,94 @@ def test_stratified_sample_deterministic_and_rated(spark):
         kept[r.lang] = kept.get(r.lang, 0) + 1
     frac = {k: kept.get(k, 0) / total[k] for k in total}
     assert frac["en"] > frac["zh"], frac
+
+
+def test_decontaminate_eval_and_clean_split(spark):
+    """Eval docs are self-contaminated (they share every n-gram with
+    the eval set); a doc with no 5-token run in common stays clean;
+    a doc shorter than n yields zero grams and stays clean."""
+    from coinbase_data_pipeline_spark.operators.corpus import decontaminate
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),          # eval
+        (2, "alpha beta gamma delta epsilon eta"),           # shares 1 gram
+        (3, "one two three four five six seven"),            # disjoint
+        (4, "tiny doc"),                                     # < n tokens
+        (5, "xx alpha beta gamma delta epsilon zeta yy"),    # shares 3
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    ev = docs.filter(F.col("doc_id") == 1)
+    out = {r.doc_id: r for r in
+           decontaminate(docs, ev, n=5, min_overlap=2).collect()}
+    assert out[1].is_contaminated and out[1].overlap_ngrams == 2
+    assert out[2].overlap_ngrams == 1 and not out[2].is_contaminated
+    assert out[3].overlap_ngrams == 0 and not out[3].is_contaminated
+    assert out[4].overlap_ngrams == 0 and not out[4].is_contaminated
+    assert out[5].is_contaminated and out[5].overlap_ngrams == 2
+
+
+def test_pii_scrub_redacts_counts_and_is_idempotent(spark):
+    """Counts match planted PII, redacted text carries no residual
+    matches (scrubbing twice is a no-op), non-PII text untouched."""
+    from coinbase_data_pipeline_spark.operators.corpus import pii_scrub
+
+    rows = [
+        (1, "mail bob@example.com and sue@test.org now"),
+        (2, "call 415-555-0123 or 650-555-9999"),
+        (3, "host 10.0.0.1 peer 192.168.1.255"),
+        (4, "nothing sensitive here"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in pii_scrub(docs).collect()}
+    assert (out[1].n_emails, out[1].n_phones, out[1].n_ipv4) == (2, 0, 0)
+    assert (out[2].n_emails, out[2].n_phones, out[2].n_ipv4) == (0, 2, 0)
+    assert (out[3].n_emails, out[3].n_phones, out[3].n_ipv4) == (0, 0, 2)
+    assert out[4].text_clean == "nothing sensitive here"
+    assert "<EMAIL>" in out[1].text_clean
+    assert "<PHONE>" in out[2].text_clean
+    assert "<IP>" in out[3].text_clean
+    # idempotence: a second scrub over the redacted text finds nothing
+    again = spark.createDataFrame(
+        [(r.doc_id, r.text_clean) for r in out.values()],
+        ["doc_id", "text"])
+    out2 = pii_scrub(again).collect()
+    assert all(r.n_emails == r.n_phones == r.n_ipv4 == 0 for r in out2)
+
+
+def test_multimodal_synthesize_decode_roundtrip(spark):
+    """The distributed synthesizer and the mapInPandas decoder agree
+    with the pure-Python wire helpers: metadata round-trips, video
+    frame sampling yields ceil(n_frames / 2) standalone images."""
+    import math
+
+    from coinbase_data_pipeline_spark.operators import multimodal as MM
+
+    docs = spark.createDataFrame(
+        [(i, 10 + 7 * i) for i in range(12)], ["doc_id", "n_chars"])
+    media = MM.synthesize_corpus_media(docs)
+    meta = {r.media_id: r for r in MM.decode_metadata(media).collect()}
+    assert len(meta) == 12
+    for i in range(12):
+        r, n_chars = meta[i], 10 + 7 * i
+        kind = ("image", "video", "audio")[i % 3]
+        assert r.kind == kind
+        if kind == "image":
+            assert (r.width, r.height) == (n_chars % 16 + 1, i % 16 + 1)
+            assert r.n_bytes == 12 + r.width * r.height
+        elif kind == "video":
+            assert (r.n_frames, r.width, r.height) == (
+                i % 4 + 1, n_chars % 8 + 1, i % 8 + 1)
+            assert r.n_bytes == 16 + r.n_frames * r.width * r.height
+        else:
+            assert r.sample_rate == 8000 + i % 4 * 4000
+            assert r.n_samples == n_chars % 64 + 1
+            assert r.n_bytes == 12 + r.n_samples
+
+    frames = MM.frame_sample(media, every_n=2).collect()
+    by_vid: dict[int, int] = {}
+    for f in frames:
+        by_vid[f.media_id] = by_vid.get(f.media_id, 0) + 1
+        assert bytes(f.frame)[:4] == b"IMG1"
+    for i in range(12):
+        if i % 3 == 1:
+            assert by_vid[i] == math.ceil((i % 4 + 1) / 2)
