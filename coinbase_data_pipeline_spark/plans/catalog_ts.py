@@ -203,6 +203,50 @@ FROM candles GROUP BY 1, 2
 """.replace("AS hour_start", "AS bucket_start")
 
 
+# ----------------------------------------------------- incremental upsert
+
+LATE_MOD = 23  # every 23rd tick arrives "late", scattered across history
+
+
+def q_candle_upsert(spark, sf_dir):
+    """Continuous-aggregate maintenance: build candle STATE from the
+    on-time ticks (event_id % 23 != 0), then merge the late batch in
+    via :func:`operators.candles.candle_upsert` — only affected
+    buckets re-aggregate. The ORACLE is the full batch recompute over
+    ALL ticks: incremental maintenance must be bit-identical to
+    recomputation, which is the defining correctness property of a
+    continuous aggregate."""
+    t = ticks(spark, sf_dir).drop("ts_nanos")
+    on_time = t.filter(F.col("event_id") % LATE_MOD != 0)
+    late = t.filter(F.col("event_id") % LATE_MOD == 0)
+    state = C.candle_state(on_time, volume="volume")
+    out = C.candle_upsert(state, late, volume="volume")
+    return _round(out, ["open", "high", "low", "close", "volume"])
+
+
+SQL_CANDLE_UPSERT = """
+WITH ticks AS (
+  SELECT event_type AS product_id,
+         ts AS time,
+         value AS price,
+         CAST(json_extract_string(props, '$.k') AS DOUBLE) AS volume,
+         event_id
+  FROM events
+)
+SELECT product_id,
+       time_bucket(INTERVAL '5 minutes', time) AS bucket_start,
+       ROUND(arg_min(price, time), 6) + 0 AS open,
+       ROUND(max(price), 6) + 0 AS high,
+       ROUND(min(price), 6) + 0 AS low,
+       ROUND(arg_max(price, time), 6) + 0 AS close,
+       count(*) AS n_ticks,
+       min(time) AS first_ts,
+       max(time) AS last_ts,
+       ROUND(sum(volume), 6) + 0 AS volume
+FROM ticks GROUP BY 1, 2
+"""
+
+
 # ------------------------------------------------------- horizon evaluation
 
 def q_prediction_horizon_eval(spark, sf_dir):
@@ -605,6 +649,7 @@ SPARK_QUERIES_TS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_k": q_top_k,
     "dedup_exact": q_dedup_exact,
     "candle_rollup": q_candle_rollup,
+    "candle_upsert": q_candle_upsert,
     "prediction_horizon_eval": q_prediction_horizon_eval,
     "scale_fit_transform": q_scale_fit_transform,
     "grouped_scale": q_grouped_scale,
@@ -623,6 +668,7 @@ ORACLE_SQL_TS: dict[str, str] = {
     "top_k": SQL_TOP_K,
     "dedup_exact": SQL_DEDUP_EXACT_EVENTS,
     "candle_rollup": SQL_CANDLE_ROLLUP,
+    "candle_upsert": SQL_CANDLE_UPSERT,
     "prediction_horizon_eval": SQL_PREDICTION_HORIZON_EVAL,
     "scale_fit_transform": SQL_SCALE_FIT_TRANSFORM,
     "grouped_scale": SQL_GROUPED_SCALE,

@@ -475,3 +475,31 @@ def test_multimodal_synthesize_decode_roundtrip(spark):
     for i in range(12):
         if i % 3 == 1:
             assert by_vid[i] == math.ceil((i % 4 + 1) / 2)
+
+
+def test_candle_upsert_empty_batch_is_identity_and_plan_is_incremental(spark):
+    """An empty tick batch leaves state untouched (every row passes
+    through the anti-join), and the upsert plan splits state with
+    broadcast semi/anti joins — it must not re-aggregate untouched
+    buckets."""
+    from coinbase_data_pipeline_spark.operators.candles import (
+        candle_state, candle_upsert)
+    from coinbase_data_pipeline_spark.plans.catalog import ticks
+
+    t = ticks(spark, SF).drop("ts_nanos")
+    state = candle_state(t, volume="volume")
+    empty = t.filter(F.lit(False))
+    out = candle_upsert(state, empty, volume="volume")
+    # AQE propagates the empty broadcast side: the semi join collapses
+    # to an empty relation and the anti join to a pass-through, so the
+    # identity costs one state scan — assert the VALUES round-trip
+    assert out.count() == state.count()
+    a = {tuple(r) for r in state.collect()}
+    b = {tuple(r) for r in out.collect()}
+    assert a == b
+    # with a real batch the split must be broadcast semi/anti joins
+    batch = t.limit(100)
+    plan = (candle_upsert(state, batch, volume="volume")
+            ._jdf.queryExecution().sparkPlan().toString())
+    assert "LeftSemi" in plan and "LeftAnti" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
