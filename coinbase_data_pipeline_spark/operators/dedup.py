@@ -250,22 +250,26 @@ def ngram_jaccard_pairs(docs: DataFrame, *, id_col: str = "doc_id",
     """Exact n-gram-set Jaccard pairs above threshold.
 
     |a∩b|/|a∪b| ≥ t forces |a|/|b| ∈ [t, 1/t], so candidates are
-    LENGTH-BUCKETED: bucket = number of binary digits of the set size
-    (exact integer arithmetic, no float log). With t > 0.5 any
-    size-compatible pair has ratio < 2, hence sits in the same or an
-    adjacent bucket — one side joins at its own bucket, the other
-    explodes to {k-1, k, k+1}, making candidate generation a hash
-    equi-join (never a nested-loop/cartesian plan) that LOSES NO PAIR:
-    the output is bit-identical to the all-pairs formulation, which is
-    why the plain all-pairs SQL stays the oracle. Within-bucket pair
-    counts are bounded by the per-size-octave corpus profile — the
-    property that survives 100 TB. The even-tighter-candidate path for
-    unknown corpora is :func:`minhash_lsh_pairs` (probabilistic bands);
-    this operator is the exact method.
+    LENGTH-BUCKETED on a log scale: bucket = floor(ln(n) / ln(1/t)),
+    i.e. bucket width exactly one allowed size ratio (~10.5% at
+    t=0.9). A qualifying pair's ln-sizes differ by ≤ ln(1/t) = one
+    bucket width, so it lands within one bucket of its partner —
+    the explode spans {k-2 .. k+2} (±2, not ±1: at ratio EXACTLY t,
+    e.g. sizes 90/100 at t=0.9, the scaled difference is 1.0 ± ulp
+    and float jitter can straddle two boundaries). One side joins at
+    its own bucket, the other explodes, making candidate generation a
+    hash equi-join (never a nested-loop/cartesian plan) that LOSES NO
+    PAIR: the output is bit-identical to the all-pairs formulation,
+    which is why the plain all-pairs SQL stays the oracle. Versus
+    power-of-two octaves the candidate space shrinks with the bucket
+    width (~4× fewer joined rows on a log-uniform size profile) —
+    bucketing is Spark-side only, so the tightening never touches
+    oracle semantics. The even-tighter-candidate path for unknown
+    corpora is :func:`minhash_lsh_pairs` (probabilistic bands); this
+    operator is the exact method.
     """
-    if not threshold > 0.5:
-        raise ValueError("threshold must exceed 0.5 for adjacent-bucket"
-                         f" completeness (got {threshold})")
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0, 1), got {threshold}")
     toks = (token_set(text_col) if shingle_n == 1
             else word_shingles(token_set(text_col), shingle_n))
     base = docs.select(F.col(id_col), toks.alias("toks"),
@@ -276,18 +280,21 @@ def ngram_jaccard_pairs(docs: DataFrame, *, id_col: str = "doc_id",
     # parallelize shingling past the scan's input splits (see
     # minhash_lsh_pairs)
     base = _dense_spread(base, F.col(id_col))
-    bucket = F.length(F.bin(F.col("n").cast("long")))
+    import math
+    inv_width = 1.0 / math.log(1.0 / threshold)
+    bucket = F.floor(F.log(F.col("n").cast("double")) * F.lit(inv_width)) \
+              .cast("long")
     # candidate generation over BARE (id, size) rows — token arrays
     # attach after the pair stream is final, exactly as in
-    # minhash_lsh_pairs; homogeneous-length corpora put most docs in
-    # one size octave, so candidates ~ octave², and dragging arrays
-    # through that join is what would hurt
+    # minhash_lsh_pairs; dragging arrays through the bucket join is
+    # what would hurt
     a = base.select(F.col(id_col).alias("doc_a"),
                     F.col("n").alias("na"), bucket.alias("bk"))
     b = (base.select(F.col(id_col).alias("doc_b"),
                      F.col("n").alias("nb"), bucket.alias("_k"))
-         .withColumn("bk", F.explode(F.array(F.col("_k") - 1, F.col("_k"),
-                                             F.col("_k") + 1)))
+         .withColumn("bk", F.explode(F.array(
+             F.col("_k") - 2, F.col("_k") - 1, F.col("_k"),
+             F.col("_k") + 1, F.col("_k") + 2)))
          .drop("_k"))
     # each qualifying pair matches on exactly ONE exploded bucket row,
     # so no post-join dedup is needed
