@@ -86,12 +86,41 @@ SELECT event_id, product_id, ROUND(price, 6) + 0 AS price FROM ticks
 """
 
 
+def q_streaming_late_candles(spark, sf_dir):
+    """Cross-batch LATE-DATA equivalence: on-time ticks stream first
+    (many files → several micro-batches at maxFilesPerTrigger=16),
+    then the late stragglers (event_id % 23 == 0 — the same split the
+    batch candle_upsert query uses) land in strictly later batches,
+    forcing the streaming aggregation to UPDATE windows it already
+    emitted. With no watermark nothing may drop, so the final state
+    must equal the batch recompute over all ticks — the streaming
+    twin of candle_upsert's incremental-equals-batch contract."""
+    replay_dir = os.path.join(_TMP_ROOT, f"late-{uuid.uuid4().hex[:8]}")
+    try:
+        t = ticks(spark, sf_dir)
+        on_time = ticker_wire_json(t.filter(F.col("event_id") % 23 != 0))
+        late = ticker_wire_json(t.filter(F.col("event_id") % 23 == 0))
+        # two writes → later modification times for the late files:
+        # FileStreamSource processes oldest-first, so the stragglers
+        # arrive after every on-time batch
+        on_time.repartition(32).write.mode("overwrite").text(replay_dir)
+        late.coalesce(1).write.mode("append").text(replay_dir)
+        out = run_file_candle_pipeline(spark, replay_dir)
+        return _round(out, ["open", "high", "low", "close"])
+    finally:
+        shutil.rmtree(replay_dir, ignore_errors=True)
+
+
 SPARK_QUERIES_STREAM: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_candles": q_streaming_candles,
     "streaming_dedup": q_streaming_dedup,
+    "streaming_late_candles": q_streaming_late_candles,
 }
 
 ORACLE_SQL_STREAM: dict[str, str] = {
     "streaming_candles": SQL_STREAMING_CANDLES,
     "streaming_dedup": SQL_STREAMING_DEDUP,
+    # same oracle as streaming_candles: late delivery must not change
+    # the final relation
+    "streaming_late_candles": SQL_STREAMING_CANDLES,
 }
