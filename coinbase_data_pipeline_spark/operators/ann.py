@@ -202,3 +202,62 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, *,
             .filter(F.col("query_id") != F.col("nn_id"))
             .dropDuplicates(["query_id", "nn_id"]))
     return _rerank(cand, k)
+
+
+def kmeans_assign(emb: DataFrame, *, k: int = 8, iterations: int = 2,
+                  id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """Deterministic Lloyd k-means: seed centroids are the vectors
+    with the k smallest ids, then `iterations` rounds of
+    assign-to-nearest (squared L2) + recompute means. Returns the
+    final assignment (vec_id, cluster, sq_dist) — the training step
+    that produces :func:`ivf_topk`'s coarse quantizer.
+
+    Every float that crosses an engine boundary is rounded to 6 dp
+    (centroid coordinates and distances), and ties break on the
+    smaller cluster id via lexicographic struct-min — the whole loop
+    is therefore SQL-mirrorable CTE-for-CTE and hash-checked by the
+    catalog oracle, unusual for an iterative ML kernel.
+
+    Scale: centroids are k×dim — always broadcast; each round is one
+    broadcast nested-loop over k (row-local argmin, no shuffle) plus
+    one posexplode groupBy(cluster, pos) mean (one shuffle of
+    k×dim partial sums). Rounds are a fixed small constant (IVF
+    quantizers train on a sample; assignment of the full corpus is
+    the one-pass production step this operator also serves).
+    """
+    v = F.col(vec_col).cast("array<double>")
+    base = emb.select(F.col(id_col), v.alias("v"))
+    cents = (base.orderBy(id_col).limit(k)
+             .select(F.col(id_col).alias("cluster"),
+                     F.col("v").alias("c")))
+    assigned = None
+    for _ in range(iterations):
+        cr = cents.select(
+            "cluster",
+            F.transform("c", lambda x: F.round(x, 6) + F.lit(0.0))
+            .alias("c"))
+        dist = F.aggregate(
+            F.zip_with(F.col("v"), F.col("c"),
+                       lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0), lambda acc, z: acc + z)
+        assigned = (base.crossJoin(F.broadcast(cr))
+                    .select(F.col(id_col), "v",
+                            F.struct((F.round(dist, 6) + F.lit(0.0))
+                                     .alias("d"),
+                                     F.col("cluster")).alias("dc"))
+                    .groupBy(id_col, "v")
+                    .agg(F.min("dc").alias("m"))
+                    .select(F.col(id_col),
+                            F.col("v"),
+                            F.col("m.cluster").alias("cluster"),
+                            F.col("m.d").alias("sq_dist")))
+        cents = (assigned
+                 .select("cluster", F.posexplode("v").alias("pos", "x"))
+                 .groupBy("cluster", "pos")
+                 .agg((F.round(F.avg("x"), 6) + F.lit(0.0)).alias("val"))
+                 .groupBy("cluster")
+                 .agg(F.transform(
+                     F.array_sort(F.collect_list(F.struct("pos", "val"))),
+                     lambda s: s.getField("val")).alias("c")))
+    return assigned.select(id_col, "cluster", "sq_dist")

@@ -478,3 +478,46 @@ def enhance_features(candles: DataFrame, *, key: str = "product_id",
     df = with_momentum(df, key=key, ts=ts)
     df = with_time_features(df, ts=ts)
     return df
+
+
+def max_drawdown(df: DataFrame, *, key: str, ts: str,
+                 price: str = "close") -> DataFrame:
+    """Per-key maximum drawdown: the most negative price/running_peak-1
+    over the series, with the trough timestamp (earliest on ties —
+    lexicographic struct-min keeps it deterministic). One window pass
+    (running max is an incremental frame) + one grouped agg."""
+    runmax = F.max(price).over(
+        _w(key, ts).rowsBetween(Window.unboundedPreceding, 0))
+    dd = (F.round(F.col(price) / runmax - 1.0, 6) + F.lit(0.0))
+    tagged = df.select(F.col(key), F.col(ts),
+                       dd.alias("dd"))
+    m = (tagged.groupBy(key)
+         .agg(F.min(F.struct("dd", ts)).alias("m")))
+    return m.select(key,
+                    F.col("m.dd").alias("max_drawdown"),
+                    F.col(f"m.{ts}").alias("trough_ts"))
+
+
+def rolling_correlation(df: DataFrame, *, key: str, ts: str,
+                        x: str = "close", y: str = "volume",
+                        window: int = 24) -> DataFrame:
+    """Trailing Pearson correlation of two series per key, computed
+    from explicit windowed moments (population form) instead of a
+    corr() window aggregate — full control over the 0-variance and
+    short-frame edges, which engines otherwise disagree on (NaN vs
+    NULL): frames shorter than `window` and zero-variance frames emit
+    NULL on both sides by construction. One window family (all frames
+    share the partition/order), one shuffle."""
+    fr = _rows(key, ts, window)
+    n = F.count(F.lit(1)).over(fr)
+    ex = F.avg(x).over(fr)
+    ey = F.avg(y).over(fr)
+    exy = F.avg(F.col(x) * F.col(y)).over(fr)
+    exx = F.avg(F.col(x) * F.col(x)).over(fr)
+    eyy = F.avg(F.col(y) * F.col(y)).over(fr)
+    vx = exx - ex * ex
+    vy = eyy - ey * ey
+    corr = F.when(
+        (n >= window) & (vx > 0) & (vy > 0),
+        F.round((exy - ex * ey) / F.sqrt(vx * vy), 6) + F.lit(0.0))
+    return df.select(F.col(key), F.col(ts), corr.alias("rolling_corr"))

@@ -727,6 +727,58 @@ def q_model_score(spark, sf_dir):
 
 # ----------------------------------------------------------------- registry
 
+
+# ------------------------------------------------------------------ k-means
+
+KM_K, KM_ITERS = 8, 2
+
+
+def q_kmeans_assign(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ANN.kmeans_assign(emb, k=KM_K, iterations=KM_ITERS)
+
+
+def _sql_kmeans(k: int = KM_K, iterations: int = KM_ITERS) -> str:
+    """CTE-for-CTE mirror of the Lloyd loop: same seed rule, same
+    6 dp rounding of centroid coordinates and distances, same
+    (distance, cluster) tie-break."""
+    d_expr = ("round(list_sum(list_transform(generate_series(1, len(v)),"
+              " i -> (v[i] - c[i]) * (v[i] - c[i]))), 6) + 0")
+    parts = [f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), c0 AS (
+  SELECT vec_id AS cluster,
+         list_transform(v, x -> round(x, 6) + 0) AS c
+  FROM v ORDER BY vec_id LIMIT {k}
+)"""]
+    prev = "c0"
+    for it in range(1, iterations + 1):
+        parts.append(f"""
+, a{it} AS (
+  SELECT vec_id, v, cluster, d FROM (
+    SELECT vec_id, v, cluster, {d_expr} AS d,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY {d_expr}, cluster) AS rn
+    FROM v CROSS JOIN {prev}
+  ) WHERE rn = 1
+), cl{it} AS (
+  SELECT cluster, t.i - 1 AS pos, round(avg(v[t.i]), 6) + 0 AS val
+  FROM a{it}, unnest(generate_series(1, len(v))) AS t(i)
+  GROUP BY 1, 2
+), c{it} AS (
+  SELECT cluster, list(val ORDER BY pos) AS c FROM cl{it} GROUP BY cluster
+)""")
+        prev = f"c{it}"
+    parts.append(f"""
+SELECT vec_id, cluster, d AS sq_dist FROM a{iterations}
+""")
+    return "".join(parts)
+
+
+SQL_KMEANS_ASSIGN = _sql_kmeans()
+
+
 SPARK_QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_join": q_asof_join,
     "naive_forecast": q_naive_forecast,
@@ -744,6 +796,7 @@ SPARK_QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_bruteforce": q_ann_bruteforce,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
+    "kmeans_assign": q_kmeans_assign,
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
     "token_count": q_token_count,
@@ -770,6 +823,7 @@ ORACLE_SQL_EXT: dict[str, str] = {
     "embedding_centroids": SQL_EMBEDDING_CENTROIDS,
     "ann_bruteforce": SQL_ANN_BRUTEFORCE,
     "ann_lsh": _sql_ann_lsh(),
+    "kmeans_assign": SQL_KMEANS_ASSIGN,
     "lang_id": _sql_lang_id(),
     "quality_score": SQL_QUALITY,
     "token_count": SQL_TOKEN_COUNT,

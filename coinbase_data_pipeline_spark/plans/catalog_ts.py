@@ -642,6 +642,67 @@ GROUP BY 1, 2
 
 # ----------------------------------------------------------------- registry
 
+
+# -------------------------------------------------- drawdown / rolling corr
+
+def q_max_drawdown(spark, sf_dir):
+    """Per-product maximum drawdown of the candle close series (most
+    negative close/running_peak - 1) with its trough timestamp."""
+    return I.max_drawdown(candles(spark, sf_dir), key="product_id",
+                          ts="bucket_start")
+
+
+SQL_MAX_DRAWDOWN = SQL_BASE + """
+, dd AS (
+  SELECT product_id, bucket_start,
+         ROUND(close / max(close) OVER (
+             PARTITION BY product_id ORDER BY bucket_start
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - 1.0, 6) + 0 AS dd
+  FROM candles
+)
+SELECT product_id, dd AS max_drawdown, bucket_start AS trough_ts
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY product_id
+                               ORDER BY dd, bucket_start) AS rn
+  FROM dd
+) WHERE rn = 1
+"""
+
+
+ROLL_CORR_W = 24
+
+
+def q_rolling_correlation(spark, sf_dir):
+    """Trailing close/volume Pearson correlation per product —
+    windowed moments, NULL for short or zero-variance frames."""
+    return I.rolling_correlation(candles(spark, sf_dir),
+                                 key="product_id", ts="bucket_start",
+                                 window=ROLL_CORR_W)
+
+
+SQL_ROLLING_CORRELATION = SQL_BASE + f"""
+, m AS (
+  SELECT product_id, bucket_start,
+         count(*) OVER w AS n,
+         avg(close) OVER w AS ex, avg(volume) OVER w AS ey,
+         avg(close * volume) OVER w AS exy,
+         avg(close * close) OVER w AS exx,
+         avg(volume * volume) OVER w AS eyy
+  FROM candles
+  WINDOW w AS (PARTITION BY product_id ORDER BY bucket_start
+               ROWS BETWEEN {ROLL_CORR_W - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT product_id, bucket_start,
+       CASE WHEN n >= {ROLL_CORR_W}
+             AND exx - ex * ex > 0 AND eyy - ey * ey > 0
+            THEN ROUND((exy - ex * ey)
+                       / sqrt((exx - ex * ex) * (eyy - ey * ey)), 6) + 0
+       END AS rolling_corr
+FROM m
+"""
+
+
 SPARK_QUERIES_TS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "candle_parse": q_candle_parse,
     "clean_series": q_clean_series,
@@ -659,6 +720,8 @@ SPARK_QUERIES_TS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vwap": q_vwap,
     "bollinger": q_bollinger,
     "stochastic": q_stochastic,
+    "max_drawdown": q_max_drawdown,
+    "rolling_correlation": q_rolling_correlation,
 }
 
 ORACLE_SQL_TS: dict[str, str] = {
@@ -678,4 +741,6 @@ ORACLE_SQL_TS: dict[str, str] = {
     "vwap": SQL_VWAP,
     "bollinger": SQL_BOLLINGER,
     "stochastic": SQL_STOCHASTIC,
+    "max_drawdown": SQL_MAX_DRAWDOWN,
+    "rolling_correlation": SQL_ROLLING_CORRELATION,
 }
