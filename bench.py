@@ -64,6 +64,10 @@ HEADLINERS = [
     "decontaminate",
     "pii_scrub",
     "multimodal_meta",
+    "candle_upsert",
+    "kmeans_assign",
+    "max_drawdown",
+    "rolling_correlation",
 ]
 
 

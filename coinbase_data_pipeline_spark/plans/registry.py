@@ -71,8 +71,13 @@ _CHECK_FIRST = [
     "q2_min_cost_supplier", "q11_important_stock", "q12_priority_shipping",
     "q16_supplier_cnt", "q20_part_promotion", "q21_suppliers_kept_waiting",
     "doc_chunk", "token_packing",
-    # (first-50 window now full: stratified_sample, text_normalize,
-    #  corpus_stats queue for the round-3 window)
+    # (first-50 window now full. Round-3 window should front, in
+    #  roughly this order: kmeans_assign, candle_upsert, decontaminate,
+    #  pii_scrub, multimodal_meta, multimodal_frames, max_drawdown,
+    #  rolling_correlation, streaming_late_candles, stratified_sample,
+    #  text_normalize, corpus_stats, approx_distinct_users — everything
+    #  added after the r2 window filled, all locally parity-green at
+    #  sf0.001 and sf0.01.)
 ]
 
 ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
