@@ -17,7 +17,7 @@ key skew (AQE skew-join/partition split handles hot keys).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def candle_resample(ticks: DataFrame, *, key: str = "product_id",
@@ -264,3 +264,35 @@ def candle_upsert(state: DataFrame, new_ticks: DataFrame, *,
         aggs.append(F.sum("volume").alias("volume"))
     merged = touched.unionByName(delta).groupBy(*on).agg(*aggs)
     return untouched.unionByName(merged)
+
+
+def candle_grid_fill(c: DataFrame, *, key: str = "product_id",
+                     ts: str = "bucket_start",
+                     freq: str = "5 minutes") -> DataFrame:
+    """Dense-grid completion: pandas-``resample`` semantics for missing
+    buckets (the reference's data_loader resamples to a fixed
+    frequency, which CREATES rows for silent gaps: OHLC NaN → ffill,
+    volume sum-of-empty → 0). Per key, every `freq` bucket between its
+    first and last observed candle exists in the output; gap rows get
+    volume 0 / n_ticks 0, OHLC forward-filled per column, and an
+    is_gap flag.
+
+    Scale: the grid explodes from one (t0, t1) row per key — narrow,
+    no shuffle; the left join and the ffill window share the key
+    partitioning, so the whole completion is one shuffle + one sort.
+    """
+    span = c.groupBy(key).agg(F.min(ts).alias("_t0"),
+                              F.max(ts).alias("_t1"))
+    grid = span.select(
+        F.col(key),
+        F.explode(F.sequence("_t0", "_t1",
+                             F.expr(f"INTERVAL {freq}"))).alias(ts))
+    joined = grid.join(c, [key, ts], "left")
+    w = (Window.partitionBy(key).orderBy(ts)
+         .rowsBetween(Window.unboundedPreceding, 0))
+    out = joined.withColumn("is_gap", F.col("n_ticks").isNull())
+    for col in ("open", "high", "low", "close"):
+        out = out.withColumn(col, F.last(col, ignorenulls=True).over(w))
+    return (out
+            .withColumn("volume", F.coalesce("volume", F.lit(0.0)))
+            .withColumn("n_ticks", F.coalesce("n_ticks", F.lit(0))))

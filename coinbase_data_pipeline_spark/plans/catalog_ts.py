@@ -6,7 +6,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..operators import candles as C
 from ..operators import indicators as I
@@ -703,6 +703,77 @@ FROM m
 """
 
 
+# ---------------------------------------------------- grid fill / xs rank
+
+def q_candle_grid_fill(spark, sf_dir):
+    """Dense 5-minute grid per product (pandas-resample semantics for
+    missing buckets: OHLC ffill, volume 0, is_gap flag)."""
+    out = C.candle_grid_fill(candles(spark, sf_dir))
+    return _round(out, ["open", "high", "low", "close", "volume"])
+
+
+SQL_CANDLE_GRID_FILL = SQL_BASE + """
+, span AS (
+  SELECT product_id, min(bucket_start) AS t0, max(bucket_start) AS t1
+  FROM candles GROUP BY product_id
+), grid AS (
+  SELECT product_id,
+         unnest(generate_series(t0, t1, INTERVAL 5 MINUTE))
+           AS bucket_start
+  FROM span
+), joined AS (
+  SELECT g.product_id, g.bucket_start,
+         c.open, c.high, c.low, c.close, c.volume, c.n_ticks,
+         c.n_ticks IS NULL AS is_gap
+  FROM grid g LEFT JOIN candles c
+    ON g.product_id = c.product_id AND g.bucket_start = c.bucket_start
+)
+SELECT product_id, bucket_start,
+       ROUND(last_value(open IGNORE NULLS) OVER w, 6) + 0 AS open,
+       ROUND(last_value(high IGNORE NULLS) OVER w, 6) + 0 AS high,
+       ROUND(last_value(low IGNORE NULLS) OVER w, 6) + 0 AS low,
+       ROUND(last_value(close IGNORE NULLS) OVER w, 6) + 0 AS close,
+       ROUND(coalesce(volume, 0.0), 6) + 0 AS volume,
+       coalesce(n_ticks, 0) AS n_ticks,
+       is_gap
+FROM joined
+WINDOW w AS (PARTITION BY product_id ORDER BY bucket_start
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_cross_sectional_rank(spark, sf_dir):
+    """Cross-sectional momentum rank: per bucket, products ordered by
+    their one-bucket log return — the time-partitioned window axis
+    (rank ACROSS keys at each instant), complementing the per-key
+    series windows everywhere else. First-bucket rows (no return)
+    are excluded on both engines."""
+    c = candles(spark, sf_dir)
+    wk = Window.partitionBy("product_id").orderBy("bucket_start")
+    ret = F.round(F.log(F.col("close") / F.lag("close").over(wk)), 6)            + F.lit(0.0)
+    t = c.select("product_id", "bucket_start", ret.alias("ret"))          .filter(F.col("ret").isNotNull())
+    wt = Window.partitionBy("bucket_start").orderBy(
+        F.desc("ret"), F.col("product_id"))
+    return t.withColumn("xs_rank",
+                        F.row_number().over(wt).cast("int"))
+
+
+SQL_CROSS_SECTIONAL_RANK = SQL_BASE + """
+, rets AS (
+  SELECT product_id, bucket_start,
+         ROUND(ln(close / lag(close) OVER (
+             PARTITION BY product_id ORDER BY bucket_start)), 6) + 0
+           AS ret
+  FROM candles
+)
+SELECT product_id, bucket_start, ret,
+       CAST(row_number() OVER (PARTITION BY bucket_start
+                               ORDER BY ret DESC, product_id) AS INT)
+         AS xs_rank
+FROM rets WHERE ret IS NOT NULL
+"""
+
+
 SPARK_QUERIES_TS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "candle_parse": q_candle_parse,
     "clean_series": q_clean_series,
@@ -722,6 +793,8 @@ SPARK_QUERIES_TS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stochastic": q_stochastic,
     "max_drawdown": q_max_drawdown,
     "rolling_correlation": q_rolling_correlation,
+    "candle_grid_fill": q_candle_grid_fill,
+    "cross_sectional_rank": q_cross_sectional_rank,
 }
 
 ORACLE_SQL_TS: dict[str, str] = {
@@ -743,4 +816,6 @@ ORACLE_SQL_TS: dict[str, str] = {
     "stochastic": SQL_STOCHASTIC,
     "max_drawdown": SQL_MAX_DRAWDOWN,
     "rolling_correlation": SQL_ROLLING_CORRELATION,
+    "candle_grid_fill": SQL_CANDLE_GRID_FILL,
+    "cross_sectional_rank": SQL_CROSS_SECTIONAL_RANK,
 }
