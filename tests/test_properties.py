@@ -134,3 +134,35 @@ def test_minmax_scale_bounds(spark, vals):
     assert all(-1.0 - 1e-9 <= v <= 1.0 + 1e-9 for v in out)
     if max(vals) > min(vals):
         assert math.isclose(min(out), -1.0) and math.isclose(max(out), 1.0)
+
+
+@given(rows=ROWS, split=st.integers(min_value=0, max_value=99))
+@settings(**SETTINGS)
+def test_candle_upsert_equals_batch_for_any_split(spark, rows, split):
+    """Incremental maintenance == full recompute for EVERY way of
+    splitting the tick stream into an on-time batch and a late batch
+    (including empty batches on either side). Ties on ts are excluded
+    — open/close are defined by distinct timestamps, matching the
+    engines' arg_min/arg_max contract."""
+    from pyspark.sql import functions as F
+    from coinbase_data_pipeline_spark.operators.candles import (
+        candle_resample, candle_state, candle_upsert)
+
+    # one tick per (key, ts): drop ts duplicates within a key
+    dedup = {(k, t): p for k, t, p in rows}
+    data = [(k, t, float(p), i) for i, ((k, t), p)
+            in enumerate(sorted(dedup.items()))]
+    df = spark.createDataFrame(
+        data, "product_id string, t long, price double, rid long") \
+        .withColumn("time", F.timestamp_seconds(F.col("t") * 60))
+    on_time = df.filter(F.col("rid") % 100 >= split)
+    late = df.filter(F.col("rid") % 100 < split)
+
+    state = candle_state(on_time)
+    merged = candle_upsert(state, late)
+    full = candle_state(df)
+
+    def keyset(d):
+        return {tuple(r) for r in d.collect()}
+
+    assert keyset(merged) == keyset(full)
