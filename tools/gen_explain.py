@@ -20,6 +20,16 @@ PICKS = [
     ("dedup_minhash_lsh", "banded candidates, no cartesian product"),
     ("ann_lsh", "band-bucket join then re-rank"),
     ("asof_join", "as-of via key-partitioned ordered window"),
+    ("candle_upsert",
+     "incremental merge: broadcast semi/anti split, batch-sized work"),
+    ("dedup_ngram_jaccard",
+     "log-size-bucket equi-join candidates, exact verify after"),
+    ("decontaminate",
+     "broadcast eval n-gram set, one shuffle on the corpus key"),
+    ("kmeans_assign",
+     "broadcast centroids per round, argmin row-local"),
+    ("candle_grid_fill",
+     "grid exploded from per-key span, completion shares key shuffle"),
 ]
 
 
