@@ -1,0 +1,90 @@
+#!/usr/bin/env python3
+"""Scaling-curve probe: rerun the heaviest operators on corpus
+multiples (documents unioned with id-shifted copies — duplicates the
+near-dup cliques, so candidate structure scales realistically) and
+report wall time vs input size. Near-linear growth is the evidence
+that candidate generation stays bucketed — an all-pairs plan would
+show quadratic blow-up between 1x and 4x.
+
+Writes SCALING.md. Run: PYTHONPATH=. python tools/scale_probe.py
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import functions as F
+
+from coinbase_data_pipeline_spark.operators import dedup as DD
+from coinbase_data_pipeline_spark.session import get_spark
+from coinbase_data_pipeline_spark.sources.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.1"
+MULTIPLES = (1, 2, 4)
+
+
+def corpus_times(spark, mult: int) -> dict[str, float]:
+    docs = load_table(spark, SF_DIR, "documents")
+    n = docs.count()
+    parts = [docs]
+    for i in range(1, mult):
+        parts.append(docs.select(
+            (F.col("doc_id") + i * n).alias("doc_id"),
+            # perturb the copy so it dedups against itself but not
+            # trivially against every other copy (suffix token)
+            F.concat("text", F.lit(f" copymark{i}")).alias("text"),
+            "lang", "source", "n_chars"))
+    corpus = parts[0]
+    for p in parts[1:]:
+        corpus = corpus.unionByName(p)
+    corpus = corpus.localCheckpoint(eager=True)
+
+    out: dict[str, float] = {}
+    for name, fn in [
+        ("dedup_minhash_lsh", lambda: DD.minhash_lsh_pairs(corpus)),
+        ("dedup_ngram_jaccard", lambda: DD.ngram_jaccard_pairs(corpus)),
+        ("dedup_simhash_pairs", lambda: DD.simhash_pairs(corpus)),
+        ("dedup_components",
+         lambda: DD.connected_components(DD.minhash_lsh_pairs(corpus))),
+    ]:
+        t0 = time.time()
+        df = fn()
+        rows = df.count()
+        out[name] = (round(time.time() - t0, 2), rows)
+    return out
+
+
+def main() -> None:
+    spark = get_spark("scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    results = {m: corpus_times(spark, m) for m in MULTIPLES}
+    names = list(results[MULTIPLES[0]])
+    lines = [
+        "# SCALING — dedup-family wall time vs corpus size",
+        "",
+        f"Base corpus: sf0.1 documents; multiples built by unioning",
+        "id-shifted, token-perturbed copies (near-dup clique structure",
+        "scales with the corpus). local[32]; times include the count",
+        "action. Near-linear growth 1x->4x is the bucketed-candidates",
+        "evidence; an all-pairs plan would grow ~quadratically.",
+        "Regenerate: `PYTHONPATH=. python tools/scale_probe.py`.",
+        "",
+        "| operator | " + " | ".join(f"{m}x sec (rows)" for m in MULTIPLES)
+        + " | 4x/1x |",
+        "|---|" + "---|" * (len(MULTIPLES) + 1),
+    ]
+    for name in names:
+        cells = []
+        for m in MULTIPLES:
+            t, rows = results[m][name]
+            cells.append(f"{t:.1f} ({rows:,})")
+        ratio = results[MULTIPLES[-1]][name][0] / results[MULTIPLES[0]][name][0]
+        lines.append(f"| {name} | " + " | ".join(cells)
+                     + f" | {ratio:.1f}x |")
+    with open("SCALING.md", "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print("\n".join(lines))
+
+
+if __name__ == "__main__":
+    main()
