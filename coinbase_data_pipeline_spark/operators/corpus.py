@@ -198,3 +198,41 @@ def pii_scrub(docs: DataFrame, *, text_col: str = "text",
         n_ip.cast("int").alias("n_ipv4"),
         scrubbed.alias("text_clean"),
         hash60(scrubbed, "pii").alias("clean_hash"))
+
+
+def mixture_resample(docs: DataFrame, weights: dict[str, float], *,
+                     stratum_col: str = "lang", id_col: str = "doc_id",
+                     seed: str = "mix") -> DataFrame:
+    """Reweight a corpus toward a target domain MIXTURE by
+    subsample-only acceptance (the DoReMi-style static-mixture
+    application step): per domain d with observed count n_d and target
+    weight w_d, the acceptance rate is (w_d / n_d) scaled so the most
+    over-demanded domain keeps everything — no domain is upsampled, so
+    the output is a pure deterministic subset.
+
+    Acceptance reuses the hash-gate contract of
+    :func:`stratified_sample` (pure function of the doc id —
+    reproducible across retries/executors/engines); rates derive from
+    a one-row-per-domain count aggregate broadcast back, so the whole
+    operator is one tiny stats shuffle + a map-side filter. Domains
+    absent from `weights` are dropped (weight 0).
+    """
+    counts = (docs.filter(F.col(stratum_col).isin(list(weights)))
+              .groupBy(stratum_col)
+              .agg(F.count(F.lit(1)).alias("_n")))
+    wcol = None
+    for k, v in sorted(weights.items()):
+        branch = (wcol.when if wcol is not None else F.when)(
+            F.col(stratum_col) == k, F.lit(float(v)))
+        wcol = branch
+    demand = wcol.otherwise(F.lit(0.0)) / F.col("_n")
+    rates = counts.select(stratum_col, demand.alias("_demand"))
+    max_d = rates.agg(F.max("_demand").alias("_dmax"))
+    rates = (rates.crossJoin(F.broadcast(max_d))
+             .select(stratum_col,
+                     F.floor(F.col("_demand") / F.col("_dmax")
+                             * F.lit(1000000.0)).alias("_thresh")))
+    gate = hash60(F.col(id_col).cast("string"), seed) % 1000000
+    return (docs.join(F.broadcast(rates), stratum_col)
+            .filter(gate < F.col("_thresh"))
+            .drop("_thresh"))

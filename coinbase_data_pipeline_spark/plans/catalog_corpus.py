@@ -248,6 +248,42 @@ FROM salted
 SQL_PII_SCRUB = _sql_pii()
 
 
+# ------------------------------------------------------------ mixture resample
+
+MIX_WEIGHTS = {"en": 0.3, "de": 0.25, "fr": 0.25, "es": 0.2}
+
+
+def q_mixture_resample(spark, sf_dir):
+    """Static target-mixture application: en is overrepresented in the
+    corpus, so it subsamples hardest; the scarcest-per-weight domain
+    keeps everything; zh (weight 0) is dropped."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = CP.mixture_resample(docs, MIX_WEIGHTS)
+    return out.select("doc_id", "text", "lang", "source", "n_chars")
+
+
+_W_CASE = " ".join(f"WHEN '{k}' THEN {v!r}"
+                   for k, v in sorted(MIX_WEIGHTS.items()))
+_W_IN = ", ".join(f"'{k}'" for k in sorted(MIX_WEIGHTS))
+
+SQL_MIXTURE_RESAMPLE = f"""
+WITH counts AS (
+  SELECT lang, count(*) AS n FROM documents
+  WHERE lang IN ({_W_IN}) GROUP BY lang
+), rates AS (
+  SELECT lang, (CASE lang {_W_CASE} END) / n AS demand FROM counts
+), thr AS (
+  SELECT lang,
+         CAST(floor(demand / (SELECT max(demand) FROM rates)
+                    * 1000000.0) AS BIGINT) AS thresh
+  FROM rates
+)
+SELECT doc_id, text, lang, source, n_chars
+FROM documents JOIN thr USING (lang)
+WHERE {sql_hash60("CAST(doc_id AS VARCHAR)", "mix")} % 1000000 < thresh
+"""
+
+
 # ----------------------------------------------------------------- registry
 
 SPARK_QUERIES_CORPUS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -258,6 +294,7 @@ SPARK_QUERIES_CORPUS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_stats": q_corpus_stats,
     "decontaminate": q_decontaminate,
     "pii_scrub": q_pii_scrub,
+    "mixture_resample": q_mixture_resample,
 }
 
 ORACLE_SQL_CORPUS: dict[str, str] = {
@@ -268,4 +305,5 @@ ORACLE_SQL_CORPUS: dict[str, str] = {
     "corpus_stats": SQL_CORPUS_STATS,
     "decontaminate": SQL_DECONTAMINATE,
     "pii_scrub": SQL_PII_SCRUB,
+    "mixture_resample": SQL_MIXTURE_RESAMPLE,
 }
