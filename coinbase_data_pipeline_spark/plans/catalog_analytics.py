@@ -317,6 +317,50 @@ SELECT (SELECT count(*) FROM v) AS step_view,
 
 # ----------------------------------------------------------------- registry
 
+# ------------------------------------------------------------- histogram
+
+HIST_BINS = 20
+
+
+def q_value_histogram(spark, sf_dir):
+    """Data-profiling histogram: per event_type, 20 equal-width bins
+    over `value` (bounds = the key's own min/max, broadcast back from
+    a one-row-per-key aggregate; top edge folded into the last bin).
+    Shared explicit bin arithmetic — both engines compute
+    least(floor((v - lo)/(hi - lo) * bins), bins - 1) in IEEE double,
+    so the oracle is exact. One stats shuffle + one grouped count."""
+    ev = load_table(spark, sf_dir, "events")
+    stats = (ev.groupBy("event_type")
+             .agg(F.min("value").alias("_lo"), F.max("value").alias("_hi"))
+             .filter(F.col("_hi") > F.col("_lo")))
+    binc = F.least(
+        F.floor((F.col("value") - F.col("_lo"))
+                / (F.col("_hi") - F.col("_lo")) * HIST_BINS),
+        F.lit(HIST_BINS - 1)).cast("int")
+    return (ev.join(F.broadcast(stats), "event_type")
+            .withColumn("bin", binc)
+            .groupBy("event_type", "bin")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 (F.round(F.min("value"), 6) + F.lit(0.0)).alias("bin_min"),
+                 (F.round(F.max("value"), 6) + F.lit(0.0)).alias("bin_max")))
+
+
+SQL_VALUE_HISTOGRAM = f"""
+WITH stats AS (
+  SELECT event_type, min(value) AS lo, max(value) AS hi
+  FROM events GROUP BY event_type HAVING max(value) > min(value)
+)
+SELECT event_type,
+       CAST(least(floor((value - lo) / (hi - lo) * {HIST_BINS}),
+                  {HIST_BINS - 1}) AS INT) AS bin,
+       count(*) AS n,
+       ROUND(min(value), 6) + 0 AS bin_min,
+       ROUND(max(value), 6) + 0 AS bin_max
+FROM events JOIN stats USING (event_type)
+GROUP BY 1, 2
+"""
+
+
 SPARK_QUERIES_ANALYTICS: dict[
         str, Callable[[SparkSession, str], DataFrame]] = {
     "sessionize": q_sessionize,
@@ -330,6 +374,7 @@ SPARK_QUERIES_ANALYTICS: dict[
     "volume_rollup": q_volume_rollup,
     "funnel": q_funnel,
     "tfidf_top_terms": q_tfidf_top_terms,
+    "value_histogram": q_value_histogram,
 }
 
 ORACLE_SQL_ANALYTICS: dict[str, str] = {
@@ -344,4 +389,5 @@ ORACLE_SQL_ANALYTICS: dict[str, str] = {
     "volume_rollup": SQL_VOLUME_ROLLUP,
     "funnel": SQL_FUNNEL,
     "tfidf_top_terms": SQL_TFIDF,
+    "value_histogram": SQL_VALUE_HISTOGRAM,
 }

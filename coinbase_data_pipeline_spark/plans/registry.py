@@ -75,7 +75,8 @@ _CHECK_FIRST = [
     #  roughly this order: kmeans_assign, candle_upsert, decontaminate,
     #  pii_scrub, multimodal_meta, multimodal_frames, max_drawdown,
     #  rolling_correlation, streaming_late_candles, candle_grid_fill,
-    #  cross_sectional_rank, mixture_resample, stratified_sample,
+    #  cross_sectional_rank, mixture_resample, value_histogram,
+    #  stratified_sample,
     #  text_normalize, corpus_stats, approx_distinct_users — everything
     #  added after the r2 window filled, all locally parity-green at
     #  sf0.001 and sf0.01.)
