@@ -27,9 +27,14 @@ def sessionize(events: DataFrame, *, user: str = "user_id",
     prev = F.lag(ts).over(w)
     # fractional-second gap (timestamp→double keeps microseconds);
     # unix_timestamp would truncate and mis-split gaps within 1s of
-    # the threshold
+    # the threshold. The hop through "timestamp" makes the cast legal
+    # for TIMESTAMP_NTZ inputs too (NTZ→double is disallowed; with a
+    # UTC session the hop is value-identical and a no-op for LTZ).
+    def _epoch(c):
+        return c.cast("timestamp").cast("double")
+
     is_new = (prev.isNull()
-              | ((F.col(ts).cast("double") - prev.cast("double"))
+              | ((_epoch(F.col(ts)) - _epoch(prev))
                  > gap_s)).cast("long")
     numbered = (events
                 .withColumn("_new", is_new)

@@ -503,15 +503,17 @@ GROUP BY l_returnflag, l_linestatus
 
 
 def q3_shipping_priority(spark, sf_dir):
-    """TPC-H Q3 shape: selective dim filters + fact join; customer is
-    broadcast (small side), lineitem↔orders shuffle-joins on orderkey."""
+    """TPC-H Q3 shape: selective dim filters + fact join. Customer is
+    SF-proportional, so it is NOT hint-broadcast — Catalyst's size
+    stats broadcast it while it fits and AQE re-plans when it doesn't;
+    lineitem↔orders shuffle-joins on orderkey."""
     cu = load_table(spark, sf_dir, "customer")
     od = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     out = (li.filter(F.col("l_shipdate") > "1997-03-15")
            .join(od.filter(F.col("o_orderdate") < "1997-03-15"),
                  F.col("l_orderkey") == F.col("o_orderkey"))
-           .join(F.broadcast(cu.filter(F.col("c_mktsegment") == "BUILDING")),
+           .join(cu.filter(F.col("c_mktsegment") == "BUILDING"),
                  F.col("o_custkey") == F.col("c_custkey"))
            .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
            .agg(F.round(F.sum(F.col("l_extendedprice")
@@ -533,7 +535,9 @@ GROUP BY l_orderkey, o_orderdate, o_orderpriority
 
 
 def q5_local_supplier(spark, sf_dir):
-    """TPC-H Q5 shape: multi-way join, all dims broadcast."""
+    """TPC-H Q5 shape: multi-way join. Only the fixed-cardinality dims
+    (nation, region) carry broadcast hints; customer and supplier grow
+    with SF, so their join strategy is left to size stats + AQE."""
     re = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     na = load_table(spark, sf_dir, "nation")
     cu = load_table(spark, sf_dir, "customer")
@@ -544,8 +548,8 @@ def q5_local_supplier(spark, sf_dir):
            .join(od.filter((F.col("o_orderdate") >= "1996-01-01")
                            & (F.col("o_orderdate") < "1997-01-01")),
                  F.col("l_orderkey") == F.col("o_orderkey"))
-           .join(F.broadcast(su), F.col("l_suppkey") == F.col("s_suppkey"))
-           .join(F.broadcast(cu),
+           .join(su, F.col("l_suppkey") == F.col("s_suppkey"))
+           .join(cu,
                  (F.col("o_custkey") == F.col("c_custkey"))
                  & (F.col("c_nationkey") == F.col("s_nationkey")))
            .join(F.broadcast(na), F.col("s_nationkey") == F.col("n_nationkey"))

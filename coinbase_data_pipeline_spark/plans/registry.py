@@ -48,38 +48,25 @@ for _part in _QUERY_PARTS:
 # fresh row) are listed here so they land inside that window; round-1
 # green rows for the rest stay on record in CORRECTNESS_r01.json.
 _CHECK_FIRST = [
-    # never driver-checked in round 1
-    "candle_gaps", "retention_cohorts", "vwap", "bollinger", "stochastic",
-    "q4_order_priority", "q6_forecast_revenue", "q7_volume_shipping",
-    "q10_returned_items", "q14_promo_effect", "q18_large_orders",
-    "q19_discounted_revenue", "q8_market_share", "q9_product_profit",
-    "q13_customer_distribution", "q15_top_supplier", "q17_small_quantity",
-    "q22_global_sales_opportunity", "streaming_candles", "sessionize",
-    # approx_distinct_users is rows-only (weakest driver signal) —
-    # deferred behind the oracle-paired queries
-    "daily_active_users", "price_quantiles",
-    "ngram_doc_frequency", "candle_resample_salted", "range_join",
-    "event_type_pivot", "volume_rollup", "funnel", "tfidf_top_terms",
-    # red in round 1 (oracle type fix) — needs a fresh row
-    "candle_rollup",
-    # implementation changed in round 2 — needs a fresh row
-    "dedup_embedding", "dedup_ngram_jaccard", "dedup_components",
-    "dedup_minhash_lsh", "dedup_simhash_pairs", "clean_series",
-    # new in round 2
-    "grouped_scale", "model_score", "repetition_score", "dedup_keep",
-    "streaming_dedup", "corpus_curation",
-    "q2_min_cost_supplier", "q11_important_stock", "q12_priority_shipping",
-    "q16_supplier_cnt", "q20_part_promotion", "q21_suppliers_kept_waiting",
-    "doc_chunk", "token_packing",
-    # (first-50 window now full. Round-3 window should front, in
-    #  roughly this order: kmeans_assign, candle_upsert, decontaminate,
-    #  pii_scrub, multimodal_meta, multimodal_frames, max_drawdown,
-    #  rolling_correlation, streaming_late_candles, candle_grid_fill,
-    #  cross_sectional_rank, mixture_resample, value_histogram,
-    #  stratified_sample,
-    #  text_normalize, corpus_stats, approx_distinct_users — everything
-    #  added after the r2 window filled, all locally parity-green at
-    #  sf0.001 and sf0.01.)
+    # red in round 2 — oracle HUGEINT→BIGINT cast fixed, fresh rows
+    "sessionize", "range_join",
+    # oracle-paired but never driver-checked in rounds 1-2
+    "kmeans_assign", "candle_upsert", "decontaminate", "pii_scrub",
+    "multimodal_meta", "multimodal_frames", "max_drawdown",
+    "rolling_correlation", "streaming_late_candles", "candle_grid_fill",
+    "cross_sectional_rank", "mixture_resample", "value_histogram",
+    "stratified_sample", "text_normalize", "corpus_stats",
+    # implementation changed in round 3 — need fresh rows
+    # (q3/q5: forced customer/supplier broadcasts dropped;
+    #  dedup_embedding: distinct() → first-matching-band emission;
+    #  token_packing: salted stratum window)
+    "q3_shipping_priority", "q5_local_supplier",
+    "dedup_embedding", "token_packing",
+    # new in round 3 (each has an oracle) — appended as implemented
+    # Rows-only queries (model_score, approx_distinct_users, the EWM
+    # family) stay OUT of this window: they return `err: no_oracle`
+    # and waste a slot. Green rows for everything else are already on
+    # record in CORRECTNESS_r01/r02.
 ]
 
 ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

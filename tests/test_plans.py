@@ -83,6 +83,53 @@ def test_no_cartesian_products(spark, name):
 TPCH_QUERIES = [n for n in ALL_QUERIES
                 if re.match(r"q\d+_", n)]
 
+# Analyzed plans print relations as `Relation [cols...] parquet` — no
+# file name — so hinted tables are recognized by their key column.
+_TABLE_SIG = {
+    "c_custkey": "customer", "s_suppkey": "supplier",
+    "ps_partkey": "partsupp", "p_partkey": "part",
+    "o_orderkey": "orders", "l_orderkey": "lineitem",
+    "n_nationkey": "nation", "r_regionkey": "region",
+}
+
+
+def _hinted_tables(analyzed: str) -> list[str]:
+    """Tables under a ResolvedHint in an analyzed plan string.
+
+    The hint node prints immediately above its child subtree, so the
+    first `Relation` line after each `ResolvedHint` is the hinted scan
+    (filters/projects in between don't print Relation lines)."""
+    hinted = []
+    for chunk in analyzed.split("ResolvedHint")[1:]:
+        lines = chunk.splitlines()
+        # A hint whose child is a GLOBAL aggregate (one bracket list:
+        # `Aggregate [aggs]`, vs grouped `Aggregate [keys], [aggs]`)
+        # broadcasts one row — the legitimate broadcast-scalar
+        # pattern, size-independent of the scanned table.
+        child = lines[1] if len(lines) > 1 else ""
+        if "Aggregate [" in child and "], [" not in child:
+            hinted.append("<scalar-agg>")
+            continue
+        rel = next((ln for ln in lines if "Relation" in ln), "")
+        for sig, table in _TABLE_SIG.items():
+            if sig in rel:
+                hinted.append(table)
+                break
+    return hinted
+
+
+def test_hint_extraction_is_not_vacuous(spark):
+    """Canary for the audit below: a query that hints nation/region
+    must REPORT those hints — if extraction returns [] for a plan with
+    ResolvedHints, the SF-proportional audit passes vacuously."""
+    df = ALL_QUERIES["q5_local_supplier"](spark, SF)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    n_hints = analyzed.count("ResolvedHint")
+    hinted = _hinted_tables(analyzed)
+    assert n_hints > 0, "q5 lost its dim broadcast hints entirely"
+    assert len(hinted) == n_hints, (n_hints, hinted)
+    assert {"nation", "region"} <= set(hinted), hinted
+
 
 @pytest.mark.parametrize("name", TPCH_QUERIES)
 def test_no_forced_broadcast_of_sf_proportional_tables(spark, name):
@@ -94,12 +141,10 @@ def test_no_forced_broadcast_of_sf_proportional_tables(spark, name):
     runtime when they outgrow the threshold."""
     df = ALL_QUERIES[name](spark, SF)
     analyzed = df._jdf.queryExecution().analyzed().toString()
-    hinted = []
-    for chunk in analyzed.split("ResolvedHint")[1:]:
-        m = re.search(r"(\w+)\.parquet", chunk)
-        if m:
-            hinted.append(m.group(1))
-    assert set(hinted) <= {"nation", "region"}, hinted
+    hinted = _hinted_tables(analyzed)
+    assert len(hinted) == analyzed.count("ResolvedHint"), (
+        "unrecognized hinted relation", hinted)
+    assert set(hinted) <= {"nation", "region", "<scalar-agg>"}, hinted
 
 
 def test_feature_pipeline_single_window_shuffle(spark):
