@@ -9,9 +9,10 @@ twin so the catalog oracles mirror them expression-for-expression.
 100 TB posture:
 - chunking/normalization are per-row map work: no shuffle at all, the
   explode multiplies rows inside the same task (narrow dependency).
-- packing shuffles ONCE on the stratum key (lang) for its window
-  cumsum; the pack assignment is integer math on the running total,
-  so no second pass or driver-side loop.
+- packing is a SALTED two-pass prefix sum (range-shard the sorted
+  key space, cumsum within shard, add tiny per-shard offsets) — no
+  single-task per-stratum window; the pack assignment is integer
+  math on the running total, so no driver-side loop.
 - sampling is a pushed filter over a hash gate — no shuffle, no
   state, reproducible across runs/retries (hash60 of the doc id,
   never rand()).
@@ -62,29 +63,65 @@ def doc_chunk(docs: DataFrame, size: int = 64, stride: int = 48,
 
 def token_packing(docs: DataFrame, budget: int = 512,
                   text_col: str = "text", id_col: str = "doc_id",
-                  stratum_col: str = "lang") -> DataFrame:
+                  stratum_col: str = "lang",
+                  salts: int | None = None) -> DataFrame:
     """Concat-and-split context-window packing: documents are laid out
     back-to-back per stratum in id order, and the token stream is cut
     every `budget` tokens. Each doc is assigned the pack where it
     starts (pack_id) plus its offset inside that pack — the exact
     bookkeeping a sequence-packing data loader needs.
 
-    One shuffle (window on the stratum key); the assignment itself is
-    BIGINT division of the running total, identical in DuckDB.
+    SALTED two-pass prefix sum — a bare
+    ``Window.partitionBy(stratum)`` cumsum serializes each stratum
+    into one task, and a 100 TB mono-lingual corpus is ~one giant
+    stratum. Instead:
+
+    1. ``repartitionByRange(salts, stratum, id)`` splits the sorted
+       (stratum, id) key space into contiguous range shards; the
+       shard id (``spark_partition_id()``) is monotone in the sort
+       order, so each (stratum, shard) group is a contiguous slice of
+       the stratum's document sequence.
+    2. The running total is computed WITHIN (stratum, shard) — every
+       shard's window task runs in parallel.
+    3. Per-shard token totals (a salts-row aggregate) get their own
+       tiny cumulative window per stratum, and the resulting shard
+       offsets broadcast-join back — global prefix = local prefix +
+       shard offset.
+
+    The output is bit-identical to the single-window formulation for
+    ANY shard boundaries (tested property), so the unsalted cumsum
+    stays the DuckDB oracle; assignment is BIGINT division of the
+    running total, identical in DuckDB. Default salt count is 2×
+    cluster parallelism (same sizing rationale as
+    operators/dedup._dense_spread).
     """
     if budget <= 0:
         raise ValueError("budget must be positive")
-    w = (Window.partitionBy(stratum_col).orderBy(id_col)
-         .rowsBetween(Window.unboundedPreceding, -1))
+    if salts is None:
+        salts = 2 * docs.sparkSession.sparkContext.defaultParallelism
     tok_count = F.size(tokens(F.col(text_col))).cast("long")
-    return (docs
-            .select(stratum_col, id_col, tok_count.alias("n_tokens"))
-            .withColumn("_before",
-                        F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+    base = (docs.select(stratum_col, id_col, tok_count.alias("n_tokens"))
+            .repartitionByRange(salts, F.col(stratum_col), F.col(id_col))
+            .withColumn("_salt", F.spark_partition_id()))
+    w_local = (Window.partitionBy(stratum_col, "_salt").orderBy(id_col)
+               .rowsBetween(Window.unboundedPreceding, -1))
+    local = base.withColumn(
+        "_local", F.coalesce(F.sum("n_tokens").over(w_local), F.lit(0)))
+    # per-(stratum, shard) totals: at most `salts` rows — the offset
+    # window and the join back are both driver-trivial
+    w_off = (Window.partitionBy(stratum_col).orderBy("_salt")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = (base.groupBy(stratum_col, "_salt")
+               .agg(F.sum("n_tokens").alias("_shard_total"))
+               .withColumn("_offset",
+                           F.coalesce(F.sum("_shard_total").over(w_off),
+                                      F.lit(0)))
+               .select(stratum_col, "_salt", "_offset"))
+    before = F.col("_local") + F.col("_offset")
+    return (local.join(F.broadcast(offsets), [stratum_col, "_salt"])
             .select(stratum_col, id_col, "n_tokens",
-                    (F.col("_before") / budget).cast("long")
-                    .alias("pack_id"),
-                    (F.col("_before") % budget).alias("pack_offset")))
+                    (before / budget).cast("long").alias("pack_id"),
+                    (before % budget).alias("pack_offset")))
 
 
 def stratified_sample(docs: DataFrame, rates: dict[str, float],

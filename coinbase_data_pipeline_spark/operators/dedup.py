@@ -57,9 +57,9 @@ def _first_match_band(bands: int):
     b_s{j}) where the two sides agree. Emitting a pair only from its
     first matching band is the exactly-once invariant that replaces a
     global distinct over the candidate stream — all-scalar CASE
-    chain, stays inside whole-stage codegen. Load-bearing for BOTH
-    minhash and simhash candidate generation; change here, not
-    inline."""
+    chain, stays inside whole-stage codegen. Load-bearing for
+    minhash, simhash AND embedding-LSH candidate generation; change
+    here, not inline."""
     pred = F.col("band") == 0
     for b in range(1, bands):
         earlier_differ = F.lit(True)
@@ -442,10 +442,14 @@ def embedding_neighbor_stats_lsh(emb: DataFrame, *,
     ANY of `bands` independent bands (operators/ann.py machinery:
     deterministic hash-derived planes, so the full pipeline is
     SQL-oracle-checkable with the same inlined plane constants). The
-    bucket join shuffles (band, bucket)-keyed rows; candidate ids are
-    distinct'd as bare pairs and vectors re-attach AFTERWARDS (the
+    bucket join shuffles (band, bucket)-keyed rows; each banded row
+    carries the full per-band bucket list (bands × 4 B) so a pair is
+    emitted only from its FIRST matching band (_first_match_band) —
+    exactly-once without the global distinct() shuffle the naive
+    join-then-dedup needs. Vectors re-attach AFTERWARDS (the
     minhash_lsh_pairs lesson: never push array payloads through the
-    distinct). Stats then aggregate exactly over the candidate set.
+    candidate stream). Stats then aggregate exactly over the
+    candidate set.
 
     Recall vs the exact :func:`embedding_neighbor_stats` is
     pytest-gated; per-pair candidate probability at cosine c is
@@ -458,18 +462,25 @@ def embedding_neighbor_stats_lsh(emb: DataFrame, *,
     base = emb.select(F.col(id_col).alias("a_id"), v.alias("v"))
     base = base.withColumn("norm", F.sqrt(_vec_dot(F.col("v"),
                                                    F.col("v"))))
-    buckets = F.array(*[
-        F.struct(F.lit(b).alias("band"),
-                 sketch(F.col("v"), dim, planes, offset=b * planes)
-                 .alias("bucket"))
-        for b in range(bands)])
-    banded = (base.select("a_id", F.explode(buckets).alias("bb"))
-              .select("a_id", "bb.band", "bb.bucket"))
-    right = banded.select(F.col("a_id").alias("b_id"), "band", "bucket")
-    cand_ids = (banded.join(right, ["band", "bucket"])
+    svals = [sketch(F.col("v"), dim, planes, offset=b * planes)
+             .alias(f"s{b}") for b in range(bands)]
+    sigd = base.select("a_id", *svals)
+    banded = sigd.select(
+        "a_id",
+        *[F.col(f"s{b}").alias(f"a_s{b}") for b in range(bands)],
+        F.posexplode(F.array(*[f"s{b}" for b in range(bands)]))
+        .alias("band", "bsig"))
+    right = banded.select(
+        F.col("a_id").alias("b_id"),
+        *[F.col(f"a_s{b}").alias(f"b_s{b}") for b in range(bands)],
+        "band", "bsig")
+    cand_ids = (banded.join(right, ["band", "bsig"])
                 .filter(F.col("a_id") != F.col("b_id"))
-                .select("a_id", "b_id")
-                .distinct())
+                # exactly-once ordered-pair emission (no global
+                # distinct): the groupBy below counts each neighbor
+                # once because its pair row exists exactly once
+                .filter(_first_match_band(bands))
+                .select("a_id", "b_id"))
     # the candidate verify (64-dim dot product per pair) is CPU-dense
     # over byte-small rows — see _dense_spread
     cand_ids = _dense_spread(cand_ids, F.col("a_id"), F.col("b_id"))

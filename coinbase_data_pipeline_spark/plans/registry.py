@@ -43,43 +43,42 @@ for _part in _QUERY_PARTS:
     _MERGED.update(_part)
 
 # The external correctness driver hashes the FIRST 50 keys of `queries()`
-# in insertion order.  Queries that never received a driver row in round
-# 1 (plus any whose implementation changed since and therefore need a
-# fresh row) are listed here so they land inside that window; round-1
-# green rows for the rest stay on record in CORRECTNESS_r01.json.
+# in insertion order.  Queries whose implementation changed since their
+# last green driver row are listed here so they land inside that window;
+# earlier green rows for the rest stay on record in
+# CORRECTNESS_r01/r02/r03.json.
 _CHECK_FIRST = [
-    # red in round 2 — oracle HUGEINT→BIGINT cast fixed, fresh rows
-    "sessionize", "range_join",
-    # oracle-paired but never driver-checked in rounds 1-2
-    "kmeans_assign", "candle_upsert", "decontaminate", "pii_scrub",
-    "multimodal_meta", "multimodal_frames", "max_drawdown",
-    "rolling_correlation", "streaming_late_candles", "candle_grid_fill",
-    "cross_sectional_rank", "mixture_resample", "value_histogram",
-    "stratified_sample", "text_normalize", "corpus_stats",
-    # implementation changed in round 3 — need fresh rows
-    # (q3/q5: forced customer/supplier broadcasts dropped;
-    #  dedup_embedding: distinct() → first-matching-band emission;
-    #  token_packing: salted stratum window)
-    "q3_shipping_priority", "q5_local_supplier",
-    "dedup_embedding", "token_packing",
-    # new in round 3 (each has an oracle) — appended as implemented
-    # Rows-only queries (model_score, approx_distinct_users, the EWM
-    # family) stay OUT of this window: they return `err: no_oracle`
-    # and waste a slot. Green rows for everything else are already on
-    # record in CORRECTNESS_r01/r02.
+    # implementation changed in round 4 — need fresh rows
+    # (token_packing: stratum window salted via range-shard two-pass
+    #  prefix sum, operators/corpus.py; dedup_embedding: candidate
+    #  distinct() replaced by first-matching-band exactly-once
+    #  emission, operators/dedup.py)
+    "token_packing", "dedup_embedding",
 ]
 
 ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-for _name in _CHECK_FIRST:
-    if _name in _MERGED:
-        ALL_QUERIES[_name] = _MERGED[_name]
-for _name, _fn in _MERGED.items():
-    if _name not in ALL_QUERIES:
-        ALL_QUERIES[_name] = _fn
-
 ALL_ORACLES: dict[str, str] = {}
 for _part in _ORACLE_PARTS:
     ALL_ORACLES.update(_part)
+
+for _name in _CHECK_FIRST:
+    # a typo here would silently burn a driver-check slot; rows-only
+    # queries (no oracle) would burn one with `err: no_oracle`
+    if _name not in _MERGED:
+        raise RuntimeError(f"_CHECK_FIRST name not in catalog: {_name!r}")
+    if _name not in ALL_ORACLES:
+        raise RuntimeError(f"_CHECK_FIRST name is rows-only: {_name!r}")
+    ALL_QUERIES[_name] = _MERGED[_name]
+# oracle-paired queries fill the rest of the driver window...
+for _name, _fn in _MERGED.items():
+    if _name not in ALL_QUERIES and _name in ALL_ORACLES:
+        ALL_QUERIES[_name] = _fn
+# ...and rows-only queries (model_score, approx_distinct_users, the
+# EWM family) sit STRUCTURALLY last — they can never occupy a slot in
+# the driver's first-50 window regardless of catalog ordering.
+for _name, _fn in _MERGED.items():
+    if _name not in ALL_QUERIES:
+        ALL_QUERIES[_name] = _fn
 
 _unknown = set(ALL_ORACLES) - set(ALL_QUERIES)
 if _unknown:

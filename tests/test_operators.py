@@ -365,6 +365,26 @@ def test_token_packing_budget_arithmetic(spark):
         running[r.lang] = before + r.n_tokens
 
 
+def test_token_packing_invariant_to_salt_count(spark):
+    """The salted two-pass prefix sum must be bit-identical to the
+    single-window formulation for ANY shard count — salts only change
+    the execution plan (parallel shard cumsums + offset join), never
+    the output. salts=1 degenerates to the unsalted global window and
+    is the reference."""
+    from coinbase_data_pipeline_spark.operators.corpus import token_packing
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+
+    def as_sorted(salts):
+        return (token_packing(docs, budget=128, salts=salts)
+                .orderBy("lang", "doc_id").collect())
+
+    reference = as_sorted(1)
+    assert reference
+    for salts in (2, 7, 64):
+        assert as_sorted(salts) == reference, f"salts={salts} diverged"
+
+
 def test_stratified_sample_deterministic_and_rated(spark):
     """The hash gate is reproducible (two runs agree row-for-row) and
     per-stratum rates order the kept fractions as configured."""

@@ -32,10 +32,13 @@ def test_time_range_pushdown(spark):
     assert pushed, "no PushedFilters section"
     line = pushed[0]
     assert "EqualTo(event_type,click)" in line
-    # the raw scan column keeps its file name `ts`; the bounds are the
-    # nano-epoch literals
-    assert re.search(r"GreaterThanOrEqual\(ts\w*,17\d+", line)
-    assert re.search(r"LessThanOrEqual\(ts\w*,17\d+", line)
+    # the raw scan column keeps its file name `ts`; the bound literal
+    # renders as nano-epoch for tz-aware parquet (TIMESTAMP) and as an
+    # ISO datetime for tz-naive parquet (TIMESTAMP_NTZ) — accept both,
+    # the driver has shipped each
+    bound = r"\(ts\w*,(?:17\d+|2\d\d\d-\d\d-\d\d)"
+    assert re.search(r"GreaterThanOrEqual" + bound, line)
+    assert re.search(r"LessThanOrEqual" + bound, line)
 
 
 def test_q1_pushdown_and_partial_agg(spark):
