@@ -62,6 +62,9 @@ def test_oracle_parity(spark, name):
     scols = sdf.columns
 
     con = duck_con(SF_DIR)
+    # ONE oracle execution: the Arrow table serves both the schema
+    # guard and the row comparison (running the SQL twice doubled
+    # oracle runtime across ~107 parametrized tests).
     arrow = con.execute(ORACLE_SQL[name]).arrow()
     # Guard the HUGEINT bug class: DuckDB's sum(INTEGER) returns
     # HUGEINT, which Arrow surfaces as decimal128 — a type Spark never
@@ -73,9 +76,9 @@ def test_oracle_parity(spark, name):
         assert not pat.is_decimal(field.type), (
             f"{name}: oracle column {field.name} is {field.type} "
             f"(DuckDB HUGEINT?) — CAST it to BIGINT/DOUBLE in the SQL")
-    res = con.execute(ORACLE_SQL[name])
-    dcols = [d[0] for d in res.description]
-    drows = res.fetchall()
+    dcols = arrow.column_names
+    drows = list(zip(*(c.to_pylist() for c in arrow.columns))) \
+        if arrow.num_rows else []
 
     assert sorted(scols) == sorted(dcols), f"{name}: column mismatch"
     assert len(srows) == len(drows), f"{name}: row count {len(srows)} vs {len(drows)}"
