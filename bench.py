@@ -68,7 +68,21 @@ HEADLINERS = [
     "kmeans_assign",
     "max_drawdown",
     "rolling_correlation",
+    "value_histogram",
+    "stratified_sample",
+    "text_normalize",
+    "corpus_stats",
+    "candle_grid_fill",
+    "cross_sectional_rank",
+    "streaming_late_candles",
 ]
+
+# Per-query repetitions; the reported time is the MIN across runs.
+# Single-run numbers swing up to 3× on unchanged code in a shared,
+# variably loaded sandbox — min-of-N is the standard noise floor for
+# an isolated-throughput question (median would still carry one bad
+# neighbor out of three).
+RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
 
 def main() -> None:
@@ -88,19 +102,25 @@ def main() -> None:
         if name not in SPARK_QUERIES:
             continue
         fn = SPARK_QUERIES[name]
-        t0 = time.perf_counter()
-        df = fn(spark, SF_DIR)
-        # materialize EVERY output column: a bare count() lets
-        # ColumnPruning strip unreferenced projections/windows, which
-        # under-measures expression-only queries. count(xxhash64(*))
-        # must evaluate all columns to test null-ness; bit_xor keeps
-        # the hash from being optimized out.
-        row = df.agg(F.count(F.lit(1)).alias("n"),
-                     F.bit_xor(F.xxhash64(*df.columns)).alias("h")
-                     ).collect()[0]
-        n = row["n"]
-        times[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {times[name]}s ({n} rows)", file=sys.stderr)
+        best, n = None, 0
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            df = fn(spark, SF_DIR)
+            # materialize EVERY output column: a bare count() lets
+            # ColumnPruning strip unreferenced projections/windows,
+            # which under-measures expression-only queries.
+            # count(xxhash64(*)) must evaluate all columns to test
+            # null-ness; bit_xor keeps the hash from being optimized
+            # out.
+            row = df.agg(F.count(F.lit(1)).alias("n"),
+                         F.bit_xor(F.xxhash64(*df.columns)).alias("h")
+                         ).collect()[0]
+            n = row["n"]
+            elapsed = time.perf_counter() - t0
+            best = elapsed if best is None else min(best, elapsed)
+        times[name] = round(best, 3)
+        print(f"# {name}: {times[name]}s min-of-{RUNS} ({n} rows)",
+              file=sys.stderr)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
@@ -108,6 +128,7 @@ def main() -> None:
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         "queries": times,
+        "runs": RUNS,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     print(json.dumps(out))
