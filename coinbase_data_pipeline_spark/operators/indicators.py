@@ -47,9 +47,15 @@ def _rows(key: str, ts: str, n: int) -> Window:
 def with_log_returns(df: DataFrame, *, key: str, ts: str,
                      price: str = "close",
                      out: str = "log_returns") -> DataFrame:
-    """ln(1 + pct_change) == ln(p_t / p_{t-1}) (data_loader.py:91)."""
+    """ln(1 + pct_change) == ln(p_t / p_{t-1}) (data_loader.py:91).
+
+    Non-positive prices have no log return: without the guard a
+    zero `prev` gives IEEE +inf in Spark while DuckDB THROWS on
+    ln(0) — a divergence that only appears once the data is big
+    enough to contain a zero-priced candle (sf0.1 has 4)."""
     prev = F.lag(price).over(_w(key, ts))
-    return df.withColumn(out, F.log(F.col(price) / prev))
+    return df.withColumn(out, F.when((F.col(price) > 0) & (prev > 0),
+                                     F.log(F.col(price) / prev)))
 
 
 def with_price_features(df: DataFrame, *, key: str, ts: str,

@@ -14,6 +14,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from ..functions.timeutil import epoch_seconds
+
 
 def sessionize(events: DataFrame, *, user: str = "user_id",
                ts: str = "ts", gap_minutes: int = 30) -> DataFrame:
@@ -25,16 +27,11 @@ def sessionize(events: DataFrame, *, user: str = "user_id",
     w = Window.partitionBy(user).orderBy(ts)
     gap_s = gap_minutes * 60
     prev = F.lag(ts).over(w)
-    # fractional-second gap (timestamp→double keeps microseconds);
-    # unix_timestamp would truncate and mis-split gaps within 1s of
-    # the threshold. The hop through "timestamp" makes the cast legal
-    # for TIMESTAMP_NTZ inputs too (NTZ→double is disallowed; with a
-    # UTC session the hop is value-identical and a no-op for LTZ).
-    def _epoch(c):
-        return c.cast("timestamp").cast("double")
-
+    # fractional-second gap (epoch_seconds keeps microseconds and is
+    # NTZ-safe); unix_timestamp would truncate and mis-split gaps
+    # within 1s of the threshold
     is_new = (prev.isNull()
-              | ((_epoch(F.col(ts)) - _epoch(prev))
+              | ((epoch_seconds(F.col(ts)) - epoch_seconds(prev))
                  > gap_s)).cast("long")
     numbered = (events
                 .withColumn("_new", is_new)

@@ -194,7 +194,9 @@ def q_log_returns(spark, sf_dir):
 
 SQL_LOG_RETURNS = SQL_BASE + f"""
 SELECT product_id, bucket_start,
-       ROUND(ln(close / lag(close) OVER w1), 6) + 0 AS log_returns
+       ROUND(CASE WHEN close > 0 AND lag(close) OVER w1 > 0
+             THEN ln(close / lag(close) OVER w1) END, 6) + 0
+         AS log_returns
 FROM candles {SQL_W}
 """
 
@@ -329,7 +331,8 @@ def q_volatility(spark, sf_dir):
 SQL_VOLATILITY = SQL_BASE + """
 , lr AS (
   SELECT product_id, bucket_start,
-         ln(close / lag(close) OVER w1) AS log_returns
+         CASE WHEN close > 0 AND lag(close) OVER w1 > 0
+         THEN ln(close / lag(close) OVER w1) END AS log_returns
   FROM candles
   WINDOW w1 AS (PARTITION BY product_id ORDER BY bucket_start)
 )

@@ -8,6 +8,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from ..functions.timeutil import epoch_seconds
 from ..operators import candles as C
 from ..operators import indicators as I
 from ..sources.json_ingest import parse_candles
@@ -27,7 +28,8 @@ def q_candle_parse(spark, sf_dir):
     c = candles(spark, sf_dir)
     start_str = (
         F.when(F.col("n_ticks") % 2 == 0,
-               F.unix_timestamp("bucket_start").cast("string"))
+               epoch_seconds(F.col("bucket_start"))
+               .cast("long").cast("string"))
          .otherwise(F.date_format("bucket_start", "yyyy-MM-dd HH:mm:ss")))
     raw = c.select(F.to_json(F.struct(
         start_str.alias("start"),
@@ -455,8 +457,12 @@ def q_returns_correlation(spark, sf_dir):
 SQL_RETURNS_CORRELATION = SQL_BASE + """
 , lr AS (
   SELECT product_id, bucket_start,
-         ln(close / lag(close) OVER (PARTITION BY product_id
-                                     ORDER BY bucket_start)) AS r
+         CASE WHEN close > 0
+              AND lag(close) OVER (PARTITION BY product_id
+                                   ORDER BY bucket_start) > 0
+         THEN ln(close / lag(close) OVER (PARTITION BY product_id
+                                          ORDER BY bucket_start)) END
+           AS r
   FROM candles
 )
 SELECT a.product_id AS product_a, b.product_id AS product_b,
@@ -750,8 +756,13 @@ def q_cross_sectional_rank(spark, sf_dir):
     are excluded on both engines."""
     c = candles(spark, sf_dir)
     wk = Window.partitionBy("product_id").orderBy("bucket_start")
-    ret = F.round(F.log(F.col("close") / F.lag("close").over(wk)), 6)            + F.lit(0.0)
-    t = c.select("product_id", "bucket_start", ret.alias("ret"))          .filter(F.col("ret").isNotNull())
+    prev = F.lag("close").over(wk)
+    # non-positive prices have no log return (see with_log_returns)
+    ret = (F.round(F.when((F.col("close") > 0) & (prev > 0),
+                          F.log(F.col("close") / prev)), 6)
+           + F.lit(0.0))
+    t = (c.select("product_id", "bucket_start", ret.alias("ret"))
+         .filter(F.col("ret").isNotNull()))
     wt = Window.partitionBy("bucket_start").orderBy(
         F.desc("ret"), F.col("product_id"))
     return t.withColumn("xs_rank",
@@ -761,8 +772,12 @@ def q_cross_sectional_rank(spark, sf_dir):
 SQL_CROSS_SECTIONAL_RANK = SQL_BASE + """
 , rets AS (
   SELECT product_id, bucket_start,
-         ROUND(ln(close / lag(close) OVER (
-             PARTITION BY product_id ORDER BY bucket_start)), 6) + 0
+         ROUND(CASE WHEN close > 0
+                    AND lag(close) OVER (PARTITION BY product_id
+                                         ORDER BY bucket_start) > 0
+               THEN ln(close / lag(close) OVER (
+                   PARTITION BY product_id ORDER BY bucket_start)) END,
+               6) + 0
            AS ret
   FROM candles
 )
