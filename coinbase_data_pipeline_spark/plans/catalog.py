@@ -455,13 +455,92 @@ FROM candles c JOIN stats s ON c.product_id = s.product_id
 
 
 def q_ewm_indicators(spark, sf_dir):
-    """Exact EWM MACD / Wilder RSI — rows-only check (recursive EWM is
-    not ANSI-SQL-expressible at scale)."""
+    """Exact EWM MACD / Wilder RSI (adjust=False recursion)."""
     df = I.ewm_features(candles(spark, sf_dir), key="product_id",
                         ts="bucket_start")
     return _round(df.select("product_id", "bucket_start", "ema_fast",
                             "ema_slow", "macd", "rsi_wilder"),
                   ["ema_fast", "ema_slow", "macd", "rsi_wilder"])
+
+
+def _sql_ewm_indicators(fast: int = 12, slow: int = 26, signal: int = 9,
+                        rsi_window: int = 14) -> str:
+    """Recursive-CTE oracle for the exact EWM family.
+
+    adjust=False EWM is y_t = ((1-α)·y_{t-1} + α·x_t) / ((1-α)+α),
+    seeded at the first observation, with the update SKIPPED when
+    x_t equals y_{t-1} — that is pandas' literal inner loop
+    (pandas/_libs/window/aggregations.pyx), and both engines run
+    IEEE-754 doubles, so replicating the exact op order (constants
+    inlined via repr) makes the recursion bit-identical, not merely
+    close. One frontier row per product per step → the recursion
+    advances all keys in lockstep, depth = longest series.
+    """
+    def consts(span: float):
+        a = 2.0 / (span + 1.0) if span >= 1 else span
+        return a, 1.0 - a, (1.0 - a) + a
+
+    af, omf, df_ = consts(fast)
+    as_, oms, ds = consts(slow)
+    ag_, omg, dg = consts(signal)
+    ar = 1.0 / rsi_window
+    omr, dr = 1.0 - ar, (1.0 - ar) + ar
+
+    def step(prev: str, cur: str, a: float, om: float, d: float) -> str:
+        return (f"CASE WHEN {prev} = {cur} THEN {prev} "
+                f"ELSE ({om!r} * {prev} + {a!r} * {cur}) / {d!r} END")
+
+    return SQL_BASE.replace("WITH ", "WITH RECURSIVE ", 1) + f"""
+, ordered AS (
+  SELECT product_id, bucket_start, close,
+         row_number() OVER (PARTITION BY product_id
+                            ORDER BY bucket_start) AS rn
+  FROM candles
+), rec AS (
+  SELECT product_id, bucket_start, rn, close,
+         close AS ema_fast, close AS ema_slow,
+         close - close AS sig,
+         CAST(NULL AS DOUBLE) AS avg_gain,
+         CAST(NULL AS DOUBLE) AS avg_loss
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT product_id, bucket_start, rn, close, ema_fast, ema_slow,
+         {step('prev_sig', '(ema_fast - ema_slow)', ag_, omg, dg)}
+           AS sig,
+         avg_gain, avg_loss
+  FROM (
+    SELECT o.product_id, o.bucket_start, o.rn, o.close,
+           {step('r.ema_fast', 'o.close', af, omf, df_)} AS ema_fast,
+           {step('r.ema_slow', 'o.close', as_, oms, ds)} AS ema_slow,
+           r.sig AS prev_sig,
+           CASE WHEN r.avg_gain IS NULL
+                THEN (CASE WHEN o.close - r.close > 0
+                      THEN o.close - r.close ELSE 0.0 END)
+                ELSE {step('r.avg_gain',
+                           '(CASE WHEN o.close - r.close > 0 '
+                           'THEN o.close - r.close ELSE 0.0 END)',
+                           ar, omr, dr)} END AS avg_gain,
+           CASE WHEN r.avg_loss IS NULL
+                THEN (CASE WHEN o.close - r.close < 0
+                      THEN r.close - o.close ELSE 0.0 END)
+                ELSE {step('r.avg_loss',
+                           '(CASE WHEN o.close - r.close < 0 '
+                           'THEN r.close - o.close ELSE 0.0 END)',
+                           ar, omr, dr)} END AS avg_loss
+    FROM rec r JOIN ordered o
+      ON o.product_id = r.product_id AND o.rn = r.rn + 1
+  ) s
+)
+SELECT product_id, bucket_start,
+       ROUND(ema_fast, 6) + 0 AS ema_fast,
+       ROUND(ema_slow, 6) + 0 AS ema_slow,
+       ROUND((ema_fast - ema_slow) - sig, 6) + 0 AS macd,
+       ROUND(CASE WHEN rn - 1 >= {rsi_window} THEN
+              CASE WHEN avg_loss = 0 THEN 100.0
+                   ELSE 100.0 - 100.0 / (1.0 + avg_gain / avg_loss) END
+             END, 6) + 0 AS rsi_wilder
+FROM rec
+"""
 
 
 # ------------------------------------------------------------------ TPC-H
@@ -622,7 +701,7 @@ ORACLE_SQL: dict[str, str] = {
     "time_features": SQL_TIME_FEATURES,
     "robust_scale": SQL_ROBUST_SCALE,
     "minmax_scale": SQL_MINMAX_SCALE,
-    # ewm_indicators: rows-only (recursive EWM not SQL-expressible)
+    "ewm_indicators": _sql_ewm_indicators(),
     "q1_pricing_summary": SQL_Q1,
     "q3_shipping_priority": SQL_Q3,
     "q5_local_supplier": SQL_Q5,

@@ -54,6 +54,10 @@ _CHECK_FIRST = [
     #  distinct() replaced by first-matching-band exactly-once
     #  emission, operators/dedup.py)
     "token_packing", "dedup_embedding",
+    # newly oracle-paired in round 4 (recursive-CTE EWM oracle, was
+    # rows-only) and log-return guard changes — need first/fresh rows
+    "ewm_indicators", "log_returns", "volatility",
+    "returns_correlation", "cross_sectional_rank",
 ]
 
 ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -73,8 +77,8 @@ for _name in _CHECK_FIRST:
 for _name, _fn in _MERGED.items():
     if _name not in ALL_QUERIES and _name in ALL_ORACLES:
         ALL_QUERIES[_name] = _fn
-# ...and rows-only queries (model_score, approx_distinct_users, the
-# EWM family) sit STRUCTURALLY last — they can never occupy a slot in
+# ...and rows-only queries (model_score, approx_distinct_users,
+# ann_ivf) sit STRUCTURALLY last — they can never occupy a slot in
 # the driver's first-50 window regardless of catalog ordering.
 for _name, _fn in _MERGED.items():
     if _name not in ALL_QUERIES:
