@@ -150,6 +150,19 @@ def test_no_forced_broadcast_of_sf_proportional_tables(spark, name):
     assert set(hinted) <= {"nation", "region", "<scalar-agg>"}, hinted
 
 
+def test_token_packing_salted_plan(spark):
+    """The packing prefix sum must be the salted two-pass shape: a
+    RANGE repartition feeding per-(stratum, shard) windows, with the
+    per-shard offsets BROADCAST back — never a plain hash exchange on
+    the bare stratum key (that is the one-task-per-language plan that
+    dies on a mono-lingual 100 TB corpus)."""
+    p = formatted_plan(spark, "token_packing")
+    assert "rangepartitioning" in p.lower(), "no range shard exchange"
+    assert "BroadcastHashJoin" in p, "offset join must broadcast"
+    # the cumsum window partitions on (stratum, shard), not stratum alone
+    assert "_salt" in p
+
+
 def test_feature_pipeline_single_window_shuffle(spark):
     """All 24-row rolling features share one window family: exactly one
     exchange on product_id feeding one Sort + one Window operator."""
