@@ -15,11 +15,12 @@ operators/multimodal.py): a linear autoregressive head with
 exponential-decay lag weights, pure NumPy, so the plumbing — window
 decode, batch shapes, per-horizon explode, output schema — is real
 and tested while the torch checkpoint seam stays env-gated behind
-:func:`real_model`. Scores are intentionally NOT oracle-paired:
-NumPy matmul uses pairwise/SIMD summation whose last-ulp results
-differ from any SQL engine's sequential fold, so the catalog entry
-is rows-only and the numeric contract is pytest-gated against a
-driver-side NumPy reference instead.
+:func:`real_model`. The stub accumulates its weighted sum as a
+STRICT LEFT FOLD over lag positions (scalar×column multiply-adds in
+order) rather than np.dot — pairwise/SIMD matmul summation is not
+reproducible in SQL, a sequential fold is, which is what lets the
+catalog entry carry a full value-hash oracle (the SQL twin inlines
+the same repr'd weight constants and sums in the same order).
 """
 
 from __future__ import annotations
@@ -35,14 +36,13 @@ from pyspark.sql.types import (DoubleType, IntegerType, StringType,
 PRICE_SCALE = 1e6  # sliding_windows encodes prices as round(price*1e6)
 
 
-def stub_linear_model(seq_len: int, pred_len: int, *,
-                      decay: float = 0.9) -> Callable[[np.ndarray],
-                                                      np.ndarray]:
-    """Deterministic linear AR head: horizon h predicts a weighted
-    average of the input window with exponential-decay lag weights,
-    flattened toward the window mean as the horizon grows (far
-    horizons are less momentum-driven). No RNG anywhere — every
-    executor builds bit-identical weights."""
+def stub_weights(seq_len: int, pred_len: int,
+                 decay: float = 0.9) -> np.ndarray:
+    """(pred_len, seq_len) stub-head weights: exponential-decay lag
+    weights flattened toward the window mean as the horizon grows
+    (far horizons are less momentum-driven). No RNG anywhere — every
+    executor builds bit-identical weights, and the oracle-SQL
+    generator inlines these exact doubles via repr."""
     lag_w = decay ** np.arange(seq_len - 1, -1, -1, dtype=np.float64)
     lag_w /= lag_w.sum()
     mean_w = np.full(seq_len, 1.0 / seq_len)
@@ -50,10 +50,32 @@ def stub_linear_model(seq_len: int, pred_len: int, *,
     for h in range(1, pred_len + 1):
         alpha = h / (pred_len + 1.0)
         rows.append((1.0 - alpha) * lag_w + alpha * mean_w)
-    weights = np.stack(rows)  # (pred_len, seq_len)
+    return np.stack(rows)
+
+
+def stub_linear_model(seq_len: int, pred_len: int, *,
+                      decay: float = 0.9) -> Callable[[np.ndarray],
+                                                      np.ndarray]:
+    """Deterministic linear AR head over :func:`stub_weights`.
+
+    The per-horizon score is accumulated as a strict left fold over
+    lag positions — w_0·x_0, then + w_1·x_1, … — with one scalar×
+    column multiply and one column add per step. Elementwise NumPy
+    ops round each operation individually (no FMA, no pairwise
+    reassociation), so the float stream is identical to a SQL
+    left-associative `w0*x[1] + w1*x[2] + …` chain — the property
+    the value-hash oracle depends on. np.dot would be faster and
+    wrong (pairwise summation)."""
+    weights = stub_weights(seq_len, pred_len, decay)
 
     def model(x: np.ndarray) -> np.ndarray:
-        return x @ weights.T
+        out = np.empty((x.shape[0], pred_len), dtype=np.float64)
+        for h in range(pred_len):
+            acc = weights[h, 0] * x[:, 0]
+            for i in range(1, seq_len):
+                acc = acc + weights[h, i] * x[:, i]
+            out[:, h] = acc
+        return out
 
     return model
 

@@ -712,10 +712,11 @@ def q_model_score(spark, sf_dir):
     applied to every sliding window via mapInPandas, one row per
     forecast horizon (the prediction service's model loop —
     predictor.py predict() feeding data_writer.py — as a table
-    operator). Rows-only: NumPy matmul summation order is not
-    reproducible in SQL at the last ulp; the numeric contract is
-    pytest-gated against a driver-side NumPy reference
-    (tests/test_operators.py)."""
+    operator). Oracle-paired since round 4: the stub accumulates as
+    a strict left fold (operators/scoring.py), which the SQL twin
+    replicates term-for-term with the same repr-inlined weight
+    doubles; a driver-side NumPy reference test additionally gates
+    the mapInPandas plumbing (tests/test_operators.py)."""
     from ..operators import scoring as SC
 
     win = W.sliding_windows(candles(spark, sf_dir))
@@ -723,6 +724,36 @@ def q_model_score(spark, sf_dir):
     return out.select("product_id", "origin_time", "horizon",
                       (F.round("predicted_price", RND) + F.lit(0.0))
                       .alias("predicted_price"), "model_version")
+
+
+def _sql_model_score(seq_len: int = 24, pred_len: int = 6,
+                     decay: float = 0.9,
+                     model_version: str = "stub-linear-1") -> str:
+    """SQL twin of the stub scorer: per horizon, the left-associative
+    chain `w0*x[1] + w1*x[2] + …` over the decoded window — the same
+    op order and the same double constants as scoring.py's fold, so
+    values hash-match (not merely approximate)."""
+    from ..operators.scoring import PRICE_SCALE, stub_weights
+
+    w = stub_weights(seq_len, pred_len, decay)
+    parts = []
+    for h in range(1, pred_len + 1):
+        chain = " + ".join(f"{float(w[h - 1, i])!r} * x[{i + 1}]"
+                           for i in range(seq_len))
+        parts.append(
+            f"SELECT product_id, origin_time, CAST({h} AS INT) AS horizon,\n"
+            f"       ROUND({chain}, 6) + 0 AS predicted_price,\n"
+            f"       '{model_version}' AS model_version\nFROM xs")
+    selects = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH xs AS (
+  SELECT product_id, bucket_start AS origin_time,
+         list_transform(string_split(x_sig, ','),
+                        s -> CAST(s AS DOUBLE) / {PRICE_SCALE!r}) AS x
+  FROM ({SQL_SLIDING_WINDOWS}) sw
+)
+{selects}
+"""
 
 
 # ----------------------------------------------------------------- registry
@@ -831,4 +862,5 @@ ORACLE_SQL_EXT: dict[str, str] = {
     "repetition_score": SQL_REPETITION,
     "dedup_keep": _sql_dedup_keep(),
     "corpus_curation": _sql_corpus_curation(),
+    "model_score": _sql_model_score(),
 }

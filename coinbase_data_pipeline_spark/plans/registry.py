@@ -54,9 +54,10 @@ _CHECK_FIRST = [
     #  distinct() replaced by first-matching-band exactly-once
     #  emission, operators/dedup.py)
     "token_packing", "dedup_embedding",
-    # newly oracle-paired in round 4 (recursive-CTE EWM oracle, was
-    # rows-only) and log-return guard changes — need first/fresh rows
-    "ewm_indicators", "log_returns", "volatility",
+    # newly oracle-paired in round 4 (recursive-CTE EWM oracle and
+    # the left-fold stub-scorer oracle, both previously rows-only)
+    # and log-return guard changes — need first/fresh rows
+    "ewm_indicators", "model_score", "log_returns", "volatility",
     "returns_correlation", "cross_sectional_rank",
 ]
 
