@@ -202,17 +202,28 @@ FROM candles {SQL_W}
 
 
 def q_price_features(spark, sf_dir):
-    df = I.with_price_features(candles(spark, sf_dir), key="product_id",
-                               ts="bucket_start")
-    return _round(df.select("product_id", "bucket_start",
-                            "price_ma_ratio", "price_spread"),
-                  ["price_ma_ratio", "price_spread"])
+    # snap-then-divide (see q_vwap): the windowed mean is 6dp-rounded
+    # before the ratio so both engines divide identical doubles, and
+    # the quotients are NOT re-rounded (midpoint-rule divergence).
+    # price_spread is raw per-row arithmetic on identical parquet
+    # doubles — deterministic without any rounding. The operator
+    # itself (with_price_features) keeps full precision; the snap is
+    # only this catalog/oracle comparison view.
+    c = candles(spark, sf_dir)
+    w24 = (Window.partitionBy("product_id").orderBy("bucket_start")
+           .rowsBetween(-23, 0))
+    ma = F.round(F.avg("close").over(w24), RND)
+    return c.select(
+        "product_id", "bucket_start",
+        (F.col("close") / ma).alias("price_ma_ratio"),
+        ((F.col("high") - F.col("low")) / F.col("close"))
+        .alias("price_spread"))
 
 
 SQL_PRICE_FEATURES = SQL_BASE + """
 SELECT product_id, bucket_start,
-       ROUND(close / avg(close) OVER w24, 6) + 0 AS price_ma_ratio,
-       ROUND((high - low) / close, 6) + 0 AS price_spread
+       close / ROUND(avg(close) OVER w24, 6) AS price_ma_ratio,
+       (high - low) / close AS price_spread
 FROM candles
 WINDOW w24 AS (PARTITION BY product_id ORDER BY bucket_start
                ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
@@ -549,16 +560,20 @@ def q1_pricing_summary(spark, sf_dir):
     """TPC-H Q1 shape: scan→filter→aggregate, fully codegen'd,
     partial-agg before the single shuffle."""
     li = load_table(spark, sf_dir, "lineitem")
+    # money-scale SUMS round to 2dp (classic TPC-H answer precision):
+    # at sf0.1+ they reach ~1e9, where a 6dp quantum is smaller than
+    # one double ulp — cross-engine summation order would straddle
+    # rounding boundaries. Averages stay 6dp (small magnitudes).
     out = (li.filter(F.col("l_shipdate") <= "1998-09-02")
            .groupBy("l_returnflag", "l_linestatus")
-           .agg(F.round(F.sum("l_quantity"), RND).alias("sum_qty"),
-                F.round(F.sum("l_extendedprice"), RND).alias("sum_base_price"),
+           .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
                 F.round(F.sum(F.col("l_extendedprice")
-                              * (1 - F.col("l_discount"))), RND)
+                              * (1 - F.col("l_discount"))), 2)
                  .alias("sum_disc_price"),
                 F.round(F.sum(F.col("l_extendedprice")
                               * (1 - F.col("l_discount"))
-                              * (1 + F.col("l_tax"))), RND)
+                              * (1 + F.col("l_tax"))), 2)
                  .alias("sum_charge"),
                 F.round(F.avg("l_quantity"), RND).alias("avg_qty"),
                 F.round(F.avg("l_extendedprice"), RND).alias("avg_price"),
@@ -569,10 +584,10 @@ def q1_pricing_summary(spark, sf_dir):
 
 SQL_Q1 = """
 SELECT l_returnflag, l_linestatus,
-       ROUND(sum(l_quantity), 6) + 0 AS sum_qty,
-       ROUND(sum(l_extendedprice), 6) + 0 AS sum_base_price,
-       ROUND(sum(l_extendedprice * (1 - l_discount)), 6) + 0 AS sum_disc_price,
-       ROUND(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6) + 0
+       ROUND(sum(l_quantity), 2) + 0 AS sum_qty,
+       ROUND(sum(l_extendedprice), 2) + 0 AS sum_base_price,
+       ROUND(sum(l_extendedprice * (1 - l_discount)), 2) + 0 AS sum_disc_price,
+       ROUND(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) + 0
          AS sum_charge,
        ROUND(avg(l_quantity), 6) + 0 AS avg_qty,
        ROUND(avg(l_extendedprice), 6) + 0 AS avg_price,
@@ -638,14 +653,14 @@ def q5_local_supplier(spark, sf_dir):
            .join(F.broadcast(re), F.col("n_regionkey") == F.col("r_regionkey"))
            .groupBy("n_name")
            .agg(F.round(F.sum(F.col("l_extendedprice")
-                              * (1 - F.col("l_discount"))), RND)
+                              * (1 - F.col("l_discount"))), 2)
                  .alias("revenue")))
     return out
 
 
 SQL_Q5 = """
 SELECT n_name,
-       ROUND(sum(l_extendedprice * (1 - l_discount)), 6) + 0 AS revenue
+       ROUND(sum(l_extendedprice * (1 - l_discount)), 2) + 0 AS revenue
 FROM customer, orders, lineitem, supplier, nation, region
 WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
   AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey

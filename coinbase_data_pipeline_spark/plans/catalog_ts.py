@@ -482,10 +482,18 @@ def q_vwap(spark, sf_dir):
     ticks — one partial-agg groupBy, the canonical market-data
     aggregate the candle table doesn't carry."""
     t = ticks(spark, sf_dir)
+    # snap-then-divide, UNROUNDED quotient: both sums are 6dp-rounded
+    # BEFORE the division — the raw sums sit on a decimal grid (2dp
+    # prices × volumes), so snapping collapses cross-engine
+    # summation-order noise to identical doubles, and dividing
+    # identical doubles is bit-deterministic. The quotient itself is
+    # NOT rounded: these quotients terminate on exact 6dp midpoints
+    # (volumes are 2^k·5 multiples), where Spark's and DuckDB's
+    # midpoint rules disagree — any rounding reintroduces divergence.
     out = (t.groupBy(F.col("product_id"),
                      F.window("time", "5 minutes").alias("w"))
-           .agg((F.round(F.sum(F.col("price") * F.col("volume"))
-                         / F.sum("volume"), RND) + F.lit(0.0))
+           .agg((F.round(F.sum(F.col("price") * F.col("volume")), RND)
+                 / F.round(F.sum("volume"), RND))
                 .alias("vwap"),
                 (F.round(F.sum("volume"), RND) + F.lit(0.0))
                 .alias("volume"))
@@ -498,7 +506,7 @@ def q_vwap(spark, sf_dir):
 SQL_VWAP = SQL_BASE + """
 SELECT product_id,
        time_bucket(INTERVAL '5 minutes', time) AS bucket_start,
-       ROUND(sum(price * volume) / sum(volume), 6) + 0 AS vwap,
+       ROUND(sum(price * volume), 6) / ROUND(sum(volume), 6) AS vwap,
        ROUND(sum(volume), 6) + 0 AS volume
 FROM ticks GROUP BY 1, 2
 """

@@ -59,6 +59,12 @@ _CHECK_FIRST = [
     # and log-return guard changes — need first/fresh rows
     "ewm_indicators", "model_score", "log_returns", "volatility",
     "returns_correlation", "cross_sectional_rank",
+    # rounding-quantum hardening in round 4 (2dp money sums, 4dp
+    # sum-ratio features — quantum must dominate cross-engine
+    # summation-order error at sf0.1+) — need fresh rows
+    "q1_pricing_summary", "q5_local_supplier", "q6_forecast_revenue",
+    "q7_volume_shipping", "q19_discounted_revenue", "vwap",
+    "price_features",
 ]
 
 ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

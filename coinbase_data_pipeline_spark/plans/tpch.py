@@ -67,13 +67,13 @@ def q6_forecast_revenue(spark, sf_dir):
                      & (F.col("l_discount") <= 0.07)
                      & (F.col("l_quantity") < 24))
            .agg(F.round(F.sum(F.col("l_extendedprice")
-                              * F.col("l_discount")), RND)
+                              * F.col("l_discount")), 2)
                  .alias("revenue")))
     return out
 
 
 SQL_Q6 = """
-SELECT ROUND(sum(l_extendedprice * l_discount), 6) + 0 AS revenue
+SELECT ROUND(sum(l_extendedprice * l_discount), 2) + 0 AS revenue
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
   AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
@@ -109,13 +109,13 @@ def q7_volume_shipping(spark, sf_dir):
                       & (F.col("cust_nation") == "NATION_12")))
            .groupBy("supp_nation", "cust_nation",
                     F.year("l_shipdate").alias("l_year"))
-           .agg(F.round(F.sum(_rev()), RND).alias("revenue")))
+           .agg(F.round(F.sum(_rev()), 2).alias("revenue")))
     return out
 
 
 SQL_Q7 = """
 SELECT supp_nation, cust_nation, l_year,
-       ROUND(sum(volume), 6) + 0 AS revenue
+       ROUND(sum(volume), 2) + 0 AS revenue
 FROM (
   SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
          CAST(year(l_shipdate) AS INT) AS l_year,
@@ -244,12 +244,12 @@ def q19_discounted_revenue(spark, sf_dir):
            & F.col("l_quantity").between(10, 40)))
     out = (li.join(pa, F.col("l_partkey") == F.col("p_partkey"))
            .filter(cond)
-           .agg(F.round(F.sum(_rev()), RND).alias("revenue")))
+           .agg(F.round(F.sum(_rev()), 2).alias("revenue")))
     return out
 
 
 SQL_Q19 = """
-SELECT ROUND(sum(l_extendedprice * (1 - l_discount)), 6) + 0 AS revenue
+SELECT ROUND(sum(l_extendedprice * (1 - l_discount)), 2) + 0 AS revenue
 FROM lineitem, part
 WHERE l_partkey = p_partkey
   AND ((p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
