@@ -5,6 +5,10 @@ predicates reach the parquet scans."""
 
 from __future__ import annotations
 
+import sys
+
+sys.path.insert(0, ".")
+
 from coinbase_data_pipeline_spark.plans.registry import ALL_QUERIES
 from coinbase_data_pipeline_spark.session import get_spark
 
@@ -26,6 +30,8 @@ PICKS = [
      "log-size-bucket equi-join candidates, exact verify after"),
     ("decontaminate",
      "broadcast eval n-gram set, one shuffle on the corpus key"),
+    ("token_packing",
+     "salted prefix sum: range-shard windows + broadcast offset join"),
     ("kmeans_assign",
      "broadcast centroids per round, argmin row-local"),
     ("candle_grid_fill",
