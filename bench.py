@@ -75,6 +75,8 @@ HEADLINERS = [
     "candle_grid_fill",
     "cross_sectional_rank",
     "streaming_late_candles",
+    "boilerplate_ngrams",
+    "dedup_keep_best",
 ]
 
 # Per-query repetitions; the reported time is the MIN across runs.

@@ -237,6 +237,51 @@ def pii_scrub(docs: DataFrame, *, text_col: str = "text",
         hash60(scrubbed, "pii").alias("clean_hash"))
 
 
+def boilerplate_ngrams(docs: DataFrame, *, n: int = 5,
+                       min_docs: int = 3,
+                       text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Per-document boilerplate fraction: the share of a doc's
+    DISTINCT word n-grams that occur in at least `min_docs` documents
+    corpus-wide — the cross-document repeated-content signal web
+    pipelines use to strip headers/footers/templates (the
+    RefinedWeb/C4 line-dedup idea at n-gram granularity, which works
+    on text without line structure).
+
+    Plan: explode per-doc distinct n-grams (narrow), one map-side-
+    combining groupBy(gram) for document frequency, join the gram
+    stream back on the gram key (the aggregate reuses the same hash
+    partitioning, so the join adds no extra exchange for that side),
+    then one groupBy(doc). No driver-side state; the gram dictionary
+    is never collected or broadcast, so corpus size is unbounded.
+    """
+    grams = docs.select(
+        F.col(id_col),
+        F.explode(word_shingles(tokens(F.col(text_col)), n))
+        .alias("gram"))
+    # per-doc shingles are distinct (word_shingles) → count(docs) = df
+    df_counts = (grams.groupBy("gram")
+                 .agg(F.count(F.lit(1)).alias("_df")))
+    per_doc = (grams.join(df_counts, "gram")
+               .groupBy(id_col)
+               .agg(F.count(F.lit(1)).alias("n_grams"),
+                    F.sum((F.col("_df") >= min_docs).cast("long"))
+                    .alias("dup_grams")))
+    # UNROUNDED ratio: both engines divide the same two integers, so
+    # the quotient double is bit-identical — rounding would only add
+    # midpoint-rule divergence (power-of-two gram counts terminate on
+    # exact 6dp midpoints)
+    frac = (F.when(F.col("n_grams") > 0,
+                   F.col("dup_grams").cast("double") / F.col("n_grams"))
+            .otherwise(F.lit(0.0)))
+    return (docs.select(id_col)
+            .join(per_doc, id_col, "left")
+            .select(id_col,
+                    F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+                    F.coalesce("dup_grams", F.lit(0)).alias("dup_grams"),
+                    frac.alias("boilerplate_frac")))
+
+
 def mixture_resample(docs: DataFrame, weights: dict[str, float], *,
                      stratum_col: str = "lang", id_col: str = "doc_id",
                      seed: str = "mix") -> DataFrame:

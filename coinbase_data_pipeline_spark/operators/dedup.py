@@ -521,3 +521,44 @@ def dedup_keep_decision(docs: DataFrame, pairs: DataFrame, *,
         F.col(id_col),
         keep.alias("keep_id"),
         (keep == F.col(id_col)).alias("is_keeper"))
+
+
+def dedup_keep_best_decision(docs: DataFrame, pairs: DataFrame,
+                             scores: DataFrame, *,
+                             id_col: str = "doc_id",
+                             score_col: str = "quality",
+                             iterations: int = 8) -> DataFrame:
+    """Quality-aware keeper selection: every document mapped to the
+    HIGHEST-SCORING member of its near-dup component (ties on the
+    smaller doc id) — what a curation pipeline actually wants to keep,
+    vs :func:`dedup_keep_decision`'s arbitrary min-id keeper.
+
+    `scores` is (id_col, score_col); scores crossing the engine
+    boundary must already be rounded (the catalog feeds the 6dp
+    quality_score view) so the argmax compares identical doubles.
+
+    Plan: one components run over the pair list, then the per-
+    component argmax is a struct-max aggregate — max(struct(score,
+    -id)) — which partial-aggregates map-side (no per-component sort,
+    no window). The final keeper attach is a component-keyed join of
+    two id-sized relations.
+    """
+    comp = connected_components(pairs, iterations=iterations)
+    labels = (docs.select(id_col)
+              .join(comp.select(F.col("doc_id").alias(id_col),
+                                F.col("component_id").alias("_grp")),
+                    on=id_col, how="left")
+              .withColumn("_grp", F.coalesce("_grp", F.col(id_col)))
+              .join(scores.select(F.col(id_col),
+                                  F.col(score_col).alias("_score")),
+                    on=id_col))
+    best = (labels.groupBy("_grp")
+            .agg(F.max(F.struct(F.col("_score").alias("s"),
+                                (-F.col(id_col)).alias("nid")))
+                 .alias("_m"))
+            .select("_grp", (-F.col("_m.nid")).alias("keep_id"),
+                    F.col("_m.s").alias("keep_score")))
+    return (labels.join(best, "_grp")
+            .select(F.col(id_col), "keep_id", "keep_score",
+                    (F.col(id_col) == F.col("keep_id"))
+                    .alias("is_keeper")))

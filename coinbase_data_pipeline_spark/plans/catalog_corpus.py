@@ -196,6 +196,49 @@ FROM documents d LEFT JOIN hits h USING (doc_id)
 """
 
 
+# ------------------------------------------------------ boilerplate grams
+
+BOILER_N, BOILER_MIN_DOCS = 5, 3
+
+
+def q_boilerplate_ngrams(spark, sf_dir):
+    """Cross-document repeated-content signal: per doc, the fraction
+    of its distinct 5-grams occurring in >= 3 documents corpus-wide
+    (header/footer/template detection — the line-dedup idea for text
+    without line structure). Explode → df groupBy → gram join → doc
+    groupBy; no broadcast dictionary, corpus size unbounded."""
+    docs = load_table(spark, sf_dir, "documents")
+    return CP.boilerplate_ngrams(docs, n=BOILER_N,
+                                 min_docs=BOILER_MIN_DOCS)
+
+
+_SQL_BGRAM = (f"list_distinct(list_transform("
+              f"generate_series(1, greatest(len(toks) - {BOILER_N - 1}, 0)),"
+              f" i -> array_to_string(toks[i:i+{BOILER_N - 1}], ' ')))")
+
+SQL_BOILERPLATE = f"""
+WITH toked AS (
+  SELECT doc_id, {SQL_TOKS_ALL} AS toks FROM documents
+), grams AS (
+  SELECT doc_id, unnest({_SQL_BGRAM}) AS gram FROM toked
+), dfq AS (
+  SELECT gram, count(*) AS df FROM grams GROUP BY gram
+), per_doc AS (
+  SELECT g.doc_id, count(*) AS n_grams,
+         sum(CASE WHEN dfq.df >= {BOILER_MIN_DOCS} THEN 1 ELSE 0 END)
+           AS dup_grams
+  FROM grams g JOIN dfq USING (gram) GROUP BY g.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(p.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(coalesce(p.dup_grams, 0) AS BIGINT) AS dup_grams,
+       CASE WHEN coalesce(p.n_grams, 0) > 0
+            THEN CAST(p.dup_grams AS DOUBLE) / p.n_grams
+            ELSE 0.0 END AS boilerplate_frac
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
 # -------------------------------------------------------------- PII scrub
 
 def q_pii_scrub(spark, sf_dir):
@@ -293,6 +336,7 @@ SPARK_QUERIES_CORPUS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_normalize": q_text_normalize,
     "corpus_stats": q_corpus_stats,
     "decontaminate": q_decontaminate,
+    "boilerplate_ngrams": q_boilerplate_ngrams,
     "pii_scrub": q_pii_scrub,
     "mixture_resample": q_mixture_resample,
 }
@@ -304,6 +348,7 @@ ORACLE_SQL_CORPUS: dict[str, str] = {
     "text_normalize": SQL_TEXT_NORMALIZE,
     "corpus_stats": SQL_CORPUS_STATS,
     "decontaminate": SQL_DECONTAMINATE,
+    "boilerplate_ngrams": SQL_BOILERPLATE,
     "pii_scrub": SQL_PII_SCRUB,
     "mixture_resample": SQL_MIXTURE_RESAMPLE,
 }

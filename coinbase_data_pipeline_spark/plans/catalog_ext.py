@@ -675,6 +675,45 @@ FROM documents d LEFT JOIN ({comp}) c ON c.doc_id = d.doc_id
 """
 
 
+def q_dedup_keep_best(spark, sf_dir):
+    """Quality-aware keeper: every document mapped to the
+    HIGHEST-quality member of its near-dup component (ties on the
+    smaller doc id) — the keeper a curation pipeline actually wants.
+    The quality input is the already-oracled 6dp quality_score view,
+    so both engines argmax over identical doubles."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = DD.minhash_lsh_pairs(docs)
+    qual = (TS.quality_score(docs)
+            .select("doc_id",
+                    (F.round("quality", RND) + F.lit(0.0))
+                    .alias("quality")))
+    return DD.dedup_keep_best_decision(docs, pairs, qual)
+
+
+def _sql_dedup_keep_best() -> str:
+    comp = _sql_components().strip()
+    return f"""
+WITH comp AS MATERIALIZED ({comp}
+), qual AS ({SQL_QUALITY.strip()}
+), lab AS (
+  SELECT d.doc_id, coalesce(c.component_id, d.doc_id) AS grp,
+         q.quality
+  FROM documents d
+  LEFT JOIN comp c ON c.doc_id = d.doc_id
+  JOIN qual q ON q.doc_id = d.doc_id
+), best AS (
+  SELECT grp,
+         max(struct_pack(s := quality, nid := -doc_id)) AS m
+  FROM lab GROUP BY grp
+)
+SELECT lab.doc_id,
+       -best.m.nid AS keep_id,
+       best.m.s AS keep_score,
+       lab.doc_id = -best.m.nid AS is_keeper
+FROM lab JOIN best USING (grp)
+"""
+
+
 def q_corpus_curation(spark, sf_dir):
     """The composed end-to-end curation pipeline a pretraining-data
     run actually executes: language filter + quality filter + near-dup
@@ -834,6 +873,7 @@ SPARK_QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprint": q_doc_fingerprint,
     "repetition_score": q_repetition_score,
     "dedup_keep": q_dedup_keep,
+    "dedup_keep_best": q_dedup_keep_best,
     "corpus_curation": q_corpus_curation,
     "model_score": q_model_score,
 }
@@ -861,6 +901,7 @@ ORACLE_SQL_EXT: dict[str, str] = {
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "repetition_score": SQL_REPETITION,
     "dedup_keep": _sql_dedup_keep(),
+    "dedup_keep_best": _sql_dedup_keep_best(),
     "corpus_curation": _sql_corpus_curation(),
     "model_score": _sql_model_score(),
 }

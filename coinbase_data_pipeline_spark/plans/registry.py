@@ -65,6 +65,8 @@ _CHECK_FIRST = [
     "q1_pricing_summary", "q5_local_supplier", "q6_forecast_revenue",
     "q7_volume_shipping", "q19_discounted_revenue", "vwap",
     "price_features",
+    # new operators in round 4 (each oracle-paired) — need first rows
+    "boilerplate_ngrams", "dedup_keep_best",
 ]
 
 ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

@@ -406,6 +406,60 @@ def test_stratified_sample_deterministic_and_rated(spark):
     assert frac["en"] > frac["zh"], frac
 
 
+def test_boilerplate_ngrams_template_detection(spark):
+    """Docs sharing a template 5-gram are flagged in proportion to the
+    shared content; unique docs score 0; docs shorter than n have zero
+    grams and score 0."""
+    from coinbase_data_pipeline_spark.operators.corpus import (
+        boilerplate_ngrams)
+
+    boiler = "all rights reserved contact us"
+    rows = [
+        (1, boiler + " alpha beta gamma"),
+        (2, boiler + " delta epsilon zeta"),
+        (3, boiler + " eta theta iota"),
+        (4, "completely unique text with no shared content at all"),
+        (5, "tiny doc"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in
+           boilerplate_ngrams(docs, n=5, min_docs=3).collect()}
+    assert len(out) == 5
+    # the template 5-gram appears in docs 1-3 (df=3 >= 3)
+    for d in (1, 2, 3):
+        assert out[d].dup_grams == 1, out[d]
+        assert out[d].n_grams == 4  # 8 tokens -> 4 shingles
+        assert abs(out[d].boilerplate_frac - 0.25) < 1e-12
+    assert out[4].dup_grams == 0 and out[4].boilerplate_frac == 0.0
+    assert out[5].n_grams == 0 and out[5].boilerplate_frac == 0.0
+
+
+def test_dedup_keep_best_prefers_quality(spark):
+    """The keeper of a near-dup component is its highest-scoring
+    member (ties on smaller id); documents in no pair keep
+    themselves."""
+    from coinbase_data_pipeline_spark.operators.dedup import (
+        dedup_keep_best_decision)
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(1, 7)], ["doc_id"])
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], ["doc_a", "doc_b"])
+    scores = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.9), (4, 0.5), (5, 0.1), (6, 0.3)],
+        ["doc_id", "quality"])
+    out = {r.doc_id: r for r in
+           dedup_keep_best_decision(docs, pairs, scores).collect()}
+    # component {1,2,3}: 2 and 3 tie at 0.9 -> smaller id 2 wins
+    for d in (1, 2, 3):
+        assert out[d].keep_id == 2 and out[d].keep_score == 0.9
+    assert out[2].is_keeper and not out[1].is_keeper
+    # component {4,5}: 4 wins on quality
+    assert out[4].keep_id == 4 and out[5].keep_id == 4
+    # singleton keeps itself
+    assert out[6].keep_id == 6 and out[6].is_keeper
+
+
 def test_decontaminate_eval_and_clean_split(spark):
     """Eval docs are self-contaminated (they share every n-gram with
     the eval set); a doc with no 5-token run in common stays clean;
