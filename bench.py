@@ -77,6 +77,7 @@ HEADLINERS = [
     "streaming_late_candles",
     "boilerplate_ngrams",
     "dedup_keep_best",
+    "semantic_dedup",
 ]
 
 # Per-query repetitions; the reported time is the MIN across runs.

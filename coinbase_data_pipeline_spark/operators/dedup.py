@@ -523,6 +523,47 @@ def dedup_keep_decision(docs: DataFrame, pairs: DataFrame, *,
         (keep == F.col(id_col)).alias("is_keeper"))
 
 
+def semantic_dedup_pairs(emb: DataFrame, *, k: int = 8,
+                         iterations: int = 2,
+                         threshold: float = 0.4,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> DataFrame:
+    """SemDeDup-style semantic near-dup pairs (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication"): partition embeddings with a k-means quantizer,
+    then emit exact cosine pairs ≥ threshold WITHIN each cluster
+    only. Complements :func:`embedding_neighbor_stats_lsh` — cluster
+    partitioning (data-adaptive) instead of random hyperplane buckets.
+
+    Scale: the pair space is Σ n_c² over clusters instead of n² —
+    with balanced clusters a k-fold reduction, and k grows with the
+    corpus (the paper uses ~100k clusters at web scale). The cluster
+    equi-join is a hash join keyed on the cluster id; vectors travel
+    once; pairs that straddle clusters are missed BY DESIGN (the
+    method's recall tradeoff, recall pytest-gated). Reuses the
+    hash-checked deterministic Lloyd loop (operators/ann.py), so the
+    whole pipeline — quantizer included — is SQL-oracle-checkable.
+    """
+    from .ann import kmeans_assign
+
+    assigned = kmeans_assign(emb, k=k, iterations=iterations,
+                             id_col=id_col, vec_col=vec_col)
+    v = F.col(vec_col).cast("array<double>")
+    base = (emb.select(F.col(id_col), v.alias("v"))
+            .withColumn("norm", F.sqrt(_vec_dot(F.col("v"), F.col("v"))))
+            .join(assigned.select(id_col, "cluster"), id_col))
+    a = base.select(F.col("cluster"), F.col(id_col).alias("vec_a"),
+                    F.col("v").alias("av"), F.col("norm").alias("an"))
+    b = base.select(F.col("cluster"), F.col(id_col).alias("vec_b"),
+                    F.col("v").alias("bv"), F.col("norm").alias("bn"))
+    pairs = a.join(b, "cluster").filter(F.col("vec_a") < F.col("vec_b"))
+    cos = (F.round(_vec_dot(F.col("av"), F.col("bv"))
+                   / (F.col("an") * F.col("bn")), 6) + F.lit(0.0))
+    return (pairs.withColumn("cosine", cos)
+            .filter(F.col("cosine") >= threshold)
+            .select("cluster", "vec_a", "vec_b", "cosine"))
+
+
 def dedup_keep_best_decision(docs: DataFrame, pairs: DataFrame,
                              scores: DataFrame, *,
                              id_col: str = "doc_id",

@@ -848,6 +848,41 @@ SELECT vec_id, cluster, d AS sq_dist FROM a{iterations}
 
 SQL_KMEANS_ASSIGN = _sql_kmeans()
 
+SEMDEDUP_THRESHOLD = 0.4
+
+
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup: k-means-partitioned exact-cosine near-dup pairs over
+    the embedding table (cluster-bounded pair space — the published
+    web-scale semantic dedup recipe, reusing the hash-checked Lloyd
+    quantizer)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return DD.semantic_dedup_pairs(emb, k=KM_K, iterations=KM_ITERS,
+                                   threshold=SEMDEDUP_THRESHOLD)
+
+
+def _sql_semantic_dedup() -> str:
+    dot = ("list_sum(list_transform(generate_series(1, len(a.v)),"
+           " i -> a.v[i] * b.v[i]))")
+    nrm = ("sqrt(list_sum(list_transform(generate_series(1, len(v)),"
+           " i -> v[i] * v[i])))")
+    return f"""
+WITH asg AS (
+  SELECT vec_id, cluster FROM ({_sql_kmeans().strip()}) t
+), w AS (
+  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v, asg.cluster
+  FROM embeddings e JOIN asg USING (vec_id)
+), wn AS (
+  SELECT vec_id, v, cluster, {nrm} AS nrm FROM w
+)
+SELECT a.cluster,
+       a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round({dot} / (a.nrm * b.nrm), 6) + 0 AS cosine
+FROM wn a JOIN wn b
+  ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+WHERE round({dot} / (a.nrm * b.nrm), 6) + 0 >= {SEMDEDUP_THRESHOLD}
+"""
+
 
 SPARK_QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_join": q_asof_join,
@@ -867,6 +902,7 @@ SPARK_QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
     "kmeans_assign": q_kmeans_assign,
+    "semantic_dedup": q_semantic_dedup,
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
     "token_count": q_token_count,
@@ -895,6 +931,7 @@ ORACLE_SQL_EXT: dict[str, str] = {
     "ann_bruteforce": SQL_ANN_BRUTEFORCE,
     "ann_lsh": _sql_ann_lsh(),
     "kmeans_assign": SQL_KMEANS_ASSIGN,
+    "semantic_dedup": _sql_semantic_dedup(),
     "lang_id": _sql_lang_id(),
     "quality_score": SQL_QUALITY,
     "token_count": SQL_TOKEN_COUNT,

@@ -66,7 +66,7 @@ _CHECK_FIRST = [
     "q7_volume_shipping", "q19_discounted_revenue", "vwap",
     "price_features",
     # new operators in round 4 (each oracle-paired) — need first rows
-    "boilerplate_ngrams", "dedup_keep_best",
+    "boilerplate_ngrams", "dedup_keep_best", "semantic_dedup",
 ]
 
 ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

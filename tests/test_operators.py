@@ -434,6 +434,38 @@ def test_boilerplate_ngrams_template_detection(spark):
     assert out[5].n_grams == 0 and out[5].boilerplate_frac == 0.0
 
 
+def test_semantic_dedup_subset_and_recall(spark):
+    """Within-cluster pairs are a SUBSET of the exact all-pairs result
+    at the same threshold (cosines are exact — clustering only bounds
+    the candidate space), with nontrivial recall even on these
+    near-random synthetic embeddings."""
+    import itertools
+
+    import numpy as np
+
+    from coinbase_data_pipeline_spark.operators.dedup import (
+        semantic_dedup_pairs)
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    got = {(r.vec_a, r.vec_b): r.cosine
+           for r in semantic_dedup_pairs(emb, threshold=0.4).collect()}
+    rows = emb.select("vec_id", "embedding").collect()
+    X = np.array([np.array(r.embedding, dtype=np.float64) for r in rows])
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    ids = [r.vec_id for r in rows]
+    truth = set()
+    for i, j in itertools.combinations(range(len(ids)), 2):
+        if round(float(X[i] @ X[j]), 6) >= 0.4:
+            truth.add(tuple(sorted((ids[i], ids[j]))))
+    assert truth, "threshold yields no true pairs — test is vacuous"
+    assert set(got) <= truth, set(got) - truth
+    recall = len(got) / len(truth)
+    assert recall >= 0.15, f"recall {recall:.2f} collapsed"
+    for (a, b), c in got.items():
+        i, j = ids.index(a), ids.index(b)
+        assert abs(c - round(float(X[i] @ X[j]), 6)) < 1e-5
+
+
 def test_dedup_keep_best_prefers_quality(spark):
     """The keeper of a near-dup component is its highest-scoring
     member (ties on smaller id); documents in no pair keep
