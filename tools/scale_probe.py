@@ -39,6 +39,13 @@ def corpus_times(spark, mult: int) -> dict[str, float]:
         corpus = corpus.unionByName(p)
     corpus = corpus.localCheckpoint(eager=True)
 
+    # token_packing's salted prefix sum is deliberately NOT probed
+    # here: at local corpus sizes (≤20k docs) both formulations are
+    # sub-second and the salt reads as pure overhead — the single-
+    # stratum serialization it removes only bites at ~1e8+ rows per
+    # stratum. Its scale evidence is the plan-shape audit
+    # (tests/test_plans.py::test_token_packing_salted_plan) plus the
+    # salt-count invariance property test.
     out: dict[str, float] = {}
     for name, fn in [
         ("dedup_minhash_lsh", lambda: DD.minhash_lsh_pairs(corpus)),
@@ -62,11 +69,21 @@ def main() -> None:
     lines = [
         "# SCALING — dedup-family wall time vs corpus size",
         "",
-        f"Base corpus: sf0.1 documents; multiples built by unioning",
-        "id-shifted, token-perturbed copies (near-dup clique structure",
-        "scales with the corpus). local[32]; times include the count",
-        "action. Near-linear growth 1x->4x is the bucketed-candidates",
-        "evidence; an all-pairs plan would grow ~quadratically.",
+        "Base corpus: sf0.1 documents; multiples built by unioning",
+        "id-shifted, token-perturbed copies. The copies near-dup each",
+        "other, so OUTPUT pairs grow ~14x at 4x input — wall time is",
+        "therefore expected to track output (the exact-verify stage's",
+        "irreducible per-pair work), and it does; growth beyond the",
+        "output curve would indicate a candidate-generation blow-up.",
+        "Because output growth (~14x) is close to the quadratic",
+        "candidate space (16x), this curve alone cannot separate",
+        "bucketed from all-pairs candidates — that evidence is (a) the",
+        "plan audits (no CartesianProduct/BroadcastNestedLoopJoin",
+        "anywhere in the family) and (b) BASELINE.md, where the",
+        "all-pairs single-node oracle formulations blow a 60s cap at",
+        "1x while these plans finish in seconds. local[32]; times",
+        "include the count action; single-run (noisy - compare",
+        "shapes, not single cells).",
         "Regenerate: `PYTHONPATH=. python tools/scale_probe.py`.",
         "",
         "| operator | " + " | ".join(f"{m}x sec (rows)" for m in MULTIPLES)
