@@ -78,6 +78,7 @@ HEADLINERS = [
     "boilerplate_ngrams",
     "dedup_keep_best",
     "semantic_dedup",
+    "streaming_corpus_scores",
 ]
 
 # Per-query repetitions; the reported time is the MIN across runs.

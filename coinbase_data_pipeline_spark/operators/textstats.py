@@ -23,11 +23,10 @@ LANG_STOPWORDS = {
 }
 
 
-def lang_id(docs: DataFrame, *, id_col: str = "doc_id",
-            text_col: str = "text") -> DataFrame:
-    """Heuristic language ID: CJK characters → zh; otherwise the
-    stopword list with the most hits wins; ties / no hits → en.
-    Tie-break order is the fixed list en > es > fr > de."""
+def _lang_signals(text_col: str = "text"):
+    """(pred_lang Column, per-language hit-count Columns) — the ONE
+    implementation of the language heuristic, shared by the batch
+    lang_id operator and the streaming ingest scorer."""
     toks = tokens(text_col)
 
     def _in(words):
@@ -47,15 +46,30 @@ def lang_id(docs: DataFrame, *, id_col: str = "doc_id",
         best = F.when(cond, F.lit(lang)).otherwise(best)
         best_score = F.when(cond, scores[lang]).otherwise(best_score)
     pred = F.when(has_cjk, F.lit("zh")).otherwise(best)
+    return pred, scores
+
+
+def lang_pred(text_col: str = "text"):
+    """The pred_lang expression alone (CJK → zh, else the stopword
+    list with the most hits, ties → en)."""
+    return _lang_signals(text_col)[0]
+
+
+def lang_id(docs: DataFrame, *, id_col: str = "doc_id",
+            text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: CJK characters → zh; otherwise the
+    stopword list with the most hits wins; ties / no hits → en.
+    Tie-break order is the fixed list en > es > fr > de."""
+    pred, scores = _lang_signals(text_col)
     return docs.select(
         F.col(id_col), pred.alias("pred_lang"),
         *[scores[lang].alias(f"hits_{lang}") for lang in LANG_STOPWORDS])
 
 
-def quality_score(docs: DataFrame, *, id_col: str = "doc_id",
-                  text_col: str = "text") -> DataFrame:
-    """Length / punctuation / stopword-ratio quality heuristics with a
-    blended 0-1 score (mirrors common pretraining-data filters)."""
+def quality_columns(text_col: str = "text") -> dict:
+    """Named quality expressions (UNROUNDED) — the ONE implementation
+    of the quality heuristics, shared by the batch quality_score
+    operator and the streaming ingest scorer."""
     t = F.col(text_col)
     n_chars = F.length(t)
     toks = tokens(text_col)
@@ -76,23 +90,40 @@ def quality_score(docs: DataFrame, *, id_col: str = "doc_id",
         .cast("double")
     score = (0.4 * length_ok + 0.3 * tok_len_ok
              + 0.3 * F.least(stop_ratio * 5.0, F.lit(1.0)))
+    return {"n_chars": n_chars, "n_tokens": n_tokens,
+            "mean_token_len": mean_tok_len, "punct_ratio": punct_ratio,
+            "stopword_ratio": stop_ratio, "quality": score}
+
+
+def quality_score(docs: DataFrame, *, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword-ratio quality heuristics with a
+    blended 0-1 score (mirrors common pretraining-data filters)."""
+    qc = quality_columns(text_col)
     return docs.select(
-        F.col(id_col), n_chars.alias("n_chars"),
-        n_tokens.alias("n_tokens"),
-        F.round(mean_tok_len, 6).alias("mean_token_len"),
-        F.round(punct_ratio, 6).alias("punct_ratio"),
-        F.round(stop_ratio, 6).alias("stopword_ratio"),
-        F.round(score, 6).alias("quality"))
+        F.col(id_col), qc["n_chars"].alias("n_chars"),
+        qc["n_tokens"].alias("n_tokens"),
+        F.round(qc["mean_token_len"], 6).alias("mean_token_len"),
+        F.round(qc["punct_ratio"], 6).alias("punct_ratio"),
+        F.round(qc["stopword_ratio"], 6).alias("stopword_ratio"),
+        F.round(qc["quality"], 6).alias("quality"))
+
+
+def token_count_cols(text_col: str = "text"):
+    """(ws_tokens, bpe_tokens) expressions — shared by the batch
+    token_count operator and the streaming ingest scorer."""
+    t = F.col(text_col)
+    ws = F.size(F.filter(F.split(t, "\\s+"), lambda x: F.length(x) > 0))
+    bpe = F.size(F.regexp_extract_all(
+        F.lower(t), F.lit("[a-z]+|[0-9]|[^a-z0-9\\s]"), F.lit(0)))
+    return ws, bpe
 
 
 def token_count(docs: DataFrame, *, id_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:
     """Whitespace token count + BPE-ish subword proxy count
     (runs of letters / single digits / single other non-space)."""
-    t = F.col(text_col)
-    ws = F.size(F.filter(F.split(t, "\\s+"), lambda x: F.length(x) > 0))
-    bpe = F.size(F.regexp_extract_all(
-        F.lower(t), F.lit("[a-z]+|[0-9]|[^a-z0-9\\s]"), F.lit(0)))
+    ws, bpe = token_count_cols(text_col)
     return docs.select(F.col(id_col),
                        ws.alias("ws_tokens"),
                        bpe.alias("bpe_tokens"))

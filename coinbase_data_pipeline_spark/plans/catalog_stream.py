@@ -16,9 +16,12 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..operators import textstats as TS
 from ..streaming.pipelines import (run_file_candle_pipeline,
+                                   run_file_corpus_pipeline,
                                    run_file_dedup_pipeline)
 from .catalog import SQL_BASE, _round, ticks
+from .catalog_ext import SQL_QUALITY, SQL_TOKEN_COUNT, _sql_lang_id
 
 _TMP_ROOT = os.path.join(os.path.dirname(os.path.dirname(
     os.path.dirname(os.path.abspath(__file__)))), ".tmp")
@@ -111,10 +114,53 @@ def q_streaming_late_candles(spark, sf_dir):
         shutil.rmtree(replay_dir, ignore_errors=True)
 
 
+def q_streaming_corpus_scores(spark, sf_dir):
+    """Streaming corpus ingest: documents replayed as JSON-lines
+    across micro-batches; every arriving doc is scored IN-STREAM —
+    language id, blended quality, token counts — with pure per-row
+    expressions (append mode, no state, no shuffle), the scoring pass
+    a training-data pipeline runs the moment documents land. The
+    expressions are the SAME Column builders the batch operators use
+    (operators/textstats.py), so stream == batch by construction and
+    the batch SQL is the oracle."""
+    from ..sources.tables import load_table
+
+    replay_dir = os.path.join(_TMP_ROOT, f"corpus-{uuid.uuid4().hex[:8]}")
+    try:
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text")
+        # many files → several micro-batches at maxFilesPerTrigger=16
+        docs.repartition(32).write.mode("overwrite").json(replay_dir)
+
+        def scorer(stream):
+            qc = TS.quality_columns("text")
+            ws, bpe = TS.token_count_cols("text")
+            return stream.select(
+                "doc_id",
+                TS.lang_pred("text").alias("pred_lang"),
+                (F.round(qc["quality"], 6) + F.lit(0.0))
+                .alias("quality"),
+                ws.cast("long").alias("ws_tokens"),
+                bpe.cast("long").alias("bpe_tokens"))
+
+        return run_file_corpus_pipeline(spark, replay_dir, scorer)
+    finally:
+        shutil.rmtree(replay_dir, ignore_errors=True)
+
+
+SQL_STREAMING_CORPUS = f"""
+SELECT l.doc_id, l.pred_lang, q.quality, t.ws_tokens, t.bpe_tokens
+FROM ({_sql_lang_id().strip()}) l
+JOIN ({SQL_QUALITY.strip()}) q USING (doc_id)
+JOIN ({SQL_TOKEN_COUNT.strip()}) t USING (doc_id)
+"""
+
+
 SPARK_QUERIES_STREAM: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_candles": q_streaming_candles,
     "streaming_dedup": q_streaming_dedup,
     "streaming_late_candles": q_streaming_late_candles,
+    "streaming_corpus_scores": q_streaming_corpus_scores,
 }
 
 ORACLE_SQL_STREAM: dict[str, str] = {
@@ -123,4 +169,5 @@ ORACLE_SQL_STREAM: dict[str, str] = {
     # same oracle as streaming_candles: late delivery must not change
     # the final relation
     "streaming_late_candles": SQL_STREAMING_CANDLES,
+    "streaming_corpus_scores": SQL_STREAMING_CORPUS,
 }

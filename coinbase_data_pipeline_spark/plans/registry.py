@@ -67,6 +67,7 @@ _CHECK_FIRST = [
     "price_features",
     # new operators in round 4 (each oracle-paired) — need first rows
     "boilerplate_ngrams", "dedup_keep_best", "semantic_dedup",
+    "streaming_corpus_scores",
 ]
 
 ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

@@ -190,6 +190,24 @@ def run_file_candle_pipeline(spark: SparkSession, json_dir: str,
     return spark.table(name)
 
 
+def run_file_corpus_pipeline(spark: SparkSession, json_dir: str,
+                             scorer, *,
+                             schema: str = "doc_id long, text string",
+                             max_files: int = 16) -> DataFrame:
+    """Streaming corpus ingest: a JSON-lines documents dir →
+    readStream → per-row scoring projection → append-mode memory
+    sink; returns the materialized result. `scorer` must be a
+    STATELESS DataFrame→DataFrame transformation (pure column
+    expressions — no aggregation, no dropDuplicates), so append mode
+    emits exactly one scored row per arriving document and the result
+    is batch-equivalent by construction — the scoring pass a
+    training-data pipeline runs the moment documents land."""
+    raw = (spark.readStream.schema(schema)
+           .option("maxFilesPerTrigger", max_files).json(json_dir))
+    name = run_to_memory(scorer(raw), output_mode="append")
+    return spark.table(name)
+
+
 def run_file_dedup_pipeline(spark: SparkSession, json_dir: str, *,
                             schema: str, key_cols: list[str],
                             max_files: int = 16) -> DataFrame:
