@@ -231,3 +231,71 @@ def repetition_score(docs: DataFrame, *, id_col: str = "doc_id",
         id_col, "n_tokens", "n_distinct",
         (F.round(dup, 6) + F.lit(0.0)).alias("dup_ratio"),
         (F.round(top, 6) + F.lit(0.0)).alias("top_token_share"))
+
+
+# Gopher rule-filter constants (Rae et al. 2021, Appendix A —
+# MassiveWeb heuristics). The stopword rule uses the paper's 8-word
+# list; line-based rules (ellipsis-line ratio, bullet ratio) are N/A
+# for this corpus schema (documents carry no line structure) and are
+# intentionally omitted rather than faked.
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have",
+                    "with"]
+GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 50, 100_000
+GOPHER_MIN_MEAN_WORD_LEN, GOPHER_MAX_MEAN_WORD_LEN = 3.0, 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_ALPHA_FRAC = 0.8
+GOPHER_MIN_STOPWORDS = 2
+
+
+def gopher_quality(docs: DataFrame, *, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Gopher-style rule filter (Rae et al. 2021): per-doc quality
+    signals + one boolean per rule + the conjunction `keep`.
+
+    Signals (whitespace words, not alpha tokens — the paper counts
+    words as written): word count in [50, 100k]; mean word length in
+    [3, 10]; symbol-to-word ratio ('#' and '...') <= 0.1; >= 80% of
+    words contain an alphabetic character; >= 2 distinct stopwords
+    from the paper's 8-word list.
+
+    Pure expression work — zero shuffles, whole-stage codegen; the
+    scan reads only (doc_id, text). Empty/whitespace-only docs yield
+    word_count 0 and fail the word-count rule (ratios NULL).
+    """
+    t = F.col(text_col)
+    words = F.filter(F.split(t, "\\s+"), lambda x: F.length(x) > 0)
+    wc = F.size(words)
+    mean_len = F.when(wc > 0,
+                      F.aggregate(words, F.lit(0),
+                                  lambda a, x: a + F.length(x))
+                      .cast("double") / wc)
+    n_hash = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+    n_ellipsis = (F.length(t)
+                  - F.length(F.replace(t, F.lit("..."), F.lit("")))) / 3
+    symbol_ratio = F.when(wc > 0, (n_hash + n_ellipsis) / wc)
+    alpha_words = F.size(F.filter(words, lambda x: x.rlike("[A-Za-z]")))
+    alpha_frac = F.when(wc > 0, alpha_words.cast("double") / wc)
+    stop_arr = F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+    n_stop = F.size(F.array_intersect(
+        F.array_distinct(F.transform(words, F.lower)), stop_arr))
+    r_wc = (wc >= GOPHER_MIN_WORDS) & (wc <= GOPHER_MAX_WORDS)
+    r_len = ((mean_len >= GOPHER_MIN_MEAN_WORD_LEN)
+             & (mean_len <= GOPHER_MAX_MEAN_WORD_LEN))
+    r_sym = symbol_ratio <= GOPHER_MAX_SYMBOL_RATIO
+    r_alpha = alpha_frac >= GOPHER_MIN_ALPHA_FRAC
+    r_stop = n_stop >= GOPHER_MIN_STOPWORDS
+    keep = (r_wc & F.coalesce(r_len, F.lit(False))
+            & F.coalesce(r_sym, F.lit(False))
+            & F.coalesce(r_alpha, F.lit(False)) & r_stop)
+    return docs.select(
+        F.col(id_col), wc.alias("word_count"),
+        (F.round(mean_len, 6) + F.lit(0.0)).alias("mean_word_len"),
+        (F.round(symbol_ratio, 6) + F.lit(0.0)).alias("symbol_ratio"),
+        (F.round(alpha_frac, 6) + F.lit(0.0)).alias("alpha_frac"),
+        n_stop.alias("n_stopwords"),
+        r_wc.alias("rule_word_count"),
+        F.coalesce(r_len, F.lit(False)).alias("rule_mean_word_len"),
+        F.coalesce(r_sym, F.lit(False)).alias("rule_symbol_ratio"),
+        F.coalesce(r_alpha, F.lit(False)).alias("rule_alpha_frac"),
+        r_stop.alias("rule_stopwords"),
+        keep.alias("keep"))

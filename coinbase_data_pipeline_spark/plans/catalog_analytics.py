@@ -361,6 +361,77 @@ GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------- anomaly detection
+
+ANOM_SIGMA = 2.5          # flag |return| > sigma * trailing vol
+ANOM_WINDOW = 24          # trailing buckets (exclusive of current)
+ANOM_MIN_OBS = 12         # minimum trailing observations
+
+
+def q_price_anomalies(spark, sf_dir):
+    """Return-spike detection over the candle series: per product,
+    flag buckets whose log return exceeds ANOM_SIGMA x the trailing
+    ANOM_WINDOW-bucket return volatility (volatility window EXCLUDES
+    the current bucket, so a spike cannot mask itself).
+
+    One window family (partitionBy product, orderBy bucket) → single
+    shuffle shared by the lag and the rolling stddev; the filter is
+    evaluated pre-shuffle-free, JVM-side. Precision: return and vol
+    are snapped to 6dp before the comparison and the ratio, so both
+    engines compare/divide identical doubles (zscore itself is NOT
+    re-rounded — quotients of identical doubles are bit-identical).
+    """
+    from pyspark.sql import Window
+
+    from .catalog import candles as _candles
+
+    c = _candles(spark, sf_dir)
+    w1 = Window.partitionBy("product_id").orderBy("bucket_start")
+    wv = w1.rowsBetween(-ANOM_WINDOW, -1)
+    prev = F.lag("close").over(w1)
+    ret = F.when((F.col("close") > 0) & (prev > 0),
+                 F.log(F.col("close") / prev))
+    scored = (c.select("product_id", "bucket_start",
+                       ret.alias("ret"))
+              .select("product_id", "bucket_start",
+                      (F.round("ret", 6) + F.lit(0.0)).alias("log_return"),
+                      (F.round(F.when(F.count("ret").over(wv)
+                                      >= ANOM_MIN_OBS,
+                                      F.stddev_samp("ret").over(wv)), 6)
+                       + F.lit(0.0)).alias("trail_vol")))
+    return (scored
+            .filter((F.col("trail_vol") > 0)
+                    & (F.abs("log_return")
+                       > ANOM_SIGMA * F.col("trail_vol")))
+            .select("product_id", "bucket_start", "log_return",
+                    "trail_vol",
+                    (F.col("log_return") / F.col("trail_vol"))
+                    .alias("zscore")))
+
+
+SQL_PRICE_ANOMALIES = SQL_BASE + f"""
+, rets AS (
+  SELECT product_id, bucket_start,
+         CASE WHEN close > 0 AND lag(close) OVER w1 > 0
+              THEN ln(close / lag(close) OVER w1) END AS ret
+  FROM candles
+  WINDOW w1 AS (PARTITION BY product_id ORDER BY bucket_start)
+), scored AS (
+  SELECT product_id, bucket_start,
+         ROUND(ret, 6) + 0 AS log_return,
+         ROUND(CASE WHEN count(ret) OVER wv >= {ANOM_MIN_OBS}
+               THEN stddev_samp(ret) OVER wv END, 6) + 0 AS trail_vol
+  FROM rets
+  WINDOW wv AS (PARTITION BY product_id ORDER BY bucket_start
+                ROWS BETWEEN {ANOM_WINDOW} PRECEDING AND 1 PRECEDING)
+)
+SELECT product_id, bucket_start, log_return, trail_vol,
+       log_return / trail_vol AS zscore
+FROM scored
+WHERE trail_vol > 0 AND abs(log_return) > {ANOM_SIGMA} * trail_vol
+"""
+
+
 SPARK_QUERIES_ANALYTICS: dict[
         str, Callable[[SparkSession, str], DataFrame]] = {
     "sessionize": q_sessionize,
@@ -375,6 +446,7 @@ SPARK_QUERIES_ANALYTICS: dict[
     "funnel": q_funnel,
     "tfidf_top_terms": q_tfidf_top_terms,
     "value_histogram": q_value_histogram,
+    "price_anomalies": q_price_anomalies,
 }
 
 ORACLE_SQL_ANALYTICS: dict[str, str] = {
@@ -390,4 +462,5 @@ ORACLE_SQL_ANALYTICS: dict[str, str] = {
     "funnel": SQL_FUNNEL,
     "tfidf_top_terms": SQL_TFIDF,
     "value_histogram": SQL_VALUE_HISTOGRAM,
+    "price_anomalies": SQL_PRICE_ANOMALIES,
 }

@@ -327,6 +327,68 @@ WHERE {sql_hash60("CAST(doc_id AS VARCHAR)", "mix")} % 1000000 < thresh
 """
 
 
+# ------------------------------------------------------------- gopher rules
+
+
+def q_gopher_quality(spark, sf_dir):
+    """Gopher-style rule filter (Rae et al. 2021 MassiveWeb
+    heuristics) over the documents table: per-doc signals, one
+    boolean per rule, conjunction `keep`. Pure expression work —
+    zero shuffles; the scan reads only (doc_id, text)."""
+    from ..operators import textstats as TS
+
+    docs = load_table(spark, sf_dir, "documents")
+    return TS.gopher_quality(docs)
+
+
+_GOPHER_STOP_SQL = ", ".join(
+    f"'{w}'" for w in ["the", "be", "to", "of", "and", "that", "have",
+                       "with"])
+
+SQL_GOPHER_QUALITY = f"""
+WITH w AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(text, '\\s+'),
+                     x -> len(x) > 0) AS words
+  FROM documents
+), m AS (
+  SELECT doc_id, len(words) AS wc,
+         CASE WHEN len(words) > 0 THEN
+           CAST(list_sum(list_transform(words, x -> len(x))) AS DOUBLE)
+             / len(words) END AS mean_len,
+         CASE WHEN len(words) > 0 THEN
+           (len(text) - len(replace(text, '#', ''))
+            + (len(text) - len(replace(text, '...', ''))) / 3)
+             / len(words) END AS symbol_ratio,
+         CASE WHEN len(words) > 0 THEN
+           CAST(len(list_filter(words,
+                                x -> regexp_matches(x, '[A-Za-z]')))
+                AS DOUBLE) / len(words) END AS alpha_frac,
+         len(list_intersect(
+               list_distinct(list_transform(words, x -> lower(x))),
+               [{_GOPHER_STOP_SQL}])) AS n_stop
+  FROM w
+)
+SELECT doc_id, wc AS word_count,
+       ROUND(mean_len, 6) + 0 AS mean_word_len,
+       ROUND(symbol_ratio, 6) + 0 AS symbol_ratio,
+       ROUND(alpha_frac, 6) + 0 AS alpha_frac,
+       n_stop AS n_stopwords,
+       (wc >= 50 AND wc <= 100000) AS rule_word_count,
+       coalesce(mean_len >= 3.0 AND mean_len <= 10.0, FALSE)
+         AS rule_mean_word_len,
+       coalesce(symbol_ratio <= 0.1, FALSE) AS rule_symbol_ratio,
+       coalesce(alpha_frac >= 0.8, FALSE) AS rule_alpha_frac,
+       (n_stop >= 2) AS rule_stopwords,
+       ((wc >= 50 AND wc <= 100000)
+        AND coalesce(mean_len >= 3.0 AND mean_len <= 10.0, FALSE)
+        AND coalesce(symbol_ratio <= 0.1, FALSE)
+        AND coalesce(alpha_frac >= 0.8, FALSE)
+        AND n_stop >= 2) AS keep
+FROM m
+"""
+
+
 # ----------------------------------------------------------------- registry
 
 SPARK_QUERIES_CORPUS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -339,6 +401,7 @@ SPARK_QUERIES_CORPUS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "boilerplate_ngrams": q_boilerplate_ngrams,
     "pii_scrub": q_pii_scrub,
     "mixture_resample": q_mixture_resample,
+    "gopher_quality": q_gopher_quality,
 }
 
 ORACLE_SQL_CORPUS: dict[str, str] = {
@@ -351,4 +414,5 @@ ORACLE_SQL_CORPUS: dict[str, str] = {
     "boilerplate_ngrams": SQL_BOILERPLATE,
     "pii_scrub": SQL_PII_SCRUB,
     "mixture_resample": SQL_MIXTURE_RESAMPLE,
+    "gopher_quality": SQL_GOPHER_QUALITY,
 }
