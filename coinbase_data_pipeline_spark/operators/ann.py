@@ -261,3 +261,128 @@ def kmeans_assign(emb: DataFrame, *, k: int = 8, iterations: int = 2,
                      F.array_sort(F.collect_list(F.struct("pos", "val"))),
                      lambda s: s.getField("val")).alias("c")))
     return assigned.select(id_col, "cluster", "sq_dist")
+
+
+# ------------------------------------------------------- product quantization
+
+def _subspaces(df: DataFrame, id_col: str, vec_col: str, m: int,
+               sub: int, out_id: str) -> DataFrame:
+    """(id, vec) → (id, subspace, sv): the vector split into m
+    contiguous sub-dim slices. Narrow explode — no shuffle."""
+    v = F.col(vec_col).cast("array<double>")
+    entries = F.array(*[
+        F.struct(F.lit(s).alias("subspace"),
+                 F.slice(v, s * sub + 1, sub).alias("sv"))
+        for s in range(m)])
+    return (df.select(F.col(id_col).alias(out_id),
+                      F.explode(entries).alias("e"))
+            .select(out_id, F.col("e.subspace").alias("subspace"),
+                    F.col("e.sv").alias("sv")))
+
+
+def _sq_dist(a, b) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, z: acc + z)
+
+
+def pq_train_encode(emb: DataFrame, *, m: int = 4, dim: int = 64,
+                    k: int = 16, iterations: int = 2,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding"):
+    """Product quantization (Jégou et al. 2011): split each vector
+    into m contiguous subvectors, train an independent k-entry
+    codebook per subspace with the SAME deterministic Lloyd recipe as
+    :func:`kmeans_assign` (seed = subvectors of the k smallest ids,
+    squared-L2 argmin, 6dp-rounded centroids, (distance, cluster)
+    tie-break), and encode every vector as m one-byte codes.
+
+    Returns (codes, codebook): codes = (id, subspace, code, sq_dist);
+    codebook = the ROUNDED per-subspace centroids the final
+    assignment used — exactly what ADC search must reuse.
+
+    Scale: all m subspaces train in ONE pipeline — the subspace id is
+    part of the key, so each Lloyd round is one broadcast equi-join on
+    `subspace` (codebooks are m x k x sub doubles — always broadcast)
+    plus one (subspace, cluster, pos) mean shuffle. Codes compress
+    dim x 8 bytes to m codes — the memory step that makes
+    billion-vector ANN feasible.
+    """
+    if dim % m:
+        raise ValueError(f"m={m} must divide dim={dim}")
+    sub = dim // m
+    base = _subspaces(emb, id_col, vec_col, m, sub, id_col)
+    seeds = emb.orderBy(id_col).limit(k)
+    cents = (_subspaces(seeds, id_col, vec_col, m, sub, "cluster"))
+    assigned, cr = None, None
+    for _ in range(iterations):
+        cr = cents.select(
+            "subspace", "cluster",
+            F.transform("sv", lambda x: F.round(x, 6) + F.lit(0.0))
+            .alias("c"))
+        d = _sq_dist(F.col("sv"), F.col("c"))
+        assigned = (base.join(F.broadcast(cr), "subspace")
+                    .select(id_col, "subspace", "sv",
+                            F.struct((F.round(d, 6) + F.lit(0.0))
+                                     .alias("d"),
+                                     F.col("cluster")).alias("dc"))
+                    .groupBy(id_col, "subspace", "sv")
+                    .agg(F.min("dc").alias("mn"))
+                    .select(F.col(id_col), "subspace", "sv",
+                            F.col("mn.cluster").alias("cluster"),
+                            F.col("mn.d").alias("sq_dist")))
+        cents = (assigned
+                 .select("subspace", "cluster",
+                         F.posexplode("sv").alias("pos", "x"))
+                 .groupBy("subspace", "cluster", "pos")
+                 .agg((F.round(F.avg("x"), 6) + F.lit(0.0)).alias("val"))
+                 .groupBy("subspace", "cluster")
+                 .agg(F.transform(
+                     F.array_sort(F.collect_list(F.struct("pos", "val"))),
+                     lambda s: s.getField("val")).alias("sv")))
+    codes = assigned.select(F.col(id_col), "subspace",
+                            F.col("cluster").alias("code"), "sq_dist")
+    return codes, cr
+
+
+def pq_topk(corpus: DataFrame, queries: DataFrame, *, m: int = 4,
+            dim: int = 64, k_codes: int = 16, iterations: int = 2,
+            k: int = 5, id_col: str = "vec_id",
+            vec_col: str = "embedding") -> DataFrame:
+    """ADC (asymmetric distance computation) top-k over PQ codes: the
+    query stays exact; each corpus vector's distance is approximated
+    by summing, per subspace, the distance from the query subvector to
+    the corpus vector's ASSIGNED centroid — one lookup-table join
+    instead of any full-vector math on the corpus side.
+
+    Plan: LUT = queries x codebook (Q x m x k_codes rows — broadcast);
+    codes equi-join LUT on (subspace, code); per (query, vec) the m
+    subspace terms are summed IN SUBSPACE ORDER (array_sort over
+    collected (subspace, d) structs — a groupBy SUM would add doubles
+    in partition order, which no oracle can replicate bit-for-bit);
+    row_number top-k. The corpus is touched once to encode and once to
+    join codes — never again per query, which is the PQ payoff at
+    billion-vector scale.
+    """
+    codes, cb = pq_train_encode(corpus, m=m, dim=dim, k=k_codes,
+                                iterations=iterations, id_col=id_col,
+                                vec_col=vec_col)
+    sub = dim // m
+    qsub = _subspaces(queries, id_col, vec_col, m, sub, "query_id")
+    lut = (qsub.join(F.broadcast(cb), "subspace")
+           .select("query_id", "subspace", F.col("cluster").alias("code"),
+                   (F.round(_sq_dist(F.col("sv"), F.col("c")), 6)
+                    + F.lit(0.0)).alias("d")))
+    terms = (codes.join(F.broadcast(lut), ["subspace", "code"])
+             .filter(F.col(id_col) != F.col("query_id")))
+    ordered_sum = F.aggregate(
+        F.transform(F.array_sort(F.collect_list(F.struct("subspace", "d"))),
+                    lambda s: s.getField("d")),
+        F.lit(0.0), lambda acc, x: acc + x)
+    adc = (terms.groupBy("query_id", F.col(id_col).alias("nn_id"))
+           .agg((F.round(ordered_sum, 6) + F.lit(0.0)).alias("adc_dist")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("nn_id"))
+    return (adc.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "nn_id", "adc_dist", "rank"))

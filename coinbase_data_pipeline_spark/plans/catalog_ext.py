@@ -884,6 +884,129 @@ WHERE round({dot} / (a.nrm * b.nrm), 6) + 0 >= {SEMDEDUP_THRESHOLD}
 """
 
 
+# ------------------------------------------------------ product quantization
+
+PQ_M, PQ_DIM, PQ_K, PQ_ITERS = 4, 64, 16, 2
+PQ_SUB = PQ_DIM // PQ_M
+ANN_PQ_TOPK = 5
+
+
+def q_pq_encode(spark, sf_dir):
+    """PQ codebook training + encoding (Jégou et al. 2011): every
+    64-dim embedding compressed to 4 one-byte codes via per-subspace
+    deterministic Lloyd — the memory layer of IVF-PQ ANN. Iterative
+    ML kernel, yet hash-checked: same CTE-for-CTE mirroring as
+    kmeans_assign, extended with the subspace axis."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    codes, _ = ANN.pq_train_encode(emb, m=PQ_M, dim=PQ_DIM, k=PQ_K,
+                                   iterations=PQ_ITERS)
+    return codes
+
+
+def _sql_pq_prefix(iterations: int = PQ_ITERS) -> tuple[str, str, str]:
+    """Shared CTE chain for the PQ family: returns (prefix_sql,
+    final_assign_cte, final_codebook_cte). Mirrors the Spark Lloyd
+    loop subspace-for-subspace: same seed rule (k smallest vec_ids'
+    subvectors), same 6dp centroid/distance rounding, same
+    (distance, cluster) tie-break."""
+    sub, m, k = PQ_SUB, PQ_M, PQ_K
+    d = ("round(list_sum(list_transform(generate_series(1, len(s.sv)),"
+         " i -> (s.sv[i] - p.c[i]) * (s.sv[i] - p.c[i]))), 6) + 0")
+    parts = [f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS fv FROM embeddings
+), sv AS (
+  SELECT vec_id, t.s AS subspace,
+         fv[t.s * {sub} + 1 : t.s * {sub} + {sub}] AS sv
+  FROM v, unnest(generate_series(0, {m - 1})) AS t(s)
+), c0 AS (
+  SELECT subspace, vec_id AS cluster,
+         list_transform(sv, x -> round(x, 6) + 0) AS c
+  FROM sv
+  WHERE vec_id IN (SELECT vec_id FROM v ORDER BY vec_id LIMIT {k})
+)"""]
+    prev = "c0"
+    for it in range(1, iterations + 1):
+        parts.append(f"""
+, a{it} AS (
+  SELECT vec_id, subspace, sv, cluster, d FROM (
+    SELECT s.vec_id, s.subspace, s.sv, p.cluster, {d} AS d,
+           row_number() OVER (PARTITION BY s.vec_id, s.subspace
+                              ORDER BY {d}, p.cluster) AS rn
+    FROM sv s JOIN {prev} p USING (subspace)
+  ) WHERE rn = 1
+), cl{it} AS (
+  SELECT subspace, cluster, t.i - 1 AS pos,
+         round(avg(sv[t.i]), 6) + 0 AS val
+  FROM a{it}, unnest(generate_series(1, len(sv))) AS t(i)
+  GROUP BY 1, 2, 3
+), c{it} AS (
+  SELECT subspace, cluster, list(val ORDER BY pos) AS c
+  FROM cl{it} GROUP BY subspace, cluster
+)""")
+        prev = f"c{it}"
+    # the codebook the FINAL assignment used is the previous round's
+    # centroids — exactly what ADC must reuse
+    return "".join(parts), f"a{iterations}", f"c{iterations - 1}"
+
+
+def _sql_pq_encode() -> str:
+    prefix, final_a, _ = _sql_pq_prefix()
+    return (prefix
+            + f"\nSELECT vec_id, subspace, cluster AS code, d AS sq_dist"
+              f"\nFROM {final_a}\n")
+
+
+SQL_PQ_ENCODE = _sql_pq_encode()
+
+
+def q_ann_pq(spark, sf_dir):
+    """ADC top-k over PQ codes — the query-time half of IVF-PQ. The
+    corpus is touched only through its 4-byte codes; per query the
+    distance is a LUT join + ordered subspace sum."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ANN.pq_topk(emb, queries, m=PQ_M, dim=PQ_DIM, k_codes=PQ_K,
+                       iterations=PQ_ITERS, k=ANN_PQ_TOPK)
+
+
+def _sql_ann_pq() -> str:
+    prefix, final_a, final_cb = _sql_pq_prefix()
+    return prefix + f"""
+, q AS (
+  SELECT vec_id AS query_id, subspace, sv AS qsv
+  FROM sv WHERE vec_id < 10
+), lut AS (
+  SELECT q.query_id, q.subspace, p.cluster AS code,
+         round(list_sum(list_transform(generate_series(1, len(q.qsv)),
+               i -> (q.qsv[i] - p.c[i]) * (q.qsv[i] - p.c[i]))), 6) + 0
+           AS d
+  FROM q JOIN {final_cb} p USING (subspace)
+), codes AS (
+  SELECT vec_id, subspace, cluster AS code FROM {final_a}
+), adc AS (
+  SELECT l.query_id, c.vec_id AS nn_id,
+         round(list_sum(list(l.d ORDER BY l.subspace)), 6) + 0
+           AS adc_dist
+  FROM codes c
+  JOIN lut l ON l.subspace = c.subspace AND l.code = c.code
+  WHERE c.vec_id != l.query_id
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT query_id, nn_id, adc_dist,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY adc_dist, nn_id) AS INT)
+           AS rank
+  FROM adc
+)
+SELECT query_id, nn_id, adc_dist, rank
+FROM ranked WHERE rank <= {ANN_PQ_TOPK}
+"""
+
+
+SQL_ANN_PQ = _sql_ann_pq()
+
+
 SPARK_QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_join": q_asof_join,
     "naive_forecast": q_naive_forecast,
@@ -912,6 +1035,8 @@ SPARK_QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_keep_best": q_dedup_keep_best,
     "corpus_curation": q_corpus_curation,
     "model_score": q_model_score,
+    "pq_encode": q_pq_encode,
+    "ann_pq": q_ann_pq,
 }
 
 ORACLE_SQL_EXT: dict[str, str] = {
@@ -941,4 +1066,6 @@ ORACLE_SQL_EXT: dict[str, str] = {
     "dedup_keep_best": _sql_dedup_keep_best(),
     "corpus_curation": _sql_corpus_curation(),
     "model_score": _sql_model_score(),
+    "pq_encode": SQL_PQ_ENCODE,
+    "ann_pq": SQL_ANN_PQ,
 }
