@@ -603,3 +603,109 @@ def dedup_keep_best_decision(docs: DataFrame, pairs: DataFrame,
             .select(F.col(id_col), "keep_id", "keep_score",
                     (F.col(id_col) == F.col("keep_id"))
                     .alias("is_keeper")))
+
+
+def minhash_lsh_pairs_vs(left: DataFrame, right: DataFrame, *,
+                         id_col: str = "doc_id", text_col: str = "text",
+                         num_hashes: int = 16, bands: int = 4,
+                         jaccard_threshold: float = 0.9) -> DataFrame:
+    """Cross-relation MinHash LSH: candidate pairs between a LEFT
+    relation (e.g. a newly arrived batch) and a RIGHT relation (e.g.
+    the historical corpus) — the join an incremental ingest pipeline
+    runs every cycle, where re-self-joining the whole corpus would be
+    quadratic in corpus growth.
+
+    Same construction as :func:`minhash_lsh_pairs` (banded slice-hash
+    equi-join, first-matching-band exactly-once emission, implied
+    size-ratio block, exact-Jaccard verify) but the two sides are
+    different relations, so there is no `a < b` ordering constraint —
+    every (left, right) pair is emitted at most once via the
+    first-match filter alone. At scale the right side's banded
+    signatures are a materialized table maintained incrementally;
+    only the left (new) side is hashed per cycle.
+
+    Returns (left_id, right_id, jaccard).
+    """
+    if num_hashes % bands:
+        raise ValueError(
+            f"bands={bands} must divide num_hashes={num_hashes}")
+    rows_per_band = num_hashes // bands
+
+    def _prep(df: DataFrame, tag: str) -> DataFrame:
+        base = df.select(F.col(id_col).alias(f"{tag}_id"),
+                         token_set(text_col).alias("toks"))
+        base = base.withColumn("n", F.size("toks"))
+        # empty docs can never reach jaccard >= t; excluding them also
+        # kills the all-NULL-signature bucket (see minhash_lsh_pairs)
+        base = base.filter(F.col("n") > 0)
+        return _dense_spread(base, F.col(f"{tag}_id"))
+
+    lbase, rbase = _prep(left, "a"), _prep(right, "b")
+
+    def _banded(base: DataFrame, tag: str) -> DataFrame:
+        sig = base.select(f"{tag}_id", "n",
+                          minhash_signature(F.col("toks"),
+                                            k=num_hashes).alias("sig"))
+        slice_hash = [
+            F.xxhash64(*[F.col("sig")[b * rows_per_band + r]
+                         for r in range(rows_per_band)]).alias(f"s{b}")
+            for b in range(bands)]
+        sigd = sig.select(f"{tag}_id", "n", *slice_hash)
+        return sigd.select(
+            f"{tag}_id", F.col("n").alias(f"n{tag}"),
+            *[F.col(f"s{b}").alias(f"{tag}_s{b}") for b in range(bands)],
+            F.posexplode(F.array(*[f"s{b}" for b in range(bands)]))
+            .alias("band", "bsig"))
+
+    lb = _banded(lbase, "a")
+    rb = _banded(rbase, "b")
+    t = jaccard_threshold
+    cand_ids = (lb.join(rb, ["band", "bsig"])
+                .filter(_first_match_band(bands))
+                .filter((F.col("na") * t <= F.col("nb"))
+                        & (F.col("nb") * t <= F.col("na")))
+                .select("a_id", "b_id"))
+    cand_ids = _dense_spread(cand_ids, F.col("a_id"), F.col("b_id"))
+    cand = (cand_ids
+            .join(lbase.select("a_id", F.col("toks").alias("atoks"),
+                               F.col("n").alias("na")), "a_id")
+            .join(rbase.select("b_id", F.col("toks").alias("btoks"),
+                               F.col("n").alias("nb")), "b_id"))
+    union = F.size(F.array_union("atoks", "btoks")).cast("double")
+    inter = (F.col("na") + F.col("nb")).cast("double") - union
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return (cand.withColumn("jaccard", F.round(jac, 6))
+                .filter(F.col("jaccard") >= jaccard_threshold)
+                .select(F.col("a_id").alias("left_id"),
+                        F.col("b_id").alias("right_id"), "jaccard"))
+
+
+def incremental_dedup(batch: DataFrame, history: DataFrame, *,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      num_hashes: int = 16, bands: int = 4,
+                      jaccard_threshold: float = 0.9) -> DataFrame:
+    """Per-batch-doc dedup decision table against the historical
+    corpus: (doc_id, dup_of = smallest matching history id,
+    n_matches, max_jaccard, is_new). Every batch doc appears exactly
+    once — docs with no near-dup in history (including empty docs)
+    come back is_new = true.
+
+    One cross-relation LSH join (:func:`minhash_lsh_pairs_vs`) + one
+    per-batch-doc aggregate + one left join on the batch key. The
+    history side never aggregates — at 100 TB it is the big side and
+    only ever participates through its banded signature table.
+    """
+    pairs = minhash_lsh_pairs_vs(
+        batch, history, id_col=id_col, text_col=text_col,
+        num_hashes=num_hashes, bands=bands,
+        jaccard_threshold=jaccard_threshold)
+    matches = (pairs.groupBy(F.col("left_id").alias(id_col))
+               .agg(F.min("right_id").alias("dup_of"),
+                    F.count(F.lit(1)).alias("n_matches"),
+                    F.max("jaccard").alias("max_jaccard")))
+    return (batch.select(id_col)
+            .join(matches, id_col, "left")
+            .select(id_col, "dup_of",
+                    F.coalesce("n_matches", F.lit(0)).alias("n_matches"),
+                    "max_jaccard",
+                    F.col("dup_of").isNull().alias("is_new")))

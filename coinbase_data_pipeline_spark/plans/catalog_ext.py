@@ -884,6 +884,83 @@ WHERE round({dot} / (a.nrm * b.nrm), 6) + 0 >= {SEMDEDUP_THRESHOLD}
 """
 
 
+# ------------------------------------------------------- incremental dedup
+
+INC_SPLIT_FRAC = 0.9      # newest 10% of doc ids play the arriving batch
+
+
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental ingest dedup: the newest 10% of docs (by id) are
+    the arriving batch, deduped AGAINST the other 90% (the historical
+    corpus) via a cross-relation MinHash LSH join — the every-cycle
+    operation of a production corpus pipeline, where self-joining the
+    whole corpus each cycle would be quadratic in corpus growth.
+    The split threshold is a broadcast scalar aggregate (no collect)."""
+    docs = load_table(spark, sf_dir, "documents")
+    thr = docs.agg(F.floor(F.max("doc_id") * INC_SPLIT_FRAC)
+                   .cast("long").alias("split_id"))
+    with_t = docs.crossJoin(F.broadcast(thr))
+    batch = with_t.filter(F.col("doc_id") >= F.col("split_id")) \
+                  .drop("split_id")
+    history = with_t.filter(F.col("doc_id") < F.col("split_id")) \
+                    .drop("split_id")
+    return DD.incremental_dedup(batch, history)
+
+
+def _sql_dedup_incremental(num_hashes: int = 16, bands: int = 4,
+                           threshold: float = 0.9) -> str:
+    rpb = num_hashes // bands
+    mins = ",\n         ".join(
+        f"list_min(list_transform(toks, t -> {sql_hash60('t', f's{i}')}))"
+        f" AS m{i}" for i in range(num_hashes))
+    band_rows = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, toks, {b} AS band, concat_ws('_', "
+        + ", ".join(f"CAST(m{b * rpb + r} AS VARCHAR)" for r in range(rpb))
+        + ") AS bsig FROM sig" for b in range(bands))
+    return f"""
+WITH split AS (
+  SELECT CAST(floor(max(doc_id) * {INC_SPLIT_FRAC}) AS BIGINT) AS s
+  FROM documents
+), base AS (
+  SELECT doc_id, {SQL_TOKS} AS toks FROM documents
+), sig AS (
+  SELECT doc_id, toks,
+         {mins}
+  FROM base WHERE len(toks) > 0
+), banded AS (
+{band_rows}
+), hist AS (
+  SELECT * FROM banded WHERE doc_id < (SELECT s FROM split)
+), newb AS (
+  SELECT * FROM banded WHERE doc_id >= (SELECT s FROM split)
+), cand AS (
+  SELECT DISTINCT n.doc_id AS doc_id, h.doc_id AS hist_id,
+         n.toks AS ntoks, h.toks AS htoks
+  FROM newb n JOIN hist h ON n.band = h.band AND n.bsig = h.bsig
+), scored AS (
+  SELECT doc_id, hist_id,
+         ROUND(CASE WHEN len(list_distinct(ntoks || htoks)) > 0 THEN
+           CAST(len(list_intersect(ntoks, htoks)) AS DOUBLE)
+             / len(list_distinct(ntoks || htoks))
+           ELSE 0.0 END, 6) + 0 AS jaccard
+  FROM cand
+), matches AS (
+  SELECT doc_id, min(hist_id) AS dup_of, count(*) AS n_matches,
+         max(jaccard) AS max_jaccard
+  FROM scored WHERE jaccard >= {threshold} GROUP BY doc_id
+)
+SELECT b.doc_id, m.dup_of,
+       CAST(coalesce(m.n_matches, 0) AS BIGINT) AS n_matches,
+       m.max_jaccard, (m.dup_of IS NULL) AS is_new
+FROM (SELECT doc_id FROM documents
+      WHERE doc_id >= (SELECT s FROM split)) b
+LEFT JOIN matches m USING (doc_id)
+"""
+
+
+SQL_DEDUP_INCREMENTAL = _sql_dedup_incremental()
+
+
 # ------------------------------------------------------ product quantization
 
 PQ_M, PQ_DIM, PQ_K, PQ_ITERS = 4, 64, 16, 2
@@ -1037,6 +1114,7 @@ SPARK_QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "model_score": q_model_score,
     "pq_encode": q_pq_encode,
     "ann_pq": q_ann_pq,
+    "dedup_incremental": q_dedup_incremental,
 }
 
 ORACLE_SQL_EXT: dict[str, str] = {
@@ -1068,4 +1146,5 @@ ORACLE_SQL_EXT: dict[str, str] = {
     "model_score": _sql_model_score(),
     "pq_encode": SQL_PQ_ENCODE,
     "ann_pq": SQL_ANN_PQ,
+    "dedup_incremental": SQL_DEDUP_INCREMENTAL,
 }
