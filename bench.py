@@ -79,6 +79,11 @@ HEADLINERS = [
     "dedup_keep_best",
     "semantic_dedup",
     "streaming_corpus_scores",
+    "gopher_quality",
+    "price_anomalies",
+    "pq_encode",
+    "ann_pq",
+    "dedup_incremental",
 ]
 
 # Per-query repetitions; the reported time is the MIN across runs.

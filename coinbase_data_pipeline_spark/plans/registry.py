@@ -48,7 +48,12 @@ for _part in _QUERY_PARTS:
 # earlier green rows for the rest stay on record in
 # CORRECTNESS_r01/r02/r03.json.
 _CHECK_FIRST = [
+    # new operators in round 5 (each oracle-paired) — need first rows
+    "gopher_quality", "price_anomalies", "pq_encode", "ann_pq",
+    "dedup_incremental",
     # implementation changed in round 4 — need fresh rows
+    # (no CORRECTNESS_r04.json was recorded, so everything fronted
+    #  for round 4 still needs its fresh driver row)
     # (token_packing: stratum window salted via range-shard two-pass
     #  prefix sum, operators/corpus.py; dedup_embedding: candidate
     #  distinct() replaced by first-matching-band exactly-once

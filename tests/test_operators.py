@@ -609,3 +609,69 @@ def test_candle_upsert_empty_batch_is_identity_and_plan_is_incremental(spark):
             ._jdf.queryExecution().sparkPlan().toString())
     assert "LeftSemi" in plan and "LeftAnti" in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_ann_pq_recall(spark):
+    """ADC over PQ codes must recover a reasonable fraction of the
+    exact squared-L2 top-k (PQ approximates L2, not cosine — so the
+    reference set is exact L2, computed in NumPy)."""
+    import numpy as np
+
+    from coinbase_data_pipeline_spark.operators.ann import pq_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    approx = pq_topk(emb, q, k=5).collect()
+    rows = emb.collect()
+    ids = np.array([r.vec_id for r in rows])
+    V = np.array([r.embedding for r in rows], dtype=float)
+    exact_set = set()
+    for qid in range(10):
+        qv = V[ids == qid][0]
+        d = ((V - qv) ** 2).sum(1)
+        order = sorted(range(len(ids)), key=lambda i: (d[i], ids[i]))
+        top = [ids[i] for i in order if ids[i] != qid][:5]
+        exact_set |= {(qid, int(t)) for t in top}
+    approx_set = {(r.query_id, r.nn_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    # 16-entry codebooks over 16-dim subspaces of unclustered synthetic
+    # vectors: coarse by design (~0.25 here, ~0.3 at sf0.01). The bar
+    # guards against a broken LUT join (which craters to ~chance),
+    # not codec quality.
+    assert recall >= 0.15, f"PQ recall {recall} suspiciously low"
+    assert all(r.rank <= 5 for r in approx)
+    # every query returns exactly k rows (LUT join covers all codes)
+    from collections import Counter
+    per_q = Counter(r.query_id for r in approx)
+    assert all(v == 5 for v in per_q.values())
+
+
+def test_incremental_dedup_matches_self_join(spark):
+    """Cross-relation LSH (batch vs history) must produce EXACTLY the
+    self-join pairs that straddle the split — same banding, same
+    first-match emission, same verify — with sides swapped."""
+    from coinbase_data_pipeline_spark.operators.dedup import (
+        incremental_dedup, minhash_lsh_pairs, minhash_lsh_pairs_vs)
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    split = int(docs.agg(F.floor(F.max("doc_id") * 0.9)).collect()[0][0])
+    batch = docs.filter(F.col("doc_id") >= split)
+    hist = docs.filter(F.col("doc_id") < split)
+
+    cross = {(r.right_id, r.left_id, r.jaccard)
+             for r in minhash_lsh_pairs_vs(batch, hist).collect()}
+    full = {(r.doc_a, r.doc_b, r.jaccard)
+            for r in minhash_lsh_pairs(docs).collect()
+            if r.doc_a < split <= r.doc_b}
+    assert cross == full
+
+    # decision table: one row per batch doc; dup rows agree with pairs
+    dec = incremental_dedup(batch, hist).collect()
+    assert len(dec) == batch.count()
+    dup_docs = {r.doc_id for r in dec if not r.is_new}
+    assert dup_docs == {b for (_, b, _) in full}
+    for r in dec:
+        if not r.is_new:
+            partners = [a for (a, b, _) in full if b == r.doc_id]
+            assert r.dup_of == min(partners)
+            assert r.n_matches == len(partners)
