@@ -231,3 +231,41 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+def test_bucketed_join_elides_shuffle(spark, tmp_path):
+    """Two tables bucketed the same way on the join key must
+    sort-merge join with ZERO Exchange operators — the storage-layout
+    contract (sinks/bucketed.py) that makes the recurring per-key
+    joins shuffle-free at scale. Also: a per-key window over one
+    bucketed table must not reshuffle."""
+    from pyspark.sql import Window, functions as F
+
+    from coinbase_data_pipeline_spark.plans.catalog import candles
+    from coinbase_data_pipeline_spark.sinks import bucketed as B
+
+    c = candles(spark, "/root/testdata/sf0.001")
+    left = c.select("product_id", "bucket_start", "close")
+    right = (c.groupBy("product_id")
+             .agg(F.avg("close").alias("mean_close")))
+    for name, df in (("bkt_candles", left), ("bkt_stats", right)):
+        (df.write.format("parquet").bucketBy(8, "product_id")
+         .sortBy("product_id")
+         .option("path", str(tmp_path / name))
+         .mode("overwrite").saveAsTable(name))
+    try:
+        lt = B.read_bucketed(spark, "bkt_candles")
+        rt = B.read_bucketed(spark, "bkt_stats")
+        joined = lt.hint("merge").join(rt, "product_id")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, f"bucketed join shuffled:\n{plan}"
+
+        w = Window.partitionBy("product_id").orderBy("bucket_start")
+        windowed = lt.withColumn("rn", F.row_number().over(w))
+        wplan = windowed._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in wplan, \
+            f"window over bucketed table shuffled:\n{wplan}"
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_candles")
+        spark.sql("DROP TABLE IF EXISTS bkt_stats")
