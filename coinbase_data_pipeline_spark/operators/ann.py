@@ -303,10 +303,16 @@ def pq_train_encode(emb: DataFrame, *, m: int = 4, dim: int = 64,
 
     Scale: all m subspaces train in ONE pipeline — the subspace id is
     part of the key, so each Lloyd round is one broadcast equi-join on
-    `subspace` (codebooks are m x k x sub doubles — always broadcast)
-    plus one (subspace, cluster, pos) mean shuffle. Codes compress
-    dim x 8 bytes to m codes — the memory step that makes
-    billion-vector ANN feasible.
+    `subspace` plus one (subspace, cluster, pos) mean shuffle. The
+    argmin itself is a ROW-LOCAL FOLD over the packed codebook array
+    (one broadcast row per subspace, `least` over (distance, cluster)
+    structs) — unlike a join-against-k-centroids + groupBy argmin, it
+    never materializes the k-way row blowup nor reshuffles the corpus
+    per Lloyd round, which is what survives a billion-vector corpus.
+    min over structs is fold-order independent, so the
+    nondeterministic collect_list order cannot leak into results.
+    Codes compress dim x 8 bytes to m codes — the memory step that
+    makes billion-vector ANN feasible.
     """
     if dim % m:
         raise ValueError(f"m={m} must divide dim={dim}")
@@ -314,20 +320,28 @@ def pq_train_encode(emb: DataFrame, *, m: int = 4, dim: int = 64,
     base = _subspaces(emb, id_col, vec_col, m, sub, id_col)
     seeds = emb.orderBy(id_col).limit(k)
     cents = (_subspaces(seeds, id_col, vec_col, m, sub, "cluster"))
+    zero = F.struct(F.lit(float("inf")).alias("d"),
+                    F.lit(None).cast("long").alias("cluster"))
     assigned, cr = None, None
     for _ in range(iterations):
         cr = cents.select(
             "subspace", "cluster",
             F.transform("sv", lambda x: F.round(x, 6) + F.lit(0.0))
             .alias("c"))
-        d = _sq_dist(F.col("sv"), F.col("c"))
-        assigned = (base.join(F.broadcast(cr), "subspace")
-                    .select(id_col, "subspace", "sv",
-                            F.struct((F.round(d, 6) + F.lit(0.0))
-                                     .alias("d"),
-                                     F.col("cluster")).alias("dc"))
-                    .groupBy(id_col, "subspace", "sv")
-                    .agg(F.min("dc").alias("mn"))
+        cb = cr.groupBy("subspace").agg(
+            F.collect_list(F.struct("cluster", "c")).alias("cbs"))
+
+        def _dc(e):
+            return F.struct(
+                (F.round(_sq_dist(F.col("sv"), e.getField("c")), 6)
+                 + F.lit(0.0)).alias("d"),
+                e.getField("cluster").alias("cluster"))
+
+        best = F.aggregate(F.col("cbs"), zero,
+                           lambda acc, e: F.least(acc, _dc(e)))
+        assigned = (base.join(F.broadcast(cb), "subspace")
+                    .select(F.col(id_col), "subspace", "sv",
+                            best.alias("mn"))
                     .select(F.col(id_col), "subspace", "sv",
                             F.col("mn.cluster").alias("cluster"),
                             F.col("mn.d").alias("sq_dist")))

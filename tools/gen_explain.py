@@ -36,6 +36,16 @@ PICKS = [
      "broadcast centroids per round, argmin row-local"),
     ("candle_grid_fill",
      "grid exploded from per-key span, completion shares key shuffle"),
+    ("gopher_quality",
+     "pure-expression rule filter: zero exchanges, 2-column scan"),
+    ("price_anomalies",
+     "one window family: lag + rolling stddev share a single shuffle"),
+    ("pq_encode",
+     "joint per-subspace Lloyd: broadcast codebooks, one mean shuffle"),
+    ("ann_pq",
+     "ADC: broadcast LUT equi-join, ordered subspace sum, top-k"),
+    ("dedup_incremental",
+     "cross-relation banded join: history only via its signatures"),
 ]
 
 
