@@ -84,6 +84,7 @@ HEADLINERS = [
     "pq_encode",
     "ann_pq",
     "dedup_incremental",
+    "perplexity_proxy",
 ]
 
 # Per-query repetitions; the reported time is the MIN across runs.

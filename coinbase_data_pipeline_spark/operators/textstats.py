@@ -299,3 +299,48 @@ def gopher_quality(docs: DataFrame, *, id_col: str = "doc_id",
         F.coalesce(r_alpha, F.lit(False)).alias("rule_alpha_frac"),
         r_stop.alias("rule_stopwords"),
         keep.alias("keep"))
+
+
+def perplexity_proxy(docs: DataFrame, *, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Self-trained unigram-LM perplexity per document — the shape of
+    the CCNet/Gopher LM-based quality filter with the corpus itself
+    as the language model: p(t) = (tf(t) + 1) / (N + V) (Laplace),
+    avg_nll = mean over token occurrences of -ln p(t), perplexity =
+    exp(avg_nll). High perplexity → tokens rare in this corpus →
+    off-distribution / junk candidate.
+
+    Plan: explode → (doc, token) counts → token-frequency dictionary
+    join (dictionary is vocabulary-sized — tfidf's broadcast shape) →
+    per-doc ordered fold. The per-doc sum runs over (token, term)
+    structs SORTED BY TOKEN, not a groupBy SUM of doubles, so the
+    summation order is engine-replicable and results value-hash
+    (partition-order float sums never are). Scalars N and V travel as
+    one broadcast aggregate row — no collect.
+    """
+    tok = (docs.select(F.col(id_col),
+                       F.explode(tokens(text_col)).alias("tok"))
+           .groupBy(id_col, "tok")
+           .agg(F.count(F.lit(1)).alias("cnt")))
+    tf = tok.groupBy("tok").agg(F.sum("cnt").alias("tf"))
+    corpus = tf.agg(F.sum("tf").alias("n_corpus"),
+                    F.count(F.lit(1)).alias("v_corpus"))
+    nll = -F.log((F.col("tf") + F.lit(1.0))
+                 / (F.col("n_corpus") + F.col("v_corpus")))
+    terms = (tok.join(tf, "tok")
+             .crossJoin(F.broadcast(corpus))
+             .select(F.col(id_col), "tok", "cnt",
+                     (F.round(F.col("cnt") * nll, 6) + F.lit(0.0))
+                     .alias("term")))
+    ordered_sum = F.aggregate(
+        F.transform(F.array_sort(F.collect_list(F.struct("tok", "term"))),
+                    lambda s: s.getField("term")),
+        F.lit(0.0), lambda acc, x: acc + x)
+    agg = terms.groupBy(id_col).agg(
+        F.sum("cnt").alias("n_tokens"),
+        ordered_sum.alias("nll_sum"))
+    q = F.col("nll_sum") / F.col("n_tokens")
+    return agg.select(
+        F.col(id_col), "n_tokens",
+        (F.round(q, 6) + F.lit(0.0)).alias("avg_nll"),
+        (F.round(F.exp(q), 6) + F.lit(0.0)).alias("perplexity"))

@@ -389,6 +389,49 @@ FROM m
 """
 
 
+# ------------------------------------------------------------- perplexity
+
+
+def q_perplexity_proxy(spark, sf_dir):
+    """Unigram-LM perplexity quality signal (CCNet/Gopher shape, the
+    corpus as its own LM). Per-doc sums fold over token-sorted
+    structs so the float summation order is oracle-replicable."""
+    from ..operators import textstats as TS
+
+    docs = load_table(spark, sf_dir, "documents")
+    return TS.perplexity_proxy(docs)
+
+
+SQL_PERPLEXITY = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({SQL_TOKS_ALL}) AS tok FROM documents
+), doc_tok AS (
+  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS cnt
+  FROM toks GROUP BY 1, 2
+), tf AS (
+  SELECT tok, CAST(sum(cnt) AS BIGINT) AS tf FROM doc_tok GROUP BY tok
+), corpus AS (
+  SELECT CAST(sum(tf) AS BIGINT) AS n_corpus,
+         CAST(count(*) AS BIGINT) AS v_corpus
+  FROM tf
+), terms AS (
+  SELECT dt.doc_id, dt.tok, dt.cnt,
+         round(dt.cnt * -ln((tf.tf + 1.0) / (c.n_corpus + c.v_corpus)),
+               6) + 0 AS term
+  FROM doc_tok dt JOIN tf USING (tok) CROSS JOIN corpus c
+), agg AS (
+  SELECT doc_id,
+         CAST(sum(cnt) AS BIGINT) AS n_tokens,
+         list_sum(list(term ORDER BY tok)) AS nll_sum
+  FROM terms GROUP BY doc_id
+)
+SELECT doc_id, n_tokens,
+       round(nll_sum / n_tokens, 6) + 0 AS avg_nll,
+       round(exp(nll_sum / n_tokens), 6) + 0 AS perplexity
+FROM agg
+"""
+
+
 # ----------------------------------------------------------------- registry
 
 SPARK_QUERIES_CORPUS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -402,6 +445,7 @@ SPARK_QUERIES_CORPUS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_scrub": q_pii_scrub,
     "mixture_resample": q_mixture_resample,
     "gopher_quality": q_gopher_quality,
+    "perplexity_proxy": q_perplexity_proxy,
 }
 
 ORACLE_SQL_CORPUS: dict[str, str] = {
@@ -415,4 +459,5 @@ ORACLE_SQL_CORPUS: dict[str, str] = {
     "pii_scrub": SQL_PII_SCRUB,
     "mixture_resample": SQL_MIXTURE_RESAMPLE,
     "gopher_quality": SQL_GOPHER_QUALITY,
+    "perplexity_proxy": SQL_PERPLEXITY,
 }
