@@ -85,6 +85,7 @@ HEADLINERS = [
     "ann_pq",
     "dedup_incremental",
     "perplexity_proxy",
+    "streaming_sessionize",
 ]
 
 # Per-query repetitions; the reported time is the MIN across runs.

@@ -156,11 +156,87 @@ JOIN ({SQL_TOKEN_COUNT.strip()}) t USING (doc_id)
 """
 
 
+def q_streaming_sessionize(spark, sf_dir):
+    """The CUSTOM STATEFUL streaming operator
+    (applyInPandasWithState sessionization), oracle-checked: events
+    replay across four strictly ordered micro-batches (one file per
+    time quartile, maxFilesPerTrigger=1 — FileStreamSource processes
+    oldest-modified first, so sequential appends fix the batch
+    order); sessions spanning a batch boundary live in the keyed
+    state between triggers. Emitted closed sessions must equal batch
+    sessionization minus each user's open tail session (which in
+    production waits for the event-time timeout). Quartile bounds
+    come from one broadcast min/max aggregate — the replay writer
+    never sorts globally."""
+    from ..sources.tables import load_table
+    from ..streaming.pipelines import run_to_memory, streaming_sessionize
+
+    replay_dir = os.path.join(_TMP_ROOT, f"sess-{uuid.uuid4().hex[:8]}")
+    try:
+        from ..functions.timeutil import epoch_seconds
+
+        ev = load_table(spark, sf_dir, "events").select(
+            "user_id", "ts", "event_id")
+        bounds = ev.agg(
+            epoch_seconds(F.min("ts")).alias("t0"),
+            (epoch_seconds(F.max("ts")) + 1.0).alias("t1"))
+        bucketed = (ev.crossJoin(F.broadcast(bounds))
+                    .withColumn("bucket", F.floor(
+                        4 * (epoch_seconds(F.col("ts")) - F.col("t0"))
+                        / (F.col("t1") - F.col("t0"))))
+                    .select("user_id", "ts", "bucket"))
+        for b in range(4):
+            (bucketed.filter(F.col("bucket") == b)
+             .select("user_id", "ts").coalesce(1)
+             .write.mode("overwrite" if b == 0 else "append")
+             .parquet(replay_dir))
+        stream = (spark.readStream
+                  .schema("user_id long, ts timestamp")
+                  .option("maxFilesPerTrigger", 1)
+                  .parquet(replay_dir))
+        sessions = streaming_sessionize(stream, gap_minutes=30)
+        name = run_to_memory(sessions, output_mode="append")
+        # memory sink is fully materialized → safe to drop the files
+        return spark.table(name).select(
+            "user_id", "session_start", "session_end", "n_events")
+    finally:
+        shutil.rmtree(replay_dir, ignore_errors=True)
+
+
+SQL_STREAMING_SESSIONIZE = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts - lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), numbered AS (
+  SELECT user_id, ts,
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS BIGINT) AS session_no
+  FROM flagged
+), sessions AS (
+  SELECT user_id, session_no,
+         min(ts) AS session_start, max(ts) AS session_end,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM numbered GROUP BY 1, 2
+), last AS (
+  SELECT user_id, max(session_no) AS last_no FROM sessions GROUP BY 1
+)
+SELECT s.user_id, s.session_start, s.session_end, s.n_events
+FROM sessions s
+JOIN last l ON s.user_id = l.user_id AND s.session_no < l.last_no
+"""
+
+
 SPARK_QUERIES_STREAM: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_candles": q_streaming_candles,
     "streaming_dedup": q_streaming_dedup,
     "streaming_late_candles": q_streaming_late_candles,
     "streaming_corpus_scores": q_streaming_corpus_scores,
+    "streaming_sessionize": q_streaming_sessionize,
 }
 
 ORACLE_SQL_STREAM: dict[str, str] = {
@@ -170,4 +246,5 @@ ORACLE_SQL_STREAM: dict[str, str] = {
     # the final relation
     "streaming_late_candles": SQL_STREAMING_CANDLES,
     "streaming_corpus_scores": SQL_STREAMING_CORPUS,
+    "streaming_sessionize": SQL_STREAMING_SESSIONIZE,
 }
