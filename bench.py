@@ -86,6 +86,8 @@ HEADLINERS = [
     "dedup_incremental",
     "perplexity_proxy",
     "streaming_sessionize",
+    "vocab_build",
+    "token_id_encode",
 ]
 
 # Per-query repetitions; the reported time is the MIN across runs.

@@ -318,3 +318,70 @@ def mixture_resample(docs: DataFrame, weights: dict[str, float], *,
     return (docs.join(F.broadcast(rates), stratum_col)
             .filter(gate < F.col("_thresh"))
             .drop("_thresh"))
+
+
+def vocab_build(docs: DataFrame, vocab_size: int = 1000, *,
+                id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Frequency-ranked tokenizer vocabulary: the top `vocab_size`
+    tokens by corpus term frequency, with token ids assigned by
+    (tf DESC, token ASC) starting at 1 — id 0 is reserved for
+    OOV/padding (see :func:`token_id_encode`). Also reports document
+    frequency per entry.
+
+    Plan: explode → (doc, token) partial counts → per-token (tf, df)
+    aggregate → global top-V. The top-V select is orderBy + limit
+    (TakeOrdered — a parallel partial top-k, no global sort); only
+    the V surviving rows pass through the single-partition ranking
+    window, which is how a global rank over a 100 TB corpus stays a
+    driver-sized problem.
+    """
+    doc_tok = (docs.select(F.col(id_col),
+                           F.explode(tokens(text_col)).alias("tok"))
+               .groupBy(id_col, "tok")
+               .agg(F.count(F.lit(1)).alias("cnt")))
+    stats = doc_tok.groupBy("tok").agg(
+        F.sum("cnt").alias("tf"),
+        F.count(F.lit(1)).alias("df"))
+    top = stats.orderBy(F.col("tf").desc(), "tok").limit(vocab_size)
+    w = Window.orderBy(F.col("tf").desc(), "tok")
+    return (top.withColumn("token_id", F.row_number().over(w)
+                           .cast("long"))
+            .select("token_id", F.col("tok").alias("token"), "tf", "df"))
+
+
+def token_id_encode(docs: DataFrame, vocab: DataFrame, *,
+                    id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Encode every document against a vocabulary: per doc, the token
+    count, the OOV count and a 60-bit fingerprint of the full id
+    sequence IN TOKEN ORDER (ids comma-joined then hashed — the
+    engine-portable stand-in for shipping the raw id array, which the
+    value-hash gate could not compare order-sensitively otherwise).
+
+    Plan: posexplode keeps each token's position; the vocabulary is a
+    dictionary equi-join (broadcast-sized by construction — top-V);
+    per-doc reassembly sorts collected (pos, id) structs, so the
+    sequence order is deterministic under any partitioning. Docs with
+    zero tokens drop out (nothing to encode).
+    """
+    pos_tok = docs.select(
+        F.col(id_col),
+        F.posexplode(tokens(text_col)).alias("pos", "tok"))
+    enc = (pos_tok.join(F.broadcast(vocab.select("token_id",
+                                                 F.col("token")
+                                                 .alias("tok"))),
+                        "tok", "left")
+           .select(id_col, "pos",
+                   F.coalesce("token_id", F.lit(0)).alias("tid")))
+    ids_in_order = F.transform(
+        F.array_sort(F.collect_list(F.struct("pos", "tid"))),
+        lambda s: s.getField("tid"))
+    agg = enc.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum((F.col("tid") == 0).cast("long")).alias("n_oov"),
+        ids_in_order.alias("ids"))
+    return agg.select(
+        F.col(id_col), "n_tokens", "n_oov",
+        hash60(F.array_join(F.transform("ids",
+                                        lambda i: i.cast("string")),
+                            ",")).alias("ids_hash"))

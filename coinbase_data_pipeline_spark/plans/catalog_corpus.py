@@ -432,6 +432,73 @@ FROM agg
 """
 
 
+# ------------------------------------------------------------- vocabulary
+
+VOCAB_SIZE = 1000
+
+
+def q_vocab_build(spark, sf_dir):
+    """Frequency-ranked tokenizer vocabulary (top-V tokens, ids by
+    (tf DESC, token), id 0 reserved for OOV)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return CP.vocab_build(docs, VOCAB_SIZE)
+
+
+SQL_VOCAB_BUILD = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({SQL_TOKS_ALL}) AS tok FROM documents
+), doc_tok AS (
+  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS cnt
+  FROM toks GROUP BY 1, 2
+), stats AS (
+  SELECT tok, CAST(sum(cnt) AS BIGINT) AS tf,
+         CAST(count(*) AS BIGINT) AS df
+  FROM doc_tok GROUP BY tok
+)
+SELECT CAST(row_number() OVER (ORDER BY tf DESC, tok) AS BIGINT)
+         AS token_id,
+       tok AS token, tf, df
+FROM stats
+ORDER BY tf DESC, tok
+LIMIT {VOCAB_SIZE}
+"""
+
+
+def q_token_id_encode(spark, sf_dir):
+    """Corpus encoded against the induced vocabulary: per doc, token
+    and OOV counts plus an order-sensitive 60-bit fingerprint of the
+    id sequence."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = CP.vocab_build(docs, VOCAB_SIZE)
+    return CP.token_id_encode(docs, vocab)
+
+
+SQL_TOKEN_ID_ENCODE = f"""
+WITH toks AS (
+  SELECT doc_id, t.i - 1 AS pos, arr[t.i] AS tok
+  FROM (SELECT doc_id, {SQL_TOKS_ALL} AS arr FROM documents),
+       unnest(generate_series(1, len(arr))) AS t(i)
+), vocab AS (
+  SELECT token_id, token FROM ({SQL_VOCAB_BUILD.strip()}) v
+), enc AS (
+  SELECT toks.doc_id, toks.pos,
+         coalesce(vocab.token_id, 0) AS tid
+  FROM toks LEFT JOIN vocab ON vocab.token = toks.tok
+), agg AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_oov,
+         array_to_string(list(CAST(tid AS VARCHAR) ORDER BY pos), ',')
+           AS seq
+  FROM enc GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, n_oov,
+       {sql_hash60('seq')} AS ids_hash
+FROM agg
+"""
+
+
 # ----------------------------------------------------------------- registry
 
 SPARK_QUERIES_CORPUS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -446,6 +513,8 @@ SPARK_QUERIES_CORPUS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mixture_resample": q_mixture_resample,
     "gopher_quality": q_gopher_quality,
     "perplexity_proxy": q_perplexity_proxy,
+    "vocab_build": q_vocab_build,
+    "token_id_encode": q_token_id_encode,
 }
 
 ORACLE_SQL_CORPUS: dict[str, str] = {
@@ -460,4 +529,6 @@ ORACLE_SQL_CORPUS: dict[str, str] = {
     "mixture_resample": SQL_MIXTURE_RESAMPLE,
     "gopher_quality": SQL_GOPHER_QUALITY,
     "perplexity_proxy": SQL_PERPLEXITY,
+    "vocab_build": SQL_VOCAB_BUILD,
+    "token_id_encode": SQL_TOKEN_ID_ENCODE,
 }
