@@ -88,6 +88,7 @@ HEADLINERS = [
     "streaming_sessionize",
     "vocab_build",
     "token_id_encode",
+    "doc_pagerank",
 ]
 
 # Per-query repetitions; the reported time is the MIN across runs.

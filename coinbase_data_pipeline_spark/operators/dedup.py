@@ -709,3 +709,65 @@ def incremental_dedup(batch: DataFrame, history: DataFrame, *,
                     F.coalesce("n_matches", F.lit(0)).alias("n_matches"),
                     "max_jaccard",
                     F.col("dup_of").isNull().alias("is_new")))
+
+
+def doc_pagerank(docs: DataFrame, *, iterations: int = 3,
+                 damping: float = 0.85, id_col: str = "doc_id",
+                 text_col: str = "text", num_hashes: int = 16,
+                 bands: int = 4,
+                 jaccard_threshold: float = 0.9) -> DataFrame:
+    """PageRank over the near-duplicate graph (undirected MinHash-LSH
+    pairs as edges): centrality of each doc inside its duplication
+    neighborhood — high-rank nodes are the template/boilerplate hubs
+    a curation pipeline wants to inspect first.
+
+    Deterministic and hash-checkable despite being an iterative float
+    algorithm: every per-edge contribution is 6dp-rounded, and each
+    node's incoming contributions are summed IN NEIGHBOR ORDER via a
+    sorted-struct fold (a groupBy SUM would add doubles in partition
+    order — unreplicable). Rank update:
+    pr'(v) = 0.15/N + 0.85 * sum_u pr(u)/deg(u).
+
+    Scale: the standard Pregel-in-DataFrame shape — edges partitioned
+    by src for the state join, messages shuffled by dst once per
+    round; rounds are a fixed small constant. Reuses the banded LSH
+    candidate join for edge discovery (no cross join anywhere).
+    """
+    pairs = minhash_lsh_pairs(docs, id_col=id_col, text_col=text_col,
+                              num_hashes=num_hashes, bands=bands,
+                              jaccard_threshold=jaccard_threshold)
+    edges = (pairs.select(F.col("doc_a").alias("src"),
+                          F.col("doc_b").alias("dst"))
+             .union(pairs.select(F.col("doc_b").alias("src"),
+                                 F.col("doc_a").alias("dst"))))
+    edges = _dense_spread(edges, F.col("src")).persist()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    n = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    state = (deg.crossJoin(F.broadcast(n))
+             .select(F.col("src").alias("node"), "n_nodes",
+                     (F.round(F.lit(1.0) / F.col("n_nodes"), 6)
+                      + F.lit(0.0)).alias("pr")))
+    ordered_sum = F.aggregate(
+        F.transform(F.array_sort(F.collect_list(F.struct("src", "c"))),
+                    lambda s: s.getField("c")),
+        F.lit(0.0), lambda acc, x: acc + x)
+    for _ in range(iterations):
+        msgs = (edges
+                .join(state.withColumnRenamed("node", "src"), "src")
+                .join(deg, "src")
+                .select("dst", "src", "n_nodes",
+                        (F.round(F.col("pr") / F.col("deg"), 6)
+                         + F.lit(0.0)).alias("c")))
+        state = (msgs.groupBy(F.col("dst").alias("node"))
+                 .agg(F.first("n_nodes").alias("n_nodes"),
+                      ordered_sum.alias("s"))
+                 .select("node", "n_nodes",
+                         (F.round(F.lit(1 - damping) / F.col("n_nodes")
+                                  + damping * F.col("s"), 6)
+                          + F.lit(0.0)).alias("pr")))
+    out = (state.join(deg.withColumnRenamed("src", "node"), "node")
+           .select(F.col("node").alias(id_col),
+                   F.col("pr").alias("pagerank"),
+                   F.col("deg").alias("degree")))
+    edges.unpersist()
+    return out

@@ -961,6 +961,65 @@ LEFT JOIN matches m USING (doc_id)
 SQL_DEDUP_INCREMENTAL = _sql_dedup_incremental()
 
 
+# ----------------------------------------------------------- graph pagerank
+
+PR_ITERS, PR_DAMPING = 3, 0.85
+
+
+def q_doc_pagerank(spark, sf_dir):
+    """PageRank over the near-dup pair graph: duplication-hub
+    centrality per doc (template/boilerplate hubs rank highest).
+    Iterative float algorithm, still hash-checked — contributions are
+    6dp-rounded and summed in neighbor order via sorted-struct folds."""
+    docs = load_table(spark, sf_dir, "documents")
+    return DD.doc_pagerank(docs, iterations=PR_ITERS,
+                           damping=PR_DAMPING)
+
+
+def _sql_doc_pagerank(iterations: int = PR_ITERS,
+                      damping: float = PR_DAMPING) -> str:
+    parts = [f"""
+WITH pr_pairs AS (
+  SELECT doc_a, doc_b FROM ({_sql_minhash().strip()}) mp
+), edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pr_pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pr_pairs
+), deg AS (
+  SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src
+), nn AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg
+), p0 AS (
+  SELECT src AS node,
+         round(1.0 / (SELECT n_nodes FROM nn), 6) + 0 AS pr
+  FROM deg
+)"""]
+    prev = "p0"
+    for it in range(1, iterations + 1):
+        parts.append(f"""
+, m{it} AS (
+  SELECT e.dst, e.src, round(p.pr / d.deg, 6) + 0 AS c
+  FROM edges e
+  JOIN {prev} p ON p.node = e.src
+  JOIN deg d ON d.src = e.src
+), p{it} AS (
+  SELECT dst AS node,
+         round({1 - damping!r} / (SELECT n_nodes FROM nn)
+               + {damping!r} * list_sum(list(c ORDER BY src)), 6) + 0
+           AS pr
+  FROM m{it} GROUP BY dst
+)""")
+        prev = f"p{it}"
+    parts.append(f"""
+SELECT p.node AS doc_id, p.pr AS pagerank, d.deg AS degree
+FROM {prev} p JOIN deg d ON d.src = p.node
+""")
+    return "".join(parts)
+
+
+SQL_DOC_PAGERANK = _sql_doc_pagerank()
+
+
 # ------------------------------------------------------ product quantization
 
 PQ_M, PQ_DIM, PQ_K, PQ_ITERS = 4, 64, 16, 2
@@ -1115,6 +1174,7 @@ SPARK_QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pq_encode": q_pq_encode,
     "ann_pq": q_ann_pq,
     "dedup_incremental": q_dedup_incremental,
+    "doc_pagerank": q_doc_pagerank,
 }
 
 ORACLE_SQL_EXT: dict[str, str] = {
@@ -1147,4 +1207,5 @@ ORACLE_SQL_EXT: dict[str, str] = {
     "pq_encode": SQL_PQ_ENCODE,
     "ann_pq": SQL_ANN_PQ,
     "dedup_incremental": SQL_DEDUP_INCREMENTAL,
+    "doc_pagerank": SQL_DOC_PAGERANK,
 }
