@@ -229,3 +229,28 @@ def run_file_dedup_pipeline(spark: SparkSession, json_dir: str, *,
     name = run_to_memory(raw.dropDuplicates(list(key_cols)),
                          output_mode="append")
     return spark.table(name)
+
+
+def run_file_dedup_watermark_pipeline(spark: SparkSession, json_dir: str,
+                                      *, schema: str, key_cols: list[str],
+                                      ts_col: str, delay: str = "1 hour",
+                                      max_files: int = 16) -> DataFrame:
+    """BOUNDED-STATE streaming deduplication — the production variant
+    of :func:`run_file_dedup_pipeline`: ``withWatermark(ts, delay)`` +
+    ``dropDuplicatesWithinWatermark`` keeps state only for keys whose
+    event time is within `delay` of the stream's max event time, so
+    state is O(keys per window) instead of O(all keys ever).
+
+    Exactness contract: duplicates delivered while their key is still
+    inside the watermark window are dropped exactly; a duplicate
+    arriving later than `delay` after the original would be emitted
+    again (the deliberate trade for bounded state). The equivalence
+    test replays duplicates within the window and asserts the result
+    still equals the batch relation.
+    """
+    raw = (spark.readStream.schema(schema)
+           .option("maxFilesPerTrigger", max_files).json(json_dir))
+    deduped = (raw.withWatermark(ts_col, delay)
+               .dropDuplicatesWithinWatermark(list(key_cols)))
+    name = run_to_memory(deduped, output_mode="append")
+    return spark.table(name)

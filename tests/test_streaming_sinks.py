@@ -388,3 +388,28 @@ def test_streaming_dedup_across_micro_batches(spark, tmp_path):
         key_cols=["event_id"], max_files=1)
     got = sorted((r.event_id, r.val) for r in out.collect())
     assert got == [(i, f"v{i}") for i in range(5)]
+
+
+def test_streaming_dedup_watermark_bounded_state(spark, tmp_path):
+    """dropDuplicatesWithinWatermark (bounded state: O(keys-in-window),
+    the production dedup) must still equal the batch relation when
+    every duplicate delivery falls inside the watermark window — here
+    each event is replayed twice with the same event time."""
+    from coinbase_data_pipeline_spark.plans.catalog import ticks
+    from coinbase_data_pipeline_spark.streaming.pipelines import (
+        run_file_dedup_watermark_pipeline)
+    from pyspark.sql import functions as F
+
+    t = ticks(spark, SF).select("event_id", "product_id",
+                                F.col("time").cast("timestamp").alias("ts"))
+    replay = str(tmp_path / "wm")
+    t.unionAll(t).repartition(8).write.mode("overwrite").json(replay)
+
+    out = run_file_dedup_watermark_pipeline(
+        spark, replay,
+        schema="event_id long, product_id string, ts timestamp",
+        key_cols=["event_id"], ts_col="ts", delay="2 hours")
+    streamed = [r.event_id for r in out.collect()]
+    assert len(streamed) == len(set(streamed)), "emitted a key twice"
+    expected = {r.event_id for r in t.collect()}
+    assert set(streamed) == expected
