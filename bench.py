@@ -89,6 +89,7 @@ HEADLINERS = [
     "vocab_build",
     "token_id_encode",
     "doc_pagerank",
+    "ann_ivfpq",
 ]
 
 # Per-query repetitions; the reported time is the MIN across runs.

@@ -381,14 +381,32 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, *, m: int = 4,
     codes, cb = pq_train_encode(corpus, m=m, dim=dim, k=k_codes,
                                 iterations=iterations, id_col=id_col,
                                 vec_col=vec_col)
-    sub = dim // m
-    qsub = _subspaces(queries, id_col, vec_col, m, sub, "query_id")
-    lut = (qsub.join(F.broadcast(cb), "subspace")
-           .select("query_id", "subspace", F.col("cluster").alias("code"),
-                   (F.round(_sq_dist(F.col("sv"), F.col("c")), 6)
-                    + F.lit(0.0)).alias("d")))
+    lut = _pq_lut(queries, cb, m=m, dim=dim, id_col=id_col,
+                  vec_col=vec_col)
     terms = (codes.join(F.broadcast(lut), ["subspace", "code"])
              .filter(F.col(id_col) != F.col("query_id")))
+    return _adc_topk(terms, id_col=id_col, k=k)
+
+
+def _pq_lut(queries: DataFrame, cb: DataFrame, *, m: int, dim: int,
+            id_col: str, vec_col: str) -> DataFrame:
+    """ADC lookup table: (query_id, subspace, code, d) — the 6dp
+    distance from each query subvector to every codebook entry.
+    Q x m x k rows: always broadcast."""
+    sub = dim // m
+    qsub = _subspaces(queries, id_col, vec_col, m, sub, "query_id")
+    return (qsub.join(F.broadcast(cb), "subspace")
+            .select("query_id", "subspace",
+                    F.col("cluster").alias("code"),
+                    (F.round(_sq_dist(F.col("sv"), F.col("c")), 6)
+                     + F.lit(0.0)).alias("d")))
+
+
+def _adc_topk(terms: DataFrame, *, id_col: str, k: int) -> DataFrame:
+    """Shared ADC scoring tail: (query_id, id, subspace, d) terms →
+    per-(query, vec) sum IN SUBSPACE ORDER (sorted-struct fold — a
+    groupBy SUM would add doubles in partition order, which no oracle
+    can replicate) → row_number top-k, ties on nn_id."""
     ordered_sum = F.aggregate(
         F.transform(F.array_sort(F.collect_list(F.struct("subspace", "d"))),
                     lambda s: s.getField("d")),
@@ -400,3 +418,58 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, *, m: int = 4,
     return (adc.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "nn_id", "adc_dist", "rank"))
+
+
+def ivfpq_topk(corpus: DataFrame, queries: DataFrame, *,
+               coarse_k: int = 8, coarse_iterations: int = 2,
+               nprobe: int = 3, m: int = 4, dim: int = 64,
+               k_codes: int = 16, pq_iterations: int = 2, k: int = 5,
+               id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """IVF-PQ — the production billion-vector ANN composition: a
+    coarse Lloyd quantizer prunes the corpus to the `nprobe` nearest
+    inverted lists per query, then ADC over PQ codes refines only
+    those candidates. Corpus-side full vectors are touched exactly
+    twice, both offline (coarse assignment + PQ encoding); query-time
+    work is centroid probing (k_coarse broadcast rows) + a code-join
+    over ~nprobe/k_coarse of the corpus.
+
+    Probe centroids are the per-cluster means of the assigned vectors
+    (6dp-rounded, the same mean recompute the Lloyd loop uses), so the
+    whole composition — two trained quantizers + probing + ADC — still
+    value-hashes against its SQL oracle.
+    """
+    asg = kmeans_assign(corpus, k=coarse_k, iterations=coarse_iterations,
+                        id_col=id_col, vec_col=vec_col) \
+        .select(id_col, "cluster")
+    v = F.col(vec_col).cast("array<double>")
+    fullv = corpus.select(F.col(id_col), v.alias("fv"))
+    cents = (asg.join(fullv, id_col)
+             .select("cluster", F.posexplode("fv").alias("pos", "x"))
+             .groupBy("cluster", "pos")
+             .agg((F.round(F.avg("x"), 6) + F.lit(0.0)).alias("val"))
+             .groupBy("cluster")
+             .agg(F.transform(
+                 F.array_sort(F.collect_list(F.struct("pos", "val"))),
+                 lambda s: s.getField("val")).alias("c")))
+    qfull = queries.select(F.col(id_col).alias("query_id"), v.alias("qv"))
+    pd_ = _sq_dist(F.col("qv"), F.col("c"))
+    probe_all = (qfull.crossJoin(F.broadcast(cents))
+                 .select("query_id", "cluster",
+                         (F.round(pd_, 6) + F.lit(0.0)).alias("d")))
+    wp = Window.partitionBy("query_id").orderBy(F.col("d"),
+                                                F.col("cluster"))
+    probes = (probe_all.withColumn("rn", F.row_number().over(wp))
+              .filter(F.col("rn") <= nprobe)
+              .select("query_id", "cluster"))
+    cand = (asg.join(probes, "cluster")
+            .filter(F.col(id_col) != F.col("query_id"))
+            .select("query_id", id_col))
+    codes, cb = pq_train_encode(corpus, m=m, dim=dim, k=k_codes,
+                                iterations=pq_iterations, id_col=id_col,
+                                vec_col=vec_col)
+    lut = _pq_lut(queries, cb, m=m, dim=dim, id_col=id_col,
+                  vec_col=vec_col)
+    terms = (cand.join(codes, id_col)
+             .join(F.broadcast(lut), ["query_id", "subspace", "code"]))
+    return _adc_topk(terms, id_col=id_col, k=k)

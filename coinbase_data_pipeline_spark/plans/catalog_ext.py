@@ -1142,6 +1142,87 @@ FROM ranked WHERE rank <= {ANN_PQ_TOPK}
 
 SQL_ANN_PQ = _sql_ann_pq()
 
+IVFPQ_NPROBE = 3
+
+
+def q_ann_ivfpq(spark, sf_dir):
+    """IVF-PQ: coarse Lloyd quantizer prunes to nprobe inverted lists
+    per query, ADC over PQ codes refines — the production
+    billion-vector ANN composition, hash-checked end to end."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ANN.ivfpq_topk(emb, queries, coarse_k=KM_K,
+                          coarse_iterations=KM_ITERS,
+                          nprobe=IVFPQ_NPROBE, m=PQ_M, dim=PQ_DIM,
+                          k_codes=PQ_K, pq_iterations=PQ_ITERS,
+                          k=ANN_PQ_TOPK)
+
+
+def _sql_ann_ivfpq(nprobe: int = IVFPQ_NPROBE,
+                   k: int = ANN_PQ_TOPK) -> str:
+    prefix, final_a, final_cb = _sql_pq_prefix()
+    probe_d = ("round(list_sum(list_transform(generate_series(1,"
+               " len(q2.qv)), i -> (q2.qv[i] - cl.c[i])"
+               " * (q2.qv[i] - cl.c[i]))), 6) + 0")
+    return prefix + f"""
+, q AS (
+  SELECT vec_id AS query_id, subspace, sv AS qsv
+  FROM sv WHERE vec_id < 10
+), lut AS (
+  SELECT q.query_id, q.subspace, p.cluster AS code,
+         round(list_sum(list_transform(generate_series(1, len(q.qsv)),
+               i -> (q.qsv[i] - p.c[i]) * (q.qsv[i] - p.c[i]))), 6) + 0
+           AS d
+  FROM q JOIN {final_cb} p USING (subspace)
+), codes AS (
+  SELECT vec_id, subspace, cluster AS code FROM {final_a}
+), asg AS (
+  SELECT vec_id, cluster FROM ({_sql_kmeans().strip()}) t
+), fullv AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS fv FROM embeddings
+), centp AS (
+  SELECT cluster, t2.i - 1 AS pos, round(avg(fv[t2.i]), 6) + 0 AS val
+  FROM asg JOIN fullv USING (vec_id),
+       unnest(generate_series(1, len(fv))) AS t2(i)
+  GROUP BY 1, 2
+), centl AS (
+  SELECT cluster, list(val ORDER BY pos) AS c FROM centp GROUP BY cluster
+), qfull AS (
+  SELECT vec_id AS query_id, fv AS qv FROM fullv WHERE vec_id < 10
+), probe AS (
+  SELECT query_id, cluster FROM (
+    SELECT q2.query_id, cl.cluster,
+           row_number() OVER (PARTITION BY q2.query_id
+                              ORDER BY {probe_d}, cl.cluster) AS rn
+    FROM qfull q2 CROSS JOIN centl cl
+  ) WHERE rn <= {nprobe}
+), cand AS (
+  SELECT p.query_id, a.vec_id
+  FROM asg a JOIN probe p ON a.cluster = p.cluster
+  WHERE a.vec_id != p.query_id
+), adc AS (
+  SELECT c.query_id, c.vec_id AS nn_id,
+         round(list_sum(list(l.d ORDER BY l.subspace)), 6) + 0
+           AS adc_dist
+  FROM cand c
+  JOIN codes co ON co.vec_id = c.vec_id
+  JOIN lut l ON l.query_id = c.query_id AND l.subspace = co.subspace
+            AND l.code = co.code
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT query_id, nn_id, adc_dist,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY adc_dist, nn_id) AS INT)
+           AS rank
+  FROM adc
+)
+SELECT query_id, nn_id, adc_dist, rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
+SQL_ANN_IVFPQ = _sql_ann_ivfpq()
+
 
 SPARK_QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_join": q_asof_join,
@@ -1175,6 +1256,7 @@ SPARK_QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_pq": q_ann_pq,
     "dedup_incremental": q_dedup_incremental,
     "doc_pagerank": q_doc_pagerank,
+    "ann_ivfpq": q_ann_ivfpq,
 }
 
 ORACLE_SQL_EXT: dict[str, str] = {
@@ -1208,4 +1290,5 @@ ORACLE_SQL_EXT: dict[str, str] = {
     "ann_pq": SQL_ANN_PQ,
     "dedup_incremental": SQL_DEDUP_INCREMENTAL,
     "doc_pagerank": SQL_DOC_PAGERANK,
+    "ann_ivfpq": SQL_ANN_IVFPQ,
 }

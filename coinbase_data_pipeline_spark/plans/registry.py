@@ -51,7 +51,7 @@ _CHECK_FIRST = [
     # new operators in round 5 (each oracle-paired) — need first rows
     "gopher_quality", "price_anomalies", "pq_encode", "ann_pq",
     "dedup_incremental", "perplexity_proxy", "streaming_sessionize",
-    "vocab_build", "token_id_encode", "doc_pagerank",
+    "vocab_build", "token_id_encode", "doc_pagerank", "ann_ivfpq",
     # implementation changed in round 4 — need fresh rows
     # (no CORRECTNESS_r04.json was recorded, so everything fronted
     #  for round 4 still needs its fresh driver row)
