@@ -90,6 +90,8 @@ HEADLINERS = [
     "token_id_encode",
     "doc_pagerank",
     "ann_ivfpq",
+    "dsir_weights",
+    "knn_graph",
 ]
 
 # Per-query repetitions; the reported time is the MIN across runs.

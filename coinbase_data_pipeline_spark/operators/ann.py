@@ -204,6 +204,65 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, *,
     return _rerank(cand, k)
 
 
+def knn_graph(emb: DataFrame, *, id_col: str = "vec_id",
+              vec_col: str = "embedding", dim: int = 64,
+              planes: int = 4, bands: int = 8, k: int = 5) -> DataFrame:
+    """Approximate k-nearest-neighbor GRAPH over the corpus itself —
+    the substrate for graph-based curation (SemDeDup clustering,
+    near-dup PageRank, label propagation): per vector, its top-k
+    cosine neighbors among LSH candidates, as (vec_id, nn_id, cosine,
+    rank) edges.
+
+    Unlike :func:`lsh_topk` (small broadcast query side), BOTH sides
+    are the corpus: candidates come from a (band, bucket) equi-join of
+    the banded sketch relation with itself, and each colliding pair is
+    emitted exactly once from its FIRST matching band
+    (dedup._first_match_band carried on the banded rows — bands × 4 B
+    each, not vectors) instead of a global distinct over the candidate
+    stream. Vectors re-attach AFTER candidate generation, then the
+    shared `_rerank` scores and ranks (identical tie policy to every
+    other ANN entry). Per-vector candidate count is ~bands·n/2^planes;
+    no cross join ever materializes.
+
+    The hyperplanes are deterministic constants, so the whole graph is
+    SQL-oracle-checkable; recall of true top-k edges is pytest-gated.
+    """
+    from .dedup import _dense_spread, _first_match_band
+
+    v = F.col(vec_col).cast("array<double>")
+    base = emb.select(F.col(id_col).alias("a_id"), v.alias("v"))
+    base = base.withColumn("norm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    svals = [sketch(F.col("v"), dim, planes, offset=b * planes)
+             .alias(f"s{b}") for b in range(bands)]
+    sigd = base.select("a_id", *svals)
+    banded = sigd.select(
+        "a_id",
+        *[F.col(f"s{b}").alias(f"a_s{b}") for b in range(bands)],
+        F.posexplode(F.array(*[f"s{b}" for b in range(bands)]))
+        .alias("band", "bsig"))
+    right = banded.select(
+        F.col("a_id").alias("b_id"),
+        *[F.col(f"a_s{b}").alias(f"b_s{b}") for b in range(bands)],
+        "band", "bsig")
+    cand_ids = (banded.join(right, ["band", "bsig"])
+                .filter(F.col("a_id") != F.col("b_id"))
+                .filter(_first_match_band(bands))
+                .select("a_id", "b_id"))
+    cand_ids = _dense_spread(cand_ids, F.col("a_id"), F.col("b_id"))
+    cand = (cand_ids
+            .join(base.select(F.col("a_id").alias("query_id"),
+                              F.col("v").alias("qv"),
+                              F.col("norm").alias("qn")),
+                  cand_ids["a_id"] == F.col("query_id"))
+            .join(base.select(F.col("a_id").alias("nn_id"),
+                              F.col("v").alias("cv"),
+                              F.col("norm").alias("cn")),
+                  cand_ids["b_id"] == F.col("nn_id"))
+            .select("query_id", "nn_id", "qv", "qn", "cv", "cn"))
+    return (_rerank(cand, k)
+            .withColumnRenamed("query_id", id_col))
+
+
 def kmeans_assign(emb: DataFrame, *, k: int = 8, iterations: int = 2,
                   id_col: str = "vec_id",
                   vec_col: str = "embedding") -> DataFrame:

@@ -320,6 +320,69 @@ def mixture_resample(docs: DataFrame, weights: dict[str, float], *,
             .drop("_thresh"))
 
 
+def dsir_weights(docs: DataFrame, *, target_lang: str = "en",
+                 buckets: int = 256, id_col: str = "doc_id",
+                 text_col: str = "text",
+                 lang_col: str = "lang") -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document
+    by how target-like its hashed-unigram distribution is —
+    log w(x) = Σ_b c_b(x) · (ln p_target(b) − ln p_raw(b)) over B
+    hash buckets, Laplace-smoothed. Here the target distribution is
+    the `target_lang` slice of the corpus itself and raw is the whole
+    corpus; in production the target side is any small high-quality
+    set fed through the same bucket hash.
+
+    Plan: explode tokens → bucket by hash60%B (narrow) → one
+    (doc, bucket) partial-count shuffle → the bucket stats table is B
+    rows (target and raw counts aggregate map-side), broadcast back →
+    one per-doc fold. Per-doc sums fold over BUCKET-SORTED structs
+    (the perplexity_proxy contract) so float summation order is
+    oracle-replicable; each term is 6dp-rounded before the fold so
+    libm ln() ULP differences can never reach the hash.
+
+    Zero-token docs surface with n_tokens 0 and log_weight 0.0 via
+    the corpus left join (same contract as decontaminate).
+    """
+    bucketed = (docs
+                .select(F.col(id_col), F.col(lang_col),
+                        F.explode(tokens(F.col(text_col))).alias("tok"))
+                .select(id_col, lang_col,
+                        (hash60(F.col("tok"), "dsir") % buckets)
+                        .alias("bucket")))
+    doc_b = (bucketed.groupBy(id_col, "bucket")
+             .agg(F.count(F.lit(1)).alias("cnt")))
+    stats = (bucketed.groupBy("bucket")
+             .agg(F.count(F.lit(1)).alias("cr"),
+                  F.sum((F.col(lang_col) == target_lang).cast("long"))
+                  .alias("ct")))
+    totals = stats.agg(F.sum("ct").alias("nt"), F.sum("cr").alias("nr"))
+    lr = (F.log((F.col("ct") + F.lit(1.0))
+                / (F.col("nt") + F.lit(float(buckets))))
+          - F.log((F.col("cr") + F.lit(1.0))
+                  / (F.col("nr") + F.lit(float(buckets)))))
+    ratios = (stats.crossJoin(F.broadcast(totals))
+              .select("bucket", lr.alias("lr")))
+    terms = (doc_b.join(F.broadcast(ratios), "bucket")
+             .select(F.col(id_col), "bucket", "cnt",
+                     (F.round(F.col("cnt") * F.col("lr"), 6)
+                      + F.lit(0.0)).alias("term")))
+    ordered_sum = F.aggregate(
+        F.transform(F.array_sort(F.collect_list(F.struct("bucket",
+                                                         "term"))),
+                    lambda s: s.getField("term")),
+        F.lit(0.0), lambda acc, x: acc + x)
+    agg = terms.groupBy(id_col).agg(
+        F.sum("cnt").alias("n_tokens"),
+        (F.round(ordered_sum, 6) + F.lit(0.0)).alias("log_weight"))
+    return (docs.select(id_col)
+            .join(agg, id_col, "left")
+            .select(id_col,
+                    F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+                    F.coalesce("log_weight", F.lit(0.0))
+                    .alias("log_weight")))
+
+
 def vocab_build(docs: DataFrame, vocab_size: int = 1000, *,
                 id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Frequency-ranked tokenizer vocabulary: the top `vocab_size`

@@ -432,6 +432,60 @@ FROM agg
 """
 
 
+# ------------------------------------------------------------------ DSIR
+
+DSIR_BUCKETS, DSIR_TARGET = 256, "en"
+
+
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights: per-doc hashed-unigram log-likelihood
+    ratio target-vs-raw (target = the corpus' en slice standing in for
+    a high-quality set). Bucket stats broadcast; per-doc sums fold in
+    bucket order so the floats value-hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    return CP.dsir_weights(docs, target_lang=DSIR_TARGET,
+                           buckets=DSIR_BUCKETS)
+
+
+SQL_DSIR_WEIGHTS = f"""
+WITH toks AS (
+  SELECT doc_id, lang, unnest({SQL_TOKS_ALL}) AS tok FROM documents
+), bucketed AS (
+  SELECT doc_id, lang,
+         {sql_hash60('tok', 'dsir')} % {DSIR_BUCKETS} AS bucket
+  FROM toks
+), doc_b AS (
+  SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS cnt
+  FROM bucketed GROUP BY 1, 2
+), stats AS (
+  SELECT bucket, CAST(count(*) AS BIGINT) AS cr,
+         CAST(sum(CASE WHEN lang = '{DSIR_TARGET}' THEN 1 ELSE 0 END)
+              AS BIGINT) AS ct
+  FROM bucketed GROUP BY bucket
+), totals AS (
+  SELECT CAST(sum(ct) AS BIGINT) AS nt, CAST(sum(cr) AS BIGINT) AS nr
+  FROM stats
+), ratios AS (
+  SELECT bucket,
+         ln((ct + 1.0) / (nt + {float(DSIR_BUCKETS)}))
+           - ln((cr + 1.0) / (nr + {float(DSIR_BUCKETS)})) AS lr
+  FROM stats CROSS JOIN totals
+), terms AS (
+  SELECT d.doc_id, d.bucket, d.cnt, round(d.cnt * r.lr, 6) + 0 AS term
+  FROM doc_b d JOIN ratios r USING (bucket)
+), agg AS (
+  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+         round(list_sum(list(term ORDER BY bucket)), 6) + 0
+           AS log_weight
+  FROM terms GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+       coalesce(a.log_weight, 0.0) AS log_weight
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
 # ------------------------------------------------------------- vocabulary
 
 VOCAB_SIZE = 1000
@@ -513,6 +567,7 @@ SPARK_QUERIES_CORPUS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mixture_resample": q_mixture_resample,
     "gopher_quality": q_gopher_quality,
     "perplexity_proxy": q_perplexity_proxy,
+    "dsir_weights": q_dsir_weights,
     "vocab_build": q_vocab_build,
     "token_id_encode": q_token_id_encode,
 }
@@ -529,6 +584,7 @@ ORACLE_SQL_CORPUS: dict[str, str] = {
     "mixture_resample": SQL_MIXTURE_RESAMPLE,
     "gopher_quality": SQL_GOPHER_QUALITY,
     "perplexity_proxy": SQL_PERPLEXITY,
+    "dsir_weights": SQL_DSIR_WEIGHTS,
     "vocab_build": SQL_VOCAB_BUILD,
     "token_id_encode": SQL_TOKEN_ID_ENCODE,
 }

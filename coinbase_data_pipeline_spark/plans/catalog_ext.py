@@ -510,6 +510,61 @@ SELECT query_id, nn_id, cosine, rank FROM ranked WHERE rank <= {k}
 """
 
 
+def q_knn_graph(spark, sf_dir):
+    """Approximate k-NN graph over the whole embedding corpus (both
+    join sides are the corpus — banded LSH self-join, first-matching-
+    band exactly-once emission, shared re-rank). Deterministic
+    hyperplanes → full SQL oracle; edge recall vs the exact graph is
+    pytest-gated."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ANN.knn_graph(emb)
+
+
+def _sql_knn_graph(dim: int = 64, planes: int = 4, bands: int = 8,
+                   k: int = 5) -> str:
+    from ..operators.ann import hyperplane_values
+
+    def bucket_expr(b: int) -> str:
+        terms = []
+        for p in range(planes):
+            vals = hyperplane_values(dim, b * planes + p)
+            arr = "[" + ", ".join(repr(v) for v in vals) + "]"
+            terms.append(f"CASE WHEN list_inner_product(vec, {arr}) >= 0 "
+                         f"THEN {1 << p} ELSE 0 END")
+        return " + ".join(terms)
+
+    banded_rows = "\n  UNION ALL\n".join(
+        f"  SELECT vec_id, {b} AS band,\n"
+        f"         ({bucket_expr(b)}) AS bucket FROM n"
+        for b in range(bands))
+    return f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+), n AS (
+  SELECT vec_id, vec, sqrt(list_inner_product(vec, vec)) AS nrm FROM v
+), banded AS (
+{banded_rows}
+), cand AS (
+  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id != b.vec_id
+), scored AS (
+  SELECT c.a_id AS vec_id, c.b_id AS nn_id,
+         ROUND(list_inner_product(x.vec, y.vec) / (x.nrm * y.nrm), 6)
+           + 0 AS cosine
+  FROM cand c JOIN n x ON x.vec_id = c.a_id
+              JOIN n y ON y.vec_id = c.b_id
+), ranked AS (
+  SELECT vec_id, nn_id, cosine,
+         CAST(row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY cosine DESC, nn_id) AS INT)
+           AS rank
+  FROM scored
+)
+SELECT vec_id, nn_id, cosine, rank FROM ranked WHERE rank <= {k}
+"""
+
+
 # ------------------------------------------------------------------- text
 
 def q_ann_ivf(spark, sf_dir):
@@ -1240,6 +1295,7 @@ SPARK_QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_centroids": q_embedding_centroids,
     "ann_bruteforce": q_ann_bruteforce,
     "ann_lsh": q_ann_lsh,
+    "knn_graph": q_knn_graph,
     "ann_ivf": q_ann_ivf,
     "kmeans_assign": q_kmeans_assign,
     "semantic_dedup": q_semantic_dedup,
@@ -1275,6 +1331,7 @@ ORACLE_SQL_EXT: dict[str, str] = {
     "embedding_centroids": SQL_EMBEDDING_CENTROIDS,
     "ann_bruteforce": SQL_ANN_BRUTEFORCE,
     "ann_lsh": _sql_ann_lsh(),
+    "knn_graph": _sql_knn_graph(),
     "kmeans_assign": SQL_KMEANS_ASSIGN,
     "semantic_dedup": _sql_semantic_dedup(),
     "lang_id": _sql_lang_id(),

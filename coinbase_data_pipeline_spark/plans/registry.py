@@ -48,6 +48,8 @@ for _part in _QUERY_PARTS:
 # earlier green rows for the rest stay on record in
 # CORRECTNESS_r01/r02/r03.json.
 _CHECK_FIRST = [
+    # new operators in round 6 (each oracle-paired) — need first rows
+    "dsir_weights", "knn_graph",
     # new operators in round 5 (each oracle-paired) — need first rows
     "gopher_quality", "price_anomalies", "pq_encode", "ann_pq",
     "dedup_incremental", "perplexity_proxy", "streaming_sessionize",

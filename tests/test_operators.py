@@ -675,3 +675,48 @@ def test_incremental_dedup_matches_self_join(spark):
             partners = [a for (a, b, _) in full if b == r.doc_id]
             assert r.dup_of == min(partners)
             assert r.n_matches == len(partners)
+
+
+def test_knn_graph_recall_and_shape(spark):
+    """The LSH k-NN graph must recover a solid fraction of the exact
+    graph's edges (planes=4/bands=8 is the dense-recall setting) and
+    emit at most k edges per vector with ranks 1..k."""
+    from coinbase_data_pipeline_spark.operators.ann import (
+        brute_force_topk, knn_graph)
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 30)
+    exact = brute_force_topk(emb, q, k=5).collect()
+    graph = knn_graph(emb, k=5).filter(F.col("vec_id") < 30).collect()
+    exact_set = {(r.query_id, r.nn_id) for r in exact}
+    graph_set = {(r.vec_id, r.nn_id) for r in graph}
+    recall = len(exact_set & graph_set) / len(exact_set)
+    assert recall >= 0.3, f"kNN-graph recall {recall} suspiciously low"
+    from collections import Counter
+    per_v = Counter(r.vec_id for r in graph)
+    assert all(v <= 5 for v in per_v.values())
+    assert all(1 <= r.rank <= 5 for r in graph)
+
+
+def test_dsir_weights_shift_and_empty_doc(spark):
+    """Target-language documents must score higher on average than
+    off-target ones (the whole point of the importance weight), and a
+    zero-token document surfaces with n_tokens 0 / log_weight 0.0."""
+    from coinbase_data_pipeline_spark.operators.corpus import dsir_weights
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    w = dsir_weights(docs, target_lang="en").join(
+        docs.select("doc_id", "lang"), "doc_id")
+    means = {r.lang: r.m for r in
+             w.groupBy("lang").agg(F.avg("log_weight").alias("m"))
+             .collect()}
+    off_target = [v for k, v in means.items() if k != "en"]
+    assert means["en"] > max(off_target), means
+
+    tiny = spark.createDataFrame(
+        [(1, "alpha beta gamma", "en"), (2, "", "de"),
+         (3, "alpha beta", "de")],
+        "doc_id long, text string, lang string")
+    rows = {r.doc_id: r for r in dsir_weights(tiny).collect()}
+    assert rows[2].n_tokens == 0 and rows[2].log_weight == 0.0
+    assert rows[1].n_tokens == 3
