@@ -92,6 +92,9 @@ HEADLINERS = [
     "ann_ivfpq",
     "dsir_weights",
     "knn_graph",
+    "rolling_beta",
+    "candle_patterns",
+    "dataset_manifest",
 ]
 
 # Per-query repetitions; the reported time is the MIN across runs.

@@ -296,3 +296,38 @@ def candle_grid_fill(c: DataFrame, *, key: str = "product_id",
     return (out
             .withColumn("volume", F.coalesce("volume", F.lit(0.0)))
             .withColumn("n_ticks", F.coalesce("n_ticks", F.lit(0))))
+
+
+def candle_patterns(c: DataFrame, *, key: str = "product_id",
+                    ts: str = "bucket_start") -> DataFrame:
+    """Candlestick pattern flags per candle: doji (|body| within 10%
+    of range), hammer (lower shadow >= 2x body, upper shadow <= body,
+    non-degenerate range), bull/bear engulfing vs the previous candle
+    (opposite direction, current body contains previous body).
+
+    OHLC comes from order-independent aggregates (arg_min/arg_max/
+    min/max), so the raw doubles are bit-identical across engines and
+    the boolean comparisons need no rounding; one lag window family,
+    single shuffle.
+    """
+    wk = Window.partitionBy(key).orderBy(ts)
+    body = F.col("close") - F.col("open")
+    rng = F.col("high") - F.col("low")
+    upper = F.col("high") - F.greatest("open", "close")
+    lower = F.least("open", "close") - F.col("low")
+    p_open, p_close = F.lag("open").over(wk), F.lag("close").over(wk)
+    engulf_bull = ((body > 0) & (p_close < p_open)
+                   & (F.col("open") <= p_close)
+                   & (F.col("close") >= p_open))
+    engulf_bear = ((body < 0) & (p_close > p_open)
+                   & (F.col("open") >= p_close)
+                   & (F.col("close") <= p_open))
+    return c.select(
+        F.col(key), F.col(ts),
+        (F.round(body, 6) + F.lit(0.0)).alias("body"),
+        (F.round(rng, 6) + F.lit(0.0)).alias("range"),
+        (F.abs(body) <= 0.1 * rng).alias("is_doji"),
+        ((rng > 0) & (lower >= 2 * F.abs(body))
+         & (upper <= F.abs(body))).alias("is_hammer"),
+        F.when(engulf_bull, F.lit("bull"))
+         .when(engulf_bear, F.lit("bear")).alias("engulfing"))

@@ -383,6 +383,38 @@ def dsir_weights(docs: DataFrame, *, target_lang: str = "en",
                     .alias("log_weight")))
 
 
+def dataset_manifest(docs: DataFrame, n_shards: int = 16, *,
+                     id_col: str = "doc_id", text_col: str = "text",
+                     seed: str = "shard") -> DataFrame:
+    """Export shard plan for a corpus write: every document is
+    assigned a shard by the deterministic hash gate (pure function of
+    the doc id — stable across retries/engines, the
+    stratified_sample contract), and the manifest reports per shard
+    the doc count, token mass, char mass, id range and an
+    ORDER-INDEPENDENT membership fingerprint (bit_xor of each
+    member's id hash) — what a 100 TB training-data export needs to
+    plan, verify and resume shard-parallel writes.
+
+    One map-side-combining shuffle on the shard key (n_shards rows
+    out); xor is commutative/associative, so the fingerprint needs no
+    ordered fold and stays a plain JVM aggregate.
+    """
+    shard = (hash60(F.col(id_col).cast("string"), seed)
+             % n_shards).alias("shard")
+    base = docs.select(
+        shard, F.col(id_col),
+        F.size(tokens(F.col(text_col))).cast("long").alias("_nt"),
+        F.length(text_col).cast("long").alias("_nc"),
+        hash60(F.col(id_col).cast("string"), "member").alias("_mh"))
+    return (base.groupBy("shard")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("_nt").alias("total_tokens"),
+                 F.sum("_nc").alias("total_chars"),
+                 F.min(id_col).alias("min_doc_id"),
+                 F.max(id_col).alias("max_doc_id"),
+                 F.expr("bit_xor(_mh)").alias("members_hash")))
+
+
 def vocab_build(docs: DataFrame, vocab_size: int = 1000, *,
                 id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Frequency-ranked tokenizer vocabulary: the top `vocab_size`

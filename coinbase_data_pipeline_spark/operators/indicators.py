@@ -504,6 +504,64 @@ def max_drawdown(df: DataFrame, *, key: str, ts: str,
                     F.col(f"m.{ts}").alias("trough_ts"))
 
 
+def rolling_beta(df: DataFrame, *, key: str, ts: str,
+                 price: str = "close", window: int = 24) -> DataFrame:
+    """Trailing market beta per key: cov(r_key, r_mkt) / var(r_mkt)
+    over the last `window` buckets, where r_mkt is the EQUAL-WEIGHT
+    mean log return across all keys at that bucket — the classic
+    systematic-exposure factor over the per-product return panel.
+
+    Determinism contract: per-key log returns are 6dp-snapped first
+    (non-positive prices → NULL, excluded — the with_log_returns
+    guard); the market mean folds the per-bucket returns in KEY order
+    (sorted-struct fold — a bare avg() would sum in partition order)
+    and stays an UNROUNDED ratio of that gridded sum (bit-identical
+    quotients; re-rounding would hit exact midpoints where engine tie
+    rules differ — SURVEY §5), so both window inputs are bit-identical
+    across engines and the final 6dp beta rounding dominates any
+    windowed-moment summation-order noise (the rolling_correlation
+    rule).
+    Short frames (< window) and zero-variance market frames emit NULL
+    on both engines by construction.
+
+    Scale: one per-key shuffle for the lag, one bucket-keyed shuffle
+    for the market mean (time-partitioned — no hot key), one join back
+    on bucket, then the per-key window family. The market table is one
+    row per bucket; AQE sizes that join (no forced broadcast — it
+    grows with history length).
+    """
+    wk = Window.partitionBy(key).orderBy(ts)
+    prev = F.lag(price).over(wk)
+    ret = (F.round(F.when((F.col(price) > 0) & (prev > 0),
+                          F.log(F.col(price) / prev)), 6)
+           + F.lit(0.0))
+    r = (df.select(F.col(key), F.col(ts), ret.alias("ret"))
+         .filter(F.col("ret").isNotNull()))
+    ordered_sum = F.aggregate(
+        F.transform(F.array_sort(F.collect_list(F.struct(key, "ret"))),
+                    lambda s: s.getField("ret")),
+        F.lit(0.0), lambda acc, x: acc + x)
+    # UNROUNDED ratio-of-gridded-sum (the SURVEY §5 rule): the fold
+    # sum and the count are bit-identical across engines, so the
+    # quotient is too; re-rounding would land on exact midpoints
+    # where engine tie rules differ.
+    mkt = (r.groupBy(ts)
+           .agg(ordered_sum.alias("_s"), F.count(F.lit(1)).alias("_n"))
+           .select(ts, (F.col("_s") / F.col("_n")).alias("mkt_ret")))
+    j = r.join(mkt, ts)
+    fr = _rows(key, ts, window)
+    n = F.count(F.lit(1)).over(fr)
+    er = F.avg("ret").over(fr)
+    em = F.avg("mkt_ret").over(fr)
+    erm = F.avg(F.col("ret") * F.col("mkt_ret")).over(fr)
+    emm = F.avg(F.col("mkt_ret") * F.col("mkt_ret")).over(fr)
+    vm = emm - em * em
+    beta = F.when((n >= window) & (vm > 0),
+                  F.round((erm - er * em) / vm, 6) + F.lit(0.0))
+    return j.select(F.col(key), F.col(ts), "ret", "mkt_ret",
+                    beta.alias("rolling_beta"))
+
+
 def rolling_correlation(df: DataFrame, *, key: str, ts: str,
                         x: str = "close", y: str = "volume",
                         window: int = 24) -> DataFrame:

@@ -486,6 +486,39 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
 """
 
 
+# --------------------------------------------------------------- manifest
+
+MANIFEST_SHARDS = 16
+
+
+def q_dataset_manifest(spark, sf_dir):
+    """Export shard plan: deterministic hash-gate shard assignment +
+    per-shard doc/token/char mass, id range and an order-independent
+    xor membership fingerprint — the plan/verify/resume table for a
+    shard-parallel corpus write."""
+    docs = load_table(spark, sf_dir, "documents")
+    return CP.dataset_manifest(docs, MANIFEST_SHARDS)
+
+
+SQL_DATASET_MANIFEST = f"""
+WITH base AS (
+  SELECT {sql_hash60("CAST(doc_id AS VARCHAR)", "shard")}
+           % {MANIFEST_SHARDS} AS shard,
+         doc_id,
+         CAST(len({SQL_TOKS_ALL}) AS BIGINT) AS nt,
+         CAST(len(text) AS BIGINT) AS nc,
+         {sql_hash60("CAST(doc_id AS VARCHAR)", "member")} AS mh
+  FROM documents
+)
+SELECT shard, count(*) AS n_docs,
+       CAST(sum(nt) AS BIGINT) AS total_tokens,
+       CAST(sum(nc) AS BIGINT) AS total_chars,
+       min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id,
+       bit_xor(mh) AS members_hash
+FROM base GROUP BY shard
+"""
+
+
 # ------------------------------------------------------------- vocabulary
 
 VOCAB_SIZE = 1000
@@ -568,6 +601,7 @@ SPARK_QUERIES_CORPUS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gopher_quality": q_gopher_quality,
     "perplexity_proxy": q_perplexity_proxy,
     "dsir_weights": q_dsir_weights,
+    "dataset_manifest": q_dataset_manifest,
     "vocab_build": q_vocab_build,
     "token_id_encode": q_token_id_encode,
 }
@@ -585,6 +619,7 @@ ORACLE_SQL_CORPUS: dict[str, str] = {
     "gopher_quality": SQL_GOPHER_QUALITY,
     "perplexity_proxy": SQL_PERPLEXITY,
     "dsir_weights": SQL_DSIR_WEIGHTS,
+    "dataset_manifest": SQL_DATASET_MANIFEST,
     "vocab_build": SQL_VOCAB_BUILD,
     "token_id_encode": SQL_TOKEN_ID_ENCODE,
 }

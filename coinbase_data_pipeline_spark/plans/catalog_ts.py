@@ -717,6 +717,86 @@ FROM m
 """
 
 
+ROLL_BETA_W = 24
+
+
+def q_rolling_beta(spark, sf_dir):
+    """Trailing market beta per product vs the equal-weight mean log
+    return across products (6dp-snapped inputs, key-ordered market
+    fold, NULL short/zero-variance frames)."""
+    return I.rolling_beta(candles(spark, sf_dir),
+                          key="product_id", ts="bucket_start",
+                          window=ROLL_BETA_W)
+
+
+SQL_ROLLING_BETA = SQL_BASE + f"""
+, rets AS (
+  SELECT product_id, bucket_start,
+         ROUND(CASE WHEN close > 0
+                    AND lag(close) OVER (PARTITION BY product_id
+                                         ORDER BY bucket_start) > 0
+               THEN ln(close / lag(close) OVER (
+                   PARTITION BY product_id ORDER BY bucket_start)) END,
+               6) + 0 AS ret
+  FROM candles
+), r AS (
+  SELECT * FROM rets WHERE ret IS NOT NULL
+), mkt AS (
+  SELECT bucket_start,
+         list_sum(list(ret ORDER BY product_id)) / count(*) AS mkt_ret
+  FROM r GROUP BY bucket_start
+), j AS (
+  SELECT r.product_id, r.bucket_start, r.ret, mkt.mkt_ret
+  FROM r JOIN mkt USING (bucket_start)
+), m AS (
+  SELECT product_id, bucket_start, ret, mkt_ret,
+         count(*) OVER w AS n,
+         avg(ret) OVER w AS er, avg(mkt_ret) OVER w AS em,
+         avg(ret * mkt_ret) OVER w AS erm,
+         avg(mkt_ret * mkt_ret) OVER w AS emm
+  FROM j
+  WINDOW w AS (PARTITION BY product_id ORDER BY bucket_start
+               ROWS BETWEEN {ROLL_BETA_W - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT product_id, bucket_start, ret, mkt_ret,
+       CASE WHEN n >= {ROLL_BETA_W} AND emm - em * em > 0
+            THEN ROUND((erm - er * em) / (emm - em * em), 6) + 0
+       END AS rolling_beta
+FROM m
+"""
+
+
+def q_candle_patterns(spark, sf_dir):
+    """Candlestick pattern flags per candle: doji, hammer, bull/bear
+    engulfing vs the previous candle (operators/candles.py)."""
+    return C.candle_patterns(candles(spark, sf_dir))
+
+
+SQL_CANDLE_PATTERNS = SQL_BASE + """
+, p AS (
+  SELECT product_id, bucket_start, open, high, low, close,
+         close - open AS body, high - low AS rng,
+         high - greatest(open, close) AS upper,
+         least(open, close) - low AS lower,
+         lag(open) OVER w AS p_open, lag(close) OVER w AS p_close
+  FROM candles
+  WINDOW w AS (PARTITION BY product_id ORDER BY bucket_start)
+)
+SELECT product_id, bucket_start,
+       ROUND(body, 6) + 0 AS body,
+       ROUND(rng, 6) + 0 AS range,
+       abs(body) <= 0.1 * rng AS is_doji,
+       (rng > 0 AND lower >= 2 * abs(body) AND upper <= abs(body))
+         AS is_hammer,
+       CASE WHEN body > 0 AND p_close < p_open
+                 AND open <= p_close AND close >= p_open THEN 'bull'
+            WHEN body < 0 AND p_close > p_open
+                 AND open >= p_close AND close <= p_open THEN 'bear'
+       END AS engulfing
+FROM p
+"""
+
+
 # ---------------------------------------------------- grid fill / xs rank
 
 def q_candle_grid_fill(spark, sf_dir):
@@ -816,6 +896,8 @@ SPARK_QUERIES_TS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stochastic": q_stochastic,
     "max_drawdown": q_max_drawdown,
     "rolling_correlation": q_rolling_correlation,
+    "rolling_beta": q_rolling_beta,
+    "candle_patterns": q_candle_patterns,
     "candle_grid_fill": q_candle_grid_fill,
     "cross_sectional_rank": q_cross_sectional_rank,
 }
@@ -839,6 +921,8 @@ ORACLE_SQL_TS: dict[str, str] = {
     "stochastic": SQL_STOCHASTIC,
     "max_drawdown": SQL_MAX_DRAWDOWN,
     "rolling_correlation": SQL_ROLLING_CORRELATION,
+    "rolling_beta": SQL_ROLLING_BETA,
+    "candle_patterns": SQL_CANDLE_PATTERNS,
     "candle_grid_fill": SQL_CANDLE_GRID_FILL,
     "cross_sectional_rank": SQL_CROSS_SECTIONAL_RANK,
 }

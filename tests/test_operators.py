@@ -720,3 +720,68 @@ def test_dsir_weights_shift_and_empty_doc(spark):
     rows = {r.doc_id: r for r in dsir_weights(tiny).collect()}
     assert rows[2].n_tokens == 0 and rows[2].log_weight == 0.0
     assert rows[1].n_tokens == 3
+
+
+def test_rolling_beta_identical_series_is_one(spark):
+    """When every product carries the SAME return series, the market
+    return equals each product's return, so beta must be exactly 1.0
+    wherever the frame is full (and NULL before that)."""
+    from coinbase_data_pipeline_spark.operators.indicators import (
+        rolling_beta)
+
+    rows = []
+    price = 100.0
+    for t in range(40):
+        price *= 1.0 + (0.01 if t % 3 == 0 else -0.004 * (t % 5))
+        for p in ["A", "B", "C"]:
+            rows.append((p, t, price))
+    df = spark.createDataFrame(rows, "key string, t long, close double")
+    out = rolling_beta(df, key="key", ts="t", window=10).collect()
+    full = [r for r in out if r.rolling_beta is not None]
+    assert full, "no full frames"
+    assert all(abs(r.rolling_beta - 1.0) < 1e-6 for r in full)
+    # frames shorter than the window stay NULL
+    assert all(r.rolling_beta is None for r in out if r.t < 10)
+
+
+def test_candle_patterns_known_answers(spark):
+    """Hand-built candles with known pattern classifications."""
+    from coinbase_data_pipeline_spark.operators.candles import (
+        candle_patterns)
+
+    rows = [
+        # t0: plain bearish candle (sets up t1's bull engulfing)
+        ("A", 0, 10.0, 10.1, 9.4, 9.5),
+        # t1: bull engulfing (body>0, contains t0's body)
+        ("A", 1, 9.4, 10.3, 9.3, 10.1),
+        # t2: doji (|body| 0.05 <= 0.1 * range 2.0)
+        ("A", 2, 10.0, 11.0, 9.0, 10.05),
+        # t3: hammer (lower 1.0 >= 2*|body| 0.4, upper 0.05 <= 0.2)
+        ("A", 3, 10.0, 10.25, 9.0, 10.2),
+        # t4: bear engulfing of t3's bullish body
+        ("A", 4, 10.25, 10.3, 9.9, 9.95),
+    ]
+    df = spark.createDataFrame(
+        rows, "product_id string, bucket_start long, open double,"
+              " high double, low double, close double")
+    out = {r.bucket_start: r
+           for r in candle_patterns(df, ts="bucket_start").collect()}
+    assert out[1].engulfing == "bull" and not out[1].is_doji
+    assert out[2].is_doji and out[2].engulfing is None
+    assert out[3].is_hammer
+    assert out[4].engulfing == "bear"
+    assert out[0].engulfing is None  # no previous candle
+
+
+def test_dataset_manifest_conserves_docs(spark):
+    """Shard plan must partition the corpus: counts sum to the corpus
+    size, shards are within range, masses are positive."""
+    from coinbase_data_pipeline_spark.operators.corpus import (
+        dataset_manifest)
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    man = dataset_manifest(docs, 16).collect()
+    assert sum(r.n_docs for r in man) == docs.count()
+    assert all(0 <= r.shard < 16 for r in man)
+    assert all(r.total_tokens > 0 and r.total_chars > 0 for r in man)
+    assert all(r.min_doc_id <= r.max_doc_id for r in man)
