@@ -95,6 +95,7 @@ HEADLINERS = [
     "rolling_beta",
     "candle_patterns",
     "dataset_manifest",
+    "bpe_train",
 ]
 
 # Per-query repetitions; the reported time is the MIN across runs.

@@ -383,6 +383,94 @@ def dsir_weights(docs: DataFrame, *, target_lang: str = "en",
                     .alias("log_weight")))
 
 
+def _bpe_apply_merge(syms, a, b):
+    """Greedy left-to-right application of merge rule (a, b) to a
+    symbol array: scan symbols, replacing each non-overlapping
+    adjacent (a, b) with the concatenated symbol — the standard BPE
+    merge step, as an array fold (accumulator = merged prefix; a pair
+    just created can immediately participate in the NEXT position's
+    comparison only via its new concatenated spelling, which is
+    exactly BPE's non-overlap rule)."""
+    merged = F.concat(a, b)
+
+    def step(acc, x):
+        do = (F.element_at(acc, -1) == a) & (x == b)
+        return (F.when(do,
+                       F.concat(F.slice(acc, 1, F.size(acc) - 1),
+                                F.array(merged)))
+                .otherwise(F.concat(acc, F.array(x))))
+
+    return F.aggregate(F.slice(syms, 2, F.size(syms) - 1),
+                       F.slice(syms, 1, 1), step)
+
+
+def bpe_train(docs: DataFrame, merges: int = 6, *,
+              text_col: str = "text") -> DataFrame:
+    """Distributed byte-pair-encoding merge training (Sennrich et al.
+    2016): induce the first `merges` BPE merge rules from the corpus —
+    per round, count adjacent symbol pairs over the DISTINCT-word
+    vocabulary weighted by corpus frequency, pick the most frequent
+    pair (ties → lexicographically smallest), and greedily rewrite
+    every word's symbol sequence. Words start as character sequences
+    with a '</w>' terminal. Returns the merge table
+    (merge_rank, left_sym, right_sym, pair_count) — the trained
+    tokenizer artifact.
+
+    Scale: the corpus collapses ONCE to (distinct word, count) — the
+    only corpus-sized shuffle; every Lloyd-style round then runs over
+    the vocabulary relation (~1e8 rows for web scale, far smaller
+    than the corpus). Per round: one narrow pair explode + one
+    map-side-combining groupBy + a TakeOrdered(1) argmax; the winning
+    rule broadcasts back and the rewrite is a row-local array fold.
+    Rounds localCheckpoint (the connected_components recipe) so
+    lineage stays flat and the two consumers of each round (next
+    round's counts + the final merge table) don't recompute it.
+
+    Everything is integer counts and string comparisons — no floats —
+    so the whole iterative loop value-hashes against a CTE-for-CTE
+    SQL oracle (catalog_corpus).
+    """
+    chars = F.transform(F.sequence(F.lit(1), F.length("word")),
+                        lambda i: F.col("word").substr(i, F.lit(1)))
+    words = (docs.select(F.explode(tokens(F.col(text_col)))
+                         .alias("word"))
+             .groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+             .select("cnt",
+                     F.concat(chars, F.array(F.lit("</w>")))
+                     .alias("syms"))
+             .localCheckpoint(eager=True))
+    best_rows = []
+    for r in range(1, merges + 1):
+        idx = F.sequence(F.lit(1), F.size("syms") - 1)
+        pairs = (words.select(
+            "cnt",
+            F.explode(F.transform(
+                idx,
+                lambda i: F.struct(
+                    F.element_at("syms", i).alias("a"),
+                    F.element_at("syms", i + F.lit(1)).alias("b"))))
+            .alias("p"))
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("cnt").alias("pair_count")))
+        best = (pairs.orderBy(F.col("pair_count").desc(), "a", "b")
+                .limit(1)
+                .localCheckpoint(eager=True))
+        best_rows.append(best.select(
+            F.lit(r).alias("merge_rank"),
+            F.col("a").alias("left_sym"), F.col("b").alias("right_sym"),
+            "pair_count"))
+        if r < merges:
+            words = (words.crossJoin(F.broadcast(best))
+                     .select("cnt",
+                             _bpe_apply_merge(F.col("syms"), F.col("a"),
+                                              F.col("b")).alias("syms"))
+                     .localCheckpoint(eager=True))
+    out = best_rows[0]
+    for b in best_rows[1:]:
+        out = out.unionByName(b)
+    return out
+
+
 def dataset_manifest(docs: DataFrame, n_shards: int = 16, *,
                      id_col: str = "doc_id", text_col: str = "text",
                      seed: str = "shard") -> DataFrame:

@@ -486,6 +486,67 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
 """
 
 
+# -------------------------------------------------------------------- BPE
+
+BPE_MERGES = 6
+
+
+def q_bpe_train(spark, sf_dir):
+    """Distributed BPE merge training: the first 6 merge rules induced
+    from the corpus (pair counts over the distinct-word vocabulary,
+    lexicographic tie-break, greedy rewrite per round). Integer counts
+    and string folds only — the iterative loop value-hashes against a
+    round-for-round CTE oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return CP.bpe_train(docs, merges=BPE_MERGES)
+
+
+def _sql_bpe_train(merges: int = BPE_MERGES) -> str:
+    # round-for-round CTE twin of operators/corpus.bpe_train: pairsN
+    # counts adjacent symbols over wordsN, bestN is the deterministic
+    # argmax, words{N+1} applies the merge via the same greedy
+    # left-to-right fold (string accumulator — list_reduce requires
+    # acc type = element type; symbols never contain spaces, so the
+    # space-join/split round trip is lossless)
+    parts = [f"""
+WITH words1 AS MATERIALIZED (
+  SELECT cnt,
+         list_transform(generate_series(1, len(word)), i -> word[i:i])
+           || ['</w>'] AS syms
+  FROM (SELECT word, CAST(count(*) AS BIGINT) AS cnt
+        FROM (SELECT unnest({SQL_TOKS_ALL}) AS word FROM documents)
+        GROUP BY word)
+)"""]
+    for r in range(1, merges + 1):
+        parts.append(f""", pairs{r} AS MATERIALIZED (
+  SELECT syms[t.i] AS a, syms[t.i + 1] AS b,
+         CAST(sum(cnt) AS BIGINT) AS pair_count
+  FROM words{r}, unnest(generate_series(1, len(syms) - 1)) AS t(i)
+  GROUP BY 1, 2
+), best{r} AS MATERIALIZED (
+  SELECT {r} AS merge_rank, a, b, pair_count FROM pairs{r}
+  ORDER BY pair_count DESC, a, b LIMIT 1
+)""")
+        if r < merges:
+            parts.append(f""", words{r + 1} AS MATERIALIZED (
+  SELECT cnt, str_split(list_reduce(syms, (acc, x) -> CASE
+      WHEN (CASE WHEN strpos(reverse(acc), ' ') = 0 THEN acc
+                 ELSE right(acc, strpos(reverse(acc), ' ') - 1) END)
+             = best{r}.a
+           AND x = best{r}.b
+      THEN left(acc, len(acc) - len(best{r}.a)) || best{r}.a || best{r}.b
+      ELSE acc || ' ' || x END), ' ') AS syms
+  FROM words{r} CROSS JOIN best{r}
+)""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT merge_rank, a AS left_sym, b AS right_sym, pair_count"
+        f" FROM best{r}" for r in range(1, merges + 1))
+    return "".join(parts) + "\n" + union
+
+
+SQL_BPE_TRAIN = _sql_bpe_train()
+
+
 # --------------------------------------------------------------- manifest
 
 MANIFEST_SHARDS = 16
@@ -602,6 +663,7 @@ SPARK_QUERIES_CORPUS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "perplexity_proxy": q_perplexity_proxy,
     "dsir_weights": q_dsir_weights,
     "dataset_manifest": q_dataset_manifest,
+    "bpe_train": q_bpe_train,
     "vocab_build": q_vocab_build,
     "token_id_encode": q_token_id_encode,
 }
@@ -620,6 +682,7 @@ ORACLE_SQL_CORPUS: dict[str, str] = {
     "perplexity_proxy": SQL_PERPLEXITY,
     "dsir_weights": SQL_DSIR_WEIGHTS,
     "dataset_manifest": SQL_DATASET_MANIFEST,
+    "bpe_train": SQL_BPE_TRAIN,
     "vocab_build": SQL_VOCAB_BUILD,
     "token_id_encode": SQL_TOKEN_ID_ENCODE,
 }

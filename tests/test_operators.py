@@ -785,3 +785,16 @@ def test_dataset_manifest_conserves_docs(spark):
     assert all(0 <= r.shard < 16 for r in man)
     assert all(r.total_tokens > 0 and r.total_chars > 0 for r in man)
     assert all(r.min_doc_id <= r.max_doc_id for r in man)
+
+
+def test_bpe_train_classic_example(spark):
+    """The textbook low/lower/lowest corpus: (l,o) wins round 1 on the
+    lexicographic tie with (o,w), then (lo,w), then (low,</w>)."""
+    from coinbase_data_pipeline_spark.operators.corpus import bpe_train
+
+    docs = spark.createDataFrame(
+        [(1, "low low low lower lowest")], "doc_id long, text string")
+    rules = [(r.left_sym, r.right_sym, r.pair_count)
+             for r in bpe_train(docs, merges=3).orderBy("merge_rank")
+             .collect()]
+    assert rules == [("l", "o", 5), ("lo", "w", 5), ("low", "</w>", 3)]
