@@ -96,6 +96,7 @@ HEADLINERS = [
     "candle_patterns",
     "dataset_manifest",
     "bpe_train",
+    "bpe_encode",
 ]
 
 # Per-query repetitions; the reported time is the MIN across runs.

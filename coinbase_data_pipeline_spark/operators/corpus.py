@@ -430,12 +430,23 @@ def bpe_train(docs: DataFrame, merges: int = 6, *,
     so the whole iterative loop value-hashes against a CTE-for-CTE
     SQL oracle (catalog_corpus).
     """
+    _, best_rows = _bpe_pipeline(docs, merges, text_col)
+    out = best_rows[0]
+    for b in best_rows[1:]:
+        out = out.unionByName(b)
+    return out
+
+
+def _bpe_pipeline(docs: DataFrame, merges: int, text_col: str):
+    """Shared BPE training loop: returns (final vocabulary relation
+    (word, cnt, syms) with ALL `merges` rules applied, list of 1-row
+    merge-rule frames). See :func:`bpe_train` for the contract."""
     chars = F.transform(F.sequence(F.lit(1), F.length("word")),
                         lambda i: F.col("word").substr(i, F.lit(1)))
     words = (docs.select(F.explode(tokens(F.col(text_col)))
                          .alias("word"))
              .groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
-             .select("cnt",
+             .select("word", "cnt",
                      F.concat(chars, F.array(F.lit("</w>")))
                      .alias("syms"))
              .localCheckpoint(eager=True))
@@ -459,16 +470,46 @@ def bpe_train(docs: DataFrame, merges: int = 6, *,
             F.lit(r).alias("merge_rank"),
             F.col("a").alias("left_sym"), F.col("b").alias("right_sym"),
             "pair_count"))
-        if r < merges:
-            words = (words.crossJoin(F.broadcast(best))
-                     .select("cnt",
-                             _bpe_apply_merge(F.col("syms"), F.col("a"),
-                                              F.col("b")).alias("syms"))
-                     .localCheckpoint(eager=True))
-    out = best_rows[0]
-    for b in best_rows[1:]:
-        out = out.unionByName(b)
-    return out
+        words = (words.crossJoin(F.broadcast(best))
+                 .select("word", "cnt",
+                         _bpe_apply_merge(F.col("syms"), F.col("a"),
+                                          F.col("b")).alias("syms"))
+                 .localCheckpoint(eager=True))
+    return words, best_rows
+
+
+def bpe_encode(docs: DataFrame, merges: int = 6, *,
+               id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """Corpus encoded with the BPE rules :func:`bpe_train` induces:
+    per document, the word count, the resulting BPE token count and
+    the character mass — the compression bookkeeping a tokenizer
+    pipeline reports (chars/token, tokens/word).
+
+    The trained vocabulary (word → merged symbol sequence) is the
+    BY-PRODUCT of the training loop's final rewrite, so encoding is
+    ONE equi-join of the corpus' exploded words against it (AQE sizes
+    the join — the vocabulary can be 1e8 rows at web scale, not
+    always broadcastable) plus one per-doc aggregate. All-integer
+    output — trivially hash-stable.
+    """
+    words, _ = _bpe_pipeline(docs, merges, text_col)
+    vocab = words.select("word", F.size("syms").alias("_n_sym"))
+    doc_words = docs.select(
+        F.col(id_col),
+        F.explode(tokens(F.col(text_col))).alias("word"))
+    agg = (doc_words.join(vocab, "word")
+           .groupBy(id_col)
+           .agg(F.count(F.lit(1)).alias("n_words"),
+                F.sum("_n_sym").cast("long").alias("n_bpe_tokens"),
+                F.sum(F.length("word")).cast("long").alias("n_chars")))
+    return (docs.select(id_col)
+            .join(agg, id_col, "left")
+            .select(id_col,
+                    F.coalesce("n_words", F.lit(0)).alias("n_words"),
+                    F.coalesce("n_bpe_tokens", F.lit(0))
+                    .alias("n_bpe_tokens"),
+                    F.coalesce("n_chars", F.lit(0)).alias("n_chars")))
 
 
 def dataset_manifest(docs: DataFrame, n_shards: int = 16, *,

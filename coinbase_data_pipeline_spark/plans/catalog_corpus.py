@@ -501,16 +501,17 @@ def q_bpe_train(spark, sf_dir):
     return CP.bpe_train(docs, merges=BPE_MERGES)
 
 
-def _sql_bpe_train(merges: int = BPE_MERGES) -> str:
-    # round-for-round CTE twin of operators/corpus.bpe_train: pairsN
-    # counts adjacent symbols over wordsN, bestN is the deterministic
-    # argmax, words{N+1} applies the merge via the same greedy
-    # left-to-right fold (string accumulator — list_reduce requires
-    # acc type = element type; symbols never contain spaces, so the
-    # space-join/split round trip is lossless)
+def _sql_bpe_chain(merges: int = BPE_MERGES) -> str:
+    # round-for-round CTE twin of operators/corpus._bpe_pipeline:
+    # pairsN counts adjacent symbols over wordsN, bestN is the
+    # deterministic argmax, words{N+1} applies the merge via the same
+    # greedy left-to-right fold (string accumulator — list_reduce
+    # requires acc type = element type; symbols never contain spaces,
+    # so the space-join/split round trip is lossless). Emits
+    # words1..words{merges+1} and best1..best{merges}.
     parts = [f"""
 WITH words1 AS MATERIALIZED (
-  SELECT cnt,
+  SELECT word, cnt,
          list_transform(generate_series(1, len(word)), i -> word[i:i])
            || ['</w>'] AS syms
   FROM (SELECT word, CAST(count(*) AS BIGINT) AS cnt
@@ -526,10 +527,8 @@ WITH words1 AS MATERIALIZED (
 ), best{r} AS MATERIALIZED (
   SELECT {r} AS merge_rank, a, b, pair_count FROM pairs{r}
   ORDER BY pair_count DESC, a, b LIMIT 1
-)""")
-        if r < merges:
-            parts.append(f""", words{r + 1} AS MATERIALIZED (
-  SELECT cnt, str_split(list_reduce(syms, (acc, x) -> CASE
+), words{r + 1} AS MATERIALIZED (
+  SELECT word, cnt, str_split(list_reduce(syms, (acc, x) -> CASE
       WHEN (CASE WHEN strpos(reverse(acc), ' ') = 0 THEN acc
                  ELSE right(acc, strpos(reverse(acc), ' ') - 1) END)
              = best{r}.a
@@ -538,13 +537,48 @@ WITH words1 AS MATERIALIZED (
       ELSE acc || ' ' || x END), ' ') AS syms
   FROM words{r} CROSS JOIN best{r}
 )""")
+    return "".join(parts)
+
+
+def _sql_bpe_train(merges: int = BPE_MERGES) -> str:
     union = "\nUNION ALL\n".join(
         f"SELECT merge_rank, a AS left_sym, b AS right_sym, pair_count"
         f" FROM best{r}" for r in range(1, merges + 1))
-    return "".join(parts) + "\n" + union
+    return _sql_bpe_chain(merges) + "\n" + union
 
 
 SQL_BPE_TRAIN = _sql_bpe_train()
+
+
+def q_bpe_encode(spark, sf_dir):
+    """Corpus encoded with the induced BPE rules: per doc, word /
+    BPE-token / char counts (the compression bookkeeping). One
+    vocabulary equi-join + one per-doc aggregate past training."""
+    docs = load_table(spark, sf_dir, "documents")
+    return CP.bpe_encode(docs, merges=BPE_MERGES)
+
+
+def _sql_bpe_encode(merges: int = BPE_MERGES) -> str:
+    return _sql_bpe_chain(merges) + f"""
+, vocab AS (
+  SELECT word, len(syms) AS n_sym FROM words{merges + 1}
+), doc_words AS (
+  SELECT doc_id, unnest({SQL_TOKS_ALL}) AS word FROM documents
+), agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         CAST(sum(n_sym) AS BIGINT) AS n_bpe_tokens,
+         CAST(sum(len(word)) AS BIGINT) AS n_chars
+  FROM doc_words JOIN vocab USING (word) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(a.n_words, 0) AS BIGINT) AS n_words,
+       CAST(coalesce(a.n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens,
+       CAST(coalesce(a.n_chars, 0) AS BIGINT) AS n_chars
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+SQL_BPE_ENCODE = _sql_bpe_encode()
 
 
 # --------------------------------------------------------------- manifest
@@ -664,6 +698,7 @@ SPARK_QUERIES_CORPUS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dsir_weights": q_dsir_weights,
     "dataset_manifest": q_dataset_manifest,
     "bpe_train": q_bpe_train,
+    "bpe_encode": q_bpe_encode,
     "vocab_build": q_vocab_build,
     "token_id_encode": q_token_id_encode,
 }
@@ -683,6 +718,7 @@ ORACLE_SQL_CORPUS: dict[str, str] = {
     "dsir_weights": SQL_DSIR_WEIGHTS,
     "dataset_manifest": SQL_DATASET_MANIFEST,
     "bpe_train": SQL_BPE_TRAIN,
+    "bpe_encode": SQL_BPE_ENCODE,
     "vocab_build": SQL_VOCAB_BUILD,
     "token_id_encode": SQL_TOKEN_ID_ENCODE,
 }

@@ -798,3 +798,21 @@ def test_bpe_train_classic_example(spark):
              for r in bpe_train(docs, merges=3).orderBy("merge_rank")
              .collect()]
     assert rules == [("l", "o", 5), ("lo", "w", 5), ("low", "</w>", 3)]
+
+
+def test_bpe_encode_compression_invariants(spark):
+    """Encoding with M merges can only shrink token counts: per doc,
+    n_words <= n_bpe_tokens <= n_chars + n_words (chars + terminals),
+    and more merges never increase the BPE token count."""
+    from coinbase_data_pipeline_spark.operators.corpus import bpe_encode
+
+    docs = (spark.read.parquet(f"{SF}/documents.parquet")
+            .filter(F.col("doc_id") < 50))
+    e2 = {r.doc_id: r for r in bpe_encode(docs, merges=2).collect()}
+    e4 = {r.doc_id: r for r in bpe_encode(docs, merges=4).collect()}
+    assert set(e2) == set(e4)
+    for d in e2:
+        assert e2[d].n_words <= e2[d].n_bpe_tokens
+        assert e2[d].n_bpe_tokens <= e2[d].n_chars + e2[d].n_words
+        assert e4[d].n_bpe_tokens <= e2[d].n_bpe_tokens
+        assert e4[d].n_words == e2[d].n_words
