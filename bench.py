@@ -97,6 +97,7 @@ HEADLINERS = [
     "dataset_manifest",
     "bpe_train",
     "bpe_encode",
+    "quality_classifier_scores",
 ]
 
 # Per-query repetitions; the reported time is the MIN across runs.

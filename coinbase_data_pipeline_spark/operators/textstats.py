@@ -344,3 +344,117 @@ def perplexity_proxy(docs: DataFrame, *, id_col: str = "doc_id",
         F.col(id_col), "n_tokens",
         (F.round(q, 6) + F.lit(0.0)).alias("avg_nll"),
         (F.round(F.exp(q), 6) + F.lit(0.0)).alias("perplexity"))
+
+
+def _ordered_fold(order_col: str, term_col: str):
+    """Sum `term_col` doubles in `order_col` order via a sorted-struct
+    fold — the engine-replicable alternative to a partition-order
+    groupBy SUM (the perplexity/pagerank contract)."""
+    return F.aggregate(
+        F.transform(F.array_sort(F.collect_list(
+            F.struct(order_col, term_col))),
+            lambda s: s.getField(term_col)),
+        F.lit(0.0), lambda acc, x: acc + x)
+
+
+def quality_classifier(docs: DataFrame, *, target_lang: str = "en",
+                       buckets: int = 64, iterations: int = 3,
+                       lr: float = 0.5, shards: int = 256,
+                       id_col: str = "doc_id", text_col: str = "text",
+                       lang_col: str = "lang"):
+    """Distributed full-batch logistic regression over hashed
+    term-frequency features — the fastText-style quality-classifier
+    shape (target = the `target_lang` slice standing in for curated
+    positives; in production the label column is any curated set fed
+    through the same feature hash).
+
+    Per doc: x_b = cnt_b / n_tokens over `buckets` hash buckets plus a
+    bias feature (bucket -1, x = 1). `iterations` rounds of
+    w += lr/N · Xᵀ(y − σ(Xw)), every weight 6dp-rounded per round.
+    Returns (weights, scores): the trained weight vector
+    (bucket, weight) and per-doc (p, predicted) under it.
+
+    Determinism at scale — every float crossing an engine boundary is
+    either a ratio of identical values or 6dp-rounded, and every sum
+    folds in a defined order. The per-doc dot product folds over
+    bucket-sorted structs (bounded: ≤ buckets+1 terms). The GRADIENT
+    sum per bucket spans the whole corpus, so a single sorted fold
+    would collect N-row arrays; instead it reduces through a TWO-LEVEL
+    deterministic sum tree: docs shard by doc_id % `shards`, terms
+    fold doc-ordered within a shard (6dp partial), shard partials fold
+    shard-ordered — bounded arrays at every level, same answer on any
+    partitioning, CTE-mirrorable. σ() is libm exp, so p rounds to 6dp
+    before the residual (the perplexity ln() rule).
+
+    Plan per round: features ⨝ broadcast weights (buckets+1 rows) →
+    per-doc fold (one doc-keyed shuffle) → residual joins back on the
+    corpus key (co-partitioned) → (bucket, shard) partial →
+    bucket-level fold (tiny). Features checkpoint once; rounds extend
+    lazily off that flat base.
+    """
+    from ..functions.text import hash60
+
+    tok = (docs.select(F.col(id_col),
+                       F.explode(tokens(F.col(text_col))).alias("tok"))
+           .select(id_col, (hash60(F.col("tok"), "qcls") % buckets)
+                   .alias("bucket"))
+           .groupBy(id_col, "bucket")
+           .agg(F.count(F.lit(1)).alias("cnt")))
+    n_tok = tok.groupBy(id_col).agg(F.sum("cnt").alias("n"))
+    labels = docs.select(
+        F.col(id_col),
+        (F.col(lang_col) == target_lang).cast("double").alias("y"))
+    feats = (tok.join(n_tok, id_col)
+             .select(id_col, "bucket",
+                     (F.col("cnt").cast("double") / F.col("n"))
+                     .alias("x"))
+             .unionByName(docs.select(F.col(id_col),
+                                      F.lit(-1).alias("bucket"),
+                                      F.lit(1.0).alias("x")))
+             .join(labels, id_col)
+             .localCheckpoint(eager=True))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    w = (feats.select("bucket").distinct()
+         .select("bucket", F.lit(0.0).alias("w")))
+    for _ in range(iterations):
+        z = (feats.join(F.broadcast(w), "bucket")
+             .select(id_col, "y",
+                     (F.col("x") * F.col("w")).alias("term"),
+                     "bucket")
+             .groupBy(id_col, "y")
+             .agg(_ordered_fold("bucket", "term").alias("z")))
+        resid = z.select(
+            F.col(id_col),
+            (F.col("y")
+             - (F.round(F.lit(1.0)
+                        / (F.lit(1.0) + F.exp(-F.col("z"))), 6)
+                + F.lit(0.0))).alias("err"))
+        partial = (feats.join(resid, id_col)
+                   .select("bucket",
+                           (F.col(id_col) % shards).alias("shard"),
+                           F.col(id_col),
+                           (F.col("x") * F.col("err")).alias("term"))
+                   .groupBy("bucket", "shard")
+                   .agg((F.round(_ordered_fold(id_col, "term"), 6)
+                         + F.lit(0.0)).alias("part")))
+        grad = (partial.groupBy("bucket")
+                .agg(_ordered_fold("shard", "part").alias("g")))
+        w = (w.join(grad, "bucket", "left")
+             .crossJoin(F.broadcast(n_docs))
+             .select("bucket",
+                     (F.round(F.col("w")
+                              + F.lit(lr) * F.coalesce("g", F.lit(0.0))
+                              / F.col("n_docs"), 6)
+                      + F.lit(0.0)).alias("w"))
+             .localCheckpoint(eager=True))
+    z = (feats.join(F.broadcast(w), "bucket")
+         .select(id_col, "y", (F.col("x") * F.col("w")).alias("term"),
+                 "bucket")
+         .groupBy(id_col, "y")
+         .agg(_ordered_fold("bucket", "term").alias("z")))
+    p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z"))), 6) \
+        + F.lit(0.0)
+    scores = z.select(F.col(id_col), F.col("y").cast("int").alias("y"),
+                      p.alias("p"), (p >= 0.5).alias("predicted"))
+    weights = w.select("bucket", F.col("w").alias("weight"))
+    return weights, scores

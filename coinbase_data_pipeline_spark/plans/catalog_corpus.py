@@ -581,6 +581,109 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
 SQL_BPE_ENCODE = _sql_bpe_encode()
 
 
+# ------------------------------------------------------------- classifier
+
+QCLS_BUCKETS, QCLS_ITERS, QCLS_LR, QCLS_SHARDS = 64, 3, 0.5, 256
+
+
+def q_quality_classifier(spark, sf_dir):
+    """Distributed full-batch logistic regression (fastText-style
+    quality classifier over hashed term frequencies): the trained
+    weight vector after 3 deterministic GD rounds."""
+    from ..operators.textstats import quality_classifier
+    docs = load_table(spark, sf_dir, "documents")
+    weights, _ = quality_classifier(
+        docs, buckets=QCLS_BUCKETS, iterations=QCLS_ITERS,
+        lr=QCLS_LR, shards=QCLS_SHARDS)
+    return weights
+
+
+def q_quality_classifier_scores(spark, sf_dir):
+    """Per-doc probability + decision under the trained classifier."""
+    from ..operators.textstats import quality_classifier
+    docs = load_table(spark, sf_dir, "documents")
+    _, scores = quality_classifier(
+        docs, buckets=QCLS_BUCKETS, iterations=QCLS_ITERS,
+        lr=QCLS_LR, shards=QCLS_SHARDS)
+    return scores
+
+
+def _sql_qcls_chain(buckets: int = QCLS_BUCKETS,
+                    iterations: int = QCLS_ITERS, lr: float = QCLS_LR,
+                    shards: int = QCLS_SHARDS,
+                    target: str = "en") -> str:
+    # CTE-for-CTE twin of operators/textstats.quality_classifier:
+    # wN is the weight vector after round N; every float matches the
+    # Spark side's rounding and fold-order contract (bucket-ordered
+    # per-doc dot products, doc-ordered then shard-ordered two-level
+    # gradient sums, 6dp sigmoid).
+    parts = [f"""
+WITH tok AS MATERIALIZED (
+  SELECT doc_id, {sql_hash60('tok', 'qcls')} % {buckets} AS bucket,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT doc_id, unnest({SQL_TOKS_ALL}) AS tok FROM documents)
+  GROUP BY 1, 2
+), ntok AS (
+  SELECT doc_id, sum(cnt) AS n FROM tok GROUP BY doc_id
+), labels AS (
+  SELECT doc_id, CASE WHEN lang = '{target}' THEN 1.0 ELSE 0.0 END AS y
+  FROM documents
+), feats AS MATERIALIZED (
+  SELECT t.doc_id, t.bucket, CAST(t.cnt AS DOUBLE) / ntok.n AS x, l.y
+  FROM tok t JOIN ntok USING (doc_id)
+             JOIN labels l ON l.doc_id = t.doc_id
+  UNION ALL
+  SELECT d.doc_id, -1, 1.0, l.y
+  FROM documents d JOIN labels l USING (doc_id)
+), nd AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents
+), w0 AS MATERIALIZED (
+  SELECT DISTINCT bucket, 0.0 AS w FROM feats
+)"""]
+    for r in range(1, iterations + 1):
+        parts.append(f""", z{r} AS MATERIALIZED (
+  SELECT f.doc_id, f.y,
+         list_sum(list(f.x * w.w ORDER BY f.bucket)) AS z
+  FROM feats f JOIN w{r - 1} w USING (bucket)
+  GROUP BY f.doc_id, f.y
+), resid{r} AS MATERIALIZED (
+  SELECT doc_id, y - (round(1.0 / (1.0 + exp(-z)), 6) + 0) AS err
+  FROM z{r}
+), part{r} AS MATERIALIZED (
+  SELECT f.bucket, f.doc_id % {shards} AS shard,
+         round(list_sum(list(f.x * r.err ORDER BY f.doc_id)), 6) + 0
+           AS part
+  FROM feats f JOIN resid{r} r USING (doc_id)
+  GROUP BY 1, 2
+), grad{r} AS MATERIALIZED (
+  SELECT bucket, list_sum(list(part ORDER BY shard)) AS g
+  FROM part{r} GROUP BY bucket
+), w{r} AS MATERIALIZED (
+  SELECT w.bucket,
+         round(w.w + {lr} * coalesce(g.g, 0.0) / nd.n_docs, 6) + 0 AS w
+  FROM w{r - 1} w LEFT JOIN grad{r} g USING (bucket) CROSS JOIN nd
+)""")
+    return "".join(parts)
+
+
+SQL_QUALITY_CLASSIFIER = _sql_qcls_chain() + f"""
+SELECT bucket, w AS weight FROM w{QCLS_ITERS}
+"""
+
+SQL_QUALITY_CLASSIFIER_SCORES = _sql_qcls_chain() + f"""
+, zf AS (
+  SELECT f.doc_id, f.y,
+         list_sum(list(f.x * w.w ORDER BY f.bucket)) AS z
+  FROM feats f JOIN w{QCLS_ITERS} w USING (bucket)
+  GROUP BY f.doc_id, f.y
+)
+SELECT doc_id, CAST(y AS INT) AS y,
+       round(1.0 / (1.0 + exp(-z)), 6) + 0 AS p,
+       (round(1.0 / (1.0 + exp(-z)), 6) + 0) >= 0.5 AS predicted
+FROM zf
+"""
+
+
 # --------------------------------------------------------------- manifest
 
 MANIFEST_SHARDS = 16
@@ -699,6 +802,8 @@ SPARK_QUERIES_CORPUS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dataset_manifest": q_dataset_manifest,
     "bpe_train": q_bpe_train,
     "bpe_encode": q_bpe_encode,
+    "quality_classifier": q_quality_classifier,
+    "quality_classifier_scores": q_quality_classifier_scores,
     "vocab_build": q_vocab_build,
     "token_id_encode": q_token_id_encode,
 }
@@ -719,6 +824,8 @@ ORACLE_SQL_CORPUS: dict[str, str] = {
     "dataset_manifest": SQL_DATASET_MANIFEST,
     "bpe_train": SQL_BPE_TRAIN,
     "bpe_encode": SQL_BPE_ENCODE,
+    "quality_classifier": SQL_QUALITY_CLASSIFIER,
+    "quality_classifier_scores": SQL_QUALITY_CLASSIFIER_SCORES,
     "vocab_build": SQL_VOCAB_BUILD,
     "token_id_encode": SQL_TOKEN_ID_ENCODE,
 }

@@ -816,3 +816,29 @@ def test_bpe_encode_compression_invariants(spark):
         assert e2[d].n_bpe_tokens <= e2[d].n_chars + e2[d].n_words
         assert e4[d].n_bpe_tokens <= e2[d].n_bpe_tokens
         assert e4[d].n_words == e2[d].n_words
+
+
+def test_quality_classifier_separates(spark):
+    """On a linearly separable toy corpus (target docs say 'good',
+    off-target docs say 'bad'), three GD rounds must push target-doc
+    probabilities above off-target ones, and more iterations must
+    widen the gap."""
+    from coinbase_data_pipeline_spark.operators.textstats import (
+        quality_classifier)
+
+    rows = []
+    for i in range(20):
+        rows.append((i, "good quality signal content", "en"))
+        rows.append((100 + i, "bad noisy junk content", "de"))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string")
+    _, s3 = quality_classifier(docs, iterations=3)
+    p3 = {r.doc_id: r.p for r in s3.collect()}
+    pos3 = sum(p3[i] for i in range(20)) / 20
+    neg3 = sum(p3[100 + i] for i in range(20)) / 20
+    assert pos3 > neg3, (pos3, neg3)
+    _, s6 = quality_classifier(docs, iterations=6)
+    p6 = {r.doc_id: r.p for r in s6.collect()}
+    pos6 = sum(p6[i] for i in range(20)) / 20
+    neg6 = sum(p6[100 + i] for i in range(20)) / 20
+    assert pos6 - neg6 > pos3 - neg3
