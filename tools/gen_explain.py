@@ -46,6 +46,14 @@ PICKS = [
      "ADC: broadcast LUT equi-join, ordered subspace sum, top-k"),
     ("dedup_incremental",
      "cross-relation banded join: history only via its signatures"),
+    ("knn_graph",
+     "LSH self-join graph: band-bucket exchange, no cartesian"),
+    ("dsir_weights",
+     "bucket stats broadcast back over one doc-keyed shuffle"),
+    ("rolling_beta",
+     "bucket-keyed market mean joins back into the per-key windows"),
+    ("quality_classifier_scores",
+     "GD rounds: broadcast weights, doc-keyed folds, tiny grads"),
 ]
 
 
