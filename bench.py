@@ -98,6 +98,7 @@ HEADLINERS = [
     "bpe_train",
     "bpe_encode",
     "quality_classifier_scores",
+    "dsir_select",
 ]
 
 # Per-query repetitions; the reported time is the MIN across runs.

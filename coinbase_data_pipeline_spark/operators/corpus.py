@@ -544,6 +544,34 @@ def dataset_manifest(docs: DataFrame, n_shards: int = 16, *,
                  F.expr("bit_xor(_mh)").alias("members_hash")))
 
 
+def dsir_select(docs: DataFrame, *, target_lang: str = "en",
+                buckets: int = 256, quantile: float = 0.75,
+                id_col: str = "doc_id", text_col: str = "text",
+                lang_col: str = "lang") -> DataFrame:
+    """The DSIR SELECTION step on top of :func:`dsir_weights`: keep
+    the documents whose importance weight clears the corpus-wide
+    `quantile` threshold — the deterministic counterpart of the
+    paper's Gumbel-top-k resampling (no randomness: same corpus, same
+    selection, any engine).
+
+    The threshold is one exact-percentile aggregate over the
+    6dp-gridded weights (linear interpolation of two gridded doubles
+    — identical in both engines, the price_quantiles contract),
+    broadcast back over the weight relation; the comparison therefore
+    needs no further rounding.
+    """
+    w = dsir_weights(docs, target_lang=target_lang, buckets=buckets,
+                     id_col=id_col, text_col=text_col,
+                     lang_col=lang_col)
+    w = w.join(docs.select(id_col, lang_col), id_col)
+    thr = w.agg(F.percentile("log_weight", F.lit(quantile))
+                .alias("_thr"))
+    return (w.crossJoin(F.broadcast(thr))
+            .select(id_col, lang_col, "n_tokens", "log_weight",
+                    (F.col("log_weight") >= F.col("_thr"))
+                    .alias("is_selected")))
+
+
 def vocab_build(docs: DataFrame, vocab_size: int = 1000, *,
                 id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Frequency-ranked tokenizer vocabulary: the top `vocab_size`

@@ -581,6 +581,31 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
 SQL_BPE_ENCODE = _sql_bpe_encode()
 
 
+DSIR_QUANTILE = 0.75
+
+
+def q_dsir_select(spark, sf_dir):
+    """DSIR selection: docs whose importance weight clears the corpus
+    p75 — the deterministic stand-in for Gumbel-top-k resampling."""
+    docs = load_table(spark, sf_dir, "documents")
+    return CP.dsir_select(docs, target_lang=DSIR_TARGET,
+                          buckets=DSIR_BUCKETS, quantile=DSIR_QUANTILE)
+
+
+SQL_DSIR_SELECT = f"""
+WITH w AS ({SQL_DSIR_WEIGHTS.strip()}
+), j AS (
+  SELECT w.doc_id, d.lang, w.n_tokens, w.log_weight
+  FROM w JOIN documents d USING (doc_id)
+), thr AS (
+  SELECT quantile_cont(log_weight, {DSIR_QUANTILE}) AS t FROM j
+)
+SELECT doc_id, lang, n_tokens, log_weight,
+       log_weight >= thr.t AS is_selected
+FROM j CROSS JOIN thr
+"""
+
+
 # ------------------------------------------------------------- classifier
 
 QCLS_BUCKETS, QCLS_ITERS, QCLS_LR, QCLS_SHARDS = 64, 3, 0.5, 256
@@ -799,6 +824,7 @@ SPARK_QUERIES_CORPUS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gopher_quality": q_gopher_quality,
     "perplexity_proxy": q_perplexity_proxy,
     "dsir_weights": q_dsir_weights,
+    "dsir_select": q_dsir_select,
     "dataset_manifest": q_dataset_manifest,
     "bpe_train": q_bpe_train,
     "bpe_encode": q_bpe_encode,
@@ -821,6 +847,7 @@ ORACLE_SQL_CORPUS: dict[str, str] = {
     "gopher_quality": SQL_GOPHER_QUALITY,
     "perplexity_proxy": SQL_PERPLEXITY,
     "dsir_weights": SQL_DSIR_WEIGHTS,
+    "dsir_select": SQL_DSIR_SELECT,
     "dataset_manifest": SQL_DATASET_MANIFEST,
     "bpe_train": SQL_BPE_TRAIN,
     "bpe_encode": SQL_BPE_ENCODE,

@@ -842,3 +842,19 @@ def test_quality_classifier_separates(spark):
     pos6 = sum(p6[i] for i in range(20)) / 20
     neg6 = sum(p6[100 + i] for i in range(20)) / 20
     assert pos6 - neg6 > pos3 - neg3
+
+
+def test_dsir_select_rate_and_skew(spark):
+    """The p75 gate must keep ~25% of the corpus, skewed toward the
+    target language (higher mean weight => higher selection rate)."""
+    from coinbase_data_pipeline_spark.operators.corpus import dsir_select
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = dsir_select(docs).collect()
+    n_sel = sum(1 for r in out if r.is_selected)
+    assert abs(n_sel / len(out) - 0.25) < 0.01
+    en_rate = (sum(1 for r in out if r.is_selected and r.lang == "en")
+               / sum(1 for r in out if r.lang == "en"))
+    other_rate = (sum(1 for r in out if r.is_selected and r.lang != "en")
+                  / sum(1 for r in out if r.lang != "en"))
+    assert en_rate > other_rate
