@@ -97,9 +97,10 @@ for _name in _CHECK_FIRST:
 for _name, _fn in _MERGED.items():
     if _name not in ALL_QUERIES and _name in ALL_ORACLES:
         ALL_QUERIES[_name] = _fn
-# ...and rows-only queries (model_score, approx_distinct_users,
-# ann_ivf) sit STRUCTURALLY last — they can never occupy a slot in
-# the driver's first-50 window regardless of catalog ordering.
+# ...and rows-only queries (approx_distinct_users, ann_ivf — the two
+# with no oracle by declared design) sit STRUCTURALLY last — they can
+# never occupy a slot in the driver's first-50 window regardless of
+# catalog ordering.
 for _name, _fn in _MERGED.items():
     if _name not in ALL_QUERIES:
         ALL_QUERIES[_name] = _fn
