@@ -741,7 +741,11 @@ def doc_pagerank(docs: DataFrame, *, iterations: int = 3,
              .union(pairs.select(F.col("doc_b").alias("src"),
                                  F.col("doc_a").alias("dst"))))
     edges = _dense_spread(edges, F.col("src")).persist()
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # deg is read by every round's message join AND the final output —
+    # checkpointing it (node-sized, tiny) stops each consumer from
+    # re-deriving it through the whole pair pipeline
+    deg = (edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+           .localCheckpoint(eager=True))
     n = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
     state = (deg.crossJoin(F.broadcast(n))
              .select(F.col("src").alias("node"), "n_nodes",
@@ -758,13 +762,18 @@ def doc_pagerank(docs: DataFrame, *, iterations: int = 3,
                 .select("dst", "src", "n_nodes",
                         (F.round(F.col("pr") / F.col("deg"), 6)
                          + F.lit(0.0)).alias("c")))
+        # node-sized state checkpoints per round (the connected_
+        # components recipe): each round's message shuffle runs
+        # exactly once instead of re-executing inside every deeper
+        # round's plan — 2x wall time on the bench corpus
         state = (msgs.groupBy(F.col("dst").alias("node"))
                  .agg(F.first("n_nodes").alias("n_nodes"),
                       ordered_sum.alias("s"))
                  .select("node", "n_nodes",
                          (F.round(F.lit(1 - damping) / F.col("n_nodes")
                                   + damping * F.col("s"), 6)
-                          + F.lit(0.0)).alias("pr")))
+                          + F.lit(0.0)).alias("pr"))
+                 .localCheckpoint(eager=True))
     out = (state.join(deg.withColumnRenamed("src", "node"), "node")
            .select(F.col("node").alias(id_col),
                    F.col("pr").alias("pagerank"),
