@@ -99,6 +99,7 @@ HEADLINERS = [
     "bpe_encode",
     "quality_classifier_scores",
     "dsir_select",
+    "dedup_containment",
 ]
 
 # Per-query repetitions; the reported time is the MIN across runs.

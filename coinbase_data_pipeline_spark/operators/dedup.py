@@ -17,7 +17,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..functions.text import hash60, minhash_signature, token_set, word_shingles
+from ..functions.text import (hash60, minhash_signature, token_set, tokens,
+                              word_shingles)
 # summation order of the fold-based dot product is an oracle-parity
 # contract — exactly one implementation may exist (ann.py)
 from .ann import _dot as _vec_dot
@@ -709,6 +710,73 @@ def incremental_dedup(batch: DataFrame, history: DataFrame, *,
                     F.coalesce("n_matches", F.lit(0)).alias("n_matches"),
                     "max_jaccard",
                     F.col("dup_of").isNull().alias("is_new")))
+
+
+def containment_pairs(docs: DataFrame, *, n: int = 3,
+                      threshold: float = 0.8, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Directed containment near-dup pairs: C(A→B) = |A∩B| / |A| over
+    distinct word n-gram sets — the asymmetric-duplicate detector
+    (a short doc quoted whole inside a long one) that symmetric
+    Jaccard structurally misses (union-dominated).
+
+    Candidate generation is a LOSSLESS prefix filter (the PPJoin
+    family): each doc's grams rank by ascending global document
+    frequency, and a pair with C ≥ t must share at least one of A's
+    first |A| − ⌈t·|A|⌉ + 1 rarest grams — so A's prefix grams join
+    against B's full gram stream and nothing above threshold can be
+    missed (if no prefix gram hits B, the shared count is capped
+    below ⌈t·|A|⌉). The prefix bound is INTEGER arithmetic
+    (⌈t·|A|⌉ via negated floor-div with t as a ratio), so the bound
+    is exact — no float-boundary prefix truncation.
+
+    Scale: join keys are A's RAREST grams by construction, so the
+    gram buckets that actually join are the small ones — the hub
+    grams every doc shares never become keys. One df groupBy, one
+    per-doc ranking window, one gram equi-join, exact verify on
+    re-attached gram arrays (the minhash_lsh_pairs lesson: arrays
+    attach after candidates). Oracle = the all-pairs SQL (lossless ⇒
+    identical results); a subset-doc pytest covers the asymmetric
+    case.
+    """
+    from pyspark.sql import Window
+
+    t_num, t_den = int(threshold * 100), 100
+    base = docs.select(F.col(id_col).alias("a_id"),
+                       word_shingles(tokens(F.col(text_col)), n)
+                       .alias("g"))
+    base = base.withColumn("sz", F.size("g")).filter(F.col("sz") > 0)
+    # the shingled relation feeds FOUR consumers (df counts, ranking,
+    # the candidate join's b-side, and both verify attaches) — without
+    # a checkpoint each one re-tokenizes and re-shingles the corpus
+    base = _dense_spread(base, F.col("a_id")).localCheckpoint(eager=True)
+    grams = base.select("a_id", "sz", F.explode("g").alias("gram"))
+    dfc = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("_df"))
+    wd = Window.partitionBy("a_id").orderBy("_df", "gram")
+    ranked = (grams.join(dfc, "gram")
+              .withColumn("_rn", F.row_number().over(wd)))
+    # required shared = ceil(t * |A|), exactly, in integers
+    required = -F.floor(F.lit(-t_num) * F.col("sz") / F.lit(t_den))
+    prefix = ranked.filter(F.col("_rn") <= F.col("sz") - required + 1)
+    cand = (prefix.select("a_id", "gram")
+            .join(grams.select(F.col("a_id").alias("b_id"), "gram"),
+                  "gram")
+            .filter(F.col("a_id") != F.col("b_id"))
+            .select("a_id", "b_id")
+            .dropDuplicates(["a_id", "b_id"]))
+    cand = _dense_spread(cand, F.col("a_id"), F.col("b_id"))
+    withg = (cand
+             .join(base.select("a_id", F.col("g").alias("ga"),
+                               F.col("sz").alias("na")), "a_id")
+             .join(base.select(F.col("a_id").alias("b_id"),
+                               F.col("g").alias("gb")), "b_id"))
+    c = (F.size(F.array_intersect("ga", "gb")).cast("double")
+         / F.col("na"))
+    return (withg
+            .select(F.col("a_id").alias("doc_a"),
+                    F.col("b_id").alias("doc_b"),
+                    (F.round(c, 6) + F.lit(0.0)).alias("containment"))
+            .filter(F.col("containment") >= threshold))
 
 
 def doc_pagerank(docs: DataFrame, *, iterations: int = 3,

@@ -308,6 +308,40 @@ SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= 0.9
 """
 
 
+CONT_N, CONT_T = 3, 0.8
+
+
+def q_dedup_containment(spark, sf_dir):
+    """Directed containment pairs (|A∩B|/|A| over word 3-gram sets):
+    the asymmetric-duplicate detector Jaccard misses. Candidates via
+    a LOSSLESS rarest-gram prefix filter (PPJoin family), so the
+    all-pairs SQL is the oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return DD.containment_pairs(docs, n=CONT_N, threshold=CONT_T)
+
+
+_SQL_CGRAM = (f"list_distinct(list_transform("
+              f"generate_series(1, greatest(len(toks) - {CONT_N - 1}, 0)),"
+              f" i -> array_to_string(toks[i:i+{CONT_N - 1}], ' ')))")
+
+SQL_DEDUP_CONTAINMENT = f"""
+WITH toked AS (
+  SELECT doc_id, {SQL_TOKS_ALL} AS toks FROM documents
+), base AS (
+  SELECT doc_id, {_SQL_CGRAM} AS g FROM toked
+), sized AS (
+  SELECT doc_id, g, len(g) AS sz FROM base WHERE len(g) > 0
+), scored AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         ROUND(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) / a.sz, 6)
+           + 0 AS containment
+  FROM sized a JOIN sized b ON a.doc_id != b.doc_id
+)
+SELECT doc_a, doc_b, containment
+FROM scored WHERE containment >= {CONT_T}
+"""
+
+
 def q_dedup_embedding(spark, sf_dir):
     """LSH-bucketed embedding near-dup stats: candidates share a
     random-hyperplane sketch bucket in any band; exact cosine within
@@ -1290,6 +1324,7 @@ SPARK_QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_containment": q_dedup_containment,
     "dedup_embedding": q_dedup_embedding,
     "dedup_components": q_dedup_components,
     "embedding_centroids": q_embedding_centroids,
@@ -1326,6 +1361,7 @@ ORACLE_SQL_EXT: dict[str, str] = {
     "dedup_simhash": _sql_simhash(),
     "dedup_simhash_pairs": _sql_simhash_pairs(),
     "dedup_ngram_jaccard": SQL_DEDUP_NGRAM,
+    "dedup_containment": SQL_DEDUP_CONTAINMENT,
     "dedup_embedding": SQL_DEDUP_EMBEDDING,
     "dedup_components": _sql_components(),
     "embedding_centroids": SQL_EMBEDDING_CENTROIDS,

@@ -858,3 +858,27 @@ def test_dsir_select_rate_and_skew(spark):
     other_rate = (sum(1 for r in out if r.is_selected and r.lang != "en")
                   / sum(1 for r in out if r.lang != "en"))
     assert en_rate > other_rate
+
+
+def test_containment_catches_asymmetric_duplicate(spark):
+    """A short doc quoted whole inside a long one: containment must
+    flag A-in-B at 1.0 (directed) while symmetric Jaccard stays far
+    below any dedup threshold; unrelated docs stay unflagged."""
+    from coinbase_data_pipeline_spark.operators.dedup import (
+        containment_pairs, ngram_jaccard_pairs)
+
+    short = "alpha beta gamma delta epsilon zeta"
+    long_ = ("intro words before the quote " + short
+             + " and a very long tail " + " ".join(
+                 f"filler{i}" for i in range(40)))
+    docs = spark.createDataFrame(
+        [(1, short), (2, long_), (3, "completely different text here "
+                                     "about other things entirely")],
+        "doc_id long, text string")
+    pairs = {(r.doc_a, r.doc_b): r.containment
+             for r in containment_pairs(docs, threshold=0.8).collect()}
+    assert pairs.get((1, 2)) == 1.0        # A fully inside B
+    assert (2, 1) not in pairs             # reverse direction dilute
+    assert not any(3 in p for p in pairs)  # unrelated untouched
+    jac = ngram_jaccard_pairs(docs).collect()
+    assert not any({r.doc_a, r.doc_b} == {1, 2} for r in jac)
