@@ -100,6 +100,7 @@ HEADLINERS = [
     "quality_classifier_scores",
     "dsir_select",
     "dedup_containment",
+    "streaming_classifier_scores",
 ]
 
 # Per-query repetitions; the reported time is the MIN across runs.

@@ -156,6 +156,91 @@ JOIN ({SQL_TOKEN_COUNT.strip()}) t USING (doc_id)
 """
 
 
+def q_streaming_classifier_scores(spark, sf_dir):
+    """In-stream MODEL INFERENCE via a stream-static join: the
+    logistic-regression quality classifier trains in BATCH
+    (catalog_corpus.quality_classifier — the offline step), its
+    weight vector packs into one map row, and every streaming
+    document is scored row-locally against it (append mode, no
+    stream-side state; the static side re-broadcasts per
+    micro-batch) — the serve-while-ingesting pattern of the
+    reference's prediction service, on the corpus path.
+
+    Determinism: the row-local dot product folds the doc's SORTED
+    bucket array (per-occurrence terms, ascending bucket — equal
+    buckets add identical doubles, so within-tie order can't matter),
+    divides by the token count and adds the bias; the oracle
+    replicates that exact fold with an ordered list_sum over the same
+    trained weights. Sigmoid rounds to 6dp (the libm rule)."""
+    from ..functions.text import hash60, tokens as tok_fn
+    from ..operators.textstats import quality_classifier
+    from ..sources.tables import load_table
+    from .catalog_corpus import QCLS_BUCKETS, QCLS_ITERS, QCLS_LR, QCLS_SHARDS
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    weights, _ = quality_classifier(
+        load_table(spark, sf_dir, "documents"), buckets=QCLS_BUCKETS,
+        iterations=QCLS_ITERS, lr=QCLS_LR, shards=QCLS_SHARDS)
+    packed = (weights.groupBy()
+              .agg(F.map_from_entries(
+                  F.collect_list(F.struct("bucket", "weight")))
+                  .alias("wm"))
+              .withColumn("_k", F.lit(1)))
+
+    replay_dir = os.path.join(_TMP_ROOT, f"clsf-{uuid.uuid4().hex[:8]}")
+    try:
+        docs.repartition(32).write.mode("overwrite").json(replay_dir)
+
+        def scorer(stream):
+            s = stream.withColumn("_k", F.lit(1)).join(packed, "_k")
+            buckets = F.array_sort(F.transform(
+                tok_fn(F.col("text")),
+                lambda t: hash60(t, "qcls") % QCLS_BUCKETS))
+            ssum = F.aggregate(
+                buckets, F.lit(0.0),
+                lambda acc, b: acc + F.coalesce(
+                    F.element_at(F.col("wm"), b), F.lit(0.0)))
+            n = F.size(buckets)
+            z = (F.element_at(F.col("wm"), F.lit(-1).cast("long"))
+                 + F.when(n > 0, ssum / n).otherwise(F.lit(0.0)))
+            p = (F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+                 + F.lit(0.0))
+            return s.select("doc_id", p.alias("p"),
+                            (p >= 0.5).alias("predicted"))
+
+        return run_file_corpus_pipeline(spark, replay_dir, scorer)
+    finally:
+        shutil.rmtree(replay_dir, ignore_errors=True)
+
+
+def _sql_streaming_classifier() -> str:
+    from ..functions.text import sql_hash60
+    from .catalog_corpus import QCLS_BUCKETS, QCLS_ITERS, _sql_qcls_chain
+    from .catalog_ext import SQL_TOKS_ALL
+    wN = f"w{QCLS_ITERS}"
+    return _sql_qcls_chain() + f"""
+, occ AS (
+  SELECT doc_id, {sql_hash60('tok', 'qcls')} % {QCLS_BUCKETS} AS bucket
+  FROM (SELECT doc_id, unnest({SQL_TOKS_ALL}) AS tok FROM documents)
+), ns AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM occ GROUP BY doc_id
+), ssum AS (
+  SELECT o.doc_id, list_sum(list(w.w ORDER BY o.bucket)) AS s
+  FROM occ o JOIN {wN} w ON w.bucket = o.bucket GROUP BY o.doc_id
+), zf AS (
+  SELECT d.doc_id,
+         (SELECT w FROM {wN} WHERE bucket = -1)
+           + CASE WHEN coalesce(ns.n, 0) > 0
+                  THEN coalesce(ssum.s, 0.0) / ns.n ELSE 0.0 END AS z
+  FROM documents d
+  LEFT JOIN ns USING (doc_id) LEFT JOIN ssum USING (doc_id)
+)
+SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 6) + 0 AS p,
+       (round(1.0 / (1.0 + exp(-z)), 6) + 0) >= 0.5 AS predicted
+FROM zf
+"""
+
+
 def q_streaming_sessionize(spark, sf_dir):
     """The CUSTOM STATEFUL streaming operator
     (applyInPandasWithState sessionization), oracle-checked: events
@@ -237,6 +322,7 @@ SPARK_QUERIES_STREAM: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_late_candles": q_streaming_late_candles,
     "streaming_corpus_scores": q_streaming_corpus_scores,
     "streaming_sessionize": q_streaming_sessionize,
+    "streaming_classifier_scores": q_streaming_classifier_scores,
 }
 
 ORACLE_SQL_STREAM: dict[str, str] = {
@@ -247,4 +333,5 @@ ORACLE_SQL_STREAM: dict[str, str] = {
     "streaming_late_candles": SQL_STREAMING_CANDLES,
     "streaming_corpus_scores": SQL_STREAMING_CORPUS,
     "streaming_sessionize": SQL_STREAMING_SESSIONIZE,
+    "streaming_classifier_scores": _sql_streaming_classifier(),
 }

@@ -52,7 +52,7 @@ _CHECK_FIRST = [
     "dsir_weights", "knn_graph", "rolling_beta", "candle_patterns",
     "dataset_manifest", "bpe_train", "bpe_encode",
     "quality_classifier", "quality_classifier_scores", "dsir_select",
-    "dedup_containment",
+    "dedup_containment", "streaming_classifier_scores",
     # new operators in round 5 (each oracle-paired) — need first rows
     "gopher_quality", "price_anomalies", "pq_encode", "ann_pq",
     "dedup_incremental", "perplexity_proxy", "streaming_sessionize",
