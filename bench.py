@@ -101,6 +101,7 @@ HEADLINERS = [
     "dsir_select",
     "dedup_containment",
     "streaming_classifier_scores",
+    "cluster_quality_profile",
 ]
 
 # Per-query repetitions; the reported time is the MIN across runs.

@@ -937,6 +937,61 @@ SELECT vec_id, cluster, d AS sq_dist FROM a{iterations}
 
 SQL_KMEANS_ASSIGN = _sql_kmeans()
 
+CLUSTER_Q_SHARDS, CLUSTER_Q_LOW = 256, 0.5
+
+
+def q_cluster_quality_profile(spark, sf_dir):
+    """Cross-modal curation composition: the k-means clusters of the
+    embedding space profiled by the TEXT quality of their member
+    documents (doc_id == vec_id in the testdata) — the
+    SemDeDup-style prune-low-quality-clusters decision table. Mean
+    quality per cluster reduces through the classifier's two-level
+    deterministic sum tree (doc-ordered 6dp partials inside
+    doc_id%shards, shard-ordered combine), and the final mean stays
+    an unrounded ratio of that gridded sum — bit-identical across
+    engines."""
+    from ..operators.textstats import _ordered_fold, quality_score
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    asg = (ANN.kmeans_assign(emb, k=KM_K, iterations=KM_ITERS)
+           .select(F.col("vec_id").alias("doc_id"), "cluster"))
+    q = quality_score(docs).select("doc_id", "quality")
+    j = asg.join(q, "doc_id")
+    partial = (j.select("cluster",
+                        (F.col("doc_id") % CLUSTER_Q_SHARDS)
+                        .alias("shard"), "doc_id", "quality")
+               .groupBy("cluster", "shard")
+               .agg((F.round(_ordered_fold("doc_id", "quality"), 6)
+                     + F.lit(0.0)).alias("part"),
+                    F.count(F.lit(1)).alias("n")))
+    prof = (partial.groupBy("cluster")
+            .agg(_ordered_fold("shard", "part").alias("s"),
+                 F.sum("n").alias("n_docs")))
+    mean_q = F.col("s") / F.col("n_docs")
+    return prof.select("cluster", "n_docs",
+                       mean_q.alias("mean_quality"),
+                       (mean_q < CLUSTER_Q_LOW).alias("low_quality"))
+
+
+SQL_CLUSTER_QUALITY = f"""
+WITH j AS (
+  SELECT a.vec_id AS doc_id, a.cluster, q.quality
+  FROM ({SQL_KMEANS_ASSIGN.strip()}) a
+  JOIN ({SQL_QUALITY.strip()}) q ON q.doc_id = a.vec_id
+), part AS (
+  SELECT cluster, doc_id % {CLUSTER_Q_SHARDS} AS shard,
+         round(list_sum(list(quality ORDER BY doc_id)), 6) + 0 AS part,
+         CAST(count(*) AS BIGINT) AS n
+  FROM j GROUP BY 1, 2
+)
+SELECT cluster, CAST(sum(n) AS BIGINT) AS n_docs,
+       list_sum(list(part ORDER BY shard)) / sum(n) AS mean_quality,
+       list_sum(list(part ORDER BY shard)) / sum(n) < {CLUSTER_Q_LOW}
+         AS low_quality
+FROM part GROUP BY cluster
+"""
+
 SEMDEDUP_THRESHOLD = 0.4
 
 
@@ -1333,6 +1388,7 @@ SPARK_QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_graph": q_knn_graph,
     "ann_ivf": q_ann_ivf,
     "kmeans_assign": q_kmeans_assign,
+    "cluster_quality_profile": q_cluster_quality_profile,
     "semantic_dedup": q_semantic_dedup,
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
@@ -1369,6 +1425,7 @@ ORACLE_SQL_EXT: dict[str, str] = {
     "ann_lsh": _sql_ann_lsh(),
     "knn_graph": _sql_knn_graph(),
     "kmeans_assign": SQL_KMEANS_ASSIGN,
+    "cluster_quality_profile": SQL_CLUSTER_QUALITY,
     "semantic_dedup": _sql_semantic_dedup(),
     "lang_id": _sql_lang_id(),
     "quality_score": SQL_QUALITY,

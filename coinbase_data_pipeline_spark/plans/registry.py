@@ -53,6 +53,7 @@ _CHECK_FIRST = [
     "dataset_manifest", "bpe_train", "bpe_encode",
     "quality_classifier", "quality_classifier_scores", "dsir_select",
     "dedup_containment", "streaming_classifier_scores",
+    "cluster_quality_profile",
     # new operators in round 5 (each oracle-paired) — need first rows
     "gopher_quality", "price_anomalies", "pq_encode", "ann_pq",
     "dedup_incremental", "perplexity_proxy", "streaming_sessionize",

@@ -71,7 +71,8 @@ def test_dims_broadcast_no_sortmerge(spark, name):
 
 @pytest.mark.parametrize("name", ["dedup_minhash_lsh", "dedup_embedding",
                                   "ann_lsh", "dedup_ngram_jaccard",
-                                  "dedup_simhash_pairs"])
+                                  "dedup_simhash_pairs",
+                                  "dedup_containment", "knn_graph"])
 def test_no_cartesian_products(spark, name):
     """Candidate generation must be bucketed/banded equi-joins — never
     a cartesian product or nested-loop join of the corpus with itself

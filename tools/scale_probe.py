@@ -46,6 +46,29 @@ def corpus_times(spark, mult: int) -> dict[str, float]:
     # stratum. Its scale evidence is the plan-shape audit
     # (tests/test_plans.py::test_token_packing_salted_plan) plus the
     # salt-count invariance property test.
+    emb = load_table(spark, SF_DIR, "embeddings")
+    ne = emb.count()
+    eparts = [emb.select("vec_id", "embedding")]
+    for i in range(1, mult):
+        # deterministic per-component perturbation: scaling alone
+        # would leave cosine exactly 1 and blow up the top-k cliques
+        eparts.append(emb.select(
+            (F.col("vec_id") + i * ne).alias("vec_id"),
+            F.transform(
+                F.col("embedding").cast("array<double>"),
+                lambda x, j: x + ((j % 7) - 3) * (0.001 * i))
+            .alias("embedding")))
+    ecorpus = eparts[0].select("vec_id",
+                               F.col("embedding").cast("array<double>")
+                               .alias("embedding"))
+    for p in eparts[1:]:
+        ecorpus = ecorpus.unionByName(p)
+    ecorpus = ecorpus.localCheckpoint(eager=True)
+
+    from coinbase_data_pipeline_spark.operators import ann as ANN
+    from coinbase_data_pipeline_spark.operators import corpus as CP
+    from coinbase_data_pipeline_spark.operators import textstats as TS
+
     out: dict[str, float] = {}
     for name, fn in [
         ("dedup_minhash_lsh", lambda: DD.minhash_lsh_pairs(corpus)),
@@ -53,6 +76,11 @@ def corpus_times(spark, mult: int) -> dict[str, float]:
         ("dedup_simhash_pairs", lambda: DD.simhash_pairs(corpus)),
         ("dedup_components",
          lambda: DD.connected_components(DD.minhash_lsh_pairs(corpus))),
+        ("dedup_containment", lambda: DD.containment_pairs(corpus)),
+        ("knn_graph", lambda: ANN.knn_graph(ecorpus)),
+        ("bpe_train", lambda: CP.bpe_train(corpus)),
+        ("quality_classifier",
+         lambda: TS.quality_classifier(corpus)[1]),
     ]:
         t0 = time.time()
         df = fn()
@@ -67,9 +95,11 @@ def main() -> None:
     results = {m: corpus_times(spark, m) for m in MULTIPLES}
     names = list(results[MULTIPLES[0]])
     lines = [
-        "# SCALING — dedup-family wall time vs corpus size",
+        "# SCALING — heavy-operator wall time vs corpus size",
         "",
-        "Base corpus: sf0.1 documents; multiples built by unioning",
+        "Base corpus: sf0.1 documents (embeddings for knn_graph, with",
+        "deterministic per-component perturbation so copies don't",
+        "collapse into cosine-1 cliques); multiples built by unioning",
         "id-shifted, token-perturbed copies. The copies near-dup each",
         "other, so OUTPUT pairs grow ~14x at 4x input — wall time is",
         "therefore expected to track output (the exact-verify stage's",
