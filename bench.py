@@ -102,6 +102,16 @@ HEADLINERS = [
     "dedup_containment",
     "streaming_classifier_scores",
     "cluster_quality_profile",
+    "dedup_spans",
+    "token_entropy",
+    "bm25_search",
+    "acf",
+    "seasonality_profile",
+    "sales_rollup",
+    "association_rules",
+    "approx_quantiles_hist",
+    "trend_decompose",
+    "graph_triangles",
 ]
 
 # Per-query repetitions; the reported time is the MIN across runs.

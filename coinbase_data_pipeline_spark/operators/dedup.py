@@ -848,3 +848,147 @@ def doc_pagerank(docs: DataFrame, *, iterations: int = 3,
                    F.col("deg").alias("degree")))
     edges.unpersist()
     return out
+
+
+def repeated_spans(docs: DataFrame, *, id_col: str = "doc_id",
+                   text_col: str = "text", k: int = 5,
+                   min_docs: int = 2) -> DataFrame:
+    """Exact substring-duplication audit at fixed window width — the
+    exact-substring dedup idea (find verbatim spans shared across
+    documents) restricted to k-token windows so candidate generation
+    stays a hash equi-join: every k-token window is fingerprinted
+    (hash60 of the space-joined slice), fingerprints occurring in
+    >= min_docs DISTINCT documents mark "duplicated spans", and each
+    doc reports how many of its token positions are covered by at
+    least one duplicated span (interval union of [pos, pos+k-1]).
+
+    Output per doc: n_tokens, n_dup_spans (duplicated window starts),
+    dup_tokens (union coverage), dup_frac. dup_frac is a ratio of
+    engine-identical integers — bit-identical unrounded.
+
+    The interval union needs NO fold: duplicated starts sorted per
+    doc cover least(k, pos - lag(pos)) new tokens each (first = k) —
+    a lag window over integers.
+
+    100 TB posture: the positions relation is (id, pos, hash) — three
+    scalars, never the gram string — so the df groupBy and the
+    join-back shuffle bytes stay ~24B/row; each position joins at
+    most one fingerprint row (no fanout); the coverage window is
+    per-doc (bounded by doc length). No cross joins anywhere.
+    """
+    from pyspark.sql import Window
+
+    toks = tokens(F.col(text_col))
+    base = (docs.select(F.col(id_col), toks.alias("_toks"),
+                        F.size(toks).alias("n_tokens")))
+    pos = (base.filter(F.col("n_tokens") >= k)
+           .select(id_col,
+                   F.explode(F.sequence(
+                       F.lit(1), F.col("n_tokens") - (k - 1))).alias("pos"),
+                   F.col("_toks"))
+           .select(id_col, "pos",
+                   hash60(F.array_join(F.slice(F.col("_toks"),
+                                               F.col("pos"), k), " "),
+                          "span").alias("gram_h")))
+    dup = (pos.select("gram_h", id_col).distinct()
+           .groupBy("gram_h").agg(F.count(F.lit(1)).alias("df"))
+           .filter(F.col("df") >= min_docs)
+           .select("gram_h"))
+    hits = pos.join(dup, "gram_h").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    cov = F.coalesce(F.least(F.lit(k), F.col("pos") - F.lag("pos").over(w)),
+                     F.lit(k))
+    agg = (hits.withColumn("_cov", cov)
+           .groupBy(id_col)
+           .agg(F.count(F.lit(1)).alias("n_dup_spans"),
+                F.sum("_cov").alias("dup_tokens")))
+    return (base.select(id_col, "n_tokens")
+            .join(agg, id_col, "left")
+            .select(id_col, "n_tokens",
+                    F.coalesce("n_dup_spans", F.lit(0))
+                     .cast("long").alias("n_dup_spans"),
+                    F.coalesce("dup_tokens", F.lit(0))
+                     .cast("long").alias("dup_tokens"),
+                    F.when(F.col("n_tokens") > 0,
+                           F.coalesce("dup_tokens", F.lit(0))
+                           .cast("double") / F.col("n_tokens"))
+                     .otherwise(F.lit(0.0)).alias("dup_frac")))
+
+
+def graph_triangles(docs: DataFrame, *, id_col: str = "doc_id",
+                    text_col: str = "text", num_hashes: int = 16,
+                    bands: int = 4,
+                    jaccard_threshold: float = 0.9) -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient over
+    the near-duplicate pair graph — the community-density signal on
+    top of dedup_components/doc_pagerank: a high-clustering node sits
+    inside a tight template family (every neighbor also duplicates
+    every other), a low-clustering hub stitches unrelated docs.
+
+    Triangle enumeration uses DEGREE-ORDERED orientation (the
+    compact-forward algorithm): every undirected edge points from its
+    lower-(degree, id) endpoint to the higher one, wedges are pairs
+    of out-edges from a common node, and a wedge is a triangle iff
+    the oriented edge between its endpoints exists. Out-degree under
+    this orientation is O(√m) on ANY graph, so wedge work is bounded
+    O(m^1.5) — where the naive id-ordered join explodes quadratically
+    on hub nodes (near-dup template families are CLIQUES; id-ordering
+    cost 48s at sf0.1, this shape is what makes 100× survivable).
+    Per-node counts and degrees are integer aggregates, the
+    coefficient 2·t/(deg·(deg−1)) a ratio of engine-identical
+    integers (unrounded) — enumeration order never changes the
+    counts, so the simple a<b<c SQL stays the oracle.
+
+    The pair pipeline (the expensive part) runs ONCE — eagerly
+    checkpointed, then read by every join alias; without the
+    checkpoint each alias would re-execute MinHash end to end.
+    """
+    pairs = minhash_lsh_pairs(docs, id_col=id_col, text_col=text_col,
+                              num_hashes=num_hashes, bands=bands,
+                              jaccard_threshold=jaccard_threshold)
+    e = (pairs.select(F.col("doc_a").alias("a"),
+                      F.col("doc_b").alias("b"))
+         .localCheckpoint(eager=True))
+    deg = (e.select(F.col("a").alias("node"))
+           .union(e.select(F.col("b").alias("node")))
+           .groupBy("node")
+           .agg(F.count(F.lit(1)).alias("degree"))
+           .localCheckpoint(eager=True))
+    # orient low-(degree, id) → high-(degree, id); carry the dst's
+    # rank key so the wedge join can order endpoints without another
+    # degree lookup
+    da = deg.select(F.col("node").alias("a"), F.col("degree").alias("_da"))
+    db = deg.select(F.col("node").alias("b"), F.col("degree").alias("_db"))
+    und = e.join(da, "a").join(db, "b")
+    fwd = (F.col("_da") < F.col("_db")) | \
+        ((F.col("_da") == F.col("_db")) & (F.col("a") < F.col("b")))
+    oe = (und.select(
+        F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        F.when(fwd, F.col("_db")).otherwise(F.col("_da"))
+        .alias("dst_deg"))
+        .localCheckpoint(eager=True))
+    o1 = oe.select("src", F.col("dst").alias("y"),
+                   F.col("dst_deg").alias("dy"))
+    o2 = oe.select("src", F.col("dst").alias("z"),
+                   F.col("dst_deg").alias("dz"))
+    wedges = (o1.join(o2, "src")
+              .filter((F.col("dy") < F.col("dz"))
+                      | ((F.col("dy") == F.col("dz"))
+                         & (F.col("y") < F.col("z")))))
+    closer = oe.select(F.col("src").alias("y"), F.col("dst").alias("z"))
+    tri = wedges.join(closer, ["y", "z"]).select("src", "y", "z")
+    pern = (tri.select(F.explode(F.array("src", "y", "z")).alias("node"))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("triangles")))
+    coeff = F.when(
+        F.col("degree") > 1,
+        F.lit(2.0) * F.col("triangles")
+        / (F.col("degree") * (F.col("degree") - 1))).otherwise(F.lit(0.0))
+    return (deg.join(pern, "node", "left")
+            .select(F.col("node").alias(id_col),
+                    F.col("degree").cast("long").alias("degree"),
+                    F.coalesce("triangles", F.lit(0)).cast("long")
+                     .alias("triangles"))
+            .select(id_col, "degree", "triangles",
+                    coeff.alias("clustering_coeff")))

@@ -458,3 +458,129 @@ def quality_classifier(docs: DataFrame, *, target_lang: str = "en",
                       p.alias("p"), (p >= 0.5).alias("predicted"))
     weights = w.select("bucket", F.col("w").alias("weight"))
     return weights, scores
+
+
+def token_entropy(docs: DataFrame, *, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Within-document token-distribution Shannon entropy — the
+    gibberish/degenerate-text detector complementary to
+    perplexity_proxy (which scores a doc against the CORPUS
+    distribution; this scores the doc against ITSELF). Near-zero
+    entropy → one token repeated (degenerate); entropy near
+    ln(distinct) → flat distribution.
+
+    H = ln(n) - (1/n) * sum_t c_t ln c_t over per-doc token counts;
+    norm_entropy = H / ln(distinct_tokens) in [0, 1] (0 when a doc
+    has <= 1 distinct token). The sum_t c_t ln c_t folds over
+    token-SORTED structs with 6dp-rounded terms (the perplexity
+    contract), so results value-hash cross-engine.
+
+    Plan: explode → one (doc, token) count shuffle (map-side
+    combining) → one per-doc aggregate. No joins, no dictionary —
+    entropy needs only the doc's own counts.
+    """
+    tok = (docs.select(F.col(id_col),
+                       F.explode(tokens(text_col)).alias("tok"))
+           .groupBy(id_col, "tok")
+           .agg(F.count(F.lit(1)).alias("cnt")))
+    terms = tok.select(
+        F.col(id_col), "tok", "cnt",
+        (F.round(F.col("cnt") * F.log(F.col("cnt").cast("double")), 6)
+         + F.lit(0.0)).alias("term"))
+    agg = terms.groupBy(id_col).agg(
+        F.sum("cnt").alias("n_tokens"),
+        F.count(F.lit(1)).alias("distinct_tokens"),
+        _ordered_fold("tok", "term").alias("clogc"))
+    h = (F.log(F.col("n_tokens").cast("double"))
+         - F.col("clogc") / F.col("n_tokens"))
+    hr = F.round(h, 6) + F.lit(0.0)
+    norm = F.when(F.col("distinct_tokens") > 1,
+                  F.round(hr / F.log(F.col("distinct_tokens")
+                                     .cast("double")), 6) + F.lit(0.0)) \
+            .otherwise(F.lit(0.0))
+    out = agg.select(
+        F.col(id_col), F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("distinct_tokens").cast("long").alias("distinct_tokens"),
+        hr.alias("entropy"), norm.alias("norm_entropy"))
+    return (docs.select(id_col).join(out, id_col, "left")
+            .select(id_col,
+                    F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+                    F.coalesce("distinct_tokens", F.lit(0))
+                     .alias("distinct_tokens"),
+                    F.coalesce("entropy", F.lit(0.0)).alias("entropy"),
+                    F.coalesce("norm_entropy", F.lit(0.0))
+                     .alias("norm_entropy")))
+
+
+def bm25_search(docs: DataFrame, queries: DataFrame, *, k1: float = 1.2,
+                b: float = 0.75, top_n: int = 10,
+                id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """BM25 ranked retrieval over the corpus for a (small) query set —
+    the lexical-search capability that sits beside the ANN family:
+    score(q, d) = Σ_t idf(t) · tf(t,d)·(k1+1) /
+                          (tf(t,d) + k1·(1 − b + b·dl/avgdl)),
+    idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)); top_n docs per query
+    by (score DESC, doc_id).
+
+    `queries` is (query_id, query_text) and is broadcast — the query
+    side is human-sized, the corpus side is not.
+
+    Floats: tf/df/dl/N are engine-identical integers, avgdl an
+    unrounded ratio of integer aggregates, idf libm-ln of identical
+    doubles; each term score rounds to 6dp and the per-(query, doc)
+    sum folds in TERM order (bounded by query length) — the
+    perplexity float contract, so results value-hash.
+
+    Plan: one (doc, token) count shuffle; df is a vocabulary-sized
+    aggregate restricted to query terms; scoring joins are equi-joins
+    on token with the tiny query-term side broadcast; the final top-n
+    is a per-query window over only the matched docs.
+    """
+    from pyspark.sql import Window
+
+    qterms = (queries.select("query_id",
+                             F.explode(F.array_distinct(
+                                 tokens(F.col("query_text"))))
+                             .alias("tok")))
+    doc_tok = (docs.select(F.col(id_col),
+                           F.explode(tokens(text_col)).alias("tok"))
+               .groupBy(id_col, "tok")
+               .agg(F.count(F.lit(1)).alias("tf")))
+    dl = doc_tok.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    corpus = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    avg = (dl.agg(F.sum("dl").alias("_tot"), F.count(F.lit(1)).alias("_n"))
+           .select((F.col("_tot").cast("double") / F.col("_n"))
+                   .alias("avgdl")))
+    # df restricted to query terms: vocabulary-sized aggregate,
+    # query-side broadcast
+    dfreq = (doc_tok.join(F.broadcast(qterms.select("tok").distinct()),
+                          "tok")
+             .groupBy("tok").agg(F.count(F.lit(1)).alias("df")))
+    idf = F.log(F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5)))
+    denom = (F.col("tf")
+             + F.lit(k1) * (F.lit(1 - b)
+                            + F.lit(b) * F.col("dl") / F.col("avgdl")))
+    term = F.round(idf * F.col("tf") * F.lit(k1 + 1) / denom, 6) \
+        + F.lit(0.0)
+    scored = (doc_tok
+              .join(F.broadcast(qterms), "tok")
+              .join(F.broadcast(dfreq), "tok")
+              .join(dl, id_col)
+              .crossJoin(F.broadcast(corpus))
+              .crossJoin(F.broadcast(avg))
+              .select("query_id", F.col(id_col), "tok",
+                      term.alias("term")))
+    agg = (scored.groupBy("query_id", id_col)
+           .agg(_ordered_fold("tok", "term").alias("score"),
+                F.count(F.lit(1)).alias("n_matched_terms")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col(id_col))
+    return (agg.select("query_id", id_col,
+                       (F.round(F.col("score"), 6) + F.lit(0.0))
+                       .alias("score"),
+                       "n_matched_terms")
+            .withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= top_n))

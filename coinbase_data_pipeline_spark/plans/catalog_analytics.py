@@ -432,6 +432,218 @@ WHERE trail_vol > 0 AND abs(log_return) > {ANOM_SIGMA} * trail_vol
 """
 
 
+# -------------------------------------------------------- association rules
+
+RULE_MIN_USERS = 5
+
+
+def q_association_rules(spark, sf_dir):
+    """Market-basket association rules over per-user event-type sets:
+    for every ordered pair (antecedent → consequent), support,
+    confidence and lift — the co-occurrence mining shape (who views
+    also purchases?).
+
+    Plan: one distinct (user, type) shuffle; the pair space is a
+    self-equi-join ON USER (fanout ≤ types² per user, types is small
+    by domain); three integer aggregates. Every ratio divides
+    engine-identical BIGINTs — unrounded, bit-identical.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.select("user_id", "event_type").distinct()
+    n_users = u.select("user_id").distinct().agg(
+        F.count(F.lit(1)).alias("n_users"))
+    item = u.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_item"))
+    a = u.select("user_id", F.col("event_type").alias("antecedent"))
+    b = u.select("user_id", F.col("event_type").alias("consequent"))
+    pair = (a.join(b, "user_id")
+            .filter(F.col("antecedent") != F.col("consequent"))
+            .groupBy("antecedent", "consequent")
+            .agg(F.count(F.lit(1)).alias("n_both"))
+            .filter(F.col("n_both") >= RULE_MIN_USERS))
+    na = item.select(F.col("event_type").alias("antecedent"),
+                     F.col("n_item").alias("n_ante"))
+    nc = item.select(F.col("event_type").alias("consequent"),
+                     F.col("n_item").alias("n_cons"))
+    return (pair.join(F.broadcast(na), "antecedent")
+            .join(F.broadcast(nc), "consequent")
+            .crossJoin(F.broadcast(n_users))
+            .select("antecedent", "consequent", "n_both",
+                    (F.col("n_both").cast("double") / F.col("n_users"))
+                    .alias("support"),
+                    (F.col("n_both").cast("double") / F.col("n_ante"))
+                    .alias("confidence"),
+                    (F.col("n_both").cast("double") * F.col("n_users")
+                     / (F.col("n_ante") * F.col("n_cons")))
+                    .alias("lift")))
+
+
+SQL_ASSOCIATION_RULES = f"""
+WITH u AS (
+  SELECT DISTINCT user_id, event_type FROM events
+), n AS (
+  SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM u
+), item AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_item
+  FROM u GROUP BY event_type
+), pair AS (
+  SELECT a.event_type AS antecedent, b.event_type AS consequent,
+         CAST(count(*) AS BIGINT) AS n_both
+  FROM u a JOIN u b ON a.user_id = b.user_id
+  WHERE a.event_type != b.event_type
+  GROUP BY 1, 2
+  HAVING count(*) >= {RULE_MIN_USERS}
+)
+SELECT antecedent, consequent, n_both,
+       CAST(n_both AS DOUBLE) / n.n_users AS support,
+       CAST(n_both AS DOUBLE) / na.n_item AS confidence,
+       CAST(n_both AS DOUBLE) * n.n_users / (na.n_item * nc.n_item)
+         AS lift
+FROM pair
+JOIN item na ON na.event_type = pair.antecedent
+JOIN item nc ON nc.event_type = pair.consequent
+CROSS JOIN n
+"""
+
+
+# ------------------------------------------------------ histogram quantiles
+
+HQ_BINS = 128
+HQ_QUANTILES = [0.5, 0.9, 0.99]
+
+
+def q_approx_quantiles_hist(spark, sf_dir):
+    """Mergeable-histogram approximate quantiles per product over tick
+    prices: ONE pass builds a 128-bin equal-width histogram (bin
+    counts partial-aggregate map-side — the sketch a 100 TB scan can
+    afford), then p50/p90/p99 interpolate inside the first bin whose
+    cumulative count reaches ceil(q·n). Deterministic by
+    construction (integer bin counts + closed-form interpolation on
+    engine-identical min/max), so unlike t-digest/HLL it value-hashes
+    cross-engine. Accuracy pytest-bounded by one bin width vs exact
+    percentiles."""
+    ev = ticks(spark, sf_dir)
+    bounds = (ev.groupBy("product_id")
+              .agg(F.min("price").alias("lo"), F.max("price").alias("hi"),
+                   F.count(F.lit(1)).alias("n")))
+    # hi == lo (degenerate one-value key) → everything in bin 0; the
+    # unguarded division would be NULL (ansi off) vs inf (DuckDB)
+    bin_expr = F.when(
+        F.col("hi") > F.col("lo"),
+        F.least(F.lit(HQ_BINS - 1),
+                F.floor((F.col("price") - F.col("lo"))
+                        / (F.col("hi") - F.col("lo"))
+                        * HQ_BINS).cast("int"))).otherwise(F.lit(0))
+    binned = (ev.join(F.broadcast(bounds), "product_id")
+              .select("product_id", "lo", "hi", "n",
+                      bin_expr.alias("bin"))
+              .groupBy("product_id", "lo", "hi", "n", "bin")
+              .agg(F.count(F.lit(1)).alias("cnt")))
+    from pyspark.sql import Window
+    w = (Window.partitionBy("product_id").orderBy("bin")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    cum = binned.withColumn("cum", F.sum("cnt").over(w))
+    qlit = F.explode(F.array(*[F.lit(q) for q in HQ_QUANTILES])).alias("q")
+    with_q = cum.select("*", qlit)
+    target = F.greatest(F.lit(1), F.ceil(F.col("q") * F.col("n")))
+    hit = (with_q
+           .withColumn("target", target)
+           .filter((F.col("cum") >= F.col("target"))
+                   & (F.col("cum") - F.col("cnt") < F.col("target"))))
+    frac = ((F.col("target") - (F.col("cum") - F.col("cnt")))
+            .cast("double") / F.col("cnt"))
+    est = F.when(F.col("hi") > F.col("lo"),
+                 F.col("lo") + (F.col("bin") + frac)
+                 * (F.col("hi") - F.col("lo")) / HQ_BINS) \
+           .otherwise(F.col("lo"))
+    return hit.select(
+        "product_id", F.col("q").alias("quantile"), "n",
+        (F.round(est, 6) + F.lit(0.0)).alias("estimate"))
+
+
+def _sql_hq() -> str:
+    # CAST to DOUBLE: bare VALUES literals are DECIMAL in DuckDB —
+    # wrong Arrow schema AND exact-decimal ceil(q*n) where Spark
+    # computes binary-double q*n (ceil differs when the true product
+    # is an integer, e.g. 0.9*10: decimal 9 vs double 9.0000000002)
+    qvals = ", ".join(f"(CAST({q} AS DOUBLE))" for q in HQ_QUANTILES)
+    return SQL_BASE + f"""
+, bounds AS (
+  SELECT product_id, min(price) AS lo, max(price) AS hi,
+         CAST(count(*) AS BIGINT) AS n
+  FROM ticks GROUP BY product_id
+), binned AS (
+  SELECT t.product_id, b.lo, b.hi, b.n,
+         CASE WHEN b.hi > b.lo
+              THEN least({HQ_BINS - 1},
+                         CAST(floor((t.price - b.lo) / (b.hi - b.lo)
+                                    * {HQ_BINS}) AS INT))
+              ELSE 0 END AS bin,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM ticks t JOIN bounds b USING (product_id)
+  GROUP BY 1, 2, 3, 4, 5
+), cum AS (
+  SELECT *, CAST(sum(cnt) OVER (PARTITION BY product_id ORDER BY bin
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS BIGINT) AS cum
+  FROM binned
+), qs(q) AS (VALUES {qvals}),
+hit AS (
+  SELECT c.product_id, c.lo, c.hi, c.n, c.bin, c.cnt, c.cum, qs.q,
+         greatest(1, CAST(ceil(qs.q * c.n) AS BIGINT)) AS target
+  FROM cum c CROSS JOIN qs
+)
+SELECT product_id, q AS quantile, n,
+       ROUND(CASE WHEN hi > lo
+                  THEN lo + (bin + CAST(target - (cum - cnt) AS DOUBLE)
+                                   / cnt)
+                           * (hi - lo) / {HQ_BINS}
+                  ELSE lo END, 6) + 0 AS estimate
+FROM hit
+WHERE cum >= target AND cum - cnt < target
+"""
+
+
+SQL_APPROX_QUANTILES_HIST = _sql_hq()
+
+
+# -------------------------------------------------------------- OLAP rollup
+
+def q_sales_rollup(spark, sf_dir):
+    """Hierarchical subtotal cube over lineitem — ship-year ×
+    returnflag with year-level and grand totals in one pass
+    (GROUP BY ROLLUP): the reporting shape Spark's Expand operator
+    executes as a single scan + one aggregation, no per-level
+    re-reads. grouping_id disambiguates NULL group keys from real
+    NULLs on both engines (same bit convention: leftmost key = MSB).
+    Money sums round 2dp — the quantum that dominates cross-engine
+    summation-order error at ~1e9 magnitudes."""
+    li = load_table(spark, sf_dir, "lineitem")
+    df = li.select(
+        F.year("l_shipdate").alias("ship_year"), "l_returnflag",
+        "l_quantity",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .alias("_rev"))
+    return (df.rollup("ship_year", "l_returnflag")
+            .agg(F.count(F.lit(1)).alias("n_items"),
+                 (F.round(F.sum("l_quantity"), 2) + F.lit(0.0))
+                 .alias("sum_qty"),
+                 (F.round(F.sum("_rev"), 2) + F.lit(0.0))
+                 .alias("revenue"),
+                 F.grouping_id().cast("int").alias("grouping_level")))
+
+
+SQL_SALES_ROLLUP = """
+SELECT year(l_shipdate) AS ship_year, l_returnflag,
+       count(*) AS n_items,
+       ROUND(CAST(sum(l_quantity) AS DOUBLE), 2) + 0 AS sum_qty,
+       ROUND(sum(l_extendedprice * (1 - l_discount)), 2) + 0 AS revenue,
+       CAST(GROUPING(year(l_shipdate), l_returnflag) AS INT)
+         AS grouping_level
+FROM lineitem
+GROUP BY ROLLUP(year(l_shipdate), l_returnflag)
+"""
+
+
 SPARK_QUERIES_ANALYTICS: dict[
         str, Callable[[SparkSession, str], DataFrame]] = {
     "sessionize": q_sessionize,
@@ -447,6 +659,9 @@ SPARK_QUERIES_ANALYTICS: dict[
     "tfidf_top_terms": q_tfidf_top_terms,
     "value_histogram": q_value_histogram,
     "price_anomalies": q_price_anomalies,
+    "sales_rollup": q_sales_rollup,
+    "association_rules": q_association_rules,
+    "approx_quantiles_hist": q_approx_quantiles_hist,
 }
 
 ORACLE_SQL_ANALYTICS: dict[str, str] = {
@@ -463,4 +678,7 @@ ORACLE_SQL_ANALYTICS: dict[str, str] = {
     "tfidf_top_terms": SQL_TFIDF,
     "value_histogram": SQL_VALUE_HISTOGRAM,
     "price_anomalies": SQL_PRICE_ANOMALIES,
+    "sales_rollup": SQL_SALES_ROLLUP,
+    "association_rules": SQL_ASSOCIATION_RULES,
+    "approx_quantiles_hist": SQL_APPROX_QUANTILES_HIST,
 }

@@ -809,6 +809,179 @@ FROM agg
 """
 
 
+# ----------------------------------------------------------- repeated spans
+
+SPAN_K, SPAN_MIN_DOCS = 5, 2
+
+
+def q_dedup_spans(spark, sf_dir):
+    """Exact substring-duplication audit: per doc, how many token
+    positions sit inside a 5-token window that appears verbatim in
+    >= 2 documents (the exact-substring dedup signal at fixed window
+    width — catches copy-pasted passages Jaccard-level dedup
+    dilutes away). Candidate generation is a hash equi-join on the
+    window fingerprint; coverage is a per-doc integer lag window."""
+    from ..operators.dedup import repeated_spans
+    docs = load_table(spark, sf_dir, "documents")
+    return repeated_spans(docs, k=SPAN_K, min_docs=SPAN_MIN_DOCS)
+
+
+SQL_DEDUP_SPANS = f"""
+WITH toked AS (
+  SELECT doc_id, {SQL_TOKS_ALL} AS toks FROM documents
+), sized AS (
+  SELECT doc_id, toks, len(toks) AS n_tokens FROM toked
+), pos AS (
+  SELECT doc_id, t.i AS pos,
+         {sql_hash60(f"array_to_string(toks[t.i:t.i+{SPAN_K - 1}], ' ')",
+                     'span')} AS gram_h
+  FROM sized,
+       unnest(generate_series(1, greatest(n_tokens - {SPAN_K - 1}, 0)))
+         AS t(i)
+), dup AS (
+  SELECT gram_h FROM (
+    SELECT gram_h, count(DISTINCT doc_id) AS df FROM pos GROUP BY gram_h)
+  WHERE df >= {SPAN_MIN_DOCS}
+), hits AS (
+  SELECT p.doc_id, p.pos FROM pos p JOIN dup USING (gram_h)
+), cov AS (
+  SELECT doc_id,
+         coalesce(least({SPAN_K},
+                        pos - lag(pos) OVER (PARTITION BY doc_id
+                                             ORDER BY pos)),
+                  {SPAN_K}) AS covered
+  FROM hits
+), agg AS (
+  SELECT doc_id, count(*) AS n_dup_spans, sum(covered) AS dup_tokens
+  FROM cov GROUP BY doc_id
+)
+SELECT s.doc_id, s.n_tokens,
+       CAST(coalesce(a.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+       CAST(coalesce(a.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       CASE WHEN s.n_tokens > 0
+            THEN CAST(coalesce(a.dup_tokens, 0) AS DOUBLE) / s.n_tokens
+            ELSE 0.0 END AS dup_frac
+FROM sized s LEFT JOIN agg a USING (doc_id)
+"""
+
+
+# ------------------------------------------------------------ token entropy
+
+def q_token_entropy(spark, sf_dir):
+    """Within-doc token-distribution entropy (degenerate-text
+    detector): H = ln(n) - (1/n)·Σ c·ln c, plus the ln(distinct)-
+    normalized variant. Terms fold token-sorted (perplexity's float
+    contract)."""
+    from ..operators.textstats import token_entropy
+    docs = load_table(spark, sf_dir, "documents")
+    return token_entropy(docs)
+
+
+SQL_TOKEN_ENTROPY = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({SQL_TOKS_ALL}) AS tok FROM documents
+), doc_tok AS (
+  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS cnt
+  FROM toks GROUP BY 1, 2
+), terms AS (
+  SELECT doc_id, tok, cnt,
+         round(cnt * ln(CAST(cnt AS DOUBLE)), 6) + 0 AS term
+  FROM doc_tok
+), agg AS (
+  SELECT doc_id,
+         CAST(sum(cnt) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS distinct_tokens,
+         list_sum(list(term ORDER BY tok)) AS clogc
+  FROM terms GROUP BY doc_id
+), scored AS (
+  SELECT doc_id, n_tokens, distinct_tokens,
+         round(ln(CAST(n_tokens AS DOUBLE)) - clogc / n_tokens, 6) + 0
+           AS entropy
+  FROM agg
+)
+SELECT d.doc_id,
+       CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(s.distinct_tokens, 0) AS BIGINT) AS distinct_tokens,
+       coalesce(s.entropy, 0.0) AS entropy,
+       CASE WHEN s.distinct_tokens > 1
+            THEN round(s.entropy
+                       / ln(CAST(s.distinct_tokens AS DOUBLE)), 6) + 0
+            ELSE 0.0 END AS norm_entropy
+FROM documents d LEFT JOIN scored s USING (doc_id)
+"""
+
+
+# ------------------------------------------------------------------- BM25
+
+BM25_K1, BM25_B, BM25_TOP = 1.2, 0.75, 10
+BM25_QUERIES = [(1, "table scan merge join"),
+                (2, "stream window batch"),
+                (3, "spark hash key sort")]
+
+
+def q_bm25_search(spark, sf_dir):
+    """BM25 lexical retrieval: top-10 docs per query for a fixed
+    3-query set over the corpus — the keyword-search twin of the ANN
+    family (same corpus, term statistics instead of embeddings)."""
+    from ..operators.textstats import bm25_search
+    docs = load_table(spark, sf_dir, "documents")
+    q = spark.createDataFrame(BM25_QUERIES, ["query_id", "query_text"])
+    return bm25_search(docs, q, k1=BM25_K1, b=BM25_B, top_n=BM25_TOP)
+
+
+def _sql_bm25() -> str:
+    vals = ", ".join(f"({i}, '{t}')" for i, t in BM25_QUERIES)
+    qtoks = ("list_filter(regexp_split_to_array(lower(query_text),"
+             " '[^a-z]+'), x -> len(x) > 0)")
+    return f"""
+WITH q(query_id, query_text) AS (VALUES {vals}),
+qterms AS (
+  SELECT query_id, unnest(list_distinct({qtoks})) AS tok FROM q
+), doc_tok AS (
+  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest({SQL_TOKS_ALL}) AS tok FROM documents)
+  GROUP BY 1, 2
+), dl AS (
+  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM doc_tok
+  GROUP BY doc_id
+), corpus AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents
+), avgd AS (
+  SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl
+), dfreq AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS df FROM doc_tok
+  WHERE tok IN (SELECT DISTINCT tok FROM qterms) GROUP BY tok
+), terms AS (
+  SELECT qt.query_id, dt.doc_id, dt.tok,
+         round(ln(1 + (c.n_docs - f.df + 0.5) / (f.df + 0.5))
+               * dt.tf * {BM25_K1 + 1}
+               / (dt.tf + {BM25_K1} * (1 - {BM25_B}
+                                       + {BM25_B} * dl.dl / a.avgdl)),
+               6) + 0 AS term
+  FROM doc_tok dt
+  JOIN qterms qt USING (tok)
+  JOIN dfreq f USING (tok)
+  JOIN dl ON dl.doc_id = dt.doc_id
+  CROSS JOIN corpus c CROSS JOIN avgd a
+), agg AS (
+  SELECT query_id, doc_id,
+         round(list_sum(list(term ORDER BY tok)), 6) + 0 AS score,
+         CAST(count(*) AS BIGINT) AS n_matched_terms
+  FROM terms GROUP BY 1, 2
+), ranked AS (
+  SELECT query_id, doc_id, score, n_matched_terms,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, doc_id) AS INT)
+           AS rank
+  FROM agg
+)
+SELECT * FROM ranked WHERE rank <= {BM25_TOP}
+"""
+
+
+SQL_BM25_SEARCH = _sql_bm25()
+
+
 # ----------------------------------------------------------------- registry
 
 SPARK_QUERIES_CORPUS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -832,6 +1005,9 @@ SPARK_QUERIES_CORPUS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_classifier_scores": q_quality_classifier_scores,
     "vocab_build": q_vocab_build,
     "token_id_encode": q_token_id_encode,
+    "dedup_spans": q_dedup_spans,
+    "token_entropy": q_token_entropy,
+    "bm25_search": q_bm25_search,
 }
 
 ORACLE_SQL_CORPUS: dict[str, str] = {
@@ -855,4 +1031,7 @@ ORACLE_SQL_CORPUS: dict[str, str] = {
     "quality_classifier_scores": SQL_QUALITY_CLASSIFIER_SCORES,
     "vocab_build": SQL_VOCAB_BUILD,
     "token_id_encode": SQL_TOKEN_ID_ENCODE,
+    "dedup_spans": SQL_DEDUP_SPANS,
+    "token_entropy": SQL_TOKEN_ENTROPY,
+    "bm25_search": SQL_BM25_SEARCH,
 }

@@ -1164,6 +1164,48 @@ FROM {prev} p JOIN deg d ON d.src = p.node
 SQL_DOC_PAGERANK = _sql_doc_pagerank()
 
 
+# ------------------------------------------------------- graph triangles
+
+def q_graph_triangles(spark, sf_dir):
+    """Triangle counts + local clustering coefficient per node of the
+    near-dup pair graph (template-family density beside PageRank's
+    hub centrality). Ordered-edge equi-join enumeration — each
+    triangle found exactly once, integer aggregates throughout."""
+    docs = load_table(spark, sf_dir, "documents")
+    return DD.graph_triangles(docs)
+
+
+SQL_GRAPH_TRIANGLES = f"""
+WITH mp AS (
+  SELECT doc_a, doc_b FROM ({_sql_minhash().strip()}) p
+), e AS (
+  SELECT doc_a AS a, doc_b AS b FROM mp
+), tri AS (
+  SELECT ab.a, ab.b, bc.b AS c
+  FROM e ab
+  JOIN e bc ON bc.a = ab.b
+  JOIN e ac ON ac.a = ab.a AND ac.b = bc.b
+), pern AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS triangles FROM (
+    SELECT a AS node FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri)
+  GROUP BY node
+), deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+    SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+  GROUP BY node
+)
+SELECT deg.node AS doc_id, deg.degree,
+       CAST(coalesce(p.triangles, 0) AS BIGINT) AS triangles,
+       CASE WHEN deg.degree > 1
+            THEN 2.0 * coalesce(p.triangles, 0)
+                 / (deg.degree * (deg.degree - 1))
+            ELSE 0.0 END AS clustering_coeff
+FROM deg LEFT JOIN pern p USING (node)
+"""
+
+
 # ------------------------------------------------------ product quantization
 
 PQ_M, PQ_DIM, PQ_K, PQ_ITERS = 4, 64, 16, 2
@@ -1403,6 +1445,7 @@ SPARK_QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_pq": q_ann_pq,
     "dedup_incremental": q_dedup_incremental,
     "doc_pagerank": q_doc_pagerank,
+    "graph_triangles": q_graph_triangles,
     "ann_ivfpq": q_ann_ivfpq,
 }
 
@@ -1440,5 +1483,6 @@ ORACLE_SQL_EXT: dict[str, str] = {
     "ann_pq": SQL_ANN_PQ,
     "dedup_incremental": SQL_DEDUP_INCREMENTAL,
     "doc_pagerank": SQL_DOC_PAGERANK,
+    "graph_triangles": SQL_GRAPH_TRIANGLES,
     "ann_ivfpq": SQL_ANN_IVFPQ,
 }

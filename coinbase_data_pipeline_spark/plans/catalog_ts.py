@@ -877,6 +877,225 @@ FROM rets WHERE ret IS NOT NULL
 """
 
 
+# -------------------------------------------------------- trend decomposition
+
+TREND_HALF = 12  # centered MA half-width → 25-row trend window
+TREND_W = 2 * TREND_HALF + 1
+
+
+def q_trend_decompose(spark, sf_dir):
+    """STL-lite additive decomposition per product:
+    close = trend + seasonal + resid, with trend a CENTERED 25-row
+    moving average (full windows only — NULL edges dropped), seasonal
+    the per-(product, hour-of-day) mean of the detrended series, and
+    resid the remainder — the classical-decomposition diagnostic
+    behind 'does this series have intraday structure worth a model'.
+
+    Floats: the trend average folds the window's collect_list in
+    frame order (both engines list ascending bucket_start → identical
+    doubles; a window avg() would sum in engine-specific accumulator
+    order), the seasonal mean folds 6dp-snapped detrended terms in
+    bucket order — the seasonality_profile midpoint lesson applied.
+    Plan: one per-key window pass + one (product, hour) aggregate
+    joined back broadcast (keys × 24 rows)."""
+    c = candles(spark, sf_dir)
+    w = (Window.partitionBy("product_id").orderBy("bucket_start")
+         .rowsBetween(-TREND_HALF, TREND_HALF))
+    arr = F.collect_list("close").over(w)
+    s = F.aggregate(F.col("_arr"), F.lit(0.0), lambda a, x: a + x)
+    trend = F.round(s / TREND_W, RND) + F.lit(0.0)
+    base = (c.select("product_id", "bucket_start", "close",
+                     arr.alias("_arr"))
+            .filter(F.size("_arr") == TREND_W)
+            .select("product_id", "bucket_start", "close",
+                    trend.alias("trend")))
+    d = base.select(
+        "*", (F.round(F.col("close") - F.col("trend"), RND) + F.lit(0.0))
+        .alias("_detr"), F.hour("bucket_start").alias("_hh"))
+    ordered_detr = F.transform(
+        F.array_sort(F.collect_list(F.struct("bucket_start", "_detr"))),
+        lambda x: x.getField("_detr"))
+    s2 = F.aggregate(ordered_detr, F.lit(0.0), lambda a, x: a + x)
+    seas = (d.groupBy("product_id", "_hh")
+            .agg((F.round(s2 / F.count(F.lit(1)), RND) + F.lit(0.0))
+                 .alias("seasonal")))
+    return (d.join(F.broadcast(seas), ["product_id", "_hh"])
+            .select("product_id", "bucket_start", "close", "trend",
+                    "seasonal",
+                    (F.round(F.col("_detr") - F.col("seasonal"), RND)
+                     + F.lit(0.0)).alias("resid")))
+
+
+SQL_TREND_DECOMPOSE = SQL_BASE + f"""
+, arrd AS (
+  SELECT product_id, bucket_start, close,
+         list(close) OVER (PARTITION BY product_id ORDER BY bucket_start
+                           ROWS BETWEEN {TREND_HALF} PRECEDING
+                           AND {TREND_HALF} FOLLOWING) AS arr
+  FROM candles
+), t AS (
+  SELECT product_id, bucket_start, close,
+         ROUND(list_sum(arr) / {TREND_W}, 6) + 0 AS trend
+  FROM arrd WHERE len(arr) = {TREND_W}
+), d AS (
+  SELECT product_id, bucket_start, close, trend,
+         ROUND(close - trend, 6) + 0 AS detr,
+         hour(bucket_start) AS hh
+  FROM t
+), seas AS (
+  SELECT product_id, hh,
+         ROUND(list_sum(list(detr ORDER BY bucket_start)) / count(*), 6)
+           + 0 AS seasonal
+  FROM d GROUP BY product_id, hh
+)
+SELECT d.product_id, d.bucket_start, d.close, d.trend, s.seasonal,
+       ROUND(d.detr - s.seasonal, 6) + 0 AS resid
+FROM d JOIN seas s ON s.product_id = d.product_id AND s.hh = d.hh
+"""
+
+
+# ------------------------------------------------------------ autocorrelation
+
+ACF_LAGS = [1, 2, 3, 6, 12]
+
+
+def q_acf(spark, sf_dir):
+    """Per-product autocorrelation of log returns at row lags 1/2/3/
+    6/12 — the model-selection diagnostic a forecasting service runs
+    before choosing seq_len (the reference trains seq_len=288
+    windows; ACF is how that gets justified).
+
+    Plan: ONE per-key window pass computes every lag column (same
+    window family → single Exchange), an inline stack unpivots to
+    (product, lag) pairs, and corr() partial-aggregates per group.
+    corr over unrounded engine-identical returns, 6dp-rounded at the
+    boundary — the returns_correlation contract."""
+    df = I.with_log_returns(candles(spark, sf_dir), key="product_id",
+                            ts="bucket_start")
+    w = Window.partitionBy("product_id").orderBy("bucket_start")
+    lagged = df.select(
+        "product_id", F.col("log_returns").alias("r"),
+        *[F.lag("log_returns", L).over(w).alias(f"_l{L}")
+          for L in ACF_LAGS])
+    stack_args = ", ".join(f"{L}, _l{L}" for L in ACF_LAGS)
+    un = lagged.select(
+        "product_id", "r",
+        F.expr(f"stack({len(ACF_LAGS)}, {stack_args}) AS (lag_k, r_lag)"))
+    return (un.filter(F.col("r").isNotNull() & F.col("r_lag").isNotNull())
+            .groupBy("product_id", "lag_k")
+            .agg((F.round(F.corr("r", "r_lag"), RND) + F.lit(0.0))
+                 .alias("acf"),
+                 F.count(F.lit(1)).alias("n_obs")))
+
+
+def _sql_acf() -> str:
+    lag_cols = ",\n         ".join(
+        f"lag(r, {L}) OVER (PARTITION BY product_id ORDER BY bucket_start)"
+        f" AS r_{L}" for L in ACF_LAGS)
+    union = "\nUNION ALL\n".join(
+        f"SELECT product_id, {L} AS lag_k, r, r_{L} AS r_lag FROM lagged"
+        for L in ACF_LAGS)
+    return SQL_BASE + f"""
+, lr AS (
+  SELECT product_id, bucket_start,
+         CASE WHEN close > 0
+              AND lag(close) OVER (PARTITION BY product_id
+                                   ORDER BY bucket_start) > 0
+         THEN ln(close / lag(close) OVER (PARTITION BY product_id
+                                          ORDER BY bucket_start)) END
+           AS r
+  FROM candles
+), lagged AS (
+  SELECT product_id, bucket_start, r,
+         {lag_cols}
+  FROM lr
+), un AS (
+{union}
+)
+SELECT product_id, lag_k, ROUND(corr(r, r_lag), 6) + 0 AS acf,
+       count(*) AS n_obs
+FROM un WHERE r IS NOT NULL AND r_lag IS NOT NULL
+GROUP BY product_id, lag_k
+"""
+
+
+SQL_ACF = _sql_acf()
+
+
+# ------------------------------------------------------------- seasonality
+
+def q_seasonality_profile(spark, sf_dir):
+    """Hour-of-day seasonality profile per product: bucket count,
+    mean/σ of log returns and the positive-return share for each
+    (product, hour) cell — the intraday-pattern table behind
+    time_features' is_market_open flag.
+
+    Floats: returns snap to the 6dp grid, then mean/σ come from
+    EXPLICIT moment sums (Σr, Σr²) folded in bucket order — a
+    partition-order avg()/stddev() differs across engines in the low
+    bits, which flips the final rounding exactly when a cell mean
+    lands on a 6dp midpoint (seen at sf0.001: a 10-row cell whose
+    mean is ...485). Identical fold order → identical doubles →
+    identical rounding. pos_share is a ratio of engine-identical
+    integers, left unrounded. One partial-aggregating shuffle."""
+    df = I.with_log_returns(candles(spark, sf_dir), key="product_id",
+                            ts="bucket_start")
+    r6 = F.round(F.col("log_returns"), RND) + F.lit(0.0)
+    cell = (df.filter(F.col("log_returns").isNotNull())
+            .select("product_id",
+                    F.hour("bucket_start").alias("hour_of_day"),
+                    F.col("bucket_start"), r6.alias("r")))
+    ordered_r = F.transform(
+        F.array_sort(F.collect_list(F.struct("bucket_start", "r"))),
+        lambda s: s.getField("r"))
+    s1 = F.aggregate(ordered_r, F.lit(0.0), lambda a, x: a + x)
+    s2 = F.aggregate(ordered_r, F.lit(0.0), lambda a, x: a + x * x)
+    n = F.count(F.lit(1)).cast("double")
+    var = F.greatest((s2 - s1 * s1 / n) / (n - 1), F.lit(0.0))
+    return (cell.groupBy("product_id", "hour_of_day")
+            .agg(F.count(F.lit(1)).alias("n_obs"),
+                 (F.round(s1 / n, RND) + F.lit(0.0))
+                 .alias("mean_return"),
+                 F.when(F.count(F.lit(1)) > 1,
+                        F.round(F.sqrt(var), RND) + F.lit(0.0))
+                 .alias("vol_return"),
+                 (F.sum(F.when(F.col("r") > 0, 1).otherwise(0))
+                  .cast("double") / F.count(F.lit(1)))
+                 .alias("pos_share")))
+
+
+SQL_SEASONALITY = SQL_BASE + """
+, lr AS (
+  SELECT product_id, bucket_start,
+         ROUND(CASE WHEN close > 0
+                    AND lag(close) OVER (PARTITION BY product_id
+                                         ORDER BY bucket_start) > 0
+               THEN ln(close / lag(close) OVER (
+                   PARTITION BY product_id ORDER BY bucket_start)) END,
+               6) + 0 AS r
+  FROM candles
+)
+, cells AS (
+  SELECT product_id, hour(bucket_start) AS hour_of_day,
+         count(*) AS n_obs,
+         list_sum(list(r ORDER BY bucket_start)) AS s1,
+         list_sum(list(r * r ORDER BY bucket_start)) AS s2,
+         CAST(sum(CASE WHEN r > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+           / count(*) AS pos_share
+  FROM lr WHERE r IS NOT NULL
+  GROUP BY product_id, hour(bucket_start)
+)
+SELECT product_id, hour_of_day, n_obs,
+       ROUND(s1 / n_obs, 6) + 0 AS mean_return,
+       CASE WHEN n_obs > 1
+            THEN ROUND(sqrt(greatest((s2 - s1 * s1 / n_obs)
+                                     / (n_obs - 1), 0.0)), 6) + 0
+       END AS vol_return,
+       pos_share
+FROM cells
+"""
+
+
 SPARK_QUERIES_TS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "candle_parse": q_candle_parse,
     "clean_series": q_clean_series,
@@ -900,6 +1119,9 @@ SPARK_QUERIES_TS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "candle_patterns": q_candle_patterns,
     "candle_grid_fill": q_candle_grid_fill,
     "cross_sectional_rank": q_cross_sectional_rank,
+    "acf": q_acf,
+    "seasonality_profile": q_seasonality_profile,
+    "trend_decompose": q_trend_decompose,
 }
 
 ORACLE_SQL_TS: dict[str, str] = {
@@ -925,4 +1147,7 @@ ORACLE_SQL_TS: dict[str, str] = {
     "candle_patterns": SQL_CANDLE_PATTERNS,
     "candle_grid_fill": SQL_CANDLE_GRID_FILL,
     "cross_sectional_rank": SQL_CROSS_SECTIONAL_RANK,
+    "acf": SQL_ACF,
+    "seasonality_profile": SQL_SEASONALITY,
+    "trend_decompose": SQL_TREND_DECOMPOSE,
 }

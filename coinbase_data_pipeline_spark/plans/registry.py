@@ -48,6 +48,10 @@ for _part in _QUERY_PARTS:
 # earlier green rows for the rest stay on record in
 # CORRECTNESS_r01/r02/r03.json.
 _CHECK_FIRST = [
+    # new operators in round 7 (each oracle-paired) — need first rows
+    "dedup_spans", "token_entropy", "acf", "seasonality_profile",
+    "sales_rollup", "bm25_search", "association_rules",
+    "approx_quantiles_hist", "trend_decompose", "graph_triangles",
     # new operators in round 6 (each oracle-paired) — need first rows
     "dsir_weights", "knn_graph", "rolling_beta", "candle_patterns",
     "dataset_manifest", "bpe_train", "bpe_encode",
@@ -71,15 +75,18 @@ _CHECK_FIRST = [
     # and log-return guard changes — need first/fresh rows
     "ewm_indicators", "model_score", "log_returns", "volatility",
     "returns_correlation", "cross_sectional_rank",
-    # rounding-quantum hardening in round 4 (2dp money sums, 4dp
-    # sum-ratio features — quantum must dominate cross-engine
-    # summation-order error at sf0.1+) — need fresh rows
-    "q1_pricing_summary", "q5_local_supplier", "q6_forecast_revenue",
-    "q7_volume_shipping", "q19_discounted_revenue", "vwap",
-    "price_features",
     # new operators in round 4 (each oracle-paired) — need first rows
     "boilerplate_ngrams", "dedup_keep_best", "semantic_dedup",
     "streaming_corpus_scores",
+    # rounding-quantum hardening in round 4 (2dp money sums, 4dp
+    # sum-ratio features — quantum must dominate cross-engine
+    # summation-order error at sf0.1+) — need fresh rows. This block
+    # sits LAST: the list now exceeds the driver's 50-slot window, so
+    # its tail (q19/vwap/price_features — old green rows + local
+    # sf0.1 sweeps, lowest re-check risk) is what rolls to round 5.
+    "q1_pricing_summary", "q5_local_supplier", "q6_forecast_revenue",
+    "q7_volume_shipping", "q19_discounted_revenue", "vwap",
+    "price_features",
 ]
 
 ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

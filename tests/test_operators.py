@@ -882,3 +882,167 @@ def test_containment_catches_asymmetric_duplicate(spark):
     assert not any(3 in p for p in pairs)  # unrelated untouched
     jac = ngram_jaccard_pairs(docs).collect()
     assert not any({r.doc_a, r.doc_b} == {1, 2} for r in jac)
+
+
+def test_repeated_spans_coverage_math(spark):
+    """Two docs sharing an exact 6-token passage: both report the
+    merged interval union (6 tokens from two overlapping 5-windows),
+    a disjoint doc reports zeros."""
+    from coinbase_data_pipeline_spark.operators.dedup import repeated_spans
+
+    docs = spark.createDataFrame(
+        [(1, "alpha bravo charlie delta echo foxtrot golf hotel"),
+         (2, "kilo lima alpha bravo charlie delta echo foxtrot mike"),
+         (3, "november oscar papa quebec romeo sierra tango uniform")],
+        ["doc_id", "text"])
+    out = {r.doc_id: r for r in
+           repeated_spans(docs, k=5, min_docs=2).collect()}
+    # shared run "alpha..foxtrot" = 6 tokens → two 5-token windows
+    assert out[1].n_dup_spans == 2 and out[1].dup_tokens == 6
+    assert out[2].n_dup_spans == 2 and out[2].dup_tokens == 6
+    assert out[1].dup_frac == pytest.approx(6 / 8)
+    assert out[3].n_dup_spans == 0 and out[3].dup_tokens == 0
+    assert out[3].dup_frac == 0.0
+
+
+def test_token_entropy_degenerate_uniform_empty(spark):
+    """Entropy 0 for a one-token doc, ln(k) (norm 1.0) for a uniform
+    doc, zeros for a doc with no alpha tokens."""
+    import math
+
+    from coinbase_data_pipeline_spark.operators.textstats import (
+        token_entropy)
+
+    docs = spark.createDataFrame(
+        [(1, "spam spam spam spam"),
+         (2, "alpha bravo charlie delta"),
+         (3, "1234 5678 ...")],
+        ["doc_id", "text"])
+    out = {r.doc_id: r for r in token_entropy(docs).collect()}
+    assert out[1].distinct_tokens == 1
+    assert abs(out[1].entropy) < 1e-5 and out[1].norm_entropy == 0.0
+    assert out[2].entropy == pytest.approx(math.log(4), abs=1e-6)
+    assert out[2].norm_entropy == pytest.approx(1.0, abs=1e-6)
+    assert out[3].n_tokens == 0 and out[3].entropy == 0.0
+
+
+def test_acf_matches_pandas(spark):
+    """Spark ACF vs pandas Series.autocorr on the same per-product
+    return series (row-lag Pearson, NaN pairs dropped)."""
+    from coinbase_data_pipeline_spark.plans.catalog_ts import q_acf
+
+    rows = q_acf(spark, SF).collect()
+    got = {(r.product_id, r.lag_k): r.acf for r in rows}
+    # rebuild one product's series in pandas
+    from coinbase_data_pipeline_spark.plans.catalog import candles
+    pid = sorted({r.product_id for r in rows})[0]
+    pdf = (candles(spark, SF).filter(F.col("product_id") == pid)
+           .orderBy("bucket_start").select("close").toPandas())
+    import numpy as np
+    s = pd.Series(np.log(pdf["close"]).diff())
+    for lag in (1, 3, 12):
+        assert got[(pid, lag)] == pytest.approx(s.autocorr(lag), abs=2e-6)
+
+
+def test_sales_rollup_subtotals_consistent(spark):
+    """ROLLUP emits leaf/year/grand levels whose counts telescope."""
+    from coinbase_data_pipeline_spark.plans.catalog_analytics import (
+        q_sales_rollup)
+
+    rows = q_sales_rollup(spark, SF).collect()
+    levels = {r.grouping_level for r in rows}
+    assert levels == {0, 1, 3}
+    grand = [r for r in rows if r.grouping_level == 3]
+    assert len(grand) == 1
+    leaves = [r for r in rows if r.grouping_level == 0]
+    years = [r for r in rows if r.grouping_level == 1]
+    assert grand[0].n_items == sum(r.n_items for r in leaves)
+    for y in years:
+        assert y.n_items == sum(r.n_items for r in leaves
+                                if r.ship_year == y.ship_year)
+
+
+def test_graph_triangles_known_triangle(spark):
+    """Three identical docs form one triangle (coeff 1.0); an
+    unrelated doc has no near-dup edges and is absent."""
+    from coinbase_data_pipeline_spark.operators.dedup import (
+        graph_triangles)
+
+    base = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+            "juliett kilo lima mike november oscar papa quebec romeo")
+    docs = spark.createDataFrame(
+        [(1, base), (2, base), (3, base),
+         (4, "zulu yankee xray whiskey victor uniform tango sierra")],
+        ["doc_id", "text"])
+    out = {r.doc_id: r for r in graph_triangles(docs).collect()}
+    assert set(out) == {1, 2, 3}
+    for i in (1, 2, 3):
+        assert out[i].degree == 2
+        assert out[i].triangles == 1
+        assert out[i].clustering_coeff == pytest.approx(1.0)
+
+
+def test_approx_quantiles_within_bin_width(spark):
+    """Histogram quantile estimates must land within one bin width of
+    the exact percentile."""
+    from coinbase_data_pipeline_spark.plans.catalog_analytics import (
+        HQ_BINS, q_approx_quantiles_hist)
+    from coinbase_data_pipeline_spark.plans.catalog import ticks
+
+    import math
+
+    est = {(r.product_id, r.quantile): r.estimate
+           for r in q_approx_quantiles_hist(spark, SF).collect()}
+    # the operator's definition is the value at rank ceil(q*n)
+    # (quantile_disc), NOT the type-7 interpolated percentile — in a
+    # sparse tail at small n those differ by many bins
+    prices = (ticks(spark, SF).select("product_id", "price")
+              .groupBy("product_id")
+              .agg(F.sort_array(F.collect_list("price")).alias("p"))
+              .collect())
+    for r in prices:
+        vals = r.p
+        lo, hi, n = vals[0], vals[-1], len(vals)
+        width = (hi - lo) / HQ_BINS
+        for q in (0.5, 0.9, 0.99):
+            exact = vals[max(1, math.ceil(q * n)) - 1]
+            got = est[(r.product_id, q)]
+            assert abs(got - exact) <= width + 1e-9, \
+                f"{r.product_id} q={q}: {got} vs rank value {exact}"
+
+
+def test_trend_decompose_additive_identity(spark):
+    """close == trend + seasonal + resid (within rounding), and the
+    per-cell mean of resid is ~0 by construction."""
+    from coinbase_data_pipeline_spark.plans.catalog_ts import (
+        q_trend_decompose)
+
+    rows = q_trend_decompose(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert abs(r.close - (r.trend + r.seasonal + r.resid)) <= 3e-6
+    cells = {}
+    for r in rows:
+        cells.setdefault((r.product_id, r.bucket_start.hour),
+                         []).append(r.resid)
+    for k, v in cells.items():
+        assert abs(sum(v) / len(v)) <= 2e-6, k
+
+
+def test_association_rules_invariants(spark):
+    """n_both is symmetric, confidence >= support, lift consistent
+    with confidence and consequent base rate."""
+    from coinbase_data_pipeline_spark.plans.catalog_analytics import (
+        q_association_rules)
+
+    rows = q_association_rules(spark, SF).collect()
+    assert rows
+    both = {(r.antecedent, r.consequent): r.n_both for r in rows}
+    for (x, y), n in both.items():
+        assert both.get((y, x)) == n
+    for r in rows:
+        assert r.confidence >= r.support > 0
+        # lift = confidence / P(consequent) → the implied base rate
+        # must be a valid probability
+        p_cons = r.confidence / r.lift
+        assert 0 < p_cons <= 1
