@@ -112,6 +112,10 @@ HEADLINERS = [
     "approx_quantiles_hist",
     "trend_decompose",
     "graph_triangles",
+    "heikin_ashi",
+    "purchase_attribution",
+    "embedding_quantize",
+    "fixed_k_sample",
 ]
 
 # Per-query repetitions; the reported time is the MIN across runs.

@@ -28,3 +28,16 @@ def epoch_seconds(c: Column) -> Column:
     lesson, operators/sessions.py).
     """
     return c.cast("timestamp").cast("double")
+
+
+def epoch_micros(c: Column) -> Column:
+    """EXACT integer epoch microseconds for BOTH TIMESTAMP and
+    TIMESTAMP_NTZ inputs (same NTZ-legalizing hop as
+    :func:`epoch_seconds`). Use this when two timestamps are
+    SUBTRACTED and the difference must value-hash: fractional-second
+    doubles are binary-inexact, so a double difference can disagree
+    with DuckDB's exact interval ``epoch_us`` in the last ulp right
+    at comparison boundaries; BIGINT µs cannot."""
+    from pyspark.sql import functions as F
+
+    return F.unix_micros(c.cast("timestamp"))

@@ -532,3 +532,69 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, *,
     terms = (cand.join(codes, id_col)
              .join(F.broadcast(lut), ["query_id", "subspace", "code"]))
     return _adc_topk(terms, id_col=id_col, k=k)
+
+
+def embedding_quantize(emb: DataFrame, *, id_col: str = "vec_id",
+                       vec_col: str = "embedding",
+                       levels: int = 256) -> DataFrame:
+    """Scalar int8 quantization of the embedding corpus (the SQ8
+    vector-index compression step): per-DIMENSION min/max over the
+    corpus define an affine grid of `levels` codes, every vector
+    encodes to one byte per dimension, and each row reports its
+    reconstruction MSE plus an order-sensitive fingerprint of the
+    code sequence — the compression/quality bookkeeping a billion-
+    vector index build records.
+
+    Plan: one narrow posexplode pass → a `dim`-keyed min/max
+    aggregate (64 rows) → the stats collapse into ONE broadcast row
+    of aligned arrays → encode/reconstruct are row-local indexed
+    `transform` folds (no second shuffle, no UDF). Every float op is
+    arithmetic on engine-identical doubles (float32 widens exactly;
+    fold in list order), so codes AND mse value-hash.
+    """
+    from ..functions.text import hash60
+
+    v = F.col(vec_col).cast("array<double>")
+    dims = (emb.select(F.posexplode(v).alias("dim", "x"))
+            .groupBy("dim")
+            .agg(F.min("x").alias("lo"), F.max("x").alias("hi")))
+    stats = dims.agg(
+        F.transform(F.array_sort(F.collect_list(
+            F.struct("dim", "lo"))), lambda s: s.getField("lo"))
+        .alias("_los"),
+        F.transform(F.array_sort(F.collect_list(
+            F.struct("dim", "lo", "hi"))),
+            lambda s: (s.getField("hi") - s.getField("lo"))
+            / F.lit(float(levels - 1))).alias("_scales"))
+    top = levels - 1
+
+    def code_fn(x, i):
+        lo = F.element_at(F.col("_los"), i + 1)
+        sc = F.element_at(F.col("_scales"), i + 1)
+        return F.when(sc > 0,
+                      F.least(F.lit(top),
+                              F.greatest(F.lit(0),
+                                         F.round((x - lo) / sc, 0)
+                                         .cast("int")))) \
+                .otherwise(F.lit(0))
+
+    q = (emb.select(F.col(id_col), v.alias("_v"))
+         .crossJoin(F.broadcast(stats))
+         .withColumn("_codes", F.transform(F.col("_v"), code_fn)))
+
+    def err_fn(x, i):
+        lo = F.element_at(F.col("_los"), i + 1)
+        sc = F.element_at(F.col("_scales"), i + 1)
+        c = F.element_at(F.col("_codes"), i + 1)
+        return x - (lo + c * sc)
+
+    e = q.withColumn("_errs", F.transform(F.col("_v"), err_fn))
+    sq = F.aggregate(F.col("_errs"), F.lit(0.0),
+                     lambda a, x: a + x * x)
+    return e.select(
+        F.col(id_col),
+        F.size("_codes").cast("int").alias("n_dims"),
+        (F.round(sq / F.size("_errs"), 6) + F.lit(0.0)).alias("mse"),
+        hash60(F.array_join(
+            F.transform(F.col("_codes"), lambda c: c.cast("string")),
+            ",")).alias("codes_hash"))

@@ -637,3 +637,47 @@ def token_id_encode(docs: DataFrame, vocab: DataFrame, *,
         hash60(F.array_join(F.transform("ids",
                                         lambda i: i.cast("string")),
                             ",")).alias("ids_hash"))
+
+
+def fixed_k_sample(docs: DataFrame, k: int = 20, *,
+                   id_col: str = "doc_id",
+                   stratum_col: str = "lang") -> DataFrame:
+    """EXACTLY-k deterministic uniform sample per stratum: the k
+    smallest (hash60(id), id) rows of each stratum — the fixed-size
+    complement to the rate-based stratified_sample (eval sets, human
+    review batches and few-shot pools need exact counts, and
+    hash-ordering makes the draw reproducible across runs, engines
+    and retries; no rand(), no reservoir state).
+
+    Scale shape: a bare per-stratum row_number window serializes each
+    stratum into one task (the token_packing lesson). Instead the
+    hash gate prefilters to ~k + 6·√k + 16 expected survivors per
+    stratum (the k-th smallest of n uniform hashes concentrates at
+    k/n; the margin puts the miss probability at Chernoff-tail
+    negligible), and the window ranks only survivors. Exactness
+    NEVER depends on the gate: a per-stratum conditional count
+    checks how many survived, and any stratum with fewer than k
+    survivors falls back to ranking all its rows. Output is the
+    definition itself — the simple ungated window is the oracle.
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    h = hash60(F.col(id_col).cast("string"), "ksample")
+    base = docs.select(F.col(stratum_col), F.col(id_col), h.alias("_h"))
+    margin = float(k + 6 * (k ** 0.5) + 16)
+    # gate fraction of the 60-bit hash space; 2^60 per functions.text
+    gate = (F.col("_h").cast("double")
+            < F.least(F.lit(1.0), F.lit(margin) / F.col("_n"))
+            * F.lit(float(1 << 60)))
+    counts = (base.groupBy(stratum_col)
+              .agg(F.count(F.lit(1)).alias("_n")))
+    flagged = base.join(F.broadcast(counts), stratum_col)
+    surv = (flagged.groupBy(stratum_col)
+            .agg(F.sum(F.when(gate, 1).otherwise(0)).alias("_gn")))
+    cand = (flagged.join(F.broadcast(surv), stratum_col)
+            .filter((F.col("_gn") < k) | gate))
+    w = Window.partitionBy(stratum_col).orderBy("_h", id_col)
+    return (cand.withColumn("sample_rank",
+                            F.row_number().over(w).cast("int"))
+            .filter(F.col("sample_rank") <= k)
+            .select(stratum_col, id_col, "sample_rank"))

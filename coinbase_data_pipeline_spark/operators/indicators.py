@@ -585,3 +585,55 @@ def rolling_correlation(df: DataFrame, *, key: str, ts: str,
         (n >= window) & (vx > 0) & (vy > 0),
         F.round((exy - ex * ey) / F.sqrt(vx * vy), 6) + F.lit(0.0))
     return df.select(F.col(key), F.col(ts), corr.alias("rolling_corr"))
+
+
+def heikin_ashi(df: DataFrame, *, key: str, ts: str) -> DataFrame:
+    """Heikin-Ashi candle transform — the smoothed-candle chart
+    pattern traders read for trend persistence:
+      ha_close_t = (open+high+low+close)/4
+      ha_open_t  = (ha_open_{t-1} + ha_close_{t-1})/2, seeded
+                   (open_1 + close_1)/2
+      ha_high/ha_low = max/min(high|low, ha_open, ha_close).
+
+    ha_open is the one recursive term (the EWM situation: sequential
+    per key, parallel across keys), so this is an Arrow-batched
+    applyInPandas with one group per key — same partitioning and
+    memory bound as ewm_features. The recursion is plain IEEE doubles
+    with the exact op order `(prev_open + prev_close) / 2`, which a
+    recursive-CTE oracle replicates bit-for-bit (the ewm_indicators
+    recipe; max/min are order-exact, no rounding subtleties).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    schema = StructType([
+        df.schema[key], df.schema[ts],
+        StructField("ha_open", DoubleType()),
+        StructField("ha_high", DoubleType()),
+        StructField("ha_low", DoubleType()),
+        StructField("ha_close", DoubleType()),
+    ])
+
+    def _per_key(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts)
+        o = pdf["open"].to_numpy(dtype="float64")
+        h = pdf["high"].to_numpy(dtype="float64")
+        lo = pdf["low"].to_numpy(dtype="float64")
+        c = pdf["close"].to_numpy(dtype="float64")
+        ha_c = (o + h + lo + c) / 4.0
+        ha_o = np.empty_like(ha_c)
+        if len(ha_o):
+            ha_o[0] = (o[0] + c[0]) / 2.0
+            for i in range(1, len(ha_o)):
+                ha_o[i] = (ha_o[i - 1] + ha_c[i - 1]) / 2.0
+        return pd.DataFrame({
+            key: pdf[key].values, ts: pdf[ts].values,
+            "ha_open": ha_o,
+            "ha_high": np.maximum(h, np.maximum(ha_o, ha_c)),
+            "ha_low": np.minimum(lo, np.minimum(ha_o, ha_c)),
+            "ha_close": ha_c,
+        })
+
+    return df.groupBy(key).applyInPandas(_per_key, schema=schema)

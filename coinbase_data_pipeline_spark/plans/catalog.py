@@ -554,6 +554,42 @@ FROM rec
 """
 
 
+def q_heikin_ashi(spark, sf_dir):
+    """Heikin-Ashi smoothed candles (recursive ha_open — the EWM
+    situation: applyInPandas per key, recursive-CTE oracle replicates
+    the IEEE op order bit-for-bit)."""
+    df = I.heikin_ashi(candles(spark, sf_dir), key="product_id",
+                       ts="bucket_start")
+    return _round(df, ["ha_open", "ha_high", "ha_low", "ha_close"])
+
+
+SQL_HEIKIN_ASHI = SQL_BASE.replace("WITH ", "WITH RECURSIVE ", 1) + """
+, ordered AS (
+  SELECT product_id, bucket_start, open, high, low, close,
+         row_number() OVER (PARTITION BY product_id
+                            ORDER BY bucket_start) AS rn
+  FROM candles
+), rec AS (
+  SELECT product_id, bucket_start, rn, high, low,
+         (open + high + low + close) / 4.0 AS ha_close,
+         (open + close) / 2.0 AS ha_open
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.product_id, o.bucket_start, o.rn, o.high, o.low,
+         (o.open + o.high + o.low + o.close) / 4.0 AS ha_close,
+         (r.ha_open + r.ha_close) / 2.0 AS ha_open
+  FROM rec r JOIN ordered o
+    ON o.product_id = r.product_id AND o.rn = r.rn + 1
+)
+SELECT product_id, bucket_start,
+       ROUND(ha_open, 6) + 0 AS ha_open,
+       ROUND(greatest(high, ha_open, ha_close), 6) + 0 AS ha_high,
+       ROUND(least(low, ha_open, ha_close), 6) + 0 AS ha_low,
+       ROUND(ha_close, 6) + 0 AS ha_close
+FROM rec
+"""
+
+
 # ------------------------------------------------------------------ TPC-H
 
 def q1_pricing_summary(spark, sf_dir):
@@ -693,6 +729,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "robust_scale": q_robust_scale,
     "minmax_scale": q_minmax_scale,
     "ewm_indicators": q_ewm_indicators,
+    "heikin_ashi": q_heikin_ashi,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_local_supplier": q5_local_supplier,
@@ -717,6 +754,7 @@ ORACLE_SQL: dict[str, str] = {
     "robust_scale": SQL_ROBUST_SCALE,
     "minmax_scale": SQL_MINMAX_SCALE,
     "ewm_indicators": _sql_ewm_indicators(),
+    "heikin_ashi": SQL_HEIKIN_ASHI,
     "q1_pricing_summary": SQL_Q1,
     "q3_shipping_priority": SQL_Q3,
     "q5_local_supplier": SQL_Q5,

@@ -432,6 +432,66 @@ WHERE trail_vol > 0 AND abs(log_return) > {ANOM_SIGMA} * trail_vol
 """
 
 
+# ----------------------------------------------------- purchase attribution
+
+ATTR_WINDOW_US = 1800 * 1_000_000  # 30-minute last-touch window
+
+
+def q_purchase_attribution(spark, sf_dir):
+    """Last-touch attribution: for every purchase event, the most
+    recent preceding view/click by the same user, credited only if it
+    happened within 30 minutes — the conversion-credit join every
+    event-analytics stack runs, here as the linear-cost as-of union
+    trick (one shuffle on user, one ordered pass; no range-join
+    explosion).
+
+    Touches pre-aggregate to one row per (user, ts) (max event_type)
+    so an as-of tie cannot pick engine-dependent winners; touch age
+    is EXACT BIGINT microseconds (epoch_micros) because a fractional-
+    seconds double difference can flip the 30-minute boundary by one
+    ulp between engines."""
+    from ..functions.timeutil import epoch_micros
+    from ..operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .select("event_id", "user_id", "ts"))
+    touches = (ev.filter(F.col("event_type").isin("view", "click"))
+               .groupBy("user_id", "ts")
+               .agg(F.max("event_type").alias("touch_type"))
+               .select("user_id", "ts",
+                       "touch_type", F.col("ts").alias("touch_ts")))
+    j = asof_join(purchases, touches, key="user_id", left_ts="ts",
+                  right_ts="ts", right_vals=["touch_type", "touch_ts"])
+    age_us = (epoch_micros(F.col("ts"))
+              - epoch_micros(F.col("touch_ts_asof")))
+    ok = F.col("touch_ts_asof").isNotNull() & (age_us <= ATTR_WINDOW_US)
+    return j.select(
+        "event_id", "user_id", "ts",
+        F.when(ok, F.col("touch_type_asof")).alias("attributed_type"),
+        F.when(ok, age_us).cast("long").alias("age_us"))
+
+
+SQL_PURCHASE_ATTRIBUTION = f"""
+WITH purchases AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+), touches AS (
+  SELECT user_id, ts, max(event_type) AS touch_type
+  FROM events WHERE event_type IN ('view', 'click')
+  GROUP BY user_id, ts
+)
+SELECT p.event_id, p.user_id, p.ts,
+       CASE WHEN t.ts IS NOT NULL
+             AND epoch_us(p.ts - t.ts) <= {ATTR_WINDOW_US}
+            THEN t.touch_type END AS attributed_type,
+       CASE WHEN t.ts IS NOT NULL
+             AND epoch_us(p.ts - t.ts) <= {ATTR_WINDOW_US}
+            THEN CAST(epoch_us(p.ts - t.ts) AS BIGINT) END AS age_us
+FROM purchases p
+ASOF LEFT JOIN touches t ON p.user_id = t.user_id AND p.ts >= t.ts
+"""
+
+
 # -------------------------------------------------------- association rules
 
 RULE_MIN_USERS = 5
@@ -662,6 +722,7 @@ SPARK_QUERIES_ANALYTICS: dict[
     "sales_rollup": q_sales_rollup,
     "association_rules": q_association_rules,
     "approx_quantiles_hist": q_approx_quantiles_hist,
+    "purchase_attribution": q_purchase_attribution,
 }
 
 ORACLE_SQL_ANALYTICS: dict[str, str] = {
@@ -681,4 +742,5 @@ ORACLE_SQL_ANALYTICS: dict[str, str] = {
     "sales_rollup": SQL_SALES_ROLLUP,
     "association_rules": SQL_ASSOCIATION_RULES,
     "approx_quantiles_hist": SQL_APPROX_QUANTILES_HIST,
+    "purchase_attribution": SQL_PURCHASE_ATTRIBUTION,
 }

@@ -911,6 +911,37 @@ FROM documents d LEFT JOIN scored s USING (doc_id)
 """
 
 
+# ------------------------------------------------------------ fixed-k sample
+
+FK_SAMPLE_K = 20
+
+
+def q_fixed_k_sample(spark, sf_dir):
+    """Exactly-k deterministic uniform sample per language (the
+    fixed-size eval/review draw): k smallest (hash60(id), id) per
+    stratum; hash-gate prefilter bounds the ranking window to ~O(k)
+    rows per stratum with an exact fallback. The ungated definition
+    is the oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return CP.fixed_k_sample(docs, FK_SAMPLE_K)
+
+
+SQL_FIXED_K_SAMPLE = f"""
+WITH base AS (
+  SELECT lang, doc_id,
+         {sql_hash60("CAST(doc_id AS VARCHAR)", "ksample")} AS h
+  FROM documents
+), ranked AS (
+  SELECT lang, doc_id,
+         CAST(row_number() OVER (PARTITION BY lang ORDER BY h, doc_id)
+              AS INT) AS sample_rank
+  FROM base
+)
+SELECT lang, doc_id, sample_rank FROM ranked
+WHERE sample_rank <= {FK_SAMPLE_K}
+"""
+
+
 # ------------------------------------------------------------------- BM25
 
 BM25_K1, BM25_B, BM25_TOP = 1.2, 0.75, 10
@@ -1008,6 +1039,7 @@ SPARK_QUERIES_CORPUS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_spans": q_dedup_spans,
     "token_entropy": q_token_entropy,
     "bm25_search": q_bm25_search,
+    "fixed_k_sample": q_fixed_k_sample,
 }
 
 ORACLE_SQL_CORPUS: dict[str, str] = {
@@ -1034,4 +1066,5 @@ ORACLE_SQL_CORPUS: dict[str, str] = {
     "dedup_spans": SQL_DEDUP_SPANS,
     "token_entropy": SQL_TOKEN_ENTROPY,
     "bm25_search": SQL_BM25_SEARCH,
+    "fixed_k_sample": SQL_FIXED_K_SAMPLE,
 }

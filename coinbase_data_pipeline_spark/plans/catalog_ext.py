@@ -1164,6 +1164,57 @@ FROM {prev} p JOIN deg d ON d.src = p.node
 SQL_DOC_PAGERANK = _sql_doc_pagerank()
 
 
+# --------------------------------------------------- embedding quantization
+
+def q_embedding_quantize(spark, sf_dir):
+    """SQ8 scalar quantization over the embedding corpus: per-dim
+    min/max grid, one byte per dimension, per-vector reconstruction
+    MSE + code-sequence fingerprint. One explode pass for stats, then
+    row-local indexed-transform folds — codes AND mse value-hash."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    from ..operators.ann import embedding_quantize
+    return embedding_quantize(emb)
+
+
+SQL_EMBEDDING_QUANTIZE = f"""
+WITH dims AS (
+  SELECT t.i AS dim,
+         min(CAST(embedding[t.i] AS DOUBLE)) AS lo,
+         max(CAST(embedding[t.i] AS DOUBLE)) AS hi
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+  GROUP BY t.i
+), statsrow AS (
+  SELECT list(lo ORDER BY dim) AS los,
+         list((hi - lo) / 255.0 ORDER BY dim) AS scales
+  FROM dims
+), q AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         los, scales
+  FROM embeddings CROSS JOIN statsrow
+), coded AS (
+  SELECT vec_id, v, los, scales,
+         list_transform(v, (x, i) ->
+           CASE WHEN scales[i] > 0
+                THEN least(255, greatest(0,
+                       CAST(round((x - los[i]) / scales[i]) AS INT)))
+                ELSE 0 END) AS codes
+  FROM q
+), errs AS (
+  SELECT vec_id, codes,
+         list_transform(v, (x, i) ->
+           x - (los[i] + codes[i] * scales[i])) AS e
+  FROM coded
+)
+SELECT vec_id,
+       CAST(len(codes) AS INT) AS n_dims,
+       ROUND(list_sum(list_transform(e, x -> x * x)) / len(e), 6) + 0
+         AS mse,
+       {sql_hash60("array_to_string(codes, ',')")} AS codes_hash
+FROM errs
+"""
+
+
 # ------------------------------------------------------- graph triangles
 
 def q_graph_triangles(spark, sf_dir):
@@ -1446,6 +1497,7 @@ SPARK_QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_incremental": q_dedup_incremental,
     "doc_pagerank": q_doc_pagerank,
     "graph_triangles": q_graph_triangles,
+    "embedding_quantize": q_embedding_quantize,
     "ann_ivfpq": q_ann_ivfpq,
 }
 
@@ -1484,5 +1536,6 @@ ORACLE_SQL_EXT: dict[str, str] = {
     "dedup_incremental": SQL_DEDUP_INCREMENTAL,
     "doc_pagerank": SQL_DOC_PAGERANK,
     "graph_triangles": SQL_GRAPH_TRIANGLES,
+    "embedding_quantize": SQL_EMBEDDING_QUANTIZE,
     "ann_ivfpq": SQL_ANN_IVFPQ,
 }

@@ -52,6 +52,8 @@ _CHECK_FIRST = [
     "dedup_spans", "token_entropy", "acf", "seasonality_profile",
     "sales_rollup", "bm25_search", "association_rules",
     "approx_quantiles_hist", "trend_decompose", "graph_triangles",
+    "heikin_ashi", "purchase_attribution", "embedding_quantize",
+    "fixed_k_sample",
     # new operators in round 6 (each oracle-paired) — need first rows
     "dsir_weights", "knn_graph", "rolling_beta", "candle_patterns",
     "dataset_manifest", "bpe_train", "bpe_encode",

@@ -1046,3 +1046,95 @@ def test_association_rules_invariants(spark):
         # must be a valid probability
         p_cons = r.confidence / r.lift
         assert 0 < p_cons <= 1
+
+
+def test_heikin_ashi_matches_reference_recursion(spark):
+    """Spark HA vs a direct pandas replication of the recursion on
+    one product's series."""
+    from coinbase_data_pipeline_spark.plans.catalog import candles
+    from coinbase_data_pipeline_spark.operators.indicators import (
+        heikin_ashi)
+
+    c = candles(spark, SF)
+    out = heikin_ashi(c, key="product_id", ts="bucket_start")
+    pid = out.select("product_id").first().product_id
+    got = (out.filter(F.col("product_id") == pid)
+           .orderBy("bucket_start").toPandas())
+    src = (c.filter(F.col("product_id") == pid)
+           .orderBy("bucket_start").toPandas())
+    ha_c = (src["open"] + src["high"] + src["low"] + src["close"]) / 4.0
+    ha_o = [(src["open"][0] + src["close"][0]) / 2.0]
+    for i in range(1, len(src)):
+        ha_o.append((ha_o[-1] + ha_c[i - 1]) / 2.0)
+    for i in (0, 1, len(src) // 2, len(src) - 1):
+        assert got["ha_open"][i] == pytest.approx(ha_o[i], abs=1e-6)
+        assert got["ha_close"][i] == pytest.approx(ha_c[i], abs=1e-6)
+        assert got["ha_high"][i] >= max(got["ha_open"][i],
+                                        got["ha_close"][i]) - 1e-9
+        assert got["ha_low"][i] <= min(got["ha_open"][i],
+                                       got["ha_close"][i]) + 1e-9
+
+
+def test_purchase_attribution_window_semantics(spark):
+    """One row per purchase; attributed touches are view/click within
+    the 30-minute window; ages are non-negative."""
+    from coinbase_data_pipeline_spark.plans.catalog_analytics import (
+        ATTR_WINDOW_US, q_purchase_attribution)
+    from coinbase_data_pipeline_spark.sources.tables import load_table
+
+    rows = q_purchase_attribution(spark, SF).collect()
+    n_purch = (load_table(spark, SF, "events")
+               .filter(F.col("event_type") == "purchase").count())
+    assert len(rows) == n_purch
+    attributed = [r for r in rows if r.attributed_type is not None]
+    assert attributed, "no attributions at this SF is implausible"
+    for r in attributed:
+        assert r.attributed_type in ("view", "click")
+        assert 0 <= r.age_us <= ATTR_WINDOW_US
+
+
+def test_embedding_quantize_error_bound(spark):
+    """Reconstruction MSE is bounded by the per-dim grid: error per
+    dim <= scale/2, so mse <= mean(scale^2)/4."""
+    from coinbase_data_pipeline_spark.operators.ann import (
+        embedding_quantize)
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    out = embedding_quantize(emb)
+    mx = out.agg(F.max("mse")).collect()[0][0]
+    stats = (emb.select(F.posexplode(
+        F.col("embedding").cast("array<double>")).alias("d", "x"))
+        .groupBy("d").agg((F.max("x") - F.min("x")).alias("r"))
+        .agg(F.max("r")).collect()[0][0])
+    scale = stats / 255.0
+    assert mx <= (scale * scale) / 4 + 1e-12
+
+
+def test_fixed_k_sample_exact_counts_and_definition(spark):
+    """Exactly min(k, n) rows per stratum, ranks contiguous, and the
+    gated plan equals the plain smallest-k definition."""
+    from coinbase_data_pipeline_spark.operators.corpus import (
+        fixed_k_sample)
+    from coinbase_data_pipeline_spark.functions.text import hash60
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    k = 7
+    out = fixed_k_sample(docs, k).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r.lang, []).append(r.sample_rank)
+    n_per = {r.lang: r.n for r in
+             docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+             .collect()}
+    for lang, ranks in per.items():
+        assert sorted(ranks) == list(range(1, min(k, n_per[lang]) + 1))
+    # definition check: smallest-k by (hash, id) on the full set
+    base = docs.select(
+        "lang", "doc_id",
+        hash60(F.col("doc_id").cast("string"), "ksample").alias("h"))
+    ref = set()
+    for lang in n_per:
+        rows = (base.filter(F.col("lang") == lang)
+                .orderBy("h", "doc_id").limit(k).collect())
+        ref |= {(lang, r.doc_id) for r in rows}
+    assert {(r.lang, r.doc_id) for r in out} == ref

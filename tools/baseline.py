@@ -25,6 +25,9 @@ import duckdb
 sf_dir, threads, sql = sys.argv[1], int(sys.argv[2]), sys.stdin.read()
 con = duckdb.connect()
 con.execute(f"SET threads = {threads}")
+# slow queries trigger DuckDB's progress bar, which pollutes stdout
+# and breaks the parent's JSON parse
+con.execute("SET enable_progress_bar = false")
 for t in ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
@@ -65,7 +68,19 @@ def main() -> None:
                                  "note": "error: " + err}
                 print(f"# {name}: ERROR", file=sys.stderr)
                 continue
-            r = json.loads(proc.stdout.strip().splitlines()[-1])
+            r = None
+            for line in reversed(proc.stdout.strip().splitlines()):
+                try:
+                    r = json.loads(line)
+                    break
+                except json.JSONDecodeError:
+                    continue
+            if r is None:
+                results[name] = {"sec": None, "rows": None,
+                                 "capped": False,
+                                 "note": "error: unparseable worker out"}
+                print(f"# {name}: ERROR (no JSON)", file=sys.stderr)
+                continue
             if r["sec"] > args.cap:
                 results[name] = {"sec": args.cap, "rows": r["rows"],
                                  "capped": True, "note": ""}
