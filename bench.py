@@ -116,6 +116,10 @@ HEADLINERS = [
     "purchase_attribution",
     "embedding_quantize",
     "fixed_k_sample",
+    "return_moments",
+    "drawdown_durations",
+    "quantile_transform",
+    "streaming_touch_join",
 ]
 
 # Per-query repetitions; the reported time is the MIN across runs.

@@ -316,6 +316,50 @@ JOIN last l ON s.user_id = l.user_id AND s.session_no < l.last_no
 """
 
 
+# ------------------------------------------------------ stream-stream join
+
+TOUCH_WINDOW_MIN = 30
+
+
+def q_streaming_touch_join(spark, sf_dir):
+    """STREAM-STREAM interval join (the join class no other streaming
+    query exercises — two unbounded watermark-able sides with a
+    time-range predicate): purchases and view/click touches replay as
+    two independent streams; every touch within 30 minutes before a
+    purchase joins it. Unwatermarked replay keeps full join state, so
+    the result is exactly the batch interval join — the oracle;
+    production bounds state with a watermark on both sides
+    (streaming/pipelines.py)."""
+    from ..functions.timeutil import epoch_micros
+    from ..sources.tables import load_table
+    from ..streaming.pipelines import run_file_touch_join_pipeline
+
+    replay_dir = os.path.join(_TMP_ROOT, f"touch-{uuid.uuid4().hex[:8]}")
+    try:
+        ev = load_table(spark, sf_dir, "events")
+        wire = ev.select(F.to_json(F.struct(
+            F.col("event_id"),
+            epoch_micros(F.col("ts")).alias("ts_us"),
+            F.col("user_id"), F.col("event_type"))).alias("value"))
+        wire.write.mode("overwrite").text(replay_dir)
+        return run_file_touch_join_pipeline(
+            spark, replay_dir, window_minutes=TOUCH_WINDOW_MIN)
+    finally:
+        shutil.rmtree(replay_dir, ignore_errors=True)
+
+
+SQL_STREAMING_TOUCH_JOIN = f"""
+SELECT p.event_id AS purchase_id, p.user_id, p.ts AS p_ts,
+       t.event_type AS touch_type, t.ts AS touch_ts
+FROM events p
+JOIN events t
+  ON t.user_id = p.user_id
+ AND t.event_type IN ('view', 'click')
+ AND epoch_us(p.ts - t.ts) BETWEEN 0 AND {TOUCH_WINDOW_MIN * 60000000}
+WHERE p.event_type = 'purchase'
+"""
+
+
 SPARK_QUERIES_STREAM: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_candles": q_streaming_candles,
     "streaming_dedup": q_streaming_dedup,
@@ -323,6 +367,7 @@ SPARK_QUERIES_STREAM: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_corpus_scores": q_streaming_corpus_scores,
     "streaming_sessionize": q_streaming_sessionize,
     "streaming_classifier_scores": q_streaming_classifier_scores,
+    "streaming_touch_join": q_streaming_touch_join,
 }
 
 ORACLE_SQL_STREAM: dict[str, str] = {
@@ -334,4 +379,5 @@ ORACLE_SQL_STREAM: dict[str, str] = {
     "streaming_corpus_scores": SQL_STREAMING_CORPUS,
     "streaming_sessionize": SQL_STREAMING_SESSIONIZE,
     "streaming_classifier_scores": _sql_streaming_classifier(),
+    "streaming_touch_join": SQL_STREAMING_TOUCH_JOIN,
 }

@@ -877,6 +877,219 @@ FROM rets WHERE ret IS NOT NULL
 """
 
 
+# ---------------------------------------------------------- return moments
+
+def q_return_moments(spark, sf_dir):
+    """Higher-moment distribution profile of log returns per product:
+    mean, std, skewness, excess kurtosis, plus min/max — the fat-tail
+    diagnostic behind risk sizing and the reference's scaler choices
+    (RobustScaler exists because these skews/kurtoses are large).
+
+    All four moments derive algebraically from raw power sums
+    Σr..Σr⁴ computed as bucket-ordered folds over 6dp-snapped
+    returns — identical doubles in, identical expression tree, so
+    even kurtosis value-hashes (a groupBy SUM of r⁴ would not)."""
+    df = I.with_log_returns(candles(spark, sf_dir), key="product_id",
+                            ts="bucket_start")
+    r6 = F.round(F.col("log_returns"), RND) + F.lit(0.0)
+    cell = (df.filter(F.col("log_returns").isNotNull())
+            .select("product_id", "bucket_start", r6.alias("r")))
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("bucket_start", "r"))),
+        lambda s: s.getField("r"))
+
+    def psum(p: int):
+        if p == 1:
+            return F.aggregate(ordered, F.lit(0.0), lambda a, x: a + x)
+        if p == 2:
+            return F.aggregate(ordered, F.lit(0.0),
+                               lambda a, x: a + x * x)
+        if p == 3:
+            return F.aggregate(ordered, F.lit(0.0),
+                               lambda a, x: a + x * x * x)
+        return F.aggregate(ordered, F.lit(0.0),
+                           lambda a, x: a + x * x * x * x)
+
+    agg = (cell.groupBy("product_id")
+           .agg(F.count(F.lit(1)).alias("n_obs"),
+                psum(1).alias("s1"), psum(2).alias("s2"),
+                psum(3).alias("s3"), psum(4).alias("s4"),
+                F.min("r").alias("r_min"), F.max("r").alias("r_max")))
+    n = F.col("n_obs").cast("double")
+    mean = F.col("s1") / n
+    m2 = F.greatest(F.col("s2") / n - mean * mean, F.lit(0.0))
+    m3 = (F.col("s3") / n - 3 * mean * (F.col("s2") / n)
+          + 2 * mean * mean * mean)
+    m4 = (F.col("s4") / n - 4 * mean * (F.col("s3") / n)
+          + 6 * mean * mean * (F.col("s2") / n)
+          - 3 * mean * mean * mean * mean)
+    std = F.sqrt(m2)
+    return agg.select(
+        "product_id", "n_obs",
+        (F.round(mean, RND) + F.lit(0.0)).alias("mean_return"),
+        (F.round(std, RND) + F.lit(0.0)).alias("std_return"),
+        F.when(m2 > 0, F.round(m3 / (std * std * std), RND) + F.lit(0.0))
+        .alias("skewness"),
+        F.when(m2 > 0, F.round(m4 / (m2 * m2) - 3.0, RND) + F.lit(0.0))
+        .alias("excess_kurtosis"),
+        F.col("r_min").alias("min_return"),
+        F.col("r_max").alias("max_return"))
+
+
+SQL_RETURN_MOMENTS = SQL_BASE + """
+, lr AS (
+  SELECT product_id, bucket_start,
+         ROUND(CASE WHEN close > 0
+                    AND lag(close) OVER (PARTITION BY product_id
+                                         ORDER BY bucket_start) > 0
+               THEN ln(close / lag(close) OVER (
+                   PARTITION BY product_id ORDER BY bucket_start)) END,
+               6) + 0 AS r
+  FROM candles
+), sums AS (
+  SELECT product_id, count(*) AS n_obs,
+         list_sum(list(r ORDER BY bucket_start)) AS s1,
+         list_sum(list(r * r ORDER BY bucket_start)) AS s2,
+         list_sum(list(r * r * r ORDER BY bucket_start)) AS s3,
+         list_sum(list(r * r * r * r ORDER BY bucket_start)) AS s4,
+         min(r) AS r_min, max(r) AS r_max
+  FROM lr WHERE r IS NOT NULL GROUP BY product_id
+), m AS (
+  SELECT product_id, n_obs, s1 / n_obs AS mean,
+         greatest(s2 / n_obs - (s1 / n_obs) * (s1 / n_obs), 0.0) AS m2,
+         s3 / n_obs - 3 * (s1 / n_obs) * (s2 / n_obs)
+           + 2 * (s1 / n_obs) * (s1 / n_obs) * (s1 / n_obs) AS m3,
+         s4 / n_obs - 4 * (s1 / n_obs) * (s3 / n_obs)
+           + 6 * (s1 / n_obs) * (s1 / n_obs) * (s2 / n_obs)
+           - 3 * (s1 / n_obs) * (s1 / n_obs) * (s1 / n_obs)
+               * (s1 / n_obs) AS m4,
+         r_min, r_max
+  FROM sums
+)
+SELECT product_id, n_obs,
+       ROUND(mean, 6) + 0 AS mean_return,
+       ROUND(sqrt(m2), 6) + 0 AS std_return,
+       CASE WHEN m2 > 0
+            THEN ROUND(m3 / (sqrt(m2) * sqrt(m2) * sqrt(m2)), 6) + 0
+       END AS skewness,
+       CASE WHEN m2 > 0 THEN ROUND(m4 / (m2 * m2) - 3.0, 6) + 0
+       END AS excess_kurtosis,
+       r_min AS min_return, r_max AS max_return
+FROM m
+"""
+
+
+# ------------------------------------------------------ drawdown durations
+
+def q_drawdown_durations(spark, sf_dir):
+    """Underwater-episode profile per product: number of drawdown
+    episodes (consecutive runs below the running peak), total
+    underwater buckets, and the LONGEST episode with its time span —
+    the duration companion to max_drawdown's depth.
+
+    Gaps-and-islands in one window family: running peak (cummax) →
+    underwater flag → episode id as a running count of peak rows →
+    per-episode integer aggregates → deterministic longest pick
+    (rows DESC, start ASC). All-integer outputs, hash-exact."""
+    c = candles(spark, sf_dir)
+    w = Window.partitionBy("product_id").orderBy("bucket_start")
+    wcum = w.rowsBetween(Window.unboundedPreceding, 0)
+    peak = F.max("close").over(wcum)
+    flagged = c.select(
+        "product_id", "bucket_start", "close",
+        (F.col("close") < peak).alias("_under"))
+    grp = F.sum(F.when(F.col("_under"), 0).otherwise(1)).over(wcum)
+    eps = (flagged.withColumn("_grp", grp)
+           .filter(F.col("_under"))
+           .groupBy("product_id", "_grp")
+           .agg(F.count(F.lit(1)).alias("ep_rows"),
+                F.min("bucket_start").alias("ep_start"),
+                F.max("bucket_start").alias("ep_end")))
+    wpick = Window.partitionBy("product_id").orderBy(
+        F.col("ep_rows").desc(), F.col("ep_start"))
+    longest = (eps.withColumn("_rk", F.row_number().over(wpick))
+               .filter(F.col("_rk") == 1)
+               .select("product_id",
+                       F.col("ep_rows").alias("longest_episode_rows"),
+                       F.col("ep_start").alias("longest_episode_start"),
+                       F.col("ep_end").alias("longest_episode_end")))
+    totals = (eps.groupBy("product_id")
+              .agg(F.count(F.lit(1)).alias("n_episodes"),
+                   F.sum("ep_rows").alias("underwater_rows")))
+    return (totals.join(longest, "product_id")
+            .select("product_id", "n_episodes",
+                    F.col("underwater_rows").cast("long")
+                    .alias("underwater_rows"),
+                    F.col("longest_episode_rows").cast("long")
+                    .alias("longest_episode_rows"),
+                    "longest_episode_start", "longest_episode_end"))
+
+
+SQL_DRAWDOWN_DURATIONS = SQL_BASE + """
+, under_flag AS (
+  SELECT product_id, bucket_start, close,
+         close < max(close) OVER (PARTITION BY product_id
+                                  ORDER BY bucket_start
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS under
+  FROM candles
+), flagged AS (
+  SELECT product_id, bucket_start, close, under,
+         sum(CASE WHEN under THEN 0 ELSE 1 END)
+           OVER (PARTITION BY product_id ORDER BY bucket_start
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS grp
+  FROM under_flag
+), eps AS (
+  SELECT product_id, grp, CAST(count(*) AS BIGINT) AS ep_rows,
+         min(bucket_start) AS ep_start, max(bucket_start) AS ep_end
+  FROM flagged WHERE under GROUP BY product_id, grp
+), longest AS (
+  SELECT product_id, ep_rows AS longest_episode_rows,
+         ep_start AS longest_episode_start,
+         ep_end AS longest_episode_end,
+         row_number() OVER (PARTITION BY product_id
+                            ORDER BY ep_rows DESC, ep_start) AS rk
+  FROM eps
+), totals AS (
+  SELECT product_id, count(*) AS n_episodes,
+         CAST(sum(ep_rows) AS BIGINT) AS underwater_rows
+  FROM eps GROUP BY product_id
+)
+SELECT t.product_id, t.n_episodes, t.underwater_rows,
+       l.longest_episode_rows, l.longest_episode_start,
+       l.longest_episode_end
+FROM totals t JOIN longest l ON l.product_id = t.product_id
+WHERE l.rk = 1
+"""
+
+
+# ------------------------------------------------------- quantile transform
+
+def q_quantile_transform(spark, sf_dir):
+    """Quantile (rank) normalization of close per product:
+    u = rank/(n+1) in (0,1) — the distribution-free feature transform
+    (the empirical-CDF alternative to robust_scale when outliers make
+    even IQR scaling unstable). RANK (not row_number) so equal prices
+    map to equal u on both engines; u is a ratio of engine-identical
+    integers, unrounded."""
+    c = candles(spark, sf_dir)
+    w = Window.partitionBy("product_id").orderBy("close")
+    n = Window.partitionBy("product_id")
+    return (c.select("product_id", "bucket_start", "close")
+            .withColumn("u", F.rank().over(w).cast("double")
+                        / (F.count(F.lit(1)).over(n) + 1)))
+
+
+SQL_QUANTILE_TRANSFORM = SQL_BASE + """
+SELECT product_id, bucket_start, close,
+       CAST(rank() OVER (PARTITION BY product_id ORDER BY close)
+            AS DOUBLE)
+         / (count(*) OVER (PARTITION BY product_id) + 1) AS u
+FROM candles
+"""
+
+
 # -------------------------------------------------------- trend decomposition
 
 TREND_HALF = 12  # centered MA half-width → 25-row trend window
@@ -1122,6 +1335,9 @@ SPARK_QUERIES_TS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "acf": q_acf,
     "seasonality_profile": q_seasonality_profile,
     "trend_decompose": q_trend_decompose,
+    "return_moments": q_return_moments,
+    "drawdown_durations": q_drawdown_durations,
+    "quantile_transform": q_quantile_transform,
 }
 
 ORACLE_SQL_TS: dict[str, str] = {
@@ -1150,4 +1366,7 @@ ORACLE_SQL_TS: dict[str, str] = {
     "acf": SQL_ACF,
     "seasonality_profile": SQL_SEASONALITY,
     "trend_decompose": SQL_TREND_DECOMPOSE,
+    "return_moments": SQL_RETURN_MOMENTS,
+    "drawdown_durations": SQL_DRAWDOWN_DURATIONS,
+    "quantile_transform": SQL_QUANTILE_TRANSFORM,
 }

@@ -53,7 +53,8 @@ _CHECK_FIRST = [
     "sales_rollup", "bm25_search", "association_rules",
     "approx_quantiles_hist", "trend_decompose", "graph_triangles",
     "heikin_ashi", "purchase_attribution", "embedding_quantize",
-    "fixed_k_sample",
+    "fixed_k_sample", "return_moments", "drawdown_durations",
+    "quantile_transform", "streaming_touch_join",
     # new operators in round 6 (each oracle-paired) — need first rows
     "dsir_weights", "knn_graph", "rolling_beta", "candle_patterns",
     "dataset_manifest", "bpe_train", "bpe_encode",
@@ -64,28 +65,20 @@ _CHECK_FIRST = [
     "gopher_quality", "price_anomalies", "pq_encode", "ann_pq",
     "dedup_incremental", "perplexity_proxy", "streaming_sessionize",
     "vocab_build", "token_id_encode", "doc_pagerank", "ann_ivfpq",
-    # implementation changed in round 4 — need fresh rows
-    # (no CORRECTNESS_r04.json was recorded, so everything fronted
-    #  for round 4 still needs its fresh driver row)
-    # (token_packing: stratum window salted via range-shard two-pass
-    #  prefix sum, operators/corpus.py; dedup_embedding: candidate
-    #  distinct() replaced by first-matching-band exactly-once
-    #  emission, operators/dedup.py)
-    "token_packing", "dedup_embedding",
-    # newly oracle-paired in round 4 (recursive-CTE EWM oracle and
-    # the left-fold stub-scorer oracle, both previously rows-only)
-    # and log-return guard changes — need first/fresh rows
-    "ewm_indicators", "model_score", "log_returns", "volatility",
-    "returns_correlation", "cross_sectional_rank",
     # new operators in round 4 (each oracle-paired) — need first rows
     "boilerplate_ngrams", "dedup_keep_best", "semantic_dedup",
     "streaming_corpus_scores",
-    # rounding-quantum hardening in round 4 (2dp money sums, 4dp
-    # sum-ratio features — quantum must dominate cross-engine
-    # summation-order error at sf0.1+) — need fresh rows. This block
-    # sits LAST: the list now exceeds the driver's 50-slot window, so
-    # its tail (q19/vwap/price_features — old green rows + local
-    # sf0.1 sweeps, lowest re-check risk) is what rolls to round 5.
+    # ---- everything below has an EARLIER green driver row but its
+    # implementation or oracle changed in round 4 (salted
+    # token_packing, first-match-band dedup_embedding, the
+    # recursive-CTE EWM / left-fold scorer oracles, log-return
+    # guards, rounding-quantum hardening). The list now exceeds the
+    # driver's 50-slot window; never-checked queries above take the
+    # slots, and this tail (old rows + full local sf0.01 sweeps —
+    # lowest re-check risk) rolls to the next round's window.
+    "token_packing", "dedup_embedding", "ewm_indicators",
+    "model_score", "log_returns", "volatility",
+    "returns_correlation", "cross_sectional_rank",
     "q1_pricing_summary", "q5_local_supplier", "q6_forecast_revenue",
     "q7_volume_shipping", "q19_discounted_revenue", "vwap",
     "price_features",

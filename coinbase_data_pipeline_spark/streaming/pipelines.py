@@ -254,3 +254,53 @@ def run_file_dedup_watermark_pipeline(spark: SparkSession, json_dir: str,
                .dropDuplicatesWithinWatermark(list(key_cols)))
     name = run_to_memory(deduped, output_mode="append")
     return spark.table(name)
+
+
+def run_file_touch_join_pipeline(spark: SparkSession, json_dir: str, *,
+                                 window_minutes: int = 30,
+                                 watermark: str | None = None,
+                                 max_files: int = 16) -> DataFrame:
+    """STREAM-STREAM interval join: purchases and view/click touches
+    arrive as two independent streams over the same replayed event
+    log, and every touch within `window_minutes` BEFORE a purchase
+    joins it — the join class (two unbounded sides, time-range
+    predicate, per-key state on both) that windowed aggregation and
+    stream-static joins don't exercise.
+
+    Event time travels as exact epoch microseconds in the wire JSON
+    (timestamp_micros on read) — no format parsing, no sub-second
+    truncation.
+
+    State note: with `watermark=None` both sides keep all state, so
+    the bounded replay is EXACTLY batch-equivalent (the oracle).
+    Production sets a watermark on both sides, which lets Spark evict
+    join state older than the window + delay — the standard
+    exactness-for-bounded-state trade, same contract as the
+    watermarked dedup variant above.
+    """
+    schema = "event_id long, ts_us long, user_id long, event_type string"
+
+    def src() -> DataFrame:
+        raw = (spark.readStream.schema(schema)
+               .option("maxFilesPerTrigger", max_files).json(json_dir))
+        return raw.withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+
+    p = (src().filter(F.col("event_type") == "purchase")
+         .select(F.col("event_id").alias("purchase_id"),
+                 F.col("user_id").alias("p_user"),
+                 F.col("ts").alias("p_ts")))
+    t = (src().filter(F.col("event_type").isin("view", "click"))
+         .select(F.col("user_id").alias("t_user"),
+                 F.col("ts").alias("touch_ts"),
+                 F.col("event_type").alias("touch_type")))
+    if watermark is not None:
+        p = p.withWatermark("p_ts", watermark)
+        t = t.withWatermark("touch_ts", watermark)
+    cond = F.expr(
+        f"p_user = t_user AND touch_ts <= p_ts "
+        f"AND touch_ts >= p_ts - INTERVAL {window_minutes} MINUTES")
+    j = (p.join(t, cond, "inner")
+         .select("purchase_id", F.col("p_user").alias("user_id"),
+                 "p_ts", "touch_type", "touch_ts"))
+    name = run_to_memory(j, output_mode="append")
+    return spark.table(name)
