@@ -120,6 +120,8 @@ HEADLINERS = [
     "drawdown_durations",
     "quantile_transform",
     "streaming_touch_join",
+    "event_paths",
+    "rfm_scores",
 ]
 
 # Per-query repetitions; the reported time is the MIN across runs.

@@ -7,7 +7,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..operators import candles as C
 from ..operators import sessions as S
@@ -432,6 +432,164 @@ WHERE trail_vol > 0 AND abs(log_return) > {ANOM_SIGMA} * trail_vol
 """
 
 
+# ------------------------------------------------------------ event paths
+
+PATH_N, PATH_TOP = 3, 25
+
+
+def q_event_paths(spark, sf_dir):
+    """Top common 3-step event-type paths within user sessions (the
+    clickstream path-mining table behind funnel design): each user's
+    events sort into 30-minute-gap sessions (the sessionize
+    machinery), every consecutive event-type trigram inside a session
+    counts once, top 25 paths by (count DESC, path) — deterministic
+    total order.
+
+    Plan: one shuffle on user for sessionization, per-(user, session)
+    sequences assemble via a sorted-struct fold (ts order is the
+    path), trigram explode is narrow, one count shuffle; the final
+    ranking window is global but runs over the path VOCABULARY
+    (≤ |event types|³ rows), not the event stream."""
+    from ..functions.timeutil import epoch_seconds
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    is_new = (prev.isNull()
+              | ((epoch_seconds(F.col("ts")) - epoch_seconds(prev))
+                 > 1800)).cast("long")
+    sess = (ev.withColumn("_new", is_new)
+            .withColumn("session_id", F.sum("_new").over(
+                w.rowsBetween(W.unboundedPreceding, 0))))
+    seq = (sess.groupBy("user_id", "session_id")
+           .agg(F.transform(
+               F.array_sort(F.collect_list(F.struct("ts", "event_id",
+                                                    "event_type"))),
+               lambda s: s.getField("event_type")).alias("_seq")))
+    last = F.size("_seq") - (PATH_N - 1)
+    idx = F.when(last >= 1, F.sequence(F.lit(1), last)) \
+           .otherwise(F.array().cast("array<int>"))
+    paths = (seq.select(F.explode(
+        F.transform(idx, lambda i: F.array_join(
+            F.slice(F.col("_seq"), i, PATH_N), ">"))).alias("path")))
+    ranked = (paths.groupBy("path")
+              .agg(F.count(F.lit(1)).alias("n_paths")))
+    w = Window.orderBy(F.col("n_paths").desc(), F.col("path"))
+    return (ranked.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= PATH_TOP))
+
+
+def _sql_event_paths() -> str:
+    return f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts - lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, ts, event_id, event_type,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS session_id
+  FROM flagged
+), seqs AS (
+  SELECT user_id, session_id,
+         list(event_type ORDER BY ts, event_id) AS seq
+  FROM sess GROUP BY user_id, session_id
+), paths AS (
+  SELECT unnest(list_transform(
+           generate_series(1, greatest(len(seq) - {PATH_N - 1}, 0)),
+           i -> array_to_string(seq[i:i+{PATH_N - 1}], '>'))) AS path
+  FROM seqs
+), ranked AS (
+  SELECT path, CAST(count(*) AS BIGINT) AS n_paths FROM paths
+  GROUP BY path
+)
+SELECT path, n_paths,
+       CAST(row_number() OVER (ORDER BY n_paths DESC, path) AS INT)
+         AS rank
+FROM ranked
+ORDER BY n_paths DESC, path
+LIMIT {PATH_TOP}
+"""
+
+
+SQL_EVENT_PATHS = _sql_event_paths()
+
+
+# ------------------------------------------------------------------- RFM
+
+def q_rfm_scores(spark, sf_dir):
+    """RFM customer segmentation over the event stream: per user,
+    Recency (days since last purchase, vs the corpus max ts),
+    Frequency (purchase count) and Monetary (2dp purchase value sum),
+    each scored into quintiles — the classic lifecycle-marketing
+    table. ntile ties break on user_id so both engines bucket
+    identically; one user shuffle + a broadcast scalar max. The
+    quintile windows are global rankings over the user RELATION
+    (users ≪ events — already one aggregated row per user); at
+    100 TB user counts, swap ntile for broadcast approx-quantile
+    thresholds (the approx_quantiles_hist machinery)."""
+    from ..functions.timeutil import epoch_micros
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase")
+    ref = p.agg(F.max("ts").alias("_ref"))
+    per = (p.groupBy("user_id")
+           .agg(F.max("ts").alias("last_ts"),
+                F.count(F.lit(1)).alias("frequency"),
+                (F.round(F.sum("value"), 2) + F.lit(0.0))
+                .alias("monetary")))
+    base = (per.crossJoin(F.broadcast(ref))
+            .select("user_id",
+                    ((epoch_micros(F.col("_ref"))
+                      - epoch_micros(F.col("last_ts")))
+                     / F.lit(86400_000_000)).cast("int")
+                    .alias("recency_days"),
+                    "frequency", "monetary"))
+    def n5(c: str, desc: bool):
+        order = [F.col(c).desc(), "user_id"] if desc \
+            else [F.col(c), "user_id"]
+        return F.ntile(5).over(Window.orderBy(*order))
+
+    return base.select(
+        "user_id", "recency_days", "frequency", "monetary",
+        n5("recency_days", False).cast("int").alias("r_score"),
+        n5("frequency", True).cast("int").alias("f_score"),
+        n5("monetary", True).cast("int").alias("m_score"))
+
+
+SQL_RFM_SCORES = """
+WITH p AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+), ref AS (
+  SELECT max(ts) AS r FROM p
+), per AS (
+  SELECT user_id, max(ts) AS last_ts,
+         CAST(count(*) AS BIGINT) AS frequency,
+         ROUND(CAST(sum(value) AS DOUBLE), 2) + 0 AS monetary
+  FROM p GROUP BY user_id
+), base AS (
+  SELECT user_id,
+         CAST(epoch_us(ref.r - last_ts) // 86400000000 AS INT)
+           AS recency_days,
+         frequency, monetary
+  FROM per CROSS JOIN ref
+)
+SELECT user_id, recency_days, frequency, monetary,
+       CAST(ntile(5) OVER (ORDER BY recency_days, user_id) AS INT)
+         AS r_score,
+       CAST(ntile(5) OVER (ORDER BY frequency DESC, user_id) AS INT)
+         AS f_score,
+       CAST(ntile(5) OVER (ORDER BY monetary DESC, user_id) AS INT)
+         AS m_score
+FROM base
+"""
+
+
 # ----------------------------------------------------- purchase attribution
 
 ATTR_WINDOW_US = 1800 * 1_000_000  # 30-minute last-touch window
@@ -723,6 +881,8 @@ SPARK_QUERIES_ANALYTICS: dict[
     "association_rules": q_association_rules,
     "approx_quantiles_hist": q_approx_quantiles_hist,
     "purchase_attribution": q_purchase_attribution,
+    "event_paths": q_event_paths,
+    "rfm_scores": q_rfm_scores,
 }
 
 ORACLE_SQL_ANALYTICS: dict[str, str] = {
@@ -743,4 +903,6 @@ ORACLE_SQL_ANALYTICS: dict[str, str] = {
     "association_rules": SQL_ASSOCIATION_RULES,
     "approx_quantiles_hist": SQL_APPROX_QUANTILES_HIST,
     "purchase_attribution": SQL_PURCHASE_ATTRIBUTION,
+    "event_paths": SQL_EVENT_PATHS,
+    "rfm_scores": SQL_RFM_SCORES,
 }

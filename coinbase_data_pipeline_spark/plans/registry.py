@@ -54,7 +54,8 @@ _CHECK_FIRST = [
     "approx_quantiles_hist", "trend_decompose", "graph_triangles",
     "heikin_ashi", "purchase_attribution", "embedding_quantize",
     "fixed_k_sample", "return_moments", "drawdown_durations",
-    "quantile_transform", "streaming_touch_join",
+    "quantile_transform", "streaming_touch_join", "event_paths",
+    "rfm_scores",
     # new operators in round 6 (each oracle-paired) — need first rows
     "dsir_weights", "knn_graph", "rolling_beta", "candle_patterns",
     "dataset_manifest", "bpe_train", "bpe_encode",
