@@ -122,6 +122,8 @@ HEADLINERS = [
     "streaming_touch_join",
     "event_paths",
     "rfm_scores",
+    "session_window_agg",
+    "donchian_channel",
 ]
 
 # Per-query repetitions; the reported time is the MIN across runs.

@@ -432,6 +432,57 @@ WHERE trail_vol > 0 AND abs(log_return) > {ANOM_SIGMA} * trail_vol
 """
 
 
+# -------------------------------------------------------- session windows
+
+def q_session_window_agg(spark, sf_dir):
+    """Per-user session aggregation via Spark's NATIVE
+    ``session_window`` (the engine's dynamic-gap window operator —
+    the declarative alternative to the hand-rolled lag+cumsum
+    sessionize, and the same operator Structured Streaming uses for
+    watermarked streaming sessionization): one groupBy produces
+    (user, session start/end, events, value sum).
+
+    Engine convention: session_window merges an event into the open
+    session when its gap to the previous event is STRICTLY below the
+    30-minute gap duration (end = last_event + gap, merge while
+    next < end) — one fencepost tighter than sessionize's `gap >
+    1800 starts new`; the oracle mirrors `>= 1800` exactly. Value
+    sums round 2dp."""
+    ev = load_table(spark, sf_dir, "events")
+    return (ev.groupBy("user_id",
+                       F.session_window("ts", "30 minutes").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 (F.round(F.sum("value"), 2) + F.lit(0.0))
+                 .alias("value_sum"))
+            .select("user_id",
+                    F.col("w.start").alias("session_start"),
+                    F.col("w.end").alias("session_end"),
+                    "n_events", "value_sum"))
+
+
+SQL_SESSION_WINDOW_AGG = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts - lag(ts) OVER w) >= 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sess AS (
+  SELECT user_id, ts, value,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS sid
+  FROM flagged
+)
+SELECT user_id, min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTES AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events,
+       ROUND(CAST(sum(value) AS DOUBLE), 2) + 0 AS value_sum
+FROM sess GROUP BY user_id, sid
+"""
+
+
 # ------------------------------------------------------------ event paths
 
 PATH_N, PATH_TOP = 3, 25
@@ -883,6 +934,7 @@ SPARK_QUERIES_ANALYTICS: dict[
     "purchase_attribution": q_purchase_attribution,
     "event_paths": q_event_paths,
     "rfm_scores": q_rfm_scores,
+    "session_window_agg": q_session_window_agg,
 }
 
 ORACLE_SQL_ANALYTICS: dict[str, str] = {
@@ -905,4 +957,5 @@ ORACLE_SQL_ANALYTICS: dict[str, str] = {
     "purchase_attribution": SQL_PURCHASE_ATTRIBUTION,
     "event_paths": SQL_EVENT_PATHS,
     "rfm_scores": SQL_RFM_SCORES,
+    "session_window_agg": SQL_SESSION_WINDOW_AGG,
 }

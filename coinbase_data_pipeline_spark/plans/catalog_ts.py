@@ -877,6 +877,66 @@ FROM rets WHERE ret IS NOT NULL
 """
 
 
+# --------------------------------------------------------- donchian channel
+
+DONCHIAN_W = 20
+
+
+def q_donchian_channel(spark, sf_dir):
+    """Donchian price channel per product: trailing 20-bucket
+    high/low channel + midline, with breakout flags against the
+    PREVIOUS bucket's channel (self-exclusive, so a new extreme
+    counts as a breakout). max/min are order-independent — the only
+    float arithmetic is the midline, a half-sum of identical doubles
+    rounded 6dp. One window family, single shuffle."""
+    c = candles(spark, sf_dir)
+    w1 = Window.partitionBy("product_id").orderBy("bucket_start")
+    w20 = w1.rowsBetween(-(DONCHIAN_W - 1), 0)
+    cnt = F.count(F.lit(1)).over(w20)
+    ch_high = F.when(cnt >= DONCHIAN_W, F.max("high").over(w20))
+    ch_low = F.when(cnt >= DONCHIAN_W, F.min("low").over(w20))
+    base = (c.select("product_id", "bucket_start", "high", "low",
+                     "close")
+            .withColumn("ch_high", ch_high)
+            .withColumn("ch_low", ch_low)
+            .drop("high", "low"))
+    prev_hi = F.lag("ch_high").over(w1)
+    prev_lo = F.lag("ch_low").over(w1)
+    return (base
+            .withColumn("ch_mid",
+                        F.round((F.col("ch_high") + F.col("ch_low"))
+                                / 2.0, RND) + F.lit(0.0))
+            .withColumn("breakout_up",
+                        F.when(prev_hi.isNotNull(),
+                               F.col("close") > prev_hi))
+            .withColumn("breakout_down",
+                        F.when(prev_lo.isNotNull(),
+                               F.col("close") < prev_lo)))
+
+
+SQL_DONCHIAN = SQL_BASE + f"""
+, ch AS (
+  SELECT product_id, bucket_start, close,
+         CASE WHEN count(*) OVER w20 >= {DONCHIAN_W}
+              THEN max(high) OVER w20 END AS ch_high,
+         CASE WHEN count(*) OVER w20 >= {DONCHIAN_W}
+              THEN min(low) OVER w20 END AS ch_low
+  FROM candles
+  WINDOW w20 AS (PARTITION BY product_id ORDER BY bucket_start
+                 ROWS BETWEEN {DONCHIAN_W - 1} PRECEDING
+                 AND CURRENT ROW)
+)
+SELECT product_id, bucket_start, close, ch_high, ch_low,
+       ROUND((ch_high + ch_low) / 2.0, 6) + 0 AS ch_mid,
+       CASE WHEN lag(ch_high) OVER w1 IS NOT NULL
+            THEN close > lag(ch_high) OVER w1 END AS breakout_up,
+       CASE WHEN lag(ch_low) OVER w1 IS NOT NULL
+            THEN close < lag(ch_low) OVER w1 END AS breakout_down
+FROM ch
+WINDOW w1 AS (PARTITION BY product_id ORDER BY bucket_start)
+"""
+
+
 # ---------------------------------------------------------- return moments
 
 def q_return_moments(spark, sf_dir):
@@ -1338,6 +1398,7 @@ SPARK_QUERIES_TS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "return_moments": q_return_moments,
     "drawdown_durations": q_drawdown_durations,
     "quantile_transform": q_quantile_transform,
+    "donchian_channel": q_donchian_channel,
 }
 
 ORACLE_SQL_TS: dict[str, str] = {
@@ -1369,4 +1430,5 @@ ORACLE_SQL_TS: dict[str, str] = {
     "return_moments": SQL_RETURN_MOMENTS,
     "drawdown_durations": SQL_DRAWDOWN_DURATIONS,
     "quantile_transform": SQL_QUANTILE_TRANSFORM,
+    "donchian_channel": SQL_DONCHIAN,
 }
