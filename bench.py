@@ -124,6 +124,8 @@ HEADLINERS = [
     "rfm_scores",
     "session_window_agg",
     "donchian_channel",
+    "hopping_volume",
+    "ann_range_search",
 ]
 
 # Per-query repetitions; the reported time is the MIN across runs.

@@ -598,3 +598,28 @@ def embedding_quantize(emb: DataFrame, *, id_col: str = "vec_id",
         hash60(F.array_join(
             F.transform(F.col("_codes"), lambda c: c.cast("string")),
             ",")).alias("codes_hash"))
+
+
+def range_search(corpus: DataFrame, queries: DataFrame, *,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 threshold: float = 0.2) -> DataFrame:
+    """Cosine RADIUS search: every corpus vector with cosine >=
+    `threshold` to each query vector (the all-neighbors-within-radius
+    API beside top-k — what near-dup thresholding and diversity
+    filters actually consume). Exact over a broadcast query side;
+    ranks within each result set by (cosine DESC, id) for a
+    deterministic order. At corpus-side scale the same predicate runs
+    over the banded hyperplane-LSH candidates instead (ann_lsh's
+    bucket join) — exactness then bounded by sketch recall.
+    """
+    c = _corpus_side(corpus, id_col, vec_col)
+    q = _query_side(queries, id_col, vec_col)
+    pairs = c.crossJoin(F.broadcast(q)).filter(
+        F.col("query_id") != F.col("nn_id"))
+    cos = _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+    scored = (pairs.withColumn("cosine", F.round(cos, 6))
+              .filter(F.col("cosine") >= threshold))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("nn_id"))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("int"))
+            .select("query_id", "nn_id", "cosine", "rank"))

@@ -1164,6 +1164,43 @@ FROM {prev} p JOIN deg d ON d.src = p.node
 SQL_DOC_PAGERANK = _sql_doc_pagerank()
 
 
+# ------------------------------------------------------------ range search
+
+RANGE_THRESHOLD = 0.2
+
+
+def q_ann_range_search(spark, sf_dir):
+    """Cosine radius search: all corpus neighbors with cosine >= 0.2
+    of each of 10 query vectors (the within-radius API beside
+    top-k); exact with a broadcast query side, LSH-bucketed at
+    corpus-side scale (see operators/ann.range_search)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ANN.range_search(emb, queries, threshold=RANGE_THRESHOLD)
+
+
+SQL_ANN_RANGE_SEARCH = f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+), n AS (
+  SELECT vec_id, vec, sqrt(list_inner_product(vec, vec)) AS nrm FROM v
+), q AS (
+  SELECT vec_id AS query_id, vec AS qv, nrm AS qn FROM n
+  WHERE vec_id < 10
+), scored AS (
+  SELECT q.query_id, n.vec_id AS nn_id,
+         ROUND(list_inner_product(q.qv, n.vec) / (q.qn * n.nrm), 6)
+           AS cosine
+  FROM n JOIN q ON q.query_id != n.vec_id
+)
+SELECT query_id, nn_id, cosine,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, nn_id) AS INT)
+         AS rank
+FROM scored WHERE cosine >= {RANGE_THRESHOLD}
+"""
+
+
 # --------------------------------------------------- embedding quantization
 
 def q_embedding_quantize(spark, sf_dir):
@@ -1498,6 +1535,7 @@ SPARK_QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_pagerank": q_doc_pagerank,
     "graph_triangles": q_graph_triangles,
     "embedding_quantize": q_embedding_quantize,
+    "ann_range_search": q_ann_range_search,
     "ann_ivfpq": q_ann_ivfpq,
 }
 
@@ -1537,5 +1575,6 @@ ORACLE_SQL_EXT: dict[str, str] = {
     "doc_pagerank": SQL_DOC_PAGERANK,
     "graph_triangles": SQL_GRAPH_TRIANGLES,
     "embedding_quantize": SQL_EMBEDDING_QUANTIZE,
+    "ann_range_search": SQL_ANN_RANGE_SEARCH,
     "ann_ivfpq": SQL_ANN_IVFPQ,
 }

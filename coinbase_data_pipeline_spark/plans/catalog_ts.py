@@ -877,6 +877,57 @@ FROM rets WHERE ret IS NOT NULL
 """
 
 
+# ---------------------------------------------------------- hopping windows
+
+HOP_WIN_MIN, HOP_SLIDE_MIN = 30, 10
+
+
+def q_hopping_volume(spark, sf_dir):
+    """Hopping-window (sliding) aggregation via Spark's native
+    ``window(ts, '30 minutes', '10 minutes')`` — the overlapping-
+    window operator class (each tick expands into exactly
+    window/slide = 3 rows via the Expand operator, then one
+    aggregation): per (product, window) tick count, order-exact
+    high/low, and the 6dp-rounded volume sum. The smoother
+    monitoring view a 5-min tumbling candle can't give.
+
+    Oracle: each tick belongs to the 3 slide-aligned windows ending
+    after it — generate_series(0,2) reproduces Spark's expansion
+    exactly."""
+    t = ticks(spark, sf_dir)
+    w = F.window("time", f"{HOP_WIN_MIN} minutes",
+                 f"{HOP_SLIDE_MIN} minutes")
+    return (t.groupBy("product_id", w.alias("w"))
+            .agg(F.count(F.lit(1)).alias("n_ticks"),
+                 F.max("price").alias("high"),
+                 F.min("price").alias("low"),
+                 (F.round(F.sum("volume"), RND) + F.lit(0.0))
+                 .alias("volume"))
+            .select("product_id",
+                    F.col("w.start").alias("window_start"),
+                    F.col("w.end").alias("window_end"),
+                    "n_ticks", "high", "low", "volume"))
+
+
+SQL_HOPPING_VOLUME = SQL_BASE + f"""
+, expanded AS (
+  SELECT product_id, price, volume,
+         time_bucket(INTERVAL '{HOP_SLIDE_MIN} minutes', time)
+           - k.k * INTERVAL '{HOP_SLIDE_MIN} minutes' AS window_start
+  FROM ticks,
+       unnest(generate_series(0, {HOP_WIN_MIN // HOP_SLIDE_MIN - 1}))
+         AS k(k)
+)
+SELECT product_id, window_start,
+       window_start + INTERVAL '{HOP_WIN_MIN} minutes' AS window_end,
+       CAST(count(*) AS BIGINT) AS n_ticks,
+       max(price) AS high, min(price) AS low,
+       ROUND(sum(volume), 6) + 0 AS volume
+FROM expanded
+GROUP BY product_id, window_start
+"""
+
+
 # --------------------------------------------------------- donchian channel
 
 DONCHIAN_W = 20
@@ -1399,6 +1450,7 @@ SPARK_QUERIES_TS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "drawdown_durations": q_drawdown_durations,
     "quantile_transform": q_quantile_transform,
     "donchian_channel": q_donchian_channel,
+    "hopping_volume": q_hopping_volume,
 }
 
 ORACLE_SQL_TS: dict[str, str] = {
@@ -1431,4 +1483,5 @@ ORACLE_SQL_TS: dict[str, str] = {
     "drawdown_durations": SQL_DRAWDOWN_DURATIONS,
     "quantile_transform": SQL_QUANTILE_TRANSFORM,
     "donchian_channel": SQL_DONCHIAN,
+    "hopping_volume": SQL_HOPPING_VOLUME,
 }
