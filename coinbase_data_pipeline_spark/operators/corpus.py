@@ -248,21 +248,27 @@ def boilerplate_ngrams(docs: DataFrame, *, n: int = 5,
     RefinedWeb/C4 line-dedup idea at n-gram granularity, which works
     on text without line structure).
 
-    Plan: explode per-doc distinct n-grams (narrow), one map-side-
-    combining groupBy(gram) for document frequency, join the gram
-    stream back on the gram key (the aggregate reuses the same hash
-    partitioning, so the join adds no extra exchange for that side),
-    then one groupBy(doc). No driver-side state; the gram dictionary
-    is never collected or broadcast, so corpus size is unbounded.
+    Plan: explode per-doc distinct n-grams (narrow) and immediately
+    fingerprint each gram to a hash60 LONG — the df groupBy and the
+    join back then shuffle 8-byte keys instead of ~n-word strings
+    (the dedup_spans recipe; ~2x less shuffle byte volume on this
+    query's two exchanges). A 60-bit collision would merge two grams'
+    df counts — the oracle shares the same fingerprints, so parity
+    is unaffected and the probability is vanishing at any corpus
+    size that fits an engine. One map-side-combining groupBy(gram_h)
+    for document frequency, join back on the long key, then one
+    groupBy(doc). No driver-side state; the gram dictionary is never
+    collected or broadcast, so corpus size is unbounded.
     """
-    grams = docs.select(
+    grams = (docs.select(
         F.col(id_col),
         F.explode(word_shingles(tokens(F.col(text_col)), n))
-        .alias("gram"))
+        .alias("_gram"))
+        .select(id_col, hash60(F.col("_gram"), "boiler").alias("gram_h")))
     # per-doc shingles are distinct (word_shingles) → count(docs) = df
-    df_counts = (grams.groupBy("gram")
+    df_counts = (grams.groupBy("gram_h")
                  .agg(F.count(F.lit(1)).alias("_df")))
-    per_doc = (grams.join(df_counts, "gram")
+    per_doc = (grams.join(df_counts, "gram_h")
                .groupBy(id_col)
                .agg(F.count(F.lit(1)).alias("n_grams"),
                     F.sum((F.col("_df") >= min_docs).cast("long"))

@@ -732,12 +732,17 @@ def containment_pairs(docs: DataFrame, *, n: int = 3,
 
     Scale: join keys are A's RAREST grams by construction, so the
     gram buckets that actually join are the small ones — the hub
-    grams every doc shares never become keys. One df groupBy, one
-    per-doc ranking window, one gram equi-join, exact verify on
-    re-attached gram arrays (the minhash_lsh_pairs lesson: arrays
-    attach after candidates). Oracle = the all-pairs SQL (lossless ⇒
-    identical results); a subset-doc pytest covers the asymmetric
-    case.
+    grams every doc shares never become keys. Every df/rank/join key
+    is the gram's hash60 LONG, not the n-word string (8-byte shuffle
+    keys — the dedup_spans recipe): the prefix filter is lossless
+    under ANY consistent gram ordering (pigeonhole over A's prefix,
+    B joins its full stream), so hash-collision-perturbed df ranks
+    cannot lose a pair, and spurious hash-equal candidates fall to
+    the exact verify. One df groupBy, one per-doc ranking window,
+    one gram equi-join, exact verify on re-attached STRING gram
+    arrays (the minhash_lsh_pairs lesson: arrays attach after
+    candidates). Oracle = the all-pairs SQL (lossless ⇒ identical
+    results); a subset-doc pytest covers the asymmetric case.
     """
     from pyspark.sql import Window
 
@@ -750,17 +755,19 @@ def containment_pairs(docs: DataFrame, *, n: int = 3,
     # the candidate join's b-side, and both verify attaches) — without
     # a checkpoint each one re-tokenizes and re-shingles the corpus
     base = _dense_spread(base, F.col("a_id")).localCheckpoint(eager=True)
-    grams = base.select("a_id", "sz", F.explode("g").alias("gram"))
-    dfc = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("_df"))
-    wd = Window.partitionBy("a_id").orderBy("_df", "gram")
-    ranked = (grams.join(dfc, "gram")
+    grams = (base.select("a_id", "sz", F.explode("g").alias("_gram"))
+             .select("a_id", "sz",
+                     hash60(F.col("_gram"), "cont").alias("gram_h")))
+    dfc = grams.groupBy("gram_h").agg(F.count(F.lit(1)).alias("_df"))
+    wd = Window.partitionBy("a_id").orderBy("_df", "gram_h")
+    ranked = (grams.join(dfc, "gram_h")
               .withColumn("_rn", F.row_number().over(wd)))
     # required shared = ceil(t * |A|), exactly, in integers
     required = -F.floor(F.lit(-t_num) * F.col("sz") / F.lit(t_den))
     prefix = ranked.filter(F.col("_rn") <= F.col("sz") - required + 1)
-    cand = (prefix.select("a_id", "gram")
-            .join(grams.select(F.col("a_id").alias("b_id"), "gram"),
-                  "gram")
+    cand = (prefix.select("a_id", "gram_h")
+            .join(grams.select(F.col("a_id").alias("b_id"), "gram_h"),
+                  "gram_h")
             .filter(F.col("a_id") != F.col("b_id"))
             .select("a_id", "b_id")
             .dropDuplicates(["a_id", "b_id"]))

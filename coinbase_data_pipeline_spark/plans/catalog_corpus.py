@@ -220,14 +220,15 @@ SQL_BOILERPLATE = f"""
 WITH toked AS (
   SELECT doc_id, {SQL_TOKS_ALL} AS toks FROM documents
 ), grams AS (
-  SELECT doc_id, unnest({_SQL_BGRAM}) AS gram FROM toked
+  SELECT doc_id, {sql_hash60('gram', 'boiler')} AS gram_h
+  FROM (SELECT doc_id, unnest({_SQL_BGRAM}) AS gram FROM toked)
 ), dfq AS (
-  SELECT gram, count(*) AS df FROM grams GROUP BY gram
+  SELECT gram_h, count(*) AS df FROM grams GROUP BY gram_h
 ), per_doc AS (
   SELECT g.doc_id, count(*) AS n_grams,
          sum(CASE WHEN dfq.df >= {BOILER_MIN_DOCS} THEN 1 ELSE 0 END)
            AS dup_grams
-  FROM grams g JOIN dfq USING (gram) GROUP BY g.doc_id
+  FROM grams g JOIN dfq USING (gram_h) GROUP BY g.doc_id
 )
 SELECT d.doc_id,
        CAST(coalesce(p.n_grams, 0) AS BIGINT) AS n_grams,

@@ -54,6 +54,22 @@ PICKS = [
      "bucket-keyed market mean joins back into the per-key windows"),
     ("quality_classifier_scores",
      "GD rounds: broadcast weights, doc-keyed folds, tiny grads"),
+    ("dedup_spans",
+     "scalar gram-hash equi-join; gram strings never shuffle"),
+    ("graph_triangles",
+     "degree-oriented wedge joins over the checkpointed edge list"),
+    ("sales_rollup",
+     "ROLLUP via one Expand + single aggregation, no re-scans"),
+    ("hopping_volume",
+     "overlapping windows via Expand, one partial-agg exchange"),
+    ("approx_quantiles_hist",
+     "one-pass binned sketch; broadcast bounds; tiny cum window"),
+    ("fixed_k_sample",
+     "hash-gate prefilter bounds the per-stratum ranking window"),
+    ("purchase_attribution",
+     "linear as-of: one user exchange, one ordered fill pass"),
+    ("bm25_search",
+     "broadcast query terms; df restricted to query vocabulary"),
 ]
 
 

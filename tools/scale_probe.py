@@ -81,6 +81,13 @@ def corpus_times(spark, mult: int) -> dict[str, float]:
         ("bpe_train", lambda: CP.bpe_train(corpus)),
         ("quality_classifier",
          lambda: TS.quality_classifier(corpus)[1]),
+        # graph_triangles is deliberately absent: the probe corpus
+        # multiplies near-dup CLIQUES, so triangle COUNT (and thus
+        # any exact enumerator's floor) grows ~cubically by
+        # construction — the curve would measure output volume, not
+        # plan quality. Its scale evidence is the degree-ordered
+        # orientation (O(m^1.5) wedge bound, operators/dedup.py).
+        ("dedup_spans", lambda: DD.repeated_spans(corpus)),
     ]:
         t0 = time.time()
         df = fn()
