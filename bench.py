@@ -126,6 +126,7 @@ HEADLINERS = [
     "donchian_channel",
     "hopping_volume",
     "ann_range_search",
+    "csv_ingest",
 ]
 
 # Per-query repetitions; the reported time is the MIN across runs.

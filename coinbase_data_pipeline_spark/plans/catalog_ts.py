@@ -877,6 +877,68 @@ FROM rets WHERE ret IS NOT NULL
 """
 
 
+# -------------------------------------------------------------- CSV source
+
+def q_csv_ingest(spark, sf_dir):
+    """CSV source round-trip — the one built-in columnar-text source
+    the other ingest paths (parquet, JSON wire) don't exercise: ticks
+    export to headered CSV (event time as exact epoch-µs longs — CSV
+    has no timestamp type worth trusting), re-ingest with an explicit
+    schema in FAILFAST mode (schema drift must error, not
+    silently null), then the standard candle aggregation. Oracle:
+    the round trip must reproduce the batch candle relation exactly.
+    """
+    import os
+    import shutil
+    import uuid
+
+    from ..functions.timeutil import epoch_micros
+
+    tmp_root = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))), ".tmp")
+    csv_dir = os.path.join(tmp_root, f"csv-{uuid.uuid4().hex[:8]}")
+    try:
+        t = ticks(spark, sf_dir)
+        (t.select("product_id",
+                  epoch_micros(F.col("time")).alias("time_us"),
+                  "price", "volume", "event_id")
+         .write.mode("overwrite").option("header", True).csv(csv_dir))
+        schema = ("product_id string, time_us long, price double, "
+                  "volume double, event_id long")
+        back = (spark.read.schema(schema)
+                .option("header", True).option("mode", "FAILFAST")
+                .csv(csv_dir)
+                .select("product_id",
+                        F.timestamp_micros(F.col("time_us"))
+                        .alias("time"),
+                        "price", "volume", "event_id"))
+        out = (back.groupBy(
+            "product_id",
+            F.window("time", "5 minutes")["start"].alias("bucket_start"))
+            .agg(F.min_by("price", "time").alias("open"),
+                 F.max("price").alias("high"),
+                 F.min("price").alias("low"),
+                 F.max_by("price", "time").alias("close"),
+                 F.count(F.lit(1)).alias("n_ticks"),
+                 (F.round(F.sum("volume"), RND) + F.lit(0.0))
+                 .alias("volume")))
+        # materialize BEFORE the temp CSV is removed — the batch read
+        # is lazy, unlike the streaming harness's memory sink
+        return (_round(out, ["open", "high", "low", "close"])
+                .localCheckpoint(eager=True))
+    finally:
+        shutil.rmtree(csv_dir, ignore_errors=True)
+
+
+SQL_CSV_INGEST = SQL_BASE + """
+SELECT product_id, bucket_start,
+       ROUND(open, 6) + 0 AS open, ROUND(high, 6) + 0 AS high,
+       ROUND(low, 6) + 0 AS low, ROUND(close, 6) + 0 AS close,
+       n_ticks, ROUND(volume, 6) + 0 AS volume
+FROM candles
+"""
+
+
 # ---------------------------------------------------------- hopping windows
 
 HOP_WIN_MIN, HOP_SLIDE_MIN = 30, 10
@@ -1451,6 +1513,7 @@ SPARK_QUERIES_TS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quantile_transform": q_quantile_transform,
     "donchian_channel": q_donchian_channel,
     "hopping_volume": q_hopping_volume,
+    "csv_ingest": q_csv_ingest,
 }
 
 ORACLE_SQL_TS: dict[str, str] = {
@@ -1484,4 +1547,5 @@ ORACLE_SQL_TS: dict[str, str] = {
     "quantile_transform": SQL_QUANTILE_TRANSFORM,
     "donchian_channel": SQL_DONCHIAN,
     "hopping_volume": SQL_HOPPING_VOLUME,
+    "csv_ingest": SQL_CSV_INGEST,
 }

@@ -91,8 +91,14 @@ def corpus_times(spark, mult: int) -> dict[str, float]:
     ]:
         t0 = time.time()
         df = fn()
-        rows = df.count()
-        out[name] = (round(time.time() - t0, 2), rows)
+        # bench.py's materialization: a bare count() lets Catalyst
+        # ELIMINATE non-duplicating left joins and unreferenced
+        # projections (dedup_spans timed 0.2s under count() vs ~6s
+        # real) — hashing every column forces full evaluation
+        row = df.agg(F.count(F.lit(1)).alias("n"),
+                     F.bit_xor(F.xxhash64(*df.columns)).alias("h")
+                     ).collect()[0]
+        out[name] = (round(time.time() - t0, 2), row["n"])
     return out
 
 
