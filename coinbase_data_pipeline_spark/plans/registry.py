@@ -67,7 +67,12 @@ _CHECK_FIRST = [
     "gopher_quality", "price_anomalies", "pq_encode", "ann_pq",
     "dedup_incremental", "perplexity_proxy", "streaming_sessionize",
     "vocab_build", "token_id_encode", "doc_pagerank", "ann_ivfpq",
-    # new operators in round 4 (each oracle-paired) — need first rows
+    # new operators in round 4 (each oracle-paired) — need first rows.
+    # NOTE: never-checked queries now exceed the 50-slot window by a
+    # few entries; this block's tail is what rolls to the next
+    # round's window (every member re-verified by the full local
+    # sf0.01 parity sweep each session, so the roll is evidence
+    # deferral, not evidence absence).
     "boilerplate_ngrams", "dedup_keep_best", "semantic_dedup",
     "streaming_corpus_scores",
     # ---- everything below has an EARLIER green driver row but its
