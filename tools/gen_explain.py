@@ -70,6 +70,10 @@ PICKS = [
      "linear as-of: one user exchange, one ordered fill pass"),
     ("bm25_search",
      "broadcast query terms; df restricted to query vocabulary"),
+    ("boilerplate_ngrams",
+     "df + join keyed by 8-byte gram hash, never the gram string"),
+    ("dedup_containment",
+     "prefix-filter join on hashed rarest grams; verify on arrays"),
 ]
 
 
