@@ -1138,3 +1138,35 @@ def test_fixed_k_sample_exact_counts_and_definition(spark):
                 .orderBy("h", "doc_id").limit(k).collect())
         ref |= {(lang, r.doc_id) for r in rows}
     assert {(r.lang, r.doc_id) for r in out} == ref
+
+
+def test_repeated_spans_exact_duplicate_full_coverage(spark):
+    """A doc with an exact duplicate must be 100% span-covered
+    (every window repeats), and coverage never exceeds n_tokens."""
+    from coinbase_data_pipeline_spark.operators.dedup import repeated_spans
+
+    text = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+            "juliett kilo lima")
+    docs = spark.createDataFrame(
+        [(1, text), (2, text),
+         (3, "mike november oscar papa quebec romeo sierra tango")],
+        ["doc_id", "text"])
+    out = {r.doc_id: r for r in repeated_spans(docs, k=5).collect()}
+    assert out[1].dup_tokens == out[1].n_tokens == 12
+    assert out[1].dup_frac == 1.0
+    for r in out.values():
+        assert r.dup_tokens <= r.n_tokens
+        assert r.n_dup_spans <= max(r.n_tokens - 4, 0)
+
+
+def test_hopping_volume_expansion_invariant(spark):
+    """Every tick lands in exactly window/slide = 3 hopping windows,
+    so the window-level tick counts sum to 3x the tick count."""
+    from coinbase_data_pipeline_spark.plans.catalog import ticks
+    from coinbase_data_pipeline_spark.plans.catalog_ts import (
+        q_hopping_volume)
+
+    total = ticks(spark, SF).count()
+    s = (q_hopping_volume(spark, SF)
+         .agg(F.sum("n_ticks")).collect()[0][0])
+    assert s == 3 * total
