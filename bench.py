@@ -127,6 +127,8 @@ HEADLINERS = [
     "hopping_volume",
     "ann_range_search",
     "csv_ingest",
+    "sales_cube",
+    "streaming_hopping",
 ]
 
 # Per-query repetitions; the reported time is the MIN across runs.

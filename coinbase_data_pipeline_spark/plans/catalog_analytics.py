@@ -913,6 +913,40 @@ GROUP BY ROLLUP(year(l_shipdate), l_returnflag)
 """
 
 
+# ---------------------------------------------------------------- OLAP cube
+
+def q_sales_cube(spark, sf_dir):
+    """Full CUBE over (returnflag, linestatus): all four grouping-set
+    levels — the cross-tab companion to sales_rollup's hierarchy
+    (ROLLUP emits the prefix lattice, CUBE the full powerset; both
+    are ONE Expand + one aggregation in Spark, never per-level
+    re-scans). 2dp money sums, grouping_id level marker."""
+    li = load_table(spark, sf_dir, "lineitem")
+    df = li.select(
+        "l_returnflag", "l_linestatus", "l_quantity",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .alias("_rev"))
+    return (df.cube("l_returnflag", "l_linestatus")
+            .agg(F.count(F.lit(1)).alias("n_items"),
+                 (F.round(F.sum("l_quantity"), 2) + F.lit(0.0))
+                 .alias("sum_qty"),
+                 (F.round(F.sum("_rev"), 2) + F.lit(0.0))
+                 .alias("revenue"),
+                 F.grouping_id().cast("int").alias("grouping_level")))
+
+
+SQL_SALES_CUBE = """
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n_items,
+       ROUND(CAST(sum(l_quantity) AS DOUBLE), 2) + 0 AS sum_qty,
+       ROUND(sum(l_extendedprice * (1 - l_discount)), 2) + 0 AS revenue,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS INT)
+         AS grouping_level
+FROM lineitem
+GROUP BY CUBE(l_returnflag, l_linestatus)
+"""
+
+
 SPARK_QUERIES_ANALYTICS: dict[
         str, Callable[[SparkSession, str], DataFrame]] = {
     "sessionize": q_sessionize,
@@ -935,6 +969,7 @@ SPARK_QUERIES_ANALYTICS: dict[
     "event_paths": q_event_paths,
     "rfm_scores": q_rfm_scores,
     "session_window_agg": q_session_window_agg,
+    "sales_cube": q_sales_cube,
 }
 
 ORACLE_SQL_ANALYTICS: dict[str, str] = {
@@ -958,4 +993,5 @@ ORACLE_SQL_ANALYTICS: dict[str, str] = {
     "event_paths": SQL_EVENT_PATHS,
     "rfm_scores": SQL_RFM_SCORES,
     "session_window_agg": SQL_SESSION_WINDOW_AGG,
+    "sales_cube": SQL_SALES_CUBE,
 }

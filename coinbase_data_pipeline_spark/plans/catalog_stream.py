@@ -316,6 +316,40 @@ JOIN last l ON s.user_id = l.user_id AND s.session_no < l.last_no
 """
 
 
+# ------------------------------------------------------- hopping windows
+
+def q_streaming_hopping(spark, sf_dir):
+    """Hopping windows on the STREAM engine: every replayed tick
+    updates three concurrent window states (window/slide overlapping
+    aggregation — the streaming state shape tumbling candles never
+    touch); result must equal the batch expansion (the oracle)."""
+    from ..streaming.pipelines import run_file_hopping_pipeline
+
+    replay_dir = os.path.join(_TMP_ROOT, f"hop-{uuid.uuid4().hex[:8]}")
+    try:
+        wire = ticker_wire_json(ticks(spark, sf_dir))
+        wire.write.mode("overwrite").text(replay_dir)
+        return run_file_hopping_pipeline(spark, replay_dir)
+    finally:
+        shutil.rmtree(replay_dir, ignore_errors=True)
+
+
+SQL_STREAMING_HOPPING = SQL_BASE + """
+, expanded AS (
+  SELECT product_id, price,
+         time_bucket(INTERVAL '10 minutes', time)
+           - k.k * INTERVAL '10 minutes' AS window_start
+  FROM ticks, unnest(generate_series(0, 2)) AS k(k)
+)
+SELECT product_id, window_start,
+       window_start + INTERVAL '30 minutes' AS window_end,
+       CAST(count(*) AS BIGINT) AS n_ticks,
+       max(price) AS high, min(price) AS low
+FROM expanded
+GROUP BY product_id, window_start
+"""
+
+
 # ------------------------------------------------------ stream-stream join
 
 TOUCH_WINDOW_MIN = 30
@@ -368,6 +402,7 @@ SPARK_QUERIES_STREAM: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_sessionize": q_streaming_sessionize,
     "streaming_classifier_scores": q_streaming_classifier_scores,
     "streaming_touch_join": q_streaming_touch_join,
+    "streaming_hopping": q_streaming_hopping,
 }
 
 ORACLE_SQL_STREAM: dict[str, str] = {
@@ -380,4 +415,5 @@ ORACLE_SQL_STREAM: dict[str, str] = {
     "streaming_sessionize": SQL_STREAMING_SESSIONIZE,
     "streaming_classifier_scores": _sql_streaming_classifier(),
     "streaming_touch_join": SQL_STREAMING_TOUCH_JOIN,
+    "streaming_hopping": SQL_STREAMING_HOPPING,
 }

@@ -56,7 +56,8 @@ _CHECK_FIRST = [
     "fixed_k_sample", "return_moments", "drawdown_durations",
     "quantile_transform", "streaming_touch_join", "event_paths",
     "rfm_scores", "session_window_agg", "donchian_channel",
-    "hopping_volume", "ann_range_search", "csv_ingest",
+    "hopping_volume", "ann_range_search", "csv_ingest", "sales_cube",
+    "streaming_hopping",
     # new operators in round 6 (each oracle-paired) — need first rows
     "dsir_weights", "knn_graph", "rolling_beta", "candle_patterns",
     "dataset_manifest", "bpe_train", "bpe_encode",

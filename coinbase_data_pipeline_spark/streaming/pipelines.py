@@ -304,3 +304,29 @@ def run_file_touch_join_pipeline(spark: SparkSession, json_dir: str, *,
                  "p_ts", "touch_type", "touch_ts"))
     name = run_to_memory(j, output_mode="append")
     return spark.table(name)
+
+
+def run_file_hopping_pipeline(spark: SparkSession, json_dir: str, *,
+                              win: str = "30 minutes",
+                              slide: str = "10 minutes",
+                              max_files: int = 16) -> DataFrame:
+    """OVERLAPPING (hopping) windows on the real stream engine: the
+    ticker replay aggregated into window/slide concurrent windows per
+    event — unlike tumbling candles, every tick updates THREE open
+    window states at once, the streaming state shape the batch
+    Expand-based hopping_volume never exercises. Complete-mode memory
+    sink for the bounded replay; production would watermark and
+    append."""
+    raw = file_ticker_source(spark, json_dir, max_files=max_files)
+    parsed = ticker_pipeline(raw)
+    agg = (parsed.groupBy(F.col("product_id"),
+                          F.window("time", win, slide).alias("w"))
+           .agg(F.count(F.lit(1)).alias("n_ticks"),
+                F.max("price").alias("high"),
+                F.min("price").alias("low")))
+    out = agg.select("product_id",
+                     F.col("w.start").alias("window_start"),
+                     F.col("w.end").alias("window_end"),
+                     "n_ticks", "high", "low")
+    name = run_to_memory(out, output_mode="complete")
+    return spark.table(name)
