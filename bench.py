@@ -129,6 +129,7 @@ HEADLINERS = [
     "csv_ingest",
     "sales_cube",
     "streaming_hopping",
+    "volume_profile",
 ]
 
 # Per-query repetitions; the reported time is the MIN across runs.

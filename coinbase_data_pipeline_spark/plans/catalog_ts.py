@@ -877,6 +877,78 @@ FROM rets WHERE ret IS NOT NULL
 """
 
 
+# ------------------------------------------------------------ volume profile
+
+VP_BINS = 20
+
+
+def q_volume_profile(spark, sf_dir):
+    """Market-profile volume histogram per product: close-price range
+    split into 20 equal bins, per-bin traded volume + bucket count,
+    and the is_poc flag on the point of control (the highest-volume
+    bin — deterministic argmax via (volume, bin) struct max). The
+    where-does-volume-cluster view behind support/resistance levels.
+    One stats aggregate broadcast back + one binned aggregate."""
+    c = candles(spark, sf_dir)
+    bounds = (c.groupBy("product_id")
+              .agg(F.min("close").alias("lo"), F.max("close").alias("hi")))
+    bin_expr = F.when(
+        F.col("hi") > F.col("lo"),
+        F.least(F.lit(VP_BINS - 1),
+                F.floor((F.col("close") - F.col("lo"))
+                        / (F.col("hi") - F.col("lo")) * VP_BINS)
+                .cast("int"))).otherwise(F.lit(0))
+    binned = (c.join(F.broadcast(bounds), "product_id")
+              .select("product_id", "lo", "hi",
+                      bin_expr.alias("bin"), "volume")
+              .groupBy("product_id", "lo", "hi", "bin")
+              .agg(F.count(F.lit(1)).alias("n_buckets"),
+                   (F.round(F.sum("volume"), RND) + F.lit(0.0))
+                   .alias("bin_volume")))
+    w = Window.partitionBy("product_id")
+    poc = F.max(F.struct("bin_volume", "bin")).over(w)
+    return (binned
+            .withColumn("is_poc",
+                        (F.col("bin_volume") == poc.getField("bin_volume"))
+                        & (F.col("bin") == poc.getField("bin")))
+            .select("product_id", "bin",
+                    (F.round(F.col("lo") + F.col("bin")
+                             * (F.col("hi") - F.col("lo")) / VP_BINS,
+                             RND) + F.lit(0.0)).alias("bin_low"),
+                    "n_buckets", "bin_volume", "is_poc"))
+
+
+SQL_VOLUME_PROFILE = SQL_BASE + f"""
+, bounds AS (
+  SELECT product_id, min(close) AS lo, max(close) AS hi
+  FROM candles GROUP BY product_id
+), binned AS (
+  SELECT c.product_id, b.lo, b.hi,
+         CASE WHEN b.hi > b.lo
+              THEN least({VP_BINS - 1},
+                         CAST(floor((c.close - b.lo) / (b.hi - b.lo)
+                                    * {VP_BINS}) AS INT))
+              ELSE 0 END AS bin,
+         c.volume
+  FROM candles c JOIN bounds b USING (product_id)
+), agg AS (
+  SELECT product_id, lo, hi, bin,
+         CAST(count(*) AS BIGINT) AS n_buckets,
+         ROUND(sum(volume), 6) + 0 AS bin_volume
+  FROM binned GROUP BY product_id, lo, hi, bin
+), poc AS (
+  SELECT product_id, max(struct_pack(v := bin_volume, b := bin)) AS m
+  FROM agg GROUP BY product_id
+)
+SELECT a.product_id, a.bin,
+       ROUND(a.lo + a.bin * (a.hi - a.lo) / {VP_BINS}, 6) + 0
+         AS bin_low,
+       a.n_buckets, a.bin_volume,
+       (a.bin_volume = p.m.v AND a.bin = p.m.b) AS is_poc
+FROM agg a JOIN poc p ON p.product_id = a.product_id
+"""
+
+
 # -------------------------------------------------------------- CSV source
 
 def q_csv_ingest(spark, sf_dir):
@@ -1514,6 +1586,7 @@ SPARK_QUERIES_TS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "donchian_channel": q_donchian_channel,
     "hopping_volume": q_hopping_volume,
     "csv_ingest": q_csv_ingest,
+    "volume_profile": q_volume_profile,
 }
 
 ORACLE_SQL_TS: dict[str, str] = {
@@ -1548,4 +1621,5 @@ ORACLE_SQL_TS: dict[str, str] = {
     "donchian_channel": SQL_DONCHIAN,
     "hopping_volume": SQL_HOPPING_VOLUME,
     "csv_ingest": SQL_CSV_INGEST,
+    "volume_profile": SQL_VOLUME_PROFILE,
 }
