@@ -130,6 +130,9 @@ HEADLINERS = [
     "sales_cube",
     "streaming_hopping",
     "volume_profile",
+    "keltner_channel",
+    "pivot_points",
+    "mfi",
 ]
 
 # Per-query repetitions; the reported time is the MIN across runs.

@@ -877,6 +877,189 @@ FROM rets WHERE ret IS NOT NULL
 """
 
 
+# ---------------------------------------------------------- keltner channel
+
+KC_MA, KC_ATR, KC_MULT = 20, 10, 2.0
+
+
+def q_keltner_channel(spark, sf_dir):
+    """Keltner channel (SMA basis): MA(20) of typical price ± 2×
+    ATR(10) — the volatility-width companion to bollinger's σ-width
+    and donchian's range-width; all three share the one-window-family
+    plan. Typical price (H+L+C)/3 is identical-per-row arithmetic;
+    full windows only (NULL edges); 6dp rounding at the boundary."""
+    c = candles(spark, sf_dir)
+    w1 = Window.partitionBy("product_id").orderBy("bucket_start")
+    tp = (F.col("high") + F.col("low") + F.col("close")) / 3.0
+    prev_close = F.lag("close").over(w1)
+    tr = F.greatest(F.col("high") - F.col("low"),
+                    F.abs(F.col("high") - prev_close),
+                    F.abs(F.col("low") - prev_close))
+    base = c.select("product_id", "bucket_start", "close",
+                    tp.alias("_tp"), tr.alias("_tr"))
+    wm = w1.rowsBetween(-(KC_MA - 1), 0)
+    wa = w1.rowsBetween(-(KC_ATR - 1), 0)
+    mid = F.when(F.count(F.lit(1)).over(wm) >= KC_MA,
+                 F.avg("_tp").over(wm))
+    atr = F.when(F.count("_tr").over(wa) >= KC_ATR,
+                 F.avg("_tr").over(wa))
+    out = base.select(
+        "product_id", "bucket_start", "close",
+        (F.round(mid, RND) + F.lit(0.0)).alias("kc_mid"),
+        (F.round(mid + KC_MULT * atr, RND) + F.lit(0.0)).alias("kc_upper"),
+        (F.round(mid - KC_MULT * atr, RND) + F.lit(0.0)).alias("kc_lower"))
+    return out
+
+
+SQL_KELTNER = SQL_BASE + f"""
+, base AS (
+  SELECT product_id, bucket_start, close,
+         (high + low + close) / 3.0 AS tp,
+         greatest(high - low,
+                  abs(high - lag(close) OVER w1),
+                  abs(low - lag(close) OVER w1)) AS tr
+  FROM candles
+  WINDOW w1 AS (PARTITION BY product_id ORDER BY bucket_start)
+), ch AS (
+  SELECT product_id, bucket_start, close,
+         CASE WHEN count(*) OVER wm >= {KC_MA}
+              THEN avg(tp) OVER wm END AS mid,
+         CASE WHEN count(tr) OVER wa >= {KC_ATR}
+              THEN avg(tr) OVER wa END AS atr
+  FROM base
+  WINDOW wm AS (PARTITION BY product_id ORDER BY bucket_start
+                ROWS BETWEEN {KC_MA - 1} PRECEDING AND CURRENT ROW),
+         wa AS (PARTITION BY product_id ORDER BY bucket_start
+                ROWS BETWEEN {KC_ATR - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT product_id, bucket_start, close,
+       ROUND(mid, 6) + 0 AS kc_mid,
+       ROUND(mid + {KC_MULT} * atr, 6) + 0 AS kc_upper,
+       ROUND(mid - {KC_MULT} * atr, 6) + 0 AS kc_lower
+FROM ch
+"""
+
+
+# ------------------------------------------------------------- pivot points
+
+def q_pivot_points(spark, sf_dir):
+    """Classic floor-trader pivot levels per product per day, from the
+    PREVIOUS day's OHLC: P=(H+L+C)/3, R1=2P−L, S1=2P−H, R2=P+(H−L),
+    S2=P−(H−L) — the support/resistance grid desks quote daily. One
+    per-(product, day) aggregate + one lag window; open/close via
+    deterministic struct min/max keyed by bucket time."""
+    c = candles(spark, sf_dir)
+    day = F.date_trunc("day", F.col("bucket_start")).alias("day")
+    daily = (c.groupBy("product_id", day)
+             .agg(F.max("high").alias("h"), F.min("low").alias("l"),
+                  F.max(F.struct("bucket_start", "close")).alias("_c"))
+             .select("product_id", "day", "h", "l",
+                     F.col("_c.close").alias("c")))
+    w = Window.partitionBy("product_id").orderBy("day")
+    ph = F.lag("h").over(w)
+    pl = F.lag("l").over(w)
+    pc = F.lag("c").over(w)
+    p = (ph + pl + pc) / 3.0
+    return (daily.select(
+        "product_id", "day",
+        (F.round(p, RND) + F.lit(0.0)).alias("pivot"),
+        (F.round(2 * p - pl, RND) + F.lit(0.0)).alias("r1"),
+        (F.round(2 * p - ph, RND) + F.lit(0.0)).alias("s1"),
+        (F.round(p + (ph - pl), RND) + F.lit(0.0)).alias("r2"),
+        (F.round(p - (ph - pl), RND) + F.lit(0.0)).alias("s2")))
+
+
+SQL_PIVOT_POINTS = SQL_BASE + """
+, daily AS (
+  -- CAST: DuckDB date_trunc('day') yields DATE; Spark's yields
+  -- TIMESTAMP — align the types or the value-hash strings differ
+  SELECT product_id,
+         CAST(date_trunc('day', bucket_start) AS TIMESTAMP) AS day,
+         max(high) AS h, min(low) AS l,
+         max(struct_pack(t := bucket_start, c := close)).c AS c
+  FROM candles GROUP BY 1, 2
+), lagged AS (
+  SELECT product_id, day,
+         lag(h) OVER w AS ph, lag(l) OVER w AS pl, lag(c) OVER w AS pc
+  FROM daily
+  WINDOW w AS (PARTITION BY product_id ORDER BY day)
+)
+SELECT product_id, day,
+       ROUND((ph + pl + pc) / 3.0, 6) + 0 AS pivot,
+       ROUND(2 * ((ph + pl + pc) / 3.0) - pl, 6) + 0 AS r1,
+       ROUND(2 * ((ph + pl + pc) / 3.0) - ph, 6) + 0 AS s1,
+       ROUND((ph + pl + pc) / 3.0 + (ph - pl), 6) + 0 AS r2,
+       ROUND((ph + pl + pc) / 3.0 - (ph - pl), 6) + 0 AS s2
+FROM lagged
+"""
+
+
+# --------------------------------------------------------- money flow index
+
+MFI_W = 14
+
+
+def q_mfi(spark, sf_dir):
+    """Money Flow Index (SMA formulation): volume-weighted RSI over
+    typical-price money flow — raw flow = tp × volume signed by the
+    tp delta, MFI = 100 − 100/(1 + Σpos/Σneg) over a 14-bucket
+    window. All-positive windows → 100 (the RSI convention); full
+    windows only. The money sums are windowed sums of
+    engine-identical doubles in frame order, rounded at the
+    boundary."""
+    c = candles(spark, sf_dir)
+    w1 = Window.partitionBy("product_id").orderBy("bucket_start")
+    tp = (F.col("high") + F.col("low") + F.col("close")) / 3.0
+    base = c.select("product_id", "bucket_start", tp.alias("_tp"),
+                    "volume")
+    dtp = F.col("_tp") - F.lag("_tp").over(w1)
+    flow = F.col("_tp") * F.col("volume")
+    flagged = base.select(
+        "product_id", "bucket_start",
+        F.when(dtp > 0, flow).otherwise(
+            F.when(dtp.isNotNull(), F.lit(0.0))).alias("_pos"),
+        F.when(dtp < 0, flow).otherwise(
+            F.when(dtp.isNotNull(), F.lit(0.0))).alias("_neg"))
+    wn = w1.rowsBetween(-(MFI_W - 1), 0)
+    cnt = F.count("_pos").over(wn)
+    pos = F.sum("_pos").over(wn)
+    neg = F.sum("_neg").over(wn)
+    mfi = F.when(cnt >= MFI_W,
+                 F.when(neg == 0, F.lit(100.0))
+                 .otherwise(100.0 - 100.0 / (1.0 + pos / neg)))
+    return flagged.select(
+        "product_id", "bucket_start",
+        (F.round(mfi, RND) + F.lit(0.0)).alias("mfi"))
+
+
+SQL_MFI = SQL_BASE + f"""
+, base AS (
+  SELECT product_id, bucket_start,
+         (high + low + close) / 3.0 AS tp, volume
+  FROM candles
+), flagged AS (
+  SELECT product_id, bucket_start,
+         CASE WHEN tp - lag(tp) OVER w1 > 0 THEN tp * volume
+              WHEN tp - lag(tp) OVER w1 IS NOT NULL THEN 0.0
+         END AS pos,
+         CASE WHEN tp - lag(tp) OVER w1 < 0 THEN tp * volume
+              WHEN tp - lag(tp) OVER w1 IS NOT NULL THEN 0.0
+         END AS neg
+  FROM base
+  WINDOW w1 AS (PARTITION BY product_id ORDER BY bucket_start)
+)
+SELECT product_id, bucket_start,
+       ROUND(CASE WHEN count(pos) OVER wn >= {MFI_W} THEN
+               CASE WHEN sum(neg) OVER wn = 0 THEN 100.0
+                    ELSE 100.0 - 100.0 / (1.0 + sum(pos) OVER wn
+                                          / sum(neg) OVER wn) END
+             END, 6) + 0 AS mfi
+FROM flagged
+WINDOW wn AS (PARTITION BY product_id ORDER BY bucket_start
+              ROWS BETWEEN {MFI_W - 1} PRECEDING AND CURRENT ROW)
+"""
+
+
 # ------------------------------------------------------------ volume profile
 
 VP_BINS = 20
@@ -1587,6 +1770,9 @@ SPARK_QUERIES_TS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hopping_volume": q_hopping_volume,
     "csv_ingest": q_csv_ingest,
     "volume_profile": q_volume_profile,
+    "keltner_channel": q_keltner_channel,
+    "pivot_points": q_pivot_points,
+    "mfi": q_mfi,
 }
 
 ORACLE_SQL_TS: dict[str, str] = {
@@ -1622,4 +1808,7 @@ ORACLE_SQL_TS: dict[str, str] = {
     "hopping_volume": SQL_HOPPING_VOLUME,
     "csv_ingest": SQL_CSV_INGEST,
     "volume_profile": SQL_VOLUME_PROFILE,
+    "keltner_channel": SQL_KELTNER,
+    "pivot_points": SQL_PIVOT_POINTS,
+    "mfi": SQL_MFI,
 }

@@ -57,7 +57,8 @@ _CHECK_FIRST = [
     "quantile_transform", "streaming_touch_join", "event_paths",
     "rfm_scores", "session_window_agg", "donchian_channel",
     "hopping_volume", "ann_range_search", "csv_ingest", "sales_cube",
-    "streaming_hopping", "volume_profile",
+    "streaming_hopping", "volume_profile", "keltner_channel",
+    "pivot_points", "mfi",
     # new operators in round 6 (each oracle-paired) — need first rows
     "dsir_weights", "knn_graph", "rolling_beta", "candle_patterns",
     "dataset_manifest", "bpe_train", "bpe_encode",
