@@ -133,6 +133,7 @@ HEADLINERS = [
     "keltner_channel",
     "pivot_points",
     "mfi",
+    "dedup_tfidf_cosine",
 ]
 
 # Per-query repetitions; the reported time is the MIN across runs.

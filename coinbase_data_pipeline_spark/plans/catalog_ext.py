@@ -1164,6 +1164,65 @@ FROM {prev} p JOIN deg d ON d.src = p.node
 SQL_DOC_PAGERANK = _sql_doc_pagerank()
 
 
+# --------------------------------------------------------- tf-idf cosine
+
+TFC_N, TFC_THRESHOLD, TFC_DF_FRAC = 3, 0.5, 0.2
+
+
+def q_dedup_tfidf_cosine(spark, sf_dir):
+    """Sparse idf-weighted 3-gram cosine near-dup pairs (the
+    lexical-vector dedup method): inverted-index join over terms
+    with df <= 0.2·N, binary tf, term-sorted float folds."""
+    docs = load_table(spark, sf_dir, "documents")
+    return DD.tfidf_cosine_pairs(docs, n=TFC_N,
+                                 threshold=TFC_THRESHOLD,
+                                 df_frac=TFC_DF_FRAC)
+
+
+def _sql_tfidf_cosine() -> str:
+    gram = (f"list_distinct(list_transform("
+            f"generate_series(1, greatest(len(toks) - {TFC_N - 1}, 0)),"
+            f" i -> array_to_string(toks[i:i+{TFC_N - 1}], ' ')))")
+    return f"""
+WITH toked AS (
+  SELECT doc_id, {SQL_TOKS_ALL} AS toks FROM documents
+), term AS (
+  SELECT doc_id, {sql_hash60('g', 'tfc')} AS term_h
+  FROM (SELECT doc_id, unnest({gram}) AS g FROM toked)
+), n AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents
+), dfc AS (
+  SELECT term_h, CAST(count(*) AS BIGINT) AS df FROM term
+  GROUP BY term_h
+), w AS (
+  SELECT t.doc_id, t.term_h, dfc.df,
+         round(ln(1.0 + CAST(n.n_docs AS DOUBLE) / dfc.df), 6) + 0 AS w
+  FROM term t JOIN dfc USING (term_h) CROSS JOIN n
+  WHERE dfc.df <= n.n_docs * {TFC_DF_FRAC}
+), norms AS (
+  SELECT doc_id,
+         sqrt(list_sum(list(w * w ORDER BY term_h))) AS nrm
+  FROM w GROUP BY doc_id
+), prods AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.term_h,
+         round(a.w * b.w, 6) + 0 AS p
+  FROM w a JOIN w b ON a.term_h = b.term_h AND a.doc_id < b.doc_id
+), pairs AS (
+  SELECT a_id, b_id, list_sum(list(p ORDER BY term_h)) AS dot
+  FROM prods GROUP BY a_id, b_id
+)
+SELECT p.a_id AS doc_a, p.b_id AS doc_b,
+       round(p.dot / (na.nrm * nb.nrm), 6) + 0 AS cosine
+FROM pairs p
+JOIN norms na ON na.doc_id = p.a_id
+JOIN norms nb ON nb.doc_id = p.b_id
+WHERE round(p.dot / (na.nrm * nb.nrm), 6) + 0 >= {TFC_THRESHOLD}
+"""
+
+
+SQL_DEDUP_TFIDF_COSINE = _sql_tfidf_cosine()
+
+
 # ------------------------------------------------------------ range search
 
 RANGE_THRESHOLD = 0.2
@@ -1536,6 +1595,7 @@ SPARK_QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_triangles": q_graph_triangles,
     "embedding_quantize": q_embedding_quantize,
     "ann_range_search": q_ann_range_search,
+    "dedup_tfidf_cosine": q_dedup_tfidf_cosine,
     "ann_ivfpq": q_ann_ivfpq,
 }
 
@@ -1576,5 +1636,6 @@ ORACLE_SQL_EXT: dict[str, str] = {
     "graph_triangles": SQL_GRAPH_TRIANGLES,
     "embedding_quantize": SQL_EMBEDDING_QUANTIZE,
     "ann_range_search": SQL_ANN_RANGE_SEARCH,
+    "dedup_tfidf_cosine": SQL_DEDUP_TFIDF_COSINE,
     "ann_ivfpq": SQL_ANN_IVFPQ,
 }
