@@ -1200,15 +1200,17 @@ WITH toked AS (
   FROM term t JOIN dfc USING (term_h) CROSS JOIN n
   WHERE dfc.df <= n.n_docs * {TFC_DF_FRAC}
 ), norms AS (
+  -- fixed-point BIGINT sums: order-independent, so no ordered fold
   SELECT doc_id,
-         sqrt(list_sum(list(w * w ORDER BY term_h))) AS nrm
+         sqrt(CAST(sum(CAST(round(w * w * 1e8) AS BIGINT)) AS DOUBLE)
+              / 1e8) AS nrm
   FROM w GROUP BY doc_id
 ), prods AS (
-  SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.term_h,
-         round(a.w * b.w, 6) + 0 AS p
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         CAST(round(a.w * b.w * 1e6) AS BIGINT) AS p
   FROM w a JOIN w b ON a.term_h = b.term_h AND a.doc_id < b.doc_id
 ), pairs AS (
-  SELECT a_id, b_id, list_sum(list(p ORDER BY term_h)) AS dot
+  SELECT a_id, b_id, CAST(sum(p) AS DOUBLE) / 1e6 AS dot
   FROM prods GROUP BY a_id, b_id
 )
 SELECT p.a_id AS doc_a, p.b_id AS doc_b,
