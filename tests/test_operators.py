@@ -1170,3 +1170,47 @@ def test_hopping_volume_expansion_invariant(spark):
     s = (q_hopping_volume(spark, SF)
          .agg(F.sum("n_ticks")).collect()[0][0])
     assert s == 3 * total
+
+
+def test_ta_family_invariants(spark):
+    """Cheap cross-cutting invariants over the TA additions: channel
+    ordering, bounded oscillators, pivot-level ordering, volume
+    profile conservation."""
+    from coinbase_data_pipeline_spark.plans.catalog_ts import (
+        q_donchian_channel, q_keltner_channel, q_mfi, q_pivot_points,
+        q_volume_profile)
+    from coinbase_data_pipeline_spark.plans.catalog import candles
+
+    don = [r for r in q_donchian_channel(spark, SF).collect()
+           if r.ch_high is not None]
+    assert don
+    for r in don:
+        assert r.ch_low <= r.ch_mid <= r.ch_high
+
+    kel = [r for r in q_keltner_channel(spark, SF).collect()
+           if r.kc_mid is not None]
+    assert kel
+    for r in kel:
+        assert r.kc_lower <= r.kc_mid <= r.kc_upper
+
+    mfi = [r.mfi for r in q_mfi(spark, SF).collect()
+           if r.mfi is not None]
+    assert mfi and all(0.0 <= v <= 100.0 for v in mfi)
+
+    piv = [r for r in q_pivot_points(spark, SF).collect()
+           if r.pivot is not None]
+    assert piv
+    for r in piv:
+        assert r.s2 <= r.s1 + 1e-9 and r.s1 <= r.r1 + 1e-9 \
+            and r.r1 <= r.r2 + 1e-9
+
+    vp = q_volume_profile(spark, SF).collect()
+    n_buckets = sum(r.n_buckets for r in vp)
+    assert n_buckets == candles(spark, SF).count()
+    by_key = {}
+    for r in vp:
+        by_key.setdefault(r.product_id, []).append(r)
+    for pid, rows in by_key.items():
+        pocs = [r for r in rows if r.is_poc]
+        assert len(pocs) == 1, pid
+        assert pocs[0].bin_volume == max(r.bin_volume for r in rows)
