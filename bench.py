@@ -134,6 +134,7 @@ HEADLINERS = [
     "pivot_points",
     "mfi",
     "dedup_tfidf_cosine",
+    "kmv_distinct_users",
 ]
 
 # Per-query repetitions; the reported time is the MIN across runs.

@@ -9,6 +9,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from ..functions.text import sql_hash60
 from ..operators import candles as C
 from ..operators import sessions as S
 from ..operators import textstats as TS
@@ -429,6 +430,76 @@ SELECT product_id, bucket_start, log_return, trail_vol,
        log_return / trail_vol AS zscore
 FROM scored
 WHERE trail_vol > 0 AND abs(log_return) > {ANOM_SIGMA} * trail_vol
+"""
+
+
+# ------------------------------------------------------------- KMV sketch
+
+KMV_K = 64
+
+
+def q_kmv_distinct_users(spark, sf_dir):
+    """Deterministic mergeable cardinality sketch: k-minimum-values
+    over hash60(user_id) per event day. est = (k−1)·2^60 / kth-min
+    when the day has ≥ k distinct hashes, exact count below — the
+    oracle-checkable sibling of the rows-only HLL query (KMV's state
+    is the k smallest hash values: integers, order-free, mergeable
+    by union+trim; HLL's register max/harmonic-mean pipeline never
+    value-hashes across engines).
+
+    Scale shape: the k-smallest reduction runs as a SHARDED partial
+    aggregate — per (day, hash-shard) sorted k-min arrays (bounded:
+    each shard buffers its own distinct hashes... bounded further by
+    pre-distinct), merged per day by concat+sort+trim of 256 k-sized
+    arrays. No full-day sort, no unbounded collect; accuracy
+    pytest-bounded (~1/√k)."""
+    ev = load_table(spark, sf_dir, "events")
+    from ..functions.text import hash60
+    day = F.date_trunc("day", F.col("ts")).alias("day")
+    hashes = (ev.select(day, hash60(F.col("user_id").cast("string"),
+                                    "kmv").alias("h"))
+              .distinct())
+    shard = (F.col("h") % 256).alias("shard")
+    partial = (hashes.select("day", shard, "h")
+               .groupBy("day", "shard")
+               .agg(F.slice(F.array_sort(F.collect_list("h")), 1,
+                            KMV_K).alias("mins")))
+    merged = (partial.groupBy("day")
+              .agg(F.slice(F.array_sort(F.flatten(
+                  F.collect_list("mins"))), 1, KMV_K).alias("mins")))
+    n_seen = F.size("mins")
+    kth = F.element_at("mins", KMV_K)
+    est = F.when(
+        n_seen >= KMV_K,
+        F.round((F.lit(float(KMV_K - 1)) * F.lit(float(1 << 60)))
+                / kth, 3) + F.lit(0.0)) \
+        .otherwise(n_seen.cast("double"))
+    return merged.select("day", n_seen.alias("n_tracked"),
+                         F.when(n_seen >= KMV_K, kth).alias("kth_hash"),
+                         est.alias("est_distinct"))
+
+
+SQL_KMV_DISTINCT_USERS = f"""
+WITH hashes AS (
+  SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         {sql_hash60("CAST(user_id AS VARCHAR)", "kmv")} AS h
+  FROM events
+), ranked AS (
+  SELECT day, h,
+         row_number() OVER (PARTITION BY day ORDER BY h) AS rn
+  FROM hashes
+), mins AS (
+  SELECT day, CAST(count(*) AS BIGINT) AS n_tracked,
+         max(CASE WHEN rn = {KMV_K} THEN h END) AS kth
+  FROM ranked WHERE rn <= {KMV_K} GROUP BY day
+)
+SELECT day, n_tracked,
+       CASE WHEN n_tracked >= {KMV_K} THEN kth END AS kth_hash,
+       CASE WHEN n_tracked >= {KMV_K}
+            THEN round({float(KMV_K - 1)} * {float(1 << 60)} / kth, 3)
+                 + 0
+            ELSE CAST(n_tracked AS DOUBLE) END AS est_distinct
+FROM mins
 """
 
 
@@ -970,6 +1041,7 @@ SPARK_QUERIES_ANALYTICS: dict[
     "rfm_scores": q_rfm_scores,
     "session_window_agg": q_session_window_agg,
     "sales_cube": q_sales_cube,
+    "kmv_distinct_users": q_kmv_distinct_users,
 }
 
 ORACLE_SQL_ANALYTICS: dict[str, str] = {
@@ -994,4 +1066,5 @@ ORACLE_SQL_ANALYTICS: dict[str, str] = {
     "rfm_scores": SQL_RFM_SCORES,
     "session_window_agg": SQL_SESSION_WINDOW_AGG,
     "sales_cube": SQL_SALES_CUBE,
+    "kmv_distinct_users": SQL_KMV_DISTINCT_USERS,
 }

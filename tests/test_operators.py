@@ -1214,3 +1214,26 @@ def test_ta_family_invariants(spark):
         pocs = [r for r in rows if r.is_poc]
         assert len(pocs) == 1, pid
         assert pocs[0].bin_volume == max(r.bin_volume for r in rows)
+
+
+def test_kmv_sketch_accuracy(spark):
+    """KMV estimate within ~3σ (σ ≈ 1/√(k−2), k=64) of the exact
+    per-day distinct-user count; exact below k."""
+    from coinbase_data_pipeline_spark.plans.catalog_analytics import (
+        KMV_K, q_kmv_distinct_users)
+    from coinbase_data_pipeline_spark.sources.tables import load_table
+
+    est = {r.day: (r.n_tracked, r.est_distinct)
+           for r in q_kmv_distinct_users(spark, SF).collect()}
+    exact = {r.day: r.n for r in
+             (load_table(spark, SF, "events")
+              .groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+              .agg(F.countDistinct("user_id").alias("n")).collect())}
+    assert set(est) == set(exact)
+    sigma = 1.0 / (KMV_K - 2) ** 0.5
+    for day, (n_tracked, e) in est.items():
+        if n_tracked < KMV_K:
+            assert e == exact[day]
+        else:
+            rel = abs(e - exact[day]) / exact[day]
+            assert rel <= 3 * sigma, (day, e, exact[day])
