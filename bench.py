@@ -135,6 +135,7 @@ HEADLINERS = [
     "mfi",
     "dedup_tfidf_cosine",
     "kmv_distinct_users",
+    "kmv_weekly_merge",
 ]
 
 # Per-query repetitions; the reported time is the MIN across runs.

@@ -503,6 +503,65 @@ FROM mins
 """
 
 
+def q_kmv_weekly_merge(spark, sf_dir):
+    """The MERGEABILITY proof in query form: weekly distinct-user
+    estimates computed by MERGING the daily KMV sketch states
+    (union + sort + trim of the k-min arrays) — never re-reading the
+    raw events per week. k-min(A ∪ B) ≡ k-min(k-min(A) ∪ k-min(B))
+    exactly, so the merged estimate is BIT-IDENTICAL to a direct
+    weekly sketch — which is what the oracle computes from scratch.
+    This tiered rollup (day partials → week) is how a sketch
+    actually deploys at 100 TB: one pass over raw data ever."""
+    ev = load_table(spark, sf_dir, "events")
+    from ..functions.text import hash60
+    day = F.date_trunc("day", F.col("ts")).alias("day")
+    hashes = (ev.select(day, hash60(F.col("user_id").cast("string"),
+                                    "kmv").alias("h"))
+              .distinct())
+    daily = (hashes.groupBy("day")
+             .agg(F.slice(F.array_sort(F.collect_list("h")), 1,
+                          KMV_K).alias("mins")))
+    week = F.date_trunc("week", F.col("day")).alias("week")
+    merged = (daily.select(week, "mins")
+              .groupBy("week")
+              .agg(F.slice(F.array_sort(F.array_distinct(F.flatten(
+                  F.collect_list("mins")))), 1, KMV_K).alias("mins")))
+    n_seen = F.size("mins")
+    kth = F.element_at("mins", KMV_K)
+    est = F.when(
+        n_seen >= KMV_K,
+        F.round((F.lit(float(KMV_K - 1)) * F.lit(float(1 << 60)))
+                / kth, 3) + F.lit(0.0)) \
+        .otherwise(n_seen.cast("double"))
+    return merged.select("week", n_seen.alias("n_tracked"),
+                         F.when(n_seen >= KMV_K, kth).alias("kth_hash"),
+                         est.alias("est_distinct"))
+
+
+SQL_KMV_WEEKLY_MERGE = f"""
+WITH hashes AS (
+  SELECT DISTINCT CAST(date_trunc('week', ts) AS TIMESTAMP) AS week,
+         {sql_hash60("CAST(user_id AS VARCHAR)", "kmv")} AS h
+  FROM events
+), ranked AS (
+  SELECT week, h,
+         row_number() OVER (PARTITION BY week ORDER BY h) AS rn
+  FROM hashes
+), mins AS (
+  SELECT week, CAST(count(*) AS BIGINT) AS n_tracked,
+         max(CASE WHEN rn = {KMV_K} THEN h END) AS kth
+  FROM ranked WHERE rn <= {KMV_K} GROUP BY week
+)
+SELECT week, n_tracked,
+       CASE WHEN n_tracked >= {KMV_K} THEN kth END AS kth_hash,
+       CASE WHEN n_tracked >= {KMV_K}
+            THEN round({float(KMV_K - 1)} * {float(1 << 60)} / kth, 3)
+                 + 0
+            ELSE CAST(n_tracked AS DOUBLE) END AS est_distinct
+FROM mins
+"""
+
+
 # -------------------------------------------------------- session windows
 
 def q_session_window_agg(spark, sf_dir):
@@ -1042,6 +1101,7 @@ SPARK_QUERIES_ANALYTICS: dict[
     "session_window_agg": q_session_window_agg,
     "sales_cube": q_sales_cube,
     "kmv_distinct_users": q_kmv_distinct_users,
+    "kmv_weekly_merge": q_kmv_weekly_merge,
 }
 
 ORACLE_SQL_ANALYTICS: dict[str, str] = {
@@ -1067,4 +1127,5 @@ ORACLE_SQL_ANALYTICS: dict[str, str] = {
     "session_window_agg": SQL_SESSION_WINDOW_AGG,
     "sales_cube": SQL_SALES_CUBE,
     "kmv_distinct_users": SQL_KMV_DISTINCT_USERS,
+    "kmv_weekly_merge": SQL_KMV_WEEKLY_MERGE,
 }

@@ -59,7 +59,7 @@ _CHECK_FIRST = [
     "hopping_volume", "ann_range_search", "csv_ingest", "sales_cube",
     "streaming_hopping", "volume_profile", "keltner_channel",
     "pivot_points", "mfi", "dedup_tfidf_cosine",
-    "kmv_distinct_users",
+    "kmv_distinct_users", "kmv_weekly_merge",
     # new operators in round 6 (each oracle-paired) — need first rows
     "dsir_weights", "knn_graph", "rolling_beta", "candle_patterns",
     "dataset_manifest", "bpe_train", "bpe_encode",
