@@ -74,6 +74,10 @@ PICKS = [
      "df + join keyed by 8-byte gram hash, never the gram string"),
     ("dedup_containment",
      "prefix-filter join on hashed rarest grams; verify on arrays"),
+    ("dedup_tfidf_cosine",
+     "inverted-index posting join; fixed-point BIGINT dot products"),
+    ("kmv_distinct_users",
+     "sharded k-min partials merged per day; no full-day sort"),
 ]
 
 
