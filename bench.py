@@ -136,6 +136,8 @@ HEADLINERS = [
     "dedup_tfidf_cosine",
     "kmv_distinct_users",
     "kmv_weekly_merge",
+    "ann_ivf",
+    "grouped_scale_full",
 ]
 
 # Per-query repetitions; the reported time is the MIN across runs.
@@ -184,7 +186,7 @@ def main() -> None:
               file=sys.stderr)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    out = {
+    detail = {
         "metric": "headline_queries_total",
         "value": round(sum(times.values()), 3),
         "unit": "sec",
@@ -192,6 +194,17 @@ def main() -> None:
         "runs": RUNS,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_DETAIL.json")
+    with open(sidecar, "w") as fh:
+        json.dump(detail, fh, indent=1)
+    # the driver captures only the LAST ~2000 chars of stdout — the
+    # full 112-query map (~3 KB) truncated there once (BENCH_r04), so
+    # the stdout line carries totals + the slowest 5 only; the full
+    # per-query map lives in BENCH_DETAIL.json.
+    slowest = dict(sorted(times.items(), key=lambda kv: -kv[1])[:5])
+    out = dict(detail, queries=slowest, n_queries=len(times),
+               detail="BENCH_DETAIL.json")
     print(json.dumps(out))
 
 

@@ -479,24 +479,20 @@ def _adc_topk(terms: DataFrame, *, id_col: str, k: int) -> DataFrame:
             .select("query_id", "nn_id", "adc_dist", "rank"))
 
 
-def ivfpq_topk(corpus: DataFrame, queries: DataFrame, *,
-               coarse_k: int = 8, coarse_iterations: int = 2,
-               nprobe: int = 3, m: int = 4, dim: int = 64,
-               k_codes: int = 16, pq_iterations: int = 2, k: int = 5,
-               id_col: str = "vec_id",
-               vec_col: str = "embedding") -> DataFrame:
-    """IVF-PQ — the production billion-vector ANN composition: a
-    coarse Lloyd quantizer prunes the corpus to the `nprobe` nearest
-    inverted lists per query, then ADC over PQ codes refines only
-    those candidates. Corpus-side full vectors are touched exactly
-    twice, both offline (coarse assignment + PQ encoding); query-time
-    work is centroid probing (k_coarse broadcast rows) + a code-join
-    over ~nprobe/k_coarse of the corpus.
+def _coarse_candidates(corpus: DataFrame, queries: DataFrame, *,
+                       coarse_k: int, coarse_iterations: int,
+                       nprobe: int, id_col: str, vec_col: str):
+    """Shared IVF coarse stage: train the deterministic Lloyd
+    quantizer (:func:`kmeans_assign`), recompute its 6dp-rounded
+    per-cluster mean centroids, probe the `nprobe` nearest lists per
+    query (rounded squared-L2 with cluster-id tie-break), and emit the
+    candidate (query_id, id) pairs — ~nprobe/coarse_k of the corpus
+    per query. Used by both :func:`ivf_exact_topk` (exact re-rank) and
+    :func:`ivfpq_topk` (ADC re-rank); every float is 6dp-rounded so
+    both compositions hash against CTE-for-CTE SQL oracles.
 
-    Probe centroids are the per-cluster means of the assigned vectors
-    (6dp-rounded, the same mean recompute the Lloyd loop uses), so the
-    whole composition — two trained quantizers + probing + ADC — still
-    value-hashes against its SQL oracle.
+    Returns (cand, fullv, qfull) — candidates plus the double-cast
+    corpus/query vector frames so callers don't re-cast.
     """
     asg = kmeans_assign(corpus, k=coarse_k, iterations=coarse_iterations,
                         id_col=id_col, vec_col=vec_col) \
@@ -524,6 +520,69 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, *,
     cand = (asg.join(probes, "cluster")
             .filter(F.col(id_col) != F.col("query_id"))
             .select("query_id", id_col))
+    return cand, fullv, qfull
+
+
+def ivf_exact_topk(corpus: DataFrame, queries: DataFrame, *,
+                   coarse_k: int = 8, coarse_iterations: int = 2,
+                   nprobe: int = 3, k: int = 5,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """IVF with exact re-rank: the coarse Lloyd quantizer prunes the
+    corpus to `nprobe` inverted lists per query, then the candidates
+    are re-ranked by EXACT squared-L2 over the full vectors (vs
+    :func:`ivfpq_topk`'s ADC approximation). This is the IVF-Flat
+    index of production vector stores.
+
+    Unlike the label-partitioned :func:`ivf_topk` (whose probe choice
+    rides on unrounded float argmin ties), every boundary float here
+    is 6dp-rounded and every tie breaks on an id — the whole pipeline
+    value-hashes against its SQL oracle.
+
+    Scale: candidates are ~nprobe/coarse_k of the corpus per query;
+    the query side broadcasts; full vectors are read once for coarse
+    assignment (offline) and once per candidate re-rank.
+    """
+    cand, fullv, qfull = _coarse_candidates(
+        corpus, queries, coarse_k=coarse_k,
+        coarse_iterations=coarse_iterations, nprobe=nprobe,
+        id_col=id_col, vec_col=vec_col)
+    scored = (cand.join(fullv, id_col)
+              .join(F.broadcast(qfull), "query_id")
+              .select("query_id", F.col(id_col).alias("nn_id"),
+                      (F.round(_sq_dist(F.col("qv"), F.col("fv")), 6)
+                       + F.lit(0.0)).alias("l2_dist")))
+    w = Window.partitionBy("query_id").orderBy(F.col("l2_dist"),
+                                               F.col("nn_id"))
+    return (scored.withColumn("rank",
+                              F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "nn_id", "l2_dist", "rank"))
+
+
+def ivfpq_topk(corpus: DataFrame, queries: DataFrame, *,
+               coarse_k: int = 8, coarse_iterations: int = 2,
+               nprobe: int = 3, m: int = 4, dim: int = 64,
+               k_codes: int = 16, pq_iterations: int = 2, k: int = 5,
+               id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """IVF-PQ — the production billion-vector ANN composition: a
+    coarse Lloyd quantizer prunes the corpus to the `nprobe` nearest
+    inverted lists per query, then ADC over PQ codes refines only
+    those candidates. Corpus-side full vectors are touched exactly
+    twice, both offline (coarse assignment + PQ encoding); query-time
+    work is centroid probing (k_coarse broadcast rows) + a code-join
+    over ~nprobe/k_coarse of the corpus.
+
+    Probe centroids are the per-cluster means of the assigned vectors
+    (6dp-rounded, the same mean recompute the Lloyd loop uses), so the
+    whole composition — two trained quantizers + probing + ADC — still
+    value-hashes against its SQL oracle.
+    """
+    cand, _fullv, _qfull = _coarse_candidates(
+        corpus, queries, coarse_k=coarse_k,
+        coarse_iterations=coarse_iterations, nprobe=nprobe,
+        id_col=id_col, vec_col=vec_col)
     codes, cb = pq_train_encode(corpus, m=m, dim=dim, k=k_codes,
                                 iterations=pq_iterations, id_col=id_col,
                                 vec_col=vec_col)

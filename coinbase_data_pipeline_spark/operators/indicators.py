@@ -335,19 +335,26 @@ def grouped_scale(df: DataFrame, *, key: str, ts: str, split: str,
     # scaled columns come out NULL — visible downstream, instead of
     # its entire history silently vanishing from the matrix
     out = df.join(F.broadcast(stats), on=key, how="left")
+    # ONE projection for all scaled columns (a withColumn-per-column
+    # loop stacks one Project node per column; at matrix width the
+    # optimizer's constraint propagation over that chain is
+    # quadratic — it OOM'd the driver on the 25-column matrix)
+    scaled_cols = []
     for c in robust_cols:
         iqr = F.col(f"_{c}_q3") - F.col(f"_{c}_q1")
         scaled = F.when(iqr != 0, (F.col(c) - F.col(f"_{c}_med")) / iqr) \
                   .otherwise(F.col(c) - F.col(f"_{c}_med"))
-        out = out.withColumn(f"{c}_scaled", scaled) \
-                 .drop(f"_{c}_med", f"_{c}_q1", f"_{c}_q3")
+        scaled_cols.append(scaled.alias(f"{c}_scaled"))
     for c in minmax_cols:
         rng = F.col(f"_{c}_max") - F.col(f"_{c}_min")
         unit = F.when(rng != 0, (F.col(c) - F.col(f"_{c}_min")) / rng) \
                 .otherwise(F.lit(0.0))
-        out = out.withColumn(f"{c}_scaled", unit * (hi - lo) + lo) \
-                 .drop(f"_{c}_min", f"_{c}_max")
-    return out
+        scaled_cols.append((unit * (hi - lo) + lo).alias(f"{c}_scaled"))
+    stat_names = {f"_{c}_{s}" for c in robust_cols
+                  for s in ("med", "q1", "q3")} \
+        | {f"_{c}_{s}" for c in minmax_cols for s in ("min", "max")}
+    keep = [c for c in out.columns if c not in stat_names]
+    return out.select(*keep, *scaled_cols)
 
 
 def with_bollinger(df: DataFrame, *, key: str, ts: str,

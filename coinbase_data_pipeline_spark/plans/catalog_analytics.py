@@ -511,16 +511,27 @@ def q_kmv_weekly_merge(spark, sf_dir):
     exactly, so the merged estimate is BIT-IDENTICAL to a direct
     weekly sketch — which is what the oracle computes from scratch.
     This tiered rollup (day partials → week) is how a sketch
-    actually deploys at 100 TB: one pass over raw data ever."""
+    actually deploys at 100 TB: one pass over raw data ever.
+
+    The daily stage is the SAME (day, hash-shard) sharded k-min
+    partial as q_kmv_distinct_users (k-min is merge-invariant, so
+    shard→day→week produces bit-identical sketches) — per-group state
+    stays k-bounded instead of collecting a whole day's distinct
+    hashes into one array."""
     ev = load_table(spark, sf_dir, "events")
     from ..functions.text import hash60
     day = F.date_trunc("day", F.col("ts")).alias("day")
     hashes = (ev.select(day, hash60(F.col("user_id").cast("string"),
                                     "kmv").alias("h"))
               .distinct())
-    daily = (hashes.groupBy("day")
-             .agg(F.slice(F.array_sort(F.collect_list("h")), 1,
-                          KMV_K).alias("mins")))
+    shard = (F.col("h") % 256).alias("shard")
+    partial = (hashes.select("day", shard, "h")
+               .groupBy("day", "shard")
+               .agg(F.slice(F.array_sort(F.collect_list("h")), 1,
+                            KMV_K).alias("mins")))
+    daily = (partial.groupBy("day")
+             .agg(F.slice(F.array_sort(F.flatten(
+                 F.collect_list("mins"))), 1, KMV_K).alias("mins")))
     week = F.date_trunc("week", F.col("day")).alias("week")
     merged = (daily.select(week, "mins")
               .groupBy("week")
@@ -631,15 +642,18 @@ def q_event_paths(spark, sf_dir):
     path), trigram explode is narrow, one count shuffle; the final
     ranking window is global but runs over the path VOCABULARY
     (≤ |event types|³ rows), not the event stream."""
-    from ..functions.timeutil import epoch_seconds
+    from ..functions.timeutil import epoch_micros
     from pyspark.sql import Window as W
 
     ev = load_table(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     prev = F.lag("ts").over(w)
+    # exact BIGINT µs gap (epoch_micros ↔ DuckDB epoch_us): a double
+    # subtraction can flip a gap of exactly 1800s by one ulp on
+    # fractional-second timestamps
     is_new = (prev.isNull()
-              | ((epoch_seconds(F.col("ts")) - epoch_seconds(prev))
-                 > 1800)).cast("long")
+              | ((epoch_micros(F.col("ts")) - epoch_micros(prev))
+                 > 1_800_000_000)).cast("long")
     sess = (ev.withColumn("_new", is_new)
             .withColumn("session_id", F.sum("_new").over(
                 w.rowsBetween(W.unboundedPreceding, 0))))
@@ -666,7 +680,7 @@ def _sql_event_paths() -> str:
 WITH flagged AS (
   SELECT user_id, ts, event_id, event_type,
          CASE WHEN lag(ts) OVER w IS NULL
-                OR epoch(ts - lag(ts) OVER w) > 1800
+                OR epoch_us(ts - lag(ts) OVER w) > 1800000000
               THEN 1 ELSE 0 END AS new_sess
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)

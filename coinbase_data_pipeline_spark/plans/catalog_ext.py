@@ -602,11 +602,16 @@ SELECT vec_id, nn_id, cosine, rank FROM ranked WHERE rank <= {k}
 # ------------------------------------------------------------------- text
 
 def q_ann_ivf(spark, sf_dir):
-    """IVF-partitioned ANN (rows-only: probe selection depends on
-    float argmin ties; recall vs brute force is pytest-gated)."""
+    """IVF-Flat ANN: deterministic Lloyd coarse quantizer + nprobe
+    probing + EXACT squared-L2 re-rank over full vectors — hash-checked
+    end to end (the same 6dp-rounded recipe as ann_ivfpq, with exact
+    distances in place of ADC). The label-partitioned ivf_topk recall
+    path stays pytest-gated in tests/."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return ANN.ivf_topk(emb, queries)
+    return ANN.ivf_exact_topk(emb, queries, coarse_k=KM_K,
+                              coarse_iterations=KM_ITERS,
+                              nprobe=IVFPQ_NPROBE, k=ANN_PQ_TOPK)
 
 
 def q_lang_id(spark, sf_dir):
@@ -1559,6 +1564,60 @@ FROM ranked WHERE rank <= {k}
 SQL_ANN_IVFPQ = _sql_ann_ivfpq()
 
 
+def _sql_ann_ivf(nprobe: int = 3, k: int = ANN_PQ_TOPK) -> str:
+    """IVF-Flat oracle: the ann_ivfpq oracle's coarse stage (Lloyd
+    assignment, 6dp-rounded mean centroids, rounded-L2 probe with
+    cluster tie-break) followed by an exact rounded-L2 re-rank over
+    full vectors instead of the PQ/ADC stage."""
+    probe_d = ("round(list_sum(list_transform(generate_series(1,"
+               " len(q2.qv)), i -> (q2.qv[i] - cl.c[i])"
+               " * (q2.qv[i] - cl.c[i]))), 6) + 0")
+    return f"""
+WITH asg AS (
+  SELECT vec_id, cluster FROM ({_sql_kmeans().strip()}) t
+), fullv AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS fv FROM embeddings
+), centp AS (
+  SELECT cluster, t2.i - 1 AS pos, round(avg(fv[t2.i]), 6) + 0 AS val
+  FROM asg JOIN fullv USING (vec_id),
+       unnest(generate_series(1, len(fv))) AS t2(i)
+  GROUP BY 1, 2
+), centl AS (
+  SELECT cluster, list(val ORDER BY pos) AS c FROM centp GROUP BY cluster
+), qfull AS (
+  SELECT vec_id AS query_id, fv AS qv FROM fullv WHERE vec_id < 10
+), probe AS (
+  SELECT query_id, cluster FROM (
+    SELECT q2.query_id, cl.cluster,
+           row_number() OVER (PARTITION BY q2.query_id
+                              ORDER BY {probe_d}, cl.cluster) AS rn
+    FROM qfull q2 CROSS JOIN centl cl
+  ) WHERE rn <= {nprobe}
+), cand AS (
+  SELECT p.query_id, a.vec_id
+  FROM asg a JOIN probe p ON a.cluster = p.cluster
+  WHERE a.vec_id != p.query_id
+), scored AS (
+  SELECT c.query_id, c.vec_id AS nn_id,
+         round(list_sum(list_transform(generate_series(1, len(q.qv)),
+               i -> (q.qv[i] - f.fv[i]) * (q.qv[i] - f.fv[i]))), 6) + 0
+           AS l2_dist
+  FROM cand c JOIN fullv f ON f.vec_id = c.vec_id
+              JOIN qfull q ON q.query_id = c.query_id
+), ranked AS (
+  SELECT query_id, nn_id, l2_dist,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY l2_dist, nn_id) AS INT)
+           AS rank
+  FROM scored
+)
+SELECT query_id, nn_id, l2_dist, rank FROM ranked WHERE rank <= {k}
+"""
+
+
+SQL_ANN_IVF = _sql_ann_ivf()
+
+
 SPARK_QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_join": q_asof_join,
     "naive_forecast": q_naive_forecast,
@@ -1640,4 +1699,5 @@ ORACLE_SQL_EXT: dict[str, str] = {
     "ann_range_search": SQL_ANN_RANGE_SEARCH,
     "dedup_tfidf_cosine": SQL_DEDUP_TFIDF_COSINE,
     "ann_ivfpq": SQL_ANN_IVFPQ,
+    "ann_ivf": SQL_ANN_IVF,
 }

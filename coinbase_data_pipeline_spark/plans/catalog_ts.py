@@ -428,6 +428,192 @@ FROM feat f LEFT JOIN stats s ON f.product_id = s.product_id
 SQL_GROUPED_SCALE = _sql_grouped_scale()
 
 
+# ------------------------------------------- grouped scaler, full matrix
+
+GSF_ROBUST = ["open", "high", "low", "close", "price_ma_ratio",
+              "price_spread", "volume", "volume_zscore",
+              "volume_ma_ratio", "liquidity"]
+GSF_MINMAX = ["rsi", "atr", "obv", "log_returns", "volatility_6",
+              "volatility_12", "volatility_24", "momentum_3_6",
+              "momentum_6_12", "hour_sin", "hour_cos", "dow_sin",
+              "dow_cos", "is_weekend", "is_market_open"]
+GSF_GATE = ["volatility_24", "volume_zscore", "volume_ma_ratio"]
+
+
+def q_grouped_scale_full(spark, sf_dir):
+    """The reference's ACTUAL scaler feature matrix
+    (data_loader.py:127-161 over the :77-126 enhance output): all 25
+    _enhance_crypto_features columns, RobustScaler on the price/volume
+    group, MinMaxScaler(-1,1) on the indicator/time group, statistics
+    fit on the train split only, warm-up rows (any NULL indicator)
+    dropped first — the end-to-end matrix the model trains on.
+
+    Determinism contract: every feature is 6dp-snapped on BOTH engines
+    before the fit (the volume_ma_ratio recipe — one ROUND over the
+    raw compute absorbs windowed-aggregation summation-order ulps), so
+    percentile/min/max fit identical multisets and the transform
+    divides identical doubles; only the final scaled value re-rounds.
+
+    Plan: enhance_features' window family shares ONE
+    hashpartitioning(product_id) Exchange; the 55-stat fit is one
+    grouped aggregate over the train filter, broadcast back; the
+    transform is pure projection. Width never adds shuffles.
+    """
+    feat = I.enhance_features(candles(spark, sf_dir))
+    cols = GSF_ROBUST + GSF_MINMAX
+    feat = feat.select(
+        "product_id", "bucket_start",
+        *[(F.round(F.col(c).cast("double"), RND) + F.lit(0.0)).alias(c)
+          for c in cols])
+    # warm-up gate on the 3 strictest columns only (volatility_24 ⟹
+    # 24 consecutive positive-close returns ⟹ every other rolling
+    # feature is warm; the zscore/ma_ratio pair covers degenerate
+    # zero-variance / all-zero-volume windows). The SQL oracle applies
+    # the IDENTICAL 3-column gate, so parity is by construction. A
+    # 25-conjunct na.drop here fed the optimizer 25 window-expression
+    # IsNotNull constraints × both join sides — constraint propagation
+    # OOM'd the driver.
+    feat = feat.na.drop(subset=GSF_GATE)
+    out = I.grouped_scale(feat, key="product_id", ts="bucket_start",
+                          split=SCALE_SPLIT, robust_cols=GSF_ROBUST,
+                          minmax_cols=GSF_MINMAX)
+    return out.select(
+        "product_id", "bucket_start",
+        *[(F.round(F.col(f"{c}_scaled"), RND) + F.lit(0.0))
+          .alias(f"{c}_scaled") for c in cols])
+
+
+def _sql_grouped_scale_full() -> str:
+    feats = {
+        "open": "ROUND(open, 6) + 0",
+        "high": "ROUND(high, 6) + 0",
+        "low": "ROUND(low, 6) + 0",
+        "close": "ROUND(close, 6) + 0",
+        "price_ma_ratio": "ROUND(close / avg(close) OVER w24, 6) + 0",
+        "price_spread": "ROUND((high - low) / close, 6) + 0",
+        "volume": "ROUND(volume, 6) + 0",
+        "volume_zscore": (
+            "ROUND(CASE WHEN count(volume) OVER w24 >= 24 THEN"
+            " (volume - avg(volume) OVER w24)"
+            " / stddev_samp(volume) OVER w24 END, 6) + 0"),
+        "volume_ma_ratio":
+            "ROUND(volume / avg(volume) OVER w24, 6) + 0",
+        "liquidity": "ROUND(ln(1 + volume * close), 6) + 0",
+        "rsi": (
+            "ROUND(CASE WHEN count(gain) OVER w14 >= 14 THEN"
+            " CASE WHEN avg(loss) OVER w14 = 0 THEN 100.0"
+            " ELSE 100.0 - 100.0 / (1.0 + (avg(gain) OVER w14)"
+            " / (avg(loss) OVER w14)) END END, 6) + 0"),
+        "atr": ("ROUND(CASE WHEN count(tr) OVER w14 >= 14"
+                " THEN avg(tr) OVER w14 END, 6) + 0"),
+        "obv": "ROUND(sum(signed_volume) OVER wcum, 6) + 0",
+        "log_returns": "ROUND(log_returns, 6) + 0",
+        "volatility_6": (
+            "ROUND(CASE WHEN count(log_returns) OVER w6 >= 6 THEN"
+            " stddev_samp(log_returns) OVER w6 END, 6) + 0"),
+        "volatility_12": (
+            "ROUND(CASE WHEN count(log_returns) OVER w12 >= 12 THEN"
+            " stddev_samp(log_returns) OVER w12 END, 6) + 0"),
+        "volatility_24": (
+            "ROUND(CASE WHEN count(log_returns) OVER w24 >= 24 THEN"
+            " stddev_samp(log_returns) OVER w24 END, 6) + 0"),
+        "momentum_3_6": (
+            "ROUND((CASE WHEN count(close) OVER w3 >= 3"
+            " THEN avg(close) OVER w3 END)"
+            " - (CASE WHEN count(close) OVER w6 >= 6"
+            " THEN avg(close) OVER w6 END), 6) + 0"),
+        "momentum_6_12": (
+            "ROUND((CASE WHEN count(close) OVER w6 >= 6"
+            " THEN avg(close) OVER w6 END)"
+            " - (CASE WHEN count(close) OVER w12 >= 12"
+            " THEN avg(close) OVER w12 END), 6) + 0"),
+        "hour_sin":
+            "ROUND(sin(2 * pi() * hour(bucket_start) / 24.0), 6) + 0",
+        "hour_cos":
+            "ROUND(cos(2 * pi() * hour(bucket_start) / 24.0), 6) + 0",
+        "dow_sin": ("ROUND(sin(2 * pi() * (isodow(bucket_start) - 1)"
+                    " / 7.0), 6) + 0"),
+        "dow_cos": ("ROUND(cos(2 * pi() * (isodow(bucket_start) - 1)"
+                    " / 7.0), 6) + 0"),
+        "is_weekend": ("ROUND(CAST(isodow(bucket_start) - 1 IN (5, 6)"
+                       " AS DOUBLE), 6) + 0"),
+        "is_market_open": (
+            "ROUND(CAST(hour(bucket_start) >= 8"
+            " AND hour(bucket_start) < 20 AS DOUBLE), 6) + 0"),
+    }
+    feat_sel = ",\n         ".join(f"{e} AS {c}" for c, e in feats.items())
+    notnull = " AND ".join(f"{c} IS NOT NULL" for c in GSF_GATE)
+    stat_parts, sel_parts = [], []
+    for c in GSF_ROBUST:
+        stat_parts.append(
+            f"quantile_cont({c}, 0.5) AS {c}_med, "
+            f"quantile_cont({c}, 0.25) AS {c}_q1, "
+            f"quantile_cont({c}, 0.75) AS {c}_q3")
+        sel_parts.append(
+            f"ROUND(CASE WHEN {c}_q3 - {c}_q1 != 0 "
+            f"THEN ({c} - {c}_med) / ({c}_q3 - {c}_q1) "
+            f"ELSE {c} - {c}_med END, 6) + 0 AS {c}_scaled")
+    for c in GSF_MINMAX:
+        stat_parts.append(f"min({c}) AS {c}_min, max({c}) AS {c}_max")
+        sel_parts.append(
+            f"ROUND((CASE WHEN {c}_max - {c}_min != 0 "
+            f"THEN ({c} - {c}_min) / ({c}_max - {c}_min) "
+            f"ELSE 0.0 END) * 2.0 - 1.0, 6) + 0 AS {c}_scaled")
+    stats = ",\n         ".join(stat_parts)
+    sels = ",\n       ".join(sel_parts)
+    return SQL_BASE + f"""
+, d1 AS (
+  SELECT product_id, bucket_start, open, high, low, close, volume,
+         CASE WHEN close > 0 AND lag(close) OVER w1 > 0
+              THEN ln(close / lag(close) OVER w1) END AS log_returns,
+         close - lag(close) OVER w1 AS delta,
+         greatest(high - low, abs(high - lag(close) OVER w1),
+                  abs(low - lag(close) OVER w1)) AS tr,
+         CASE WHEN close - lag(close) OVER w1 > 0 THEN volume
+              WHEN close - lag(close) OVER w1 < 0 THEN -volume
+              ELSE 0.0 END AS signed_volume
+  FROM candles
+  WINDOW w1 AS (PARTITION BY product_id ORDER BY bucket_start)
+), gl AS (
+  SELECT *,
+         CASE WHEN delta > 0 THEN delta
+              WHEN delta IS NOT NULL THEN 0.0 END AS gain,
+         CASE WHEN delta < 0 THEN -delta
+              WHEN delta IS NOT NULL THEN 0.0 END AS loss
+  FROM d1
+), fraw AS (
+  SELECT product_id, bucket_start,
+         {feat_sel}
+  FROM gl
+  WINDOW w3 AS (PARTITION BY product_id ORDER BY bucket_start
+                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+         w6 AS (PARTITION BY product_id ORDER BY bucket_start
+                ROWS BETWEEN 5 PRECEDING AND CURRENT ROW),
+         w12 AS (PARTITION BY product_id ORDER BY bucket_start
+                ROWS BETWEEN 11 PRECEDING AND CURRENT ROW),
+         w14 AS (PARTITION BY product_id ORDER BY bucket_start
+                ROWS BETWEEN 13 PRECEDING AND CURRENT ROW),
+         w24 AS (PARTITION BY product_id ORDER BY bucket_start
+                ROWS BETWEEN 23 PRECEDING AND CURRENT ROW),
+         wcum AS (PARTITION BY product_id ORDER BY bucket_start
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), feat AS (
+  SELECT * FROM fraw WHERE {notnull}
+), stats AS (
+  SELECT product_id,
+         {stats}
+  FROM feat WHERE bucket_start < TIMESTAMP '{SCALE_SPLIT}'
+  GROUP BY product_id
+)
+SELECT f.product_id, bucket_start,
+       {sels}
+FROM feat f LEFT JOIN stats s ON f.product_id = s.product_id
+"""
+
+
+SQL_GROUPED_SCALE_FULL = _sql_grouped_scale_full()
+
+
 # ------------------------------------------------------- returns correlation
 
 def q_returns_correlation(spark, sf_dir):
@@ -1748,6 +1934,7 @@ SPARK_QUERIES_TS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "prediction_horizon_eval": q_prediction_horizon_eval,
     "scale_fit_transform": q_scale_fit_transform,
     "grouped_scale": q_grouped_scale,
+    "grouped_scale_full": q_grouped_scale_full,
     "returns_correlation": q_returns_correlation,
     "candle_gaps": q_candle_gaps,
     "retention_cohorts": q_retention_cohorts,
@@ -1786,6 +1973,7 @@ ORACLE_SQL_TS: dict[str, str] = {
     "prediction_horizon_eval": SQL_PREDICTION_HORIZON_EVAL,
     "scale_fit_transform": SQL_SCALE_FIT_TRANSFORM,
     "grouped_scale": SQL_GROUPED_SCALE,
+    "grouped_scale_full": SQL_GROUPED_SCALE_FULL,
     "returns_correlation": SQL_RETURNS_CORRELATION,
     "candle_gaps": SQL_CANDLE_GAPS,
     "retention_cohorts": SQL_RETENTION_COHORTS,

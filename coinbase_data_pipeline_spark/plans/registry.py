@@ -43,55 +43,37 @@ for _part in _QUERY_PARTS:
     _MERGED.update(_part)
 
 # The external correctness driver hashes the FIRST 50 keys of `queries()`
-# in insertion order.  Queries whose implementation changed since their
-# last green driver row are listed here so they land inside that window;
-# earlier green rows for the rest stay on record in
-# CORRECTNESS_r01/r02/r03.json.
+# in insertion order.  Rotation policy, by construction each round:
+# (a) queries with NO driver row on current code go first, oldest debt
+# first; (b) queries whose implementation or oracle changed this round
+# go next; (c) everything else keeps its earlier green row on record in
+# CORRECTNESS_r01..r04.json and stays out of the window.  Driver rounds
+# r01..r04 map to the repo's work sessions 1..4 (one numbering scheme).
 _CHECK_FIRST = [
-    # new operators in round 7 (each oracle-paired) — need first rows
-    "dedup_spans", "token_entropy", "acf", "seasonality_profile",
-    "sales_rollup", "bm25_search", "association_rules",
-    "approx_quantiles_hist", "trend_decompose", "graph_triangles",
-    "heikin_ashi", "purchase_attribution", "embedding_quantize",
-    "fixed_k_sample", "return_moments", "drawdown_durations",
-    "quantile_transform", "streaming_touch_join", "event_paths",
-    "rfm_scores", "session_window_agg", "donchian_channel",
-    "hopping_volume", "ann_range_search", "csv_ingest", "sales_cube",
-    "streaming_hopping", "volume_profile", "keltner_channel",
-    "pivot_points", "mfi", "dedup_tfidf_cosine",
-    "kmv_distinct_users", "kmv_weekly_merge",
-    # new operators in round 6 (each oracle-paired) — need first rows
-    "dsir_weights", "knn_graph", "rolling_beta", "candle_patterns",
-    "dataset_manifest", "bpe_train", "bpe_encode",
-    "quality_classifier", "quality_classifier_scores", "dsir_select",
-    "dedup_containment", "streaming_classifier_scores",
-    "cluster_quality_profile",
-    # new operators in round 5 (each oracle-paired) — need first rows
-    "gopher_quality", "price_anomalies", "pq_encode", "ann_pq",
-    "dedup_incremental", "perplexity_proxy", "streaming_sessionize",
-    "vocab_build", "token_id_encode", "doc_pagerank", "ann_ivfpq",
-    # new operators in round 4 (each oracle-paired) — need first rows.
-    # NOTE: never-checked queries now exceed the 50-slot window by a
-    # few entries; this block's tail is what rolls to the next
-    # round's window (every member re-verified by the full local
-    # sf0.01 parity sweep each session, so the roll is evidence
-    # deferral, not evidence absence).
-    "boilerplate_ngrams", "dedup_keep_best", "semantic_dedup",
-    "streaming_corpus_scores",
-    # ---- everything below has an EARLIER green driver row but its
-    # implementation or oracle changed in round 4 (salted
+    # (a) the 12 never-driver-checked queries (r04 window roll-off;
+    # each judge-verified at sf0.01 in the round-4 session) — these
+    # burn their driver-row debt first.
+    "ann_pq", "dedup_incremental", "perplexity_proxy",
+    "streaming_sessionize", "vocab_build", "token_id_encode",
+    "doc_pagerank", "ann_ivfpq", "boilerplate_ngrams",
+    "dedup_keep_best", "semantic_dedup", "streaming_corpus_scores",
+    # (a') 4 whose green rows predate their round-4 rewrite (salted
     # token_packing, first-match-band dedup_embedding, the
-    # recursive-CTE EWM / left-fold scorer oracles, log-return
-    # guards, rounding-quantum hardening). The list now exceeds the
-    # driver's 50-slot window; never-checked queries above take the
-    # slots, and this tail (old rows + full local sf0.01 sweeps —
-    # lowest re-check risk) rolls to the next round's window.
+    # recursive-CTE EWM / left-fold scorer oracles).
     "token_packing", "dedup_embedding", "ewm_indicators",
-    "model_score", "log_returns", "volatility",
-    "returns_correlation", "cross_sectional_rank",
-    "q1_pricing_summary", "q5_local_supplier", "q6_forecast_revenue",
-    "q7_volume_shipping", "q19_discounted_revenue", "vwap",
-    "price_features",
+    "model_score",
+    # (a'') 11 r4-changed tail (log-return guards, rounding-quantum
+    # hardening) whose green rows predate the change.
+    "log_returns", "volatility", "returns_correlation",
+    "cross_sectional_rank", "q1_pricing_summary", "q5_local_supplier",
+    "q6_forecast_revenue", "q7_volume_shipping",
+    "q19_discounted_revenue", "vwap", "price_features",
+    # (b) new or changed in round 5: ann_ivf newly oracle-paired;
+    # event_paths gap compare moved to epoch_micros; kmv_weekly_merge
+    # daily stage re-sharded; perf reworks on dedup_tfidf_cosine /
+    # boilerplate_ngrams land here too via their (a) slots above.
+    "ann_ivf", "grouped_scale_full", "event_paths",
+    "kmv_weekly_merge", "dedup_tfidf_cosine",
 ]
 
 ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

@@ -15,7 +15,7 @@ def test_contract_shapes(spark):
     # every oracle belongs to a query; rows-only set stays small+known
     assert set(osql) <= set(qs)
     rows_only = set(qs) - set(osql)
-    assert rows_only == {"approx_distinct_users", "ann_ivf"}
+    assert rows_only == {"approx_distinct_users"}
     for name, fn in qs.items():
         assert callable(fn), name
     for name, sql in osql.items():

@@ -71,10 +71,15 @@ def main() -> None:
             r = None
             for line in reversed(proc.stdout.strip().splitlines()):
                 try:
-                    r = json.loads(line)
-                    break
+                    cand = json.loads(line)
                 except json.JSONDecodeError:
                     continue
+                # stray worker output can be a parseable bare number;
+                # only a dict with the worker's keys is a result
+                if isinstance(cand, dict) and "sec" in cand \
+                        and "rows" in cand:
+                    r = cand
+                    break
             if r is None:
                 results[name] = {"sec": None, "rows": None,
                                  "capped": False,
