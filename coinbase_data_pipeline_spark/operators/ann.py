@@ -21,6 +21,8 @@ import hashlib
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from .spread import spread_scan
+
 
 def _dot(x: Column, y: Column) -> Column:
     return F.aggregate(F.zip_with(x, y, lambda a, b: a * b),
@@ -46,14 +48,20 @@ def embedding_centroids(emb: DataFrame, *, label_col: str = "label",
                  F.count(F.lit(1)).alias("n_vectors")))
 
 
-def _rerank(cand: DataFrame, k: int) -> DataFrame:
-    """Shared exact re-rank: candidates (query_id, nn_id, qv, qn, cv,
-    cn) → cosine rounded to 6dp, top-k per query, ties broken on
-    nn_id. The ONE place the scoring/tie-break policy lives — the
-    recall tests compare brute force vs LSH vs IVF, so all three must
-    score identically."""
+def _score(cand: DataFrame) -> DataFrame:
+    """Shared exact scoring: (query_id, nn_id, qv, qn, cv, cn) →
+    + cosine rounded to 6dp. One formula for every ANN entry (the
+    recall tests compare brute force vs LSH vs IVF, so all must score
+    identically). Cosine is SYMMETRIC bit-exactly (per-element a·b
+    multiplies commute in IEEE, the fold order is the shared element
+    order, qn·cn commutes), which is what lets self-join callers score
+    each unordered pair once and mirror."""
     cos = _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
-    scored = cand.withColumn("cosine", F.round(cos, 6))
+    return cand.withColumn("cosine", F.round(cos, 6))
+
+
+def _rank(scored: DataFrame, k: int) -> DataFrame:
+    """Shared top-k policy: ties broken on nn_id."""
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("nn_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -61,9 +69,17 @@ def _rerank(cand: DataFrame, k: int) -> DataFrame:
             .select("query_id", "nn_id", "cosine", "rank"))
 
 
+def _rerank(cand: DataFrame, k: int) -> DataFrame:
+    """Score + top-k in one step (the asymmetric-candidate path)."""
+    return _rank(_score(cand), k)
+
+
 def _corpus_side(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     v = F.col(vec_col).cast("array<double>")
-    out = df.select(F.col(id_col).alias("nn_id"), v.alias("cv"))
+    # the corpus side carries the per-candidate dot products — never
+    # let a one-split scan serialize them (no-op on partitioned input)
+    out = spread_scan(df).select(F.col(id_col).alias("nn_id"),
+                                 v.alias("cv"))
     return out.withColumn("cn", F.sqrt(_dot(F.col("cv"), F.col("cv"))))
 
 
@@ -230,7 +246,8 @@ def knn_graph(emb: DataFrame, *, id_col: str = "vec_id",
     from .dedup import _dense_spread, _first_match_band
 
     v = F.col(vec_col).cast("array<double>")
-    base = emb.select(F.col(id_col).alias("a_id"), v.alias("v"))
+    base = spread_scan(emb).select(F.col(id_col).alias("a_id"),
+                                   v.alias("v"))
     base = base.withColumn("norm", F.sqrt(_dot(F.col("v"), F.col("v"))))
     svals = [sketch(F.col("v"), dim, planes, offset=b * planes)
              .alias(f"s{b}") for b in range(bands)]
@@ -244,8 +261,12 @@ def knn_graph(emb: DataFrame, *, id_col: str = "vec_id",
         F.col("a_id").alias("b_id"),
         *[F.col(f"a_s{b}").alias(f"b_s{b}") for b in range(bands)],
         "band", "bsig")
+    # UNORDERED candidate emission (a < b): cosine is bit-exactly
+    # symmetric (see _score), so each pair's 64-dim dot product runs
+    # ONCE and the edge mirrors afterward — half the verify CPU of
+    # scoring both directions
     cand_ids = (banded.join(right, ["band", "bsig"])
-                .filter(F.col("a_id") != F.col("b_id"))
+                .filter(F.col("a_id") < F.col("b_id"))
                 .filter(_first_match_band(bands))
                 .select("a_id", "b_id"))
     cand_ids = _dense_spread(cand_ids, F.col("a_id"), F.col("b_id"))
@@ -259,7 +280,11 @@ def knn_graph(emb: DataFrame, *, id_col: str = "vec_id",
                               F.col("norm").alias("cn")),
                   cand_ids["b_id"] == F.col("nn_id"))
             .select("query_id", "nn_id", "qv", "qn", "cv", "cn"))
-    return (_rerank(cand, k)
+    scored = _score(cand).select("query_id", "nn_id", "cosine")
+    mirrored = scored.unionAll(
+        scored.select(F.col("nn_id").alias("query_id"),
+                      F.col("query_id").alias("nn_id"), "cosine"))
+    return (_rank(mirrored, k)
             .withColumnRenamed("query_id", id_col))
 
 
@@ -286,7 +311,7 @@ def kmeans_assign(emb: DataFrame, *, k: int = 8, iterations: int = 2,
     the one-pass production step this operator also serves).
     """
     v = F.col(vec_col).cast("array<double>")
-    base = emb.select(F.col(id_col), v.alias("v"))
+    base = spread_scan(emb).select(F.col(id_col), v.alias("v"))
     cents = (base.orderBy(id_col).limit(k)
              .select(F.col(id_col).alias("cluster"),
                      F.col("v").alias("c")))

@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from ..functions.text import hash60, tokens, word_shingles
+from .spread import spread_scan
 
 
 def doc_chunk(docs: DataFrame, size: int = 64, stride: int = 48,
@@ -249,26 +250,32 @@ def boilerplate_ngrams(docs: DataFrame, *, n: int = 5,
     on text without line structure).
 
     Plan: explode per-doc distinct n-grams (narrow) and immediately
-    fingerprint each gram to a hash60 LONG — the df groupBy and the
-    join back then shuffle 8-byte keys instead of ~n-word strings
-    (the dedup_spans recipe; ~2x less shuffle byte volume on this
-    query's two exchanges). A 60-bit collision would merge two grams'
-    df counts — the oracle shares the same fingerprints, so parity
-    is unaffected and the probability is vanishing at any corpus
-    size that fits an engine. One map-side-combining groupBy(gram_h)
-    for document frequency, join back on the long key, then one
-    groupBy(doc). No driver-side state; the gram dictionary is never
-    collected or broadcast, so corpus size is unbounded.
+    fingerprint each gram to a hash60 LONG — everything downstream
+    shuffles 8-byte keys instead of ~n-word strings (the dedup_spans
+    recipe). A 60-bit collision would merge two grams' df counts —
+    the oracle shares the same fingerprints, so parity is unaffected
+    and the probability is vanishing at any corpus size that fits an
+    engine. Document frequency comes from a COUNT OVER
+    (PARTITION BY gram_h) window on the exploded grams, not a
+    groupBy + join-back: the join-back formulation references the
+    gram relation twice, and Spark re-executes the whole
+    tokenize/shingle/hash stage (the query's dominant CPU cost) for
+    each reference — the window computes df in the same shuffled
+    pass that already holds every (gram, doc) row, so the corpus is
+    tokenized ONCE and one exchange disappears (sf0.1 wall
+    11.1s → ~2.5s). Then one groupBy(doc). No driver-side state;
+    the gram dictionary is never collected or broadcast, so corpus
+    size is unbounded — per-window state is a single running count.
     """
-    grams = (docs.select(
+    grams = (spread_scan(docs).select(
         F.col(id_col),
         F.explode(word_shingles(tokens(F.col(text_col)), n))
         .alias("_gram"))
         .select(id_col, hash60(F.col("_gram"), "boiler").alias("gram_h")))
     # per-doc shingles are distinct (word_shingles) → count(docs) = df
-    df_counts = (grams.groupBy("gram_h")
-                 .agg(F.count(F.lit(1)).alias("_df")))
-    per_doc = (grams.join(df_counts, "gram_h")
+    wdf = Window.partitionBy("gram_h")
+    per_doc = (grams
+               .withColumn("_df", F.count(F.lit(1)).over(wdf))
                .groupBy(id_col)
                .agg(F.count(F.lit(1)).alias("n_grams"),
                     F.sum((F.col("_df") >= min_docs).cast("long"))

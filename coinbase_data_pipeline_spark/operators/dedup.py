@@ -15,13 +15,14 @@ checkable.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from ..functions.text import (hash60, minhash_signature, token_set, tokens,
                               word_shingles)
 # summation order of the fold-based dot product is an oracle-parity
 # contract — exactly one implementation may exist (ann.py)
 from .ann import _dot as _vec_dot
+from .spread import spread_scan
 
 
 def _dense_spread(df: DataFrame, *cols) -> DataFrame:
@@ -104,8 +105,10 @@ def minhash_lsh_pairs(docs: DataFrame, *, id_col: str = "doc_id",
         raise ValueError(
             f"bands={bands} must divide num_hashes={num_hashes}")
     rows_per_band = num_hashes // bands
-    base = docs.select(F.col(id_col).alias("a_id"),
-                       token_set(text_col).alias("toks"))
+    # spread the raw text BEFORE tokenizing: a single-row-group scan
+    # otherwise pipelines the whole token_set pass onto one core
+    base = spread_scan(docs).select(F.col(id_col).alias("a_id"),
+                                    token_set(text_col).alias("toks"))
     base = base.withColumn("n", F.size("toks"))
     # empty-token docs can never reach jaccard >= t (union 0 → 0.0);
     # excluding them here also prevents the all-NULL-signature bucket
@@ -202,7 +205,9 @@ def simhash(docs: DataFrame, *, id_col: str = "doc_id",
                                        .otherwise(F.lit(0).cast("long")))
     sim = F.aggregate(contrib, F.lit(0).cast("long"),
                       lambda a, x: a + x)
-    return docs.select(F.col(id_col), sim.alias("simhash"))
+    # the hash-fold is the whole cost; don't let a one-split scan
+    # serialize it (spread_scan is a no-op on well-partitioned input)
+    return spread_scan(docs).select(F.col(id_col), sim.alias("simhash"))
 
 
 def simhash_pairs(docs: DataFrame, *, id_col: str = "doc_id",
@@ -273,8 +278,8 @@ def ngram_jaccard_pairs(docs: DataFrame, *, id_col: str = "doc_id",
         raise ValueError(f"threshold must be in (0, 1), got {threshold}")
     toks = (token_set(text_col) if shingle_n == 1
             else word_shingles(token_set(text_col), shingle_n))
-    base = docs.select(F.col(id_col), toks.alias("toks"),
-                       F.size(toks).alias("n"))
+    base = spread_scan(docs).select(F.col(id_col), toks.alias("toks"),
+                                    F.size(toks).alias("n"))
     # n = 0 docs can never reach jaccard >= t (> 0): empty∩empty has
     # union 0 → jaccard 0; excluding them is output-identical
     base = base.filter(F.col("n") > 0)
@@ -460,7 +465,10 @@ def embedding_neighbor_stats_lsh(emb: DataFrame, *,
     from .ann import sketch
 
     v = F.col(vec_col).cast("array<double>")
-    base = emb.select(F.col(id_col).alias("a_id"), v.alias("v"))
+    # bands × planes × dim sketch arithmetic per vector — spread past
+    # a one-split scan before any of it runs
+    base = spread_scan(emb).select(F.col(id_col).alias("a_id"),
+                                   v.alias("v"))
     base = base.withColumn("norm", F.sqrt(_vec_dot(F.col("v"),
                                                    F.col("v"))))
     svals = [sketch(F.col("v"), dim, planes, offset=b * planes)
@@ -475,11 +483,13 @@ def embedding_neighbor_stats_lsh(emb: DataFrame, *,
         F.col("a_id").alias("b_id"),
         *[F.col(f"a_s{b}").alias(f"b_s{b}") for b in range(bands)],
         "band", "bsig")
+    # exactly-once UNORDERED emission (a < b, first matching band, no
+    # global distinct): cosine is bit-exactly symmetric (per-element
+    # multiplies commute, shared fold order, an·bn commutes), so each
+    # pair's dot product runs ONCE and both endpoints' stats read the
+    # mirrored row — half the verify CPU of per-direction scoring
     cand_ids = (banded.join(right, ["band", "bsig"])
-                .filter(F.col("a_id") != F.col("b_id"))
-                # exactly-once ordered-pair emission (no global
-                # distinct): the groupBy below counts each neighbor
-                # once because its pair row exists exactly once
+                .filter(F.col("a_id") < F.col("b_id"))
                 .filter(_first_match_band(bands))
                 .select("a_id", "b_id"))
     # the candidate verify (64-dim dot product per pair) is CPU-dense
@@ -492,7 +502,11 @@ def embedding_neighbor_stats_lsh(emb: DataFrame, *,
                               F.col("v").alias("bv"),
                               F.col("norm").alias("bn")), "b_id"))
     cos = _vec_dot(F.col("av"), F.col("bv")) / (F.col("an") * F.col("bn"))
-    return (cand.withColumn("cos", cos)
+    scored = cand.withColumn("cos", cos).select("a_id", "b_id", "cos")
+    mirrored = scored.unionAll(
+        scored.select(F.col("b_id").alias("a_id"),
+                      F.col("a_id").alias("b_id"), "cos"))
+    return (mirrored
             .groupBy(F.col("a_id").alias("vec_id"))
             .agg(F.sum((F.col("cos") >= threshold).cast("int"))
                   .alias("near_dup_count"),
@@ -550,7 +564,7 @@ def semantic_dedup_pairs(emb: DataFrame, *, k: int = 8,
     assigned = kmeans_assign(emb, k=k, iterations=iterations,
                              id_col=id_col, vec_col=vec_col)
     v = F.col(vec_col).cast("array<double>")
-    base = (emb.select(F.col(id_col), v.alias("v"))
+    base = (spread_scan(emb).select(F.col(id_col), v.alias("v"))
             .withColumn("norm", F.sqrt(_vec_dot(F.col("v"), F.col("v"))))
             .join(assigned.select(id_col, "cluster"), id_col))
     a = base.select(F.col("cluster"), F.col(id_col).alias("vec_a"),
@@ -633,8 +647,8 @@ def minhash_lsh_pairs_vs(left: DataFrame, right: DataFrame, *,
     rows_per_band = num_hashes // bands
 
     def _prep(df: DataFrame, tag: str) -> DataFrame:
-        base = df.select(F.col(id_col).alias(f"{tag}_id"),
-                         token_set(text_col).alias("toks"))
+        base = spread_scan(df).select(F.col(id_col).alias(f"{tag}_id"),
+                                      token_set(text_col).alias("toks"))
         base = base.withColumn("n", F.size("toks"))
         # empty docs can never reach jaccard >= t; excluding them also
         # kills the all-NULL-signature bucket (see minhash_lsh_pairs)
@@ -747,9 +761,9 @@ def containment_pairs(docs: DataFrame, *, n: int = 3,
     from pyspark.sql import Window
 
     t_num, t_den = int(threshold * 100), 100
-    base = docs.select(F.col(id_col).alias("a_id"),
-                       word_shingles(tokens(F.col(text_col)), n)
-                       .alias("g"))
+    base = spread_scan(docs).select(F.col(id_col).alias("a_id"),
+                                    word_shingles(tokens(F.col(text_col)),
+                                                  n).alias("g"))
     base = base.withColumn("sz", F.size("g")).filter(F.col("sz") > 0)
     # the shingled relation feeds FOUR consumers (df counts, ranking,
     # the candidate join's b-side, and both verify attaches) — without
@@ -886,8 +900,8 @@ def repeated_spans(docs: DataFrame, *, id_col: str = "doc_id",
     from pyspark.sql import Window
 
     toks = tokens(F.col(text_col))
-    base = (docs.select(F.col(id_col), toks.alias("_toks"),
-                        F.size(toks).alias("n_tokens")))
+    base = (spread_scan(docs).select(F.col(id_col), toks.alias("_toks"),
+                                     F.size(toks).alias("n_tokens")))
     pos = (base.filter(F.col("n_tokens") >= k)
            .select(id_col,
                    F.explode(F.sequence(
@@ -1029,24 +1043,40 @@ def tfidf_cosine_pairs(docs: DataFrame, *, id_col: str = "doc_id",
     ≪ 2^63). Postings shuffle as
     (hash60(term), doc, w) triples — the term string never shuffles.
 
+    The capped posting relation is consumed THREE times (norms, and
+    both sides of the inverted-index self-join); left as lineage,
+    Spark re-executes the tokenize/shingle/hash stage — the
+    dominant CPU cost — once per consumer. So: df via
+    COUNT OVER (PARTITION BY term_h) instead of a groupBy +
+    join-back (one pass, one fewer exchange, same recipe as
+    boilerplate_ngrams), then the capped postings localCheckpoint
+    (posting-sized, ~24 B/row — the doc_pagerank state recipe), so
+    the corpus is tokenized exactly once and the self-join reads
+    materialized blocks from both sides (sf0.1 wall 16.7s → ~4s).
+
     Scale: per-term fanout bounded by (df_frac·N)² only for terms
     that survive the cap — in a real corpus those are the rare
-    discriminative shingles; no cross join anywhere.
+    discriminative shingles; no cross join anywhere. The checkpoint
+    is the capped posting list — the same relation the self-join
+    must shuffle anyway, spilled to local disk if it exceeds memory.
     """
     n_docs = docs.select(F.count(F.lit(1)).alias("n_docs"))
-    term = (docs.select(F.col(id_col),
-                        F.explode(word_shingles(
-                            tokens(F.col(text_col)), n)).alias("_g"))
+    term = (spread_scan(docs)
+            .select(F.col(id_col),
+                    F.explode(word_shingles(
+                        tokens(F.col(text_col)), n)).alias("_g"))
             .select(F.col(id_col), hash60(F.col("_g"), "tfc")
                     .alias("term_h")))
-    dfc = term.groupBy("term_h").agg(F.count(F.lit(1)).alias("_df"))
-    w = (term.join(dfc, "term_h")
+    wdf = Window.partitionBy("term_h")
+    w = (term.withColumn("_df", F.count(F.lit(1)).over(wdf))
          .crossJoin(F.broadcast(n_docs))
          .select(F.col(id_col), "term_h", "_df", "n_docs",
                  (F.round(F.log(F.lit(1.0)
                                 + F.col("n_docs") / F.col("_df")),
                           6) + F.lit(0.0)).alias("w")))
-    small = w.filter(F.col("_df") <= F.col("n_docs") * df_frac)
+    small = (w.filter(F.col("_df") <= F.col("n_docs") * df_frac)
+             .select(id_col, "term_h", "w")
+             .localCheckpoint(eager=True))
     # fixed-point grid: w² on 1e-8, products on 1e-6 — BIGINT sums
     w2_int = F.round(F.col("w") * F.col("w") * 1e8, 0).cast("long")
     norms = (small.groupBy(id_col)

@@ -115,21 +115,29 @@ def fold_session_times(times: list[int], prev: tuple | None,
 
 def streaming_sessionize(events: DataFrame, *, user: str = "user_id",
                          ts: str = "ts",
-                         gap_minutes: int = 30) -> DataFrame:
+                         gap_minutes: int = 30,
+                         watermark: str | None = None) -> DataFrame:
     """Stateful streaming sessionization via ``applyInPandasWithState``
     — the custom-stateful-operator path (batch twin:
     operators/sessions.sessionize).
 
     State per user: the open session (start, end, count) as epoch
     microseconds (full event-time precision; the gap test compares
-    fractional seconds, matching the batch operator). Each micro-batch folds its events (sorted by event time)
-    into the open session; a gap > `gap_minutes` CLOSES the session —
-    closed sessions are emitted downstream, the new one replaces the
-    state. The tail session stays in state; production flushes it with
-    an event-time timeout tied to the watermark (set
-    ``GroupStateTimeout.EventTimeTimeout`` and a
-    ``state.setTimeoutTimestamp(end + gap)``); tests replay finite
-    data and assert emitted == all-but-last-session per user.
+    fractional seconds, matching the batch operator). Each micro-batch
+    folds its events (sorted by event time) into the open session; a
+    gap > `gap_minutes` CLOSES the session — closed sessions are
+    emitted downstream, the new one replaces the state.
+
+    `watermark=None` (replay/oracle mode): the tail session stays in
+    state forever; tests replay finite data and assert emitted ==
+    all-but-last-session per user. `watermark` set (production mode):
+    the input is watermarked and state uses
+    ``GroupStateTimeout.EventTimeTimeout`` — once the watermark passes
+    session_end + gap (no event can reopen the session: anything that
+    could is now late and dropped), the timeout fires, the OPEN
+    session is flushed downstream and its state row is REMOVED. So
+    emitted == every session, and state is bounded by users active
+    within the watermark horizon instead of all users ever.
 
     Scale: state is one tiny tuple per ACTIVE user (not per event);
     the shuffle key is the user — identical layout to every other
@@ -145,6 +153,20 @@ def streaming_sessionize(events: DataFrame, *, user: str = "user_id",
     def _fold(key, pdfs, state):
         import pandas as pd
 
+        def emit(sessions):
+            return pd.DataFrame(
+                [(key[0], pd.Timestamp(s, unit="us"),
+                  pd.Timestamp(e, unit="us"), c) for s, e, c in sessions],
+                columns=[user, "session_start", "session_end",
+                         "n_events"])
+
+        if state.hasTimedOut:
+            # watermark passed end+gap: the open session can never
+            # grow again — flush it and drop the state row
+            flushed = [state.get] if state.exists else []
+            state.remove()
+            yield emit(flushed)
+            return
         times = []  # epoch microseconds
         for pdf in pdfs:
             times.extend(int(v.value) // 1000 for v in pdf[ts])
@@ -153,29 +175,48 @@ def streaming_sessionize(events: DataFrame, *, user: str = "user_id",
                                                gap_s * 1_000_000)
         if new_state is not None:
             state.update(new_state)
-        yield pd.DataFrame(
-            [(key[0], pd.Timestamp(s, unit="us"),
-              pd.Timestamp(e, unit="us"), c) for s, e, c in closed],
-            columns=[user, "session_start", "session_end", "n_events"])
+            if watermark is not None:
+                # fire once no in-gap event can still arrive; clamp
+                # above the current watermark (setting at-or-below it
+                # is rejected by the state store contract)
+                end_ms = new_state[1] // 1000
+                state.setTimeoutTimestamp(
+                    max(end_ms + gap_s * 1000,
+                        state.getCurrentWatermarkMs() + 1))
+        yield emit(closed)
 
+    if watermark is not None:
+        events = events.withWatermark(ts, watermark)
+        timeout = GroupStateTimeout.EventTimeTimeout
+    else:
+        timeout = GroupStateTimeout.NoTimeout
     return (events.groupBy(user)
             .applyInPandasWithState(_fold, outputStructType=out_schema,
                                     stateStructType=state_schema,
                                     outputMode="append",
-                                    timeoutConf=GroupStateTimeout.NoTimeout))
+                                    timeoutConf=timeout))
 
 
 def run_to_memory(df: DataFrame, *, name: str | None = None,
-                  output_mode: str = "complete") -> str:
+                  output_mode: str = "complete",
+                  progress_out: list | None = None) -> str:
     """Execute a streaming DataFrame to completion (availableNow) into
     an in-memory sink; returns the sink table name. The table stays
-    queryable after the stream stops."""
+    queryable after the stream stops. If `progress_out` is given, the
+    per-micro-batch progress dicts (including `stateOperators` rows
+    added/removed/total — the bounded-state evidence) are appended to
+    it."""
     name = name or f"stream_{uuid.uuid4().hex[:12]}"
     q = (df.writeStream.format("memory").queryName(name)
          .outputMode(output_mode)
          .trigger(availableNow=True)
          .start())
     q.awaitTermination()
+    if progress_out is not None:
+        import json as _json
+        for p in q.recentProgress:
+            progress_out.append(p if isinstance(p, dict)
+                                else _json.loads(p.json))
     return name
 
 
@@ -234,7 +275,9 @@ def run_file_dedup_pipeline(spark: SparkSession, json_dir: str, *,
 def run_file_dedup_watermark_pipeline(spark: SparkSession, json_dir: str,
                                       *, schema: str, key_cols: list[str],
                                       ts_col: str, delay: str = "1 hour",
-                                      max_files: int = 16) -> DataFrame:
+                                      max_files: int = 16,
+                                      progress_out: list | None = None
+                                      ) -> DataFrame:
     """BOUNDED-STATE streaming deduplication — the production variant
     of :func:`run_file_dedup_pipeline`: ``withWatermark(ts, delay)`` +
     ``dropDuplicatesWithinWatermark`` keeps state only for keys whose
@@ -252,14 +295,17 @@ def run_file_dedup_watermark_pipeline(spark: SparkSession, json_dir: str,
            .option("maxFilesPerTrigger", max_files).json(json_dir))
     deduped = (raw.withWatermark(ts_col, delay)
                .dropDuplicatesWithinWatermark(list(key_cols)))
-    name = run_to_memory(deduped, output_mode="append")
+    name = run_to_memory(deduped, output_mode="append",
+                         progress_out=progress_out)
     return spark.table(name)
 
 
 def run_file_touch_join_pipeline(spark: SparkSession, json_dir: str, *,
                                  window_minutes: int = 30,
                                  watermark: str | None = None,
-                                 max_files: int = 16) -> DataFrame:
+                                 max_files: int = 16,
+                                 progress_out: list | None = None
+                                 ) -> DataFrame:
     """STREAM-STREAM interval join: purchases and view/click touches
     arrive as two independent streams over the same replayed event
     log, and every touch within `window_minutes` BEFORE a purchase
@@ -302,7 +348,8 @@ def run_file_touch_join_pipeline(spark: SparkSession, json_dir: str, *,
     j = (p.join(t, cond, "inner")
          .select("purchase_id", F.col("p_user").alias("user_id"),
                  "p_ts", "touch_type", "touch_ts"))
-    name = run_to_memory(j, output_mode="append")
+    name = run_to_memory(j, output_mode="append",
+                         progress_out=progress_out)
     return spark.table(name)
 
 

@@ -413,3 +413,166 @@ def test_streaming_dedup_watermark_bounded_state(spark, tmp_path):
     assert len(streamed) == len(set(streamed)), "emitted a key twice"
     expected = {r.event_id for r in t.collect()}
     assert set(streamed) == expected
+
+
+def _touch_mtimes(paths):
+    """Force strictly increasing mtimes so FileStreamSource replays the
+    files in the intended order (it sorts by modification time)."""
+    import time
+    base = time.time() - len(paths) * 10
+    for i, p in enumerate(paths):
+        os.utime(p, (base + i * 10, base + i * 10))
+
+
+def test_streaming_dedup_watermark_evicts_state(spark, tmp_path):
+    """The OTHER half of the bounded-state contract: once the watermark
+    passes a key's event time + delay, its state row is REMOVED — a
+    duplicate key arriving after eviction is emitted AGAIN (the
+    deliberate exactness trade), and the progress metrics record the
+    removal. Replayed one file per micro-batch in forced order."""
+    import json
+
+    from coinbase_data_pipeline_spark.streaming.pipelines import (
+        run_file_dedup_watermark_pipeline)
+
+    d = tmp_path / "evict"
+    d.mkdir()
+
+    def row(eid, ts):
+        return json.dumps({"event_id": eid, "ts": ts})
+
+    # batch 1: keys 1, 2 at 10:00; batch 2: key 3 at 14:00 advances
+    # the watermark (delay 1h) to 13:00 > 10:00; batch 3: filler key 4
+    # runs under that watermark, whose state cleanup evicts keys 1, 2
+    # (eviction is lazy — it happens in the first batch EXECUTED with
+    # the advanced watermark, not at the moment it advances); batch 4:
+    # key 1 AGAIN at 14:10, post-eviction
+    f1 = d / "a.json"
+    f2 = d / "b.json"
+    f3 = d / "c.json"
+    f4 = d / "d.json"
+    f1.write_text("\n".join([row(1, "2024-03-01 10:00:00"),
+                             row(2, "2024-03-01 10:00:30")]))
+    f2.write_text(row(3, "2024-03-01 14:00:00"))
+    f3.write_text(row(4, "2024-03-01 14:05:00"))
+    f4.write_text(row(1, "2024-03-01 14:10:00"))
+    _touch_mtimes([f1, f2, f3, f4])
+
+    progress = []
+    out = run_file_dedup_watermark_pipeline(
+        spark, str(d), schema="event_id long, ts timestamp",
+        key_cols=["event_id"], ts_col="ts", delay="1 hour",
+        max_files=1, progress_out=progress)
+    emitted = sorted(r.event_id for r in out.collect())
+    # key 1 emitted TWICE: original + post-eviction redelivery
+    assert emitted == [1, 1, 2, 3, 4]
+    removed = sum(op.get("numRowsRemoved", 0)
+                  for p in progress for op in p.get("stateOperators", []))
+    assert removed >= 2, f"state rows 1,2 never evicted: {progress}"
+
+
+def test_streaming_touch_join_watermarked_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream interval join over in-watermark data
+    (time-ordered micro-batches, delay > the join window) must equal
+    the unwatermarked full-state replay — AND the join state built by
+    early batches must be evicted as the watermark advances."""
+    from coinbase_data_pipeline_spark.sources.tables import load_table
+    from coinbase_data_pipeline_spark.streaming.pipelines import (
+        run_file_touch_join_pipeline)
+
+    ev = (load_table(spark, SF, "events")
+          .select("event_id",
+                  F.unix_micros(F.col("ts").cast("timestamp"))
+                  .alias("ts_us"),
+                  "user_id", "event_type")
+          .orderBy("ts_us"))
+    rows = ev.collect()
+    # 4 time-contiguous slices → watermark advances batch over batch,
+    # and no event is ever late (slice i+1 starts after slice i ends)
+    d = tmp_path / "touch"
+    d.mkdir()
+    import json
+    k = 4
+    per = (len(rows) + k - 1) // k
+    files = []
+    for i in range(k):
+        chunk = rows[i * per:(i + 1) * per]
+        f = d / f"slice_{i}.json"
+        f.write_text("\n".join(json.dumps(r.asDict()) for r in chunk))
+        files.append(f)
+    _touch_mtimes(files)
+
+    progress = []
+    wm = run_file_touch_join_pipeline(
+        spark, str(d), window_minutes=30, watermark="40 minutes",
+        max_files=1, progress_out=progress)
+    got = sorted((r.purchase_id, r.touch_ts) for r in wm.collect())
+
+    full = run_file_touch_join_pipeline(
+        spark, str(d), window_minutes=30, watermark=None)
+    want = sorted((r.purchase_id, r.touch_ts) for r in full.collect())
+    assert got == want
+    assert len(got) > 0
+    removed = sum(op.get("numRowsRemoved", 0)
+                  for p in progress for op in p.get("stateOperators", []))
+    assert removed > 0, "join state never evicted despite watermark"
+
+
+def test_streaming_sessionize_watermark_flushes_tails(spark, tmp_path):
+    """Production sessionize (watermark + EventTimeTimeout): once the
+    watermark passes a user's open-session end + gap, the tail session
+    is FLUSHED downstream and its state row removed — so the streamed
+    result equals the COMPLETE batch sessionization (tails included),
+    not all-but-last."""
+    from coinbase_data_pipeline_spark.operators.sessions import sessionize
+    from coinbase_data_pipeline_spark.sources.tables import load_table
+    from coinbase_data_pipeline_spark.streaming.pipelines import (
+        run_to_memory, streaming_sessionize)
+
+    # watermarks require TIMESTAMP (LTZ); the testdata parquet is NTZ
+    ev = (load_table(spark, SF, "events")
+          .select("user_id", F.col("ts").cast("timestamp").alias("ts")))
+    d = tmp_path / "sesswm"
+    d.mkdir()
+    # batch 1: full history; batch 2: a sentinel far past every
+    # end+gap so the watermark (delay 0s would still lag one batch)
+    # passes all open sessions and every timeout fires
+    ev.coalesce(1).write.mode("overwrite").parquet(str(d / "b1"))
+    sentinel_user = -999
+    far = ev.agg(F.max("ts")).first()[0]
+    sent = spark.createDataFrame(
+        [(sentinel_user, far)], "user_id long, ts timestamp").select(
+        "user_id", (F.col("ts") + F.expr("INTERVAL 30 DAYS")).alias("ts"))
+    sent.coalesce(1).write.mode("overwrite").parquet(str(d / "b2"))
+    import glob
+    f1 = sorted(glob.glob(str(d / "b1" / "*.parquet")))
+    f2 = sorted(glob.glob(str(d / "b2" / "*.parquet")))
+    dd = d / "replay"
+    dd.mkdir()
+    import shutil
+    moved = []
+    for i, f in enumerate(f1 + f2):
+        tgt = dd / f"part_{i:03d}.parquet"
+        shutil.copy(f, tgt)
+        moved.append(tgt)
+    _touch_mtimes(moved)
+
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(dd)))
+    progress = []
+    sessions = streaming_sessionize(stream, gap_minutes=30,
+                                    watermark="1 minute")
+    name = run_to_memory(sessions, output_mode="append",
+                         progress_out=progress)
+    streamed = {(r.user_id, r.session_start, r.session_end, r.n_events)
+                for r in spark.table(name).collect()
+                if r.user_id != sentinel_user}
+
+    batch = sessionize(ev, gap_minutes=30)
+    expected = {(r.user_id, r.session_start, r.session_end, r.n_events)
+                for r in batch.collect()}
+    assert streamed == expected, (
+        f"missing={len(expected - streamed)} extra={len(streamed - expected)}")
+    removed = sum(op.get("numRowsRemoved", 0)
+                  for p in progress for op in p.get("stateOperators", []))
+    assert removed > 0, "session state rows never removed by timeout"

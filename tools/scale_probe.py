@@ -70,25 +70,37 @@ def corpus_times(spark, mult: int) -> dict[str, float]:
     from coinbase_data_pipeline_spark.operators import textstats as TS
 
     out: dict[str, float] = {}
-    for name, fn in [
+    for entry in [
         ("dedup_minhash_lsh", lambda: DD.minhash_lsh_pairs(corpus)),
         ("dedup_ngram_jaccard", lambda: DD.ngram_jaccard_pairs(corpus)),
         ("dedup_simhash_pairs", lambda: DD.simhash_pairs(corpus)),
         ("dedup_components",
          lambda: DD.connected_components(DD.minhash_lsh_pairs(corpus))),
         ("dedup_containment", lambda: DD.containment_pairs(corpus)),
+        ("dedup_tfidf_cosine", lambda: DD.tfidf_cosine_pairs(corpus)),
         ("knn_graph", lambda: ANN.knn_graph(ecorpus)),
         ("bpe_train", lambda: CP.bpe_train(corpus)),
         ("quality_classifier",
          lambda: TS.quality_classifier(corpus)[1]),
-        # graph_triangles is deliberately absent: the probe corpus
-        # multiplies near-dup CLIQUES, so triangle COUNT (and thus
-        # any exact enumerator's floor) grows ~cubically by
-        # construction — the curve would measure output volume, not
-        # plan quality. Its scale evidence is the degree-ordered
+        # doc_pagerank's output is node-sized regardless of input, so
+        # its volume signal is the EDGE count (the per-round message
+        # shuffle volume) — wall should track edges, not nodes
+        ("doc_pagerank", lambda: DD.doc_pagerank(corpus),
+         F.sum("degree")),
+        # graph_triangles: the probe corpus multiplies near-dup
+        # CLIQUES, and the perturbed copies still cross-match at
+        # jaccard 0.9, so cliques MERGE and triangle COUNT grows
+        # ~cubically by construction. That makes this row a test that
+        # wall tracks OUTPUT volume (the sum-of-triangles column, an
+        # exact enumerator's Ω floor) rather than candidate space —
+        # the plan-quality evidence stays the degree-ordered
         # orientation (O(m^1.5) wedge bound, operators/dedup.py).
+        ("graph_triangles", lambda: DD.graph_triangles(corpus),
+         F.sum("triangles")),
         ("dedup_spans", lambda: DD.repeated_spans(corpus)),
     ]:
+        name, fn = entry[0], entry[1]
+        vol = entry[2] if len(entry) > 2 else None
         t0 = time.time()
         df = fn()
         # bench.py's materialization: a bare count() lets Catalyst
@@ -96,9 +108,11 @@ def corpus_times(spark, mult: int) -> dict[str, float]:
         # projections (dedup_spans timed 0.2s under count() vs ~6s
         # real) — hashing every column forces full evaluation
         row = df.agg(F.count(F.lit(1)).alias("n"),
-                     F.bit_xor(F.xxhash64(*df.columns)).alias("h")
+                     F.bit_xor(F.xxhash64(*df.columns)).alias("h"),
+                     (vol if vol is not None
+                      else F.count(F.lit(1))).alias("vol")
                      ).collect()[0]
-        out[name] = (round(time.time() - t0, 2), row["n"])
+        out[name] = (round(time.time() - t0, 2), int(row["vol"]))
     return out
 
 
@@ -129,7 +143,13 @@ def main() -> None:
         "shapes, not single cells).",
         "Regenerate: `PYTHONPATH=. python tools/scale_probe.py`.",
         "",
-        "| operator | " + " | ".join(f"{m}x sec (rows)" for m in MULTIPLES)
+        "The (volume) column is output rows, except doc_pagerank",
+        "(total degree = 2x edges — wall is edge-bound, output is",
+        "node-sized) and graph_triangles (total per-node triangle",
+        "count = 3x triangles — the exact enumerator's output floor).",
+        "",
+        "| operator | " + " | ".join(f"{m}x sec (volume)"
+                                     for m in MULTIPLES)
         + " | 4x/1x |",
         "|---|" + "---|" * (len(MULTIPLES) + 1),
     ]
