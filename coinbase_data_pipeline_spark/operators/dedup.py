@@ -989,19 +989,51 @@ def graph_triangles(docs: DataFrame, *, id_col: str = "doc_id",
         F.when(fwd, F.col("_db")).otherwise(F.col("_da"))
         .alias("dst_deg"))
         .localCheckpoint(eager=True))
-    o1 = oe.select("src", F.col("dst").alias("y"),
-                   F.col("dst_deg").alias("dy"))
-    o2 = oe.select("src", F.col("dst").alias("z"),
-                   F.col("dst_deg").alias("dz"))
-    wedges = (o1.join(o2, "src")
-              .filter((F.col("dy") < F.col("dz"))
-                      | ((F.col("dy") == F.col("dz"))
-                         & (F.col("y") < F.col("z")))))
-    closer = oe.select(F.col("src").alias("y"), F.col("dst").alias("z"))
-    tri = wedges.join(closer, ["y", "z"]).select("src", "y", "z")
-    pern = (tri.select(F.explode(F.array("src", "y", "z")).alias("node"))
-            .groupBy("node")
-            .agg(F.count(F.lit(1)).alias("triangles")))
+    # EDGE-ITERATOR enumeration: a triangle with rank order x<y<z is
+    # found at its (x, y) edge as z ∈ N⁺(x) ∩ N⁺(y). Out-neighbor
+    # lists under the degree orientation are O(√m)-bounded, so the
+    # per-edge sorted-array intersection does the same O(m^1.5) wedge
+    # work as the wedge self-join — but as a ROW-LOCAL array op: the
+    # wedge stream (≫ triangle count) never materializes as rows,
+    # never shuffles into the closer join, and never hits the
+    # wedge-join's per-row overhead (the join formulation measured
+    # ~40s at sf0.1 with every core busy; this one ~4s). collect_list
+    # state is the out-adjacency itself — bounded by orientation, the
+    # thing an UNoriented adjacency build would get wrong on hubs.
+    adj = (oe.groupBy("src")
+           .agg(F.array_sort(F.collect_list("dst")).alias("nbrs")))
+    j1 = (oe
+          .join(adj.select(F.col("src").alias("_u"),
+                           F.col("nbrs").alias("un")),
+                F.col("src") == F.col("_u"))
+          .select("src", "dst", "un"))
+    # pin the second join's layout with an explicit-count hash
+    # repartition (exempt from AQE coalescing): sorted-int adjacency
+    # arrays compress ~10× in shuffle, so the byte-based coalescer
+    # reads the heavy intersect stage as "small" and collapses it to
+    # a handful of tasks (observed 3 tasks carrying the whole Ω(#T)
+    # enumeration at sf0.1)
+    j1 = _dense_spread(j1, F.col("dst"))
+    inter = (j1
+             .join(adj.select(F.col("src").alias("_v"),
+                              F.col("nbrs").alias("vn")),
+                   F.col("dst") == F.col("_v"))
+             .select("src", "dst",
+                     F.array_intersect("un", "vn").alias("ws")))
+    # per-node counts in ONE Ω(#triangles) explode: the edge's two
+    # endpoints each take the whole intersection size, every common
+    # neighbor takes 1 — instead of materializing (x, y, z) triples
+    # and re-exploding them 3-wide (3× the row volume for the same
+    # sums; the two-explode form measured ~30s at sf0.1 vs ~12s)
+    c = F.size("ws").cast("long")
+    contrib = inter.select(F.explode(F.concat(
+        F.array(F.struct(F.col("src").alias("node"), c.alias("c")),
+                F.struct(F.col("dst").alias("node"), c.alias("c"))),
+        F.transform("ws", lambda w: F.struct(
+            w.alias("node"), F.lit(1).cast("long").alias("c")))))
+        .alias("nc"))
+    pern = (contrib.groupBy(F.col("nc.node").alias("node"))
+            .agg(F.sum("nc.c").alias("triangles")))
     coeff = F.when(
         F.col("degree") > 1,
         F.lit(2.0) * F.col("triangles")
