@@ -138,6 +138,8 @@ HEADLINERS = [
     "kmv_weekly_merge",
     "ann_ivf",
     "grouped_scale_full",
+    "streaming_sessionize_watermark",
+    "streaming_dedup_watermark",
 ]
 
 # Per-query repetitions; the reported time is the MIN across runs.

@@ -288,6 +288,125 @@ def q_streaming_sessionize(spark, sf_dir):
         shutil.rmtree(replay_dir, ignore_errors=True)
 
 
+def q_streaming_sessionize_watermark(spark, sf_dir):
+    """The PRODUCTION sessionize path (watermark + EventTimeTimeout),
+    oracle-checked: same four ordered micro-batches as
+    streaming_sessionize, plus a far-future sentinel event in a fifth
+    batch that pushes the watermark past every open session's
+    end + gap — the event-time timeouts fire, every tail session is
+    FLUSHED downstream and its state row removed. The streamed result
+    (sentinel user excluded) must therefore equal the COMPLETE batch
+    sessionization — tails included — which is strictly stronger than
+    the unwatermarked query's all-but-last contract, and it proves
+    state is bounded by the watermark horizon rather than all users
+    ever."""
+    import time as _time
+
+    from ..sources.tables import load_table
+    from ..streaming.pipelines import run_to_memory, streaming_sessionize
+
+    replay_dir = os.path.join(_TMP_ROOT, f"sesswm-{uuid.uuid4().hex[:8]}")
+    try:
+        from ..functions.timeutil import epoch_seconds
+
+        ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+        bounds = ev.agg(
+            epoch_seconds(F.min("ts")).alias("t0"),
+            (epoch_seconds(F.max("ts")) + 1.0).alias("t1"))
+        bucketed = (ev.crossJoin(F.broadcast(bounds))
+                    .withColumn("bucket", F.floor(
+                        4 * (epoch_seconds(F.col("ts")) - F.col("t0"))
+                        / (F.col("t1") - F.col("t0"))))
+                    .select("user_id", "ts", "bucket"))
+        for b in range(4):
+            (bucketed.filter(F.col("bucket") == b)
+             .select("user_id", "ts").coalesce(1)
+             .write.mode("overwrite" if b == 0 else "append")
+             .parquet(replay_dir))
+        # sentinel batch LAST: 30 days past max(ts) > every
+        # session_end + gap. The 0.1s sleep guarantees a strictly
+        # later mtime — if FileStreamSource mis-ordered it FIRST, the
+        # watermark would jump ahead and drop the entire replay as
+        # late data (a loud, not silent, failure mode).
+        _time.sleep(0.1)
+        sentinel = ev.agg(F.lit(-1).cast("long").alias("user_id"),
+                          (F.max("ts") + F.expr("INTERVAL 30 DAYS"))
+                          .alias("ts"))
+        sentinel.coalesce(1).write.mode("append").parquet(replay_dir)
+        stream = (spark.readStream
+                  .schema("user_id long, ts timestamp")
+                  .option("maxFilesPerTrigger", 1)
+                  .parquet(replay_dir))
+        sessions = streaming_sessionize(stream, gap_minutes=30,
+                                        watermark="1 minute")
+        name = run_to_memory(sessions, output_mode="append")
+        return (spark.table(name)
+                .filter(F.col("user_id") != -1)
+                .select("user_id", "session_start", "session_end",
+                        "n_events"))
+    finally:
+        shutil.rmtree(replay_dir, ignore_errors=True)
+
+
+# the COMPLETE sessionization (tails included) — the watermarked
+# variant's timeouts must flush exactly what the unwatermarked one
+# holds back
+SQL_STREAMING_SESSIONIZE_WM = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts - lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), numbered AS (
+  SELECT user_id, ts,
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS BIGINT) AS session_no
+  FROM flagged
+)
+SELECT user_id,
+       min(ts) AS session_start, max(ts) AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM numbered GROUP BY user_id, session_no
+"""
+
+
+def q_streaming_dedup_watermark(spark, sf_dir):
+    """BOUNDED-STATE streaming dedup (withWatermark +
+    dropDuplicatesWithinWatermark — the production variant whose
+    state is O(keys in window), not O(all keys ever)), oracle-checked
+    on its exactness contract: every duplicate here is delivered with
+    the SAME event time as its original and the delay spans the whole
+    replay, so every key is still inside the watermark window when
+    its duplicate arrives and the result must equal the batch tick
+    relation exactly. (The other half of the contract — a key
+    redelivered AFTER eviction is emitted again, numRowsRemoved > 0 —
+    is behavior the batch oracle can't express; it is pytest-gated in
+    tests/test_streaming_sinks.py.)"""
+    from ..streaming.pipelines import run_file_dedup_watermark_pipeline
+
+    replay_dir = os.path.join(_TMP_ROOT, f"dedupwm-{uuid.uuid4().hex[:8]}")
+    try:
+        t = ticks(spark, sf_dir).select(
+            "event_id", "product_id",
+            F.col("time").alias("ts"),
+            F.col("price").cast("string").alias("price"))
+        t.unionAll(t).write.mode("overwrite").json(replay_dir)
+        out = run_file_dedup_watermark_pipeline(
+            spark, replay_dir,
+            schema=("event_id long, product_id string, ts timestamp, "
+                    "price string"),
+            key_cols=["event_id"], ts_col="ts", delay="2160 hours")
+        return out.select(
+            "event_id", "product_id",
+            (F.round(F.col("price").cast("double"), 6) + F.lit(0.0))
+            .alias("price"))
+    finally:
+        shutil.rmtree(replay_dir, ignore_errors=True)
+
+
 SQL_STREAMING_SESSIONIZE = """
 WITH flagged AS (
   SELECT user_id, ts,
@@ -403,6 +522,8 @@ SPARK_QUERIES_STREAM: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_classifier_scores": q_streaming_classifier_scores,
     "streaming_touch_join": q_streaming_touch_join,
     "streaming_hopping": q_streaming_hopping,
+    "streaming_sessionize_watermark": q_streaming_sessionize_watermark,
+    "streaming_dedup_watermark": q_streaming_dedup_watermark,
 }
 
 ORACLE_SQL_STREAM: dict[str, str] = {
@@ -416,4 +537,8 @@ ORACLE_SQL_STREAM: dict[str, str] = {
     "streaming_classifier_scores": _sql_streaming_classifier(),
     "streaming_touch_join": SQL_STREAMING_TOUCH_JOIN,
     "streaming_hopping": SQL_STREAMING_HOPPING,
+    "streaming_sessionize_watermark": SQL_STREAMING_SESSIONIZE_WM,
+    # same oracle as streaming_dedup: in-window duplicate delivery
+    # must still collapse to the batch tick relation
+    "streaming_dedup_watermark": SQL_STREAMING_DEDUP,
 }

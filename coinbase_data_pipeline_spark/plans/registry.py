@@ -74,6 +74,19 @@ _CHECK_FIRST = [
     # boilerplate_ngrams land here too via their (a) slots above.
     "ann_ivf", "grouped_scale_full", "event_paths",
     "kmv_weekly_merge", "dedup_tfidf_cosine",
+    # (b') round-5 perf changes across the dedup/ANN family heads
+    # (spread_scan scan-parallelism guard; mirrored symmetric-cosine
+    # verify; graph_triangles' edge-iterator rewrite) — every catalog
+    # query whose plan those touched and that isn't already above.
+    "graph_triangles", "dedup_minhash_lsh", "dedup_simhash",
+    "dedup_simhash_pairs", "dedup_ngram_jaccard", "dedup_containment",
+    "dedup_spans", "dedup_components", "dedup_keep", "knn_graph",
+    "kmeans_assign", "cluster_quality_profile", "corpus_curation",
+    "ann_bruteforce", "ann_lsh", "ann_range_search",
+    # (b'') new in round 5: the production bounded-state streaming
+    # variants promoted to oracle-paired catalog queries (watermark +
+    # EventTimeTimeout tail flush; dropDuplicatesWithinWatermark).
+    "streaming_sessionize_watermark", "streaming_dedup_watermark",
 ]
 
 ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

@@ -1237,3 +1237,21 @@ def test_kmv_sketch_accuracy(spark):
         else:
             rel = abs(e - exact[day]) / exact[day]
             assert rel <= 3 * sigma, (day, e, exact[day])
+
+
+def test_spread_scan_noop_on_wide_input(spark):
+    """spread_scan must be a NO-OP (same plan object, no injected
+    exchange) when the scan already has >= cluster-parallelism
+    partitions — the guard that keeps it free at production scale —
+    and must widen a single-partition input to full parallelism."""
+    from coinbase_data_pipeline_spark.operators.spread import spread_scan
+
+    par = spark.sparkContext.defaultParallelism
+    wide = spark.range(0, 10_000, 1, par + 4)
+    assert spread_scan(wide) is wide  # not just equal — untouched
+
+    narrow = spark.range(0, 10_000, 1, 1)
+    out = spread_scan(narrow)
+    assert out is not narrow
+    assert out.rdd.getNumPartitions() == par
+    assert out.count() == 10_000
