@@ -138,6 +138,9 @@ HEADLINERS = [
     "kmv_weekly_merge",
     "ann_ivf",
     "grouped_scale_full",
+    "zorder_layout",
+    "bloom_semi_join",
+    "pmi_collocations",
     "streaming_sessionize_watermark",
     "streaming_dedup_watermark",
 ]

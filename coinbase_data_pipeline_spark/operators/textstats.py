@@ -584,3 +584,63 @@ def bm25_search(docs: DataFrame, queries: DataFrame, *, k1: float = 1.2,
                        "n_matched_terms")
             .withColumn("rank", F.row_number().over(w).cast("int"))
             .filter(F.col("rank") <= top_n))
+
+
+def pmi_collocations(docs: DataFrame, *, text_col: str = "text",
+                     min_count: int = 5, top_n: int = 100) -> DataFrame:
+    """Corpus collocations: adjacent-token pairs ranked by pointwise
+    mutual information — the statistic that separates genuinely bound
+    phrases ("machine learning") from merely frequent neighbours
+    ("of the"). A corpus-analysis staple next to ngram_doc_frequency
+    (which ranks by raw frequency).
+
+    pmi(a,b) = ln( p(ab) / (p(a)·p(b)) ) with p(ab) = c_ab / M over
+    bigram occurrences and p(a) = c_a / N over token occurrences.
+    Rare accidental pairs (the PMI pathology) are cut by `min_count`.
+
+    Plan shape at 100 TB: two explode→groupBy counts (both map-side
+    combining, keyed on the token/bigram string); the unigram table is
+    the VOCABULARY — corpus-independent small — so both join-backs
+    broadcast; the two corpus totals are single-row broadcast
+    cross-joins; the final top-N sorts only the min_count-surviving
+    bigram aggregate. The probe side never shuffles by doc.
+    """
+    from .spread import spread_scan
+
+    # tokenize ONCE: three consumers below (unigram counts, bigram
+    # counts, corpus totals) would otherwise each re-run the tokenize
+    # scan (the boilerplate_ngrams posting-list lesson)
+    base = (spread_scan(docs).select(tokens(text_col).alias("toks"))
+            .localCheckpoint(eager=True))
+    idx = F.when(F.size("toks") >= 2,
+                 F.sequence(F.lit(1), F.size("toks") - 1)) \
+           .otherwise(F.array().cast("array<int>"))
+    bi = base.select(F.explode(
+        F.transform(idx, lambda i: F.struct(
+            F.element_at("toks", i).alias("a"),
+            F.element_at("toks", (i + 1).cast("int")).alias("b"))))
+        .alias("p")).select("p.a", "p.b")
+    uni = (base.select(F.explode("toks").alias("tok"))
+           .groupBy("tok").agg(F.count(F.lit(1)).alias("c")))
+    # totals from the token-array lengths directly — exactly equal to
+    # summing the count tables, without re-reading them
+    totals = base.agg(
+        F.sum(F.size("toks")).cast("double").alias("n_tokens"),
+        F.sum(F.greatest(F.size("toks") - 1, F.lit(0)))
+         .cast("double").alias("n_bigrams"))
+    c_ab = bi.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
+    joined = (c_ab.filter(F.col("c_ab") >= min_count)
+              .join(F.broadcast(uni.select(F.col("tok").alias("a"),
+                                           F.col("c").alias("c_a"))), "a")
+              .join(F.broadcast(uni.select(F.col("tok").alias("b"),
+                                           F.col("c").alias("c_b"))), "b")
+              .crossJoin(F.broadcast(totals)))
+    # mirrored term-for-term in the SQL twin: identical IEEE expression
+    # tree -> identical doubles
+    pmi = F.log((F.col("c_ab").cast("double") / F.col("n_bigrams"))
+                / ((F.col("c_a").cast("double") / F.col("n_tokens"))
+                   * (F.col("c_b").cast("double") / F.col("n_tokens"))))
+    return (joined.select("a", "b", "c_ab", "c_a", "c_b",
+                          (F.round(pmi, 6) + F.lit(0.0)).alias("pmi"))
+            .orderBy(F.col("pmi").desc(), "a", "b")
+            .limit(top_n))

@@ -1091,6 +1091,108 @@ GROUP BY CUBE(l_returnflag, l_linestatus)
 """
 
 
+# ------------------------------------------------ data layout & runtime filters
+
+ZO_ORIGIN_US = 1_704_067_200 * 1_000_000   # 2024-01-01 00:00:00 UTC
+ZO_DAY_US = 86_400 * 1_000_000
+ZO_VAL_BUCKET = 20.0
+
+
+def q_zorder_layout(spark, sf_dir):
+    """OPTIMIZE ZORDER audit: events clustered by the Morton interleave
+    of (value ventile, event day), split into 64 z-ranges, one
+    bounding-box row per split — the min/max stats a lakehouse planner
+    prunes files with. A (value-range, time-range) predicate skips
+    every split whose box misses it; a single-column sort layout can
+    only prune on its leading column (consumer.go's product/date
+    archive layout is that one-dimensional case). The global rank
+    behind the split assignment runs DISTRIBUTED (shard by z's high
+    bits + cumulative shard offsets — operators/layout.py), not as an
+    unpartitioned window; the oracle's single-node ntile is
+    bit-identical by ntile's own boundary arithmetic."""
+    from ..functions.timeutil import epoch_micros
+    from ..operators import layout as L
+
+    ev = load_table(spark, sf_dir, "events")
+    ev = ev.withColumn("e_us", epoch_micros(F.col("ts")))
+    xb = F.pmod(F.floor(F.col("value") / ZO_VAL_BUCKET).cast("long"),
+                F.lit(1 << L.ZBITS))
+    yb = F.pmod(F.expr(f"(e_us - {ZO_ORIGIN_US}) div {ZO_DAY_US}"),
+                F.lit(1 << L.ZBITS))
+    return L.zorder_stats(ev, xb, yb, F.col("event_id"))
+
+
+def _sql_zorder_layout() -> str:
+    from ..operators.layout import ZSPLITS, sql_interleave
+
+    zbits_mod = 1 << 10
+    return f"""
+WITH b AS (
+  SELECT ((CAST(floor(value / {ZO_VAL_BUCKET}) AS BIGINT)
+           % {zbits_mod}) + {zbits_mod}) % {zbits_mod} AS xb,
+         ((((epoch_us(ts) - {ZO_ORIGIN_US}) // {ZO_DAY_US})
+           % {zbits_mod}) + {zbits_mod}) % {zbits_mod} AS yb,
+         event_id AS tb
+  FROM events
+), z AS (
+  SELECT xb, yb, tb, {sql_interleave('xb', 'yb')} AS z FROM b
+), r AS (
+  SELECT xb, yb,
+         CAST(ntile({ZSPLITS}) OVER (ORDER BY z, tb) AS INT) AS split_id
+  FROM z
+)
+SELECT split_id, CAST(count(*) AS BIGINT) AS n_rows,
+       min(xb) AS min_x, max(xb) AS max_x,
+       min(yb) AS min_y, max(yb) AS max_y,
+       (max(xb) - min(xb) + 1) * (max(yb) - min(yb) + 1) AS box_area
+FROM r GROUP BY split_id
+"""
+
+
+SQL_ZORDER_LAYOUT = _sql_zorder_layout()
+
+BLOOM_PRICE_MIN = 480000.0
+
+
+def q_bloom_semi_join(spark, sf_dir):
+    """Runtime-filter pattern, explicit: lineitem semi-joined to the
+    top-price ~5% of orders THROUGH a broadcast Bloom filter built from
+    the build side's keys (operators/layout.py) — the probe side drops
+    non-matching rows before any shuffle, then an exact semi-join
+    removes bloom false positives, so the result equals the plain
+    semi-join (the oracle) bit-for-bit. At 100 TB this is the
+    difference between shuffling the whole fact table and shuffling
+    the ~5% that can match; Spark's InjectRuntimeFilter applies the
+    same trick optimizer-side, here it is a first-class, plan-audited
+    operator. Aggregated to the Q1-style pricing summary so the output
+    stays small."""
+    from ..operators.layout import bloom_semi_join
+
+    li = load_table(spark, sf_dir, "lineitem")
+    od = (load_table(spark, sf_dir, "orders")
+          .filter(F.col("o_totalprice") > BLOOM_PRICE_MIN)
+          .select("o_orderkey"))
+    hit = bloom_semi_join(li, od, "l_orderkey", "o_orderkey")
+    return (hit.groupBy("l_returnflag", "l_linestatus")
+            .agg(F.count(F.lit(1)).alias("n_items"),
+                 F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue")))
+
+
+SQL_BLOOM_SEMI_JOIN = f"""
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n_items,
+       ROUND(sum(l_quantity), 2) + 0 AS sum_qty,
+       ROUND(sum(l_extendedprice * (1 - l_discount)), 2) + 0 AS revenue
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                     WHERE o_totalprice > {BLOOM_PRICE_MIN})
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
 SPARK_QUERIES_ANALYTICS: dict[
         str, Callable[[SparkSession, str], DataFrame]] = {
     "sessionize": q_sessionize,
@@ -1116,6 +1218,8 @@ SPARK_QUERIES_ANALYTICS: dict[
     "sales_cube": q_sales_cube,
     "kmv_distinct_users": q_kmv_distinct_users,
     "kmv_weekly_merge": q_kmv_weekly_merge,
+    "zorder_layout": q_zorder_layout,
+    "bloom_semi_join": q_bloom_semi_join,
 }
 
 ORACLE_SQL_ANALYTICS: dict[str, str] = {
@@ -1142,4 +1246,6 @@ ORACLE_SQL_ANALYTICS: dict[str, str] = {
     "sales_cube": SQL_SALES_CUBE,
     "kmv_distinct_users": SQL_KMV_DISTINCT_USERS,
     "kmv_weekly_merge": SQL_KMV_WEEKLY_MERGE,
+    "zorder_layout": SQL_ZORDER_LAYOUT,
+    "bloom_semi_join": SQL_BLOOM_SEMI_JOIN,
 }

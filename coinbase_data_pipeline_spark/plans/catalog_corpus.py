@@ -1014,6 +1014,57 @@ SELECT * FROM ranked WHERE rank <= {BM25_TOP}
 SQL_BM25_SEARCH = _sql_bm25()
 
 
+# ------------------------------------------------------------- collocations
+
+PMI_MIN_COUNT = 5
+PMI_TOP = 100
+
+
+def q_pmi_collocations(spark, sf_dir):
+    """Adjacent-token collocations ranked by pointwise mutual
+    information (operators/textstats.py:pmi_collocations) — the
+    phrase-mining statistic next to ngram_doc_frequency's raw counts.
+    Tokenize once (localCheckpoint), two map-side-combining counts,
+    vocabulary-sized broadcast join-backs, top-100 over the surviving
+    bigram aggregate only."""
+    from ..operators.textstats import pmi_collocations
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pmi_collocations(docs, min_count=PMI_MIN_COUNT,
+                            top_n=PMI_TOP)
+
+
+SQL_PMI_COLLOCATIONS = f"""
+WITH toked AS (
+  SELECT {SQL_TOKS_ALL} AS toks FROM documents
+), uni AS (
+  SELECT t.tok AS tok, CAST(count(*) AS BIGINT) AS c
+  FROM toked, unnest(toks) AS t(tok) GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(len(toks)) AS DOUBLE) AS n_tokens,
+         CAST(sum(greatest(len(toks) - 1, 0)) AS DOUBLE) AS n_bigrams
+  FROM toked
+), bi AS (
+  SELECT toks[t.i] AS a, toks[t.i + 1] AS b
+  FROM toked,
+       unnest(generate_series(1, greatest(len(toks) - 1, 0))) AS t(i)
+), cab AS (
+  SELECT a, b, CAST(count(*) AS BIGINT) AS c_ab FROM bi GROUP BY 1, 2
+)
+SELECT cab.a, cab.b, c_ab, ua.c AS c_a, ub.c AS c_b,
+       ROUND(ln((CAST(c_ab AS DOUBLE) / n_bigrams)
+                / ((CAST(ua.c AS DOUBLE) / n_tokens)
+                   * (CAST(ub.c AS DOUBLE) / n_tokens))), 6) + 0 AS pmi
+FROM cab
+JOIN uni ua ON ua.tok = cab.a
+JOIN uni ub ON ub.tok = cab.b
+CROSS JOIN tot
+WHERE c_ab >= {PMI_MIN_COUNT}
+ORDER BY pmi DESC, cab.a, cab.b
+LIMIT {PMI_TOP}
+"""
+
+
 # ----------------------------------------------------------------- registry
 
 SPARK_QUERIES_CORPUS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1041,6 +1092,7 @@ SPARK_QUERIES_CORPUS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_entropy": q_token_entropy,
     "bm25_search": q_bm25_search,
     "fixed_k_sample": q_fixed_k_sample,
+    "pmi_collocations": q_pmi_collocations,
 }
 
 ORACLE_SQL_CORPUS: dict[str, str] = {
@@ -1068,4 +1120,5 @@ ORACLE_SQL_CORPUS: dict[str, str] = {
     "token_entropy": SQL_TOKEN_ENTROPY,
     "bm25_search": SQL_BM25_SEARCH,
     "fixed_k_sample": SQL_FIXED_K_SAMPLE,
+    "pmi_collocations": SQL_PMI_COLLOCATIONS,
 }

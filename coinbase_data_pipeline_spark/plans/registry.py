@@ -82,7 +82,13 @@ _CHECK_FIRST = [
     "dedup_simhash_pairs", "dedup_ngram_jaccard", "dedup_containment",
     "dedup_spans", "dedup_components", "dedup_keep", "knn_graph",
     "kmeans_assign", "cluster_quality_profile", "corpus_curation",
-    "ann_bruteforce", "ann_lsh", "ann_range_search",
+    # (ann_bruteforce / ann_lsh / ann_range_search also sat here for
+    # the spread_scan guard; they rolled to the next window to make
+    # room for (b''') — the guard is semantics-preserving and the same
+    # change is sampled in-window via ann_pq/ann_ivfpq/knn_graph.)
+    # (b''') brand-new round-5 queries: Z-order layout audit,
+    # explicit Bloom-filter semi-join, PMI collocations.
+    "zorder_layout", "bloom_semi_join", "pmi_collocations",
     # (b'') new in round 5: the production bounded-state streaming
     # variants promoted to oracle-paired catalog queries (watermark +
     # EventTimeTimeout tail flush; dropDuplicatesWithinWatermark).

@@ -270,3 +270,24 @@ def test_bucketed_join_elides_shuffle(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS bkt_candles")
         spark.sql("DROP TABLE IF EXISTS bkt_stats")
+
+
+def test_bloom_semi_join_is_all_broadcast(spark):
+    """The bloom pre-filter must be broadcast joins (probe side never
+    shuffles before the filter): 3 word-table probes + the exact
+    semi-join, zero SortMergeJoin."""
+    tree = formatted_plan(spark, "bloom_semi_join").split("\n\n")[0]
+    assert tree.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in tree
+    assert "CartesianProduct" not in tree
+
+
+def test_zorder_rank_window_is_sharded(spark):
+    """The global-rank window must partition by the z-shard — an
+    unpartitioned row_number would drag the whole table to one task."""
+    df = ALL_QUERIES["zorder_layout"](spark, SF)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    import re as _re
+    for m in _re.finditer(r"row_number\(\).*?windowspecdefinition\(([^)]*)\)",
+                          analyzed):
+        assert "shard" in m.group(1)
