@@ -159,30 +159,31 @@ def bloom_build(build: DataFrame, key: Column) -> DataFrame:
 def bloom_filter_rows(probe: DataFrame, build: DataFrame,
                       probe_key: str, build_key: str) -> DataFrame:
     """Stage 1 of :func:`bloom_semi_join`: drop probe rows whose key
-    misses any of its k bloom bits. k chained broadcast inner-joins
-    against the ≤1024-row word table (one per seeded probe position),
-    each followed by a bit test — the probe side never shuffles and
-    duplicates are preserved, so this stage is a pure row filter that
-    stays inside one codegen span. May keep false positives; never
-    drops a true match (no false negatives by construction)."""
-    # materialize the ≤1024-row word table once: it feeds k broadcasts,
-    # and without truncation each would re-scan the build side
-    words = bloom_build(build, F.col(build_key)).localCheckpoint(eager=True)
-    out = probe
+    misses any of its k bloom bits. The word table folds into a
+    SINGLE-ROW map (word_idx → word, ≤1024 entries ≈ 8 KB) that
+    reaches the probe side through one broadcast-scalar cross-join —
+    the same one-row-broadcast pattern every scalar-statistic join in
+    this repo uses — after which the k membership probes are pure
+    row-local bit arithmetic inside one codegen span. The probe side
+    never shuffles, duplicates are preserved. May keep false
+    positives; never drops a true match (a missing map entry means
+    that word has no bits set, i.e. the key is provably absent)."""
+    bloom = (bloom_build(build, F.col(build_key))
+             .agg(F.map_from_entries(
+                 F.collect_list(F.struct("word_idx", "word")))
+                 .alias("__bloom")))
+    out = probe.crossJoin(F.broadcast(bloom))
     for i in range(BLOOM_HASHES):
-        p = F.pmod(hash60(F.col(probe_key), f"bloom{i}"),
-                   F.lit(BLOOM_BITS))
-        w = F.broadcast(words.select(F.col("word_idx").alias(f"__wi{i}"),
-                                     F.col("word").alias(f"__w{i}")))
-        # inner join: a key whose word row is absent has that bit
-        # unset, i.e. it is provably not in the build side
-        out = (out.withColumn(f"__p{i}", p)
-               .join(w, F.shiftright(f"__p{i}", 6) == F.col(f"__wi{i}"))
+        out = (out.withColumn(
+                   f"__p{i}",
+                   F.pmod(hash60(F.col(probe_key), f"bloom{i}"),
+                          F.lit(BLOOM_BITS)))
                .filter(F.expr(
-                   f"(__w{i} & shiftleft(CAST(1 AS BIGINT), "
+                   f"(coalesce(__bloom[shiftright(__p{i}, 6)], "
+                   f"CAST(0 AS BIGINT)) & shiftleft(CAST(1 AS BIGINT), "
                    f"CAST(__p{i} & 63 AS INT))) != 0"))
-               .drop(f"__p{i}", f"__wi{i}", f"__w{i}"))
-    return out
+               .drop(f"__p{i}"))
+    return out.drop("__bloom")
 
 
 def bloom_semi_join(probe: DataFrame, build: DataFrame,

@@ -1157,7 +1157,8 @@ BLOOM_PRICE_MIN = 480000.0
 def q_bloom_semi_join(spark, sf_dir):
     """Runtime-filter pattern, explicit: lineitem semi-joined to the
     top-price ~5% of orders THROUGH a broadcast Bloom filter built from
-    the build side's keys (operators/layout.py) — the probe side drops
+    the build side's keys (operators/layout.py; one single-row
+    broadcast map + row-local bit tests) — the probe side drops
     non-matching rows before any shuffle, then an exact semi-join
     removes bloom false positives, so the result equals the plain
     semi-join (the oracle) bit-for-bit. At 100 TB this is the

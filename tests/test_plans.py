@@ -273,11 +273,13 @@ def test_bucketed_join_elides_shuffle(spark, tmp_path):
 
 
 def test_bloom_semi_join_is_all_broadcast(spark):
-    """The bloom pre-filter must be broadcast joins (probe side never
-    shuffles before the filter): 3 word-table probes + the exact
-    semi-join, zero SortMergeJoin."""
+    """The bloom pre-filter must reach the probe side as ONE
+    single-row broadcast (the scalar cross-join pattern) and the
+    exact join must be a broadcast semi-join — the probe side never
+    shuffles, nothing sort-merges."""
     tree = formatted_plan(spark, "bloom_semi_join").split("\n\n")[0]
-    assert tree.count("BroadcastHashJoin") >= 4
+    assert "BroadcastHashJoin" in tree          # the exact semi-join
+    assert tree.count("BroadcastNestedLoopJoin") == 1  # 1-row bloom map
     assert "SortMergeJoin" not in tree
     assert "CartesianProduct" not in tree
 
