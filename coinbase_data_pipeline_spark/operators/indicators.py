@@ -325,12 +325,23 @@ def grouped_scale(df: DataFrame, *, key: str, ts: str, split: str,
     lo, hi = feature_range
     aggs = []
     for c in robust_cols:
-        aggs += [F.percentile(c, F.lit(0.5)).alias(f"_{c}_med"),
-                 F.percentile(c, F.lit(0.25)).alias(f"_{c}_q1"),
-                 F.percentile(c, F.lit(0.75)).alias(f"_{c}_q3")]
+        # ONE percentile buffer per column (the exact Percentile agg
+        # keeps a value→count map; three scalar calls would shuffle
+        # three copies of it per column)
+        aggs.append(F.percentile(
+            c, F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+            .alias(f"_{c}_q"))
     for c in minmax_cols:
         aggs += [F.min(c).alias(f"_{c}_min"), F.max(c).alias(f"_{c}_max")]
     stats = df.filter(F.col(ts) < split).groupBy(key).agg(*aggs)
+    stats = stats.select(
+        key,
+        *[x for c in robust_cols for x in
+          (F.element_at(f"_{c}_q", 2).alias(f"_{c}_med"),
+           F.element_at(f"_{c}_q", 1).alias(f"_{c}_q1"),
+           F.element_at(f"_{c}_q", 3).alias(f"_{c}_q3"))],
+        *[F.col(f"_{c}_{s}") for c in minmax_cols
+          for s in ("min", "max")])
     # LEFT join: a key with no train-split rows has no stats and its
     # scaled columns come out NULL — visible downstream, instead of
     # its entire history silently vanishing from the matrix
@@ -481,7 +492,13 @@ def enhance_features(candles: DataFrame, *, key: str = "product_id",
     indicators — compose with :func:`ewm_features` when needed).
     All window functions share one partitioning → one shuffle total.
     """
-    df = with_log_returns(candles, key=key, ts=ts)
+    from .spread import spread_by_key
+
+    # pin the window family's key-partitioning at cluster width: AQE's
+    # byte-based coalescer sees a few MB and serializes this 25-column
+    # window chain onto one core otherwise (see spread_by_key)
+    df = spread_by_key(candles, key)
+    df = with_log_returns(df, key=key, ts=ts)
     df = with_price_features(df, key=key, ts=ts)
     df = with_volume_features(df, key=key, ts=ts)
     df = with_rsi(df, key=key, ts=ts)

@@ -28,3 +28,20 @@ def spread_scan(df: DataFrame, *, factor: int = 1) -> DataFrame:
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)
+
+
+def spread_by_key(df: DataFrame, key: str, *, factor: int = 1) -> DataFrame:
+    """Pin the key-partitioning a window family needs at cluster
+    parallelism. The planner would insert this exact exchange anyway
+    (ClusteredDistribution on `key`), but as an AQE-owned shuffle it
+    coalesces small-byte stages to ONE partition — and a multi-column
+    window family is CPU-dense per byte, so byte-based coalescing
+    serializes minutes of window evaluation onto one core. An explicit
+    repartition(n, key) satisfies the same distribution (no second
+    exchange appears) while keeping the user-specified width. Same
+    cost as the planner's own exchange at any scale; parallelism is
+    still bounded by the number of distinct keys."""
+    target = factor * df.sparkSession.sparkContext.defaultParallelism
+    from pyspark.sql import functions as F
+
+    return df.repartition(target, F.col(key))

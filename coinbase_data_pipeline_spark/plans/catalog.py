@@ -28,14 +28,26 @@ RND = 6  # shared float rounding for hash-stable comparison
 
 # --------------------------------------------------------------------- bases
 
-def ticks(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ticks(spark: SparkSession, sf_dir: str, *,
+          spread: bool = False) -> DataFrame:
     """events → tick stream (typed parse incl. JSON field extraction).
 
     `ts_nanos` (the raw scan column, when the parquet stores nanos) is
     carried along so time-range queries can push range predicates into
     the scan; column pruning drops it everywhere it goes unused.
+
+    `spread=True` round-robins the raw scan to cluster parallelism
+    BEFORE the parse projection (spread_scan: a no-op on
+    well-partitioned production input) so the JSON parse doesn't
+    serialize onto a single-row-group scan task. Keep the default for
+    time-range readers: a repartition above the scan would block
+    predicate pushdown into parquet row-group stats.
     """
     ev = load_table(spark, sf_dir, "events")
+    if spread:
+        from ..operators.spread import spread_scan
+
+        ev = spread_scan(ev)
     cols = [
         F.col("event_type").alias("product_id"),
         F.col("ts").alias("time"),
@@ -49,8 +61,11 @@ def ticks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def candles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """5-minute OHLCV candles from the tick stream."""
-    return C.candle_resample(ticks(spark, sf_dir), volume="volume")
+    """5-minute OHLCV candles from the tick stream. The tick parse
+    runs spread (partial aggregation parallelizes with it); no
+    pushdown is lost because the candle build reads every tick."""
+    return C.candle_resample(ticks(spark, sf_dir, spread=True),
+                             volume="volume")
 
 
 # Shared oracle CTE prefix mirroring the two builders above.

@@ -474,6 +474,12 @@ def q_grouped_scale_full(spark, sf_dir):
     # IsNotNull constraints × both join sides — constraint propagation
     # OOM'd the driver.
     feat = feat.na.drop(subset=GSF_GATE)
+    # the scaler consumes feat TWICE (train-split stats fit + the
+    # transform join); materialize the ~key-count×buckets matrix once
+    # instead of re-running the parse→candle→25-window pipeline per
+    # consumer. Size is rows×27 doubles — MB-scale even at 100 TB of
+    # raw ticks, since candles aggregate 5-minute buckets per product.
+    feat = feat.localCheckpoint(eager=True)
     out = I.grouped_scale(feat, key="product_id", ts="bucket_start",
                           split=SCALE_SPLIT, robust_cols=GSF_ROBUST,
                           minmax_cols=GSF_MINMAX)

@@ -170,8 +170,9 @@ def test_feature_pipeline_single_window_shuffle(spark):
     tree = formatted_plan(spark, "volume_features").split("\n\n")[0]
     assert len(re.findall(r"\bWindow \(\d+\)", tree)) == 1
     assert len(re.findall(r"\bSort \(\d+\)", tree)) == 1
-    # two exchanges total: candle agg (product,bucket) + window (product)
-    assert len(re.findall(r"\bExchange \(\d+\)", tree)) == 2
+    # three exchanges total: scan spread (round-robin before the tick
+    # parse), candle agg (product,bucket), window (product)
+    assert len(re.findall(r"\bExchange \(\d+\)", tree)) == 3
 
 
 def test_full_feature_set_shares_one_window_exchange(spark):
@@ -185,7 +186,10 @@ def test_full_feature_set_shares_one_window_exchange(spark):
     tree = df._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
             "formatted")).split("\n\n")[0]
-    assert len(re.findall(r"\bExchange \(\d+\)", tree)) == 2
+    # scan spread + candle agg + the ONE explicit key repartition the
+    # whole window stack rides (spread_by_key pins its width against
+    # AQE's byte-based coalescer; the planner adds no further exchange)
+    assert len(re.findall(r"\bExchange \(\d+\)", tree)) == 3
     assert len(re.findall(r"\bSort \(\d+\)", tree)) == 1
 
 
