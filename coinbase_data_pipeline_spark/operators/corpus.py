@@ -185,7 +185,9 @@ def decontaminate(corpus: DataFrame, eval_docs: DataFrame, *,
                 .select(F.explode(word_shingles(tokens(F.col(text_col)),
                                                 n)).alias("gram"))
                 .distinct())
-    doc_grams = corpus.select(
+    # tokenize+shingle is the dominant CPU; spread the corpus scan so
+    # it doesn't serialize onto a single-row-group input partition
+    doc_grams = spread_scan(corpus).select(
         F.col(id_col),
         F.explode(word_shingles(tokens(F.col(text_col)), n))
         .alias("gram"))

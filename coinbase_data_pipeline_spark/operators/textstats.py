@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from ..functions.text import tokens
+from .spread import spread_scan
 
 # tiny per-language stopword lists for the heuristic scorer
 LANG_STOPWORDS = {
@@ -61,7 +62,7 @@ def lang_id(docs: DataFrame, *, id_col: str = "doc_id",
     stopword list with the most hits wins; ties / no hits → en.
     Tie-break order is the fixed list en > es > fr > de."""
     pred, scores = _lang_signals(text_col)
-    return docs.select(
+    return spread_scan(docs).select(
         F.col(id_col), pred.alias("pred_lang"),
         *[scores[lang].alias(f"hits_{lang}") for lang in LANG_STOPWORDS])
 
@@ -100,7 +101,7 @@ def quality_score(docs: DataFrame, *, id_col: str = "doc_id",
     """Length / punctuation / stopword-ratio quality heuristics with a
     blended 0-1 score (mirrors common pretraining-data filters)."""
     qc = quality_columns(text_col)
-    return docs.select(
+    return spread_scan(docs).select(
         F.col(id_col), qc["n_chars"].alias("n_chars"),
         qc["n_tokens"].alias("n_tokens"),
         F.round(qc["mean_token_len"], 6).alias("mean_token_len"),
@@ -124,7 +125,7 @@ def token_count(docs: DataFrame, *, id_col: str = "doc_id",
     """Whitespace token count + BPE-ish subword proxy count
     (runs of letters / single digits / single other non-space)."""
     ws, bpe = token_count_cols(text_col)
-    return docs.select(F.col(id_col),
+    return spread_scan(docs).select(F.col(id_col),
                        ws.alias("ws_tokens"),
                        bpe.alias("bpe_tokens"))
 
@@ -138,7 +139,7 @@ def ngram_doc_frequency(docs: DataFrame, top_n: int = 20, *,
     explode → count — the word-count plan with map-side partial
     aggregation; the top-N is a single global sort of the (tiny)
     distinct-ngram aggregate."""
-    from ..functions.text import tokens, word_shingles
+    from ..functions.text import word_shingles
 
     grams = word_shingles(tokens(text_col), n)
     exploded = docs.select(F.explode(grams).alias("ngram"))
@@ -161,8 +162,6 @@ def tfidf_top_terms(docs: DataFrame, top_n: int = 3, *,
     text for determinism.
     """
     from pyspark.sql import Window
-
-    from ..functions.text import tokens
 
     n_docs = docs.select(
         F.count(F.lit(1)).cast("double").alias("_n_docs"))

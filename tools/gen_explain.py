@@ -78,6 +78,12 @@ PICKS = [
      "inverted-index posting join; fixed-point BIGINT dot products"),
     ("kmv_distinct_users",
      "sharded k-min partials merged per day; no full-day sort"),
+    ("zorder_layout",
+     "distributed ntile: z-shard windows + broadcast offsets"),
+    ("bloom_semi_join",
+     "one-row bloom map broadcast; probe filtered pre-shuffle"),
+    ("pmi_collocations",
+     "tokenize once; vocab broadcast join-backs; top-N on survivors"),
 ]
 
 
