@@ -77,3 +77,63 @@ def archive_read(spark, base_path: str, *, fmt: str = "parquet",
     if product_id is not None:
         df = df.filter(F.col("product_id") == product_id)
     return df
+
+
+def zorder_write(df: DataFrame, path: str, x: str, y: str, *,
+                 zbits: int = 10, files: int = 16,
+                 mode: str = "overwrite") -> None:
+    """OPTIMIZE ZORDER as a write path: cluster `df` into `files`
+    parquet files by the Morton interleave of two integer bucket
+    columns, so each file's parquet min/max column statistics form a
+    tight box in BOTH dimensions and a reader's (x, y) predicate
+    skips most files — what a date-only layout (archive_write) can
+    never give the second dimension.
+
+    ``repartitionByRange(z)`` + ``sortWithinPartitions(z)`` is exactly
+    the shuffle OPTIMIZE ZORDER runs on a lakehouse table; the
+    sample-based range boundaries are fine for a SINK (file layout
+    doesn't need cross-engine determinism — the oracle-paired
+    zorder_layout query is the deterministic audit of the same
+    clustering). One extra column of shuffle weight, dropped before
+    the write.
+    """
+    from ..operators.layout import _interleave
+
+    z = _interleave(F.col(x).cast("long"), F.col(y).cast("long"),
+                    zbits)
+    (df.withColumn("__z", z)
+       .repartitionByRange(files, F.col("__z"))
+       .sortWithinPartitions("__z")
+       .drop("__z")
+       .write.format("parquet").mode(mode).save(path))
+
+
+def file_stats(path: str, cols: tuple[str, ...]) -> list[dict]:
+    """Per-file min/max parquet statistics for `cols` — the metadata a
+    scan planner prunes with (and what the zorder_write test asserts
+    skipping against). Driver-side metadata read: footers only, never
+    row data."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    out = []
+    for name in sorted(os.listdir(path)):
+        if not name.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(path, name)).metadata
+        stat: dict = {"file": name, "rows": md.num_rows}
+        idx = {md.schema.column(i).name: i
+               for i in range(md.num_columns)}
+        for c in cols:
+            lo, hi = None, None
+            for rg in range(md.num_row_groups):
+                s = md.row_group(rg).column(idx[c]).statistics
+                if s is None or not s.has_min_max:
+                    lo = hi = None
+                    break
+                lo = s.min if lo is None else min(lo, s.min)
+                hi = s.max if hi is None else max(hi, s.max)
+            stat[f"{c}_min"], stat[f"{c}_max"] = lo, hi
+        out.append(stat)
+    return out

@@ -145,3 +145,56 @@ def test_pmi_ranks_planted_collocation_first(spark):
     out = pmi_collocations(docs, min_count=5, top_n=5).collect()
     assert (out[0]["a"], out[0]["b"]) == ("zeta", "eta")
     assert out[0]["pmi"] > 0
+
+
+def test_zorder_write_files_skip_on_both_dimensions(spark, tmp_path):
+    """The write-path twin of the layout audit: REAL parquet files,
+    REAL footer statistics. A value-range predicate must skip a good
+    share of z-clustered files while skipping (near) none of the
+    time-sorted files; skipping must be sound (skipped files hold no
+    matching rows)."""
+    from coinbase_data_pipeline_spark.functions.timeutil import (
+        epoch_micros,
+    )
+    from coinbase_data_pipeline_spark.plans.catalog_analytics import (
+        ZO_DAY_US,
+        ZO_ORIGIN_US,
+        ZO_VAL_BUCKET,
+    )
+    from coinbase_data_pipeline_spark.sinks.archive import (
+        file_stats,
+        zorder_write,
+    )
+
+    ev = (load_table(spark, SF, "events")
+          .withColumn("e_us", epoch_micros(F.col("ts"))))
+    ev = ev.select(
+        F.pmod(F.floor(F.col("value") / ZO_VAL_BUCKET).cast("long"),
+               F.lit(1 << L.ZBITS)).alias("xb"),
+        F.pmod(F.expr(f"(e_us - {ZO_ORIGIN_US}) div {ZO_DAY_US}"),
+               F.lit(1 << L.ZBITS)).alias("yb"),
+        "event_id")
+
+    zpath, tpath = str(tmp_path / "z"), str(tmp_path / "t")
+    zorder_write(ev, zpath, "xb", "yb", files=16)
+    # time-sorted comparison layout, same file count
+    (ev.repartitionByRange(16, F.col("yb"), F.col("event_id"))
+       .sortWithinPartitions("yb").write.parquet(tpath))
+
+    # "high-value events": the value distribution is bottom-heavy, so
+    # most z-boxes sit at low xb and a high-value predicate skips them
+    x_lo, x_hi = 4, 10**9
+
+    def skipped(path):
+        stats = [s for s in file_stats(path, ("xb",)) if s["rows"]]
+        return [s for s in stats
+                if s["xb_max"] < x_lo or s["xb_min"] > x_hi], stats
+
+    z_skip, z_all = skipped(zpath)
+    t_skip, _ = skipped(tpath)
+    assert len(z_skip) >= len(t_skip) + 4
+    # soundness: rows matching the predicate never live in a skipped file
+    matches = ev.filter((F.col("xb") >= x_lo)
+                        & (F.col("xb") <= x_hi)).count()
+    kept_rows = sum(s["rows"] for s in z_all if s not in z_skip)
+    assert kept_rows >= matches
