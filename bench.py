@@ -143,6 +143,9 @@ HEADLINERS = [
     "pmi_collocations",
     "streaming_sessionize_watermark",
     "streaming_dedup_watermark",
+    "kmv_set_ops",
+    "heavy_hitters_cms",
+    "holt_winters",
 ]
 
 # Per-query repetitions; the reported time is the MIN across runs.

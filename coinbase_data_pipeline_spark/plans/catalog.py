@@ -569,6 +569,57 @@ FROM rec
 """
 
 
+HW_ALPHA, HW_BETA = 0.2, 0.1
+
+
+def q_holt_winters(spark, sf_dir):
+    """Holt double exponential smoothing (level + trend) per product —
+    the local-trend forecast baseline one rung above naive_forecast.
+    Same seam as ewm_indicators: per-key applyInPandas recursion,
+    recursive-CTE oracle with the identical IEEE op order."""
+    df = I.holt_features(candles(spark, sf_dir), key="product_id",
+                         ts="bucket_start", alpha=HW_ALPHA, beta=HW_BETA)
+    return _round(df.select("product_id", "bucket_start", "hw_level",
+                            "hw_trend", "hw_forecast"),
+                  ["hw_level", "hw_trend", "hw_forecast"])
+
+
+def _sql_holt_winters(alpha: float = HW_ALPHA,
+                      beta: float = HW_BETA) -> str:
+    """Recursive-CTE oracle for Holt smoothing — same doctrine as
+    _sql_ewm_indicators: constants inlined via repr, op order written
+    to match the numpy loop literally, one frontier row per product
+    per step."""
+    oma, omb = 1.0 - alpha, 1.0 - beta
+    return SQL_BASE.replace("WITH ", "WITH RECURSIVE ", 1) + f"""
+, ordered AS (
+  SELECT product_id, bucket_start, close,
+         row_number() OVER (PARTITION BY product_id
+                            ORDER BY bucket_start) AS rn
+  FROM candles
+), rec AS (
+  SELECT product_id, bucket_start, rn, close,
+         close AS lvl, CAST(0.0 AS DOUBLE) AS tr
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT product_id, bucket_start, rn, close, lvl,
+         {beta!r} * (lvl - prev_lvl) + {omb!r} * prev_tr AS tr
+  FROM (
+    SELECT o.product_id, o.bucket_start, o.rn, o.close,
+           {alpha!r} * o.close + {oma!r} * (r.lvl + r.tr) AS lvl,
+           r.lvl AS prev_lvl, r.tr AS prev_tr
+    FROM rec r JOIN ordered o
+      ON o.product_id = r.product_id AND o.rn = r.rn + 1
+  ) s
+)
+SELECT product_id, bucket_start,
+       ROUND(lvl, 6) + 0 AS hw_level,
+       ROUND(tr, 6) + 0 AS hw_trend,
+       ROUND(lvl + tr, 6) + 0 AS hw_forecast
+FROM rec
+"""
+
+
 def q_heikin_ashi(spark, sf_dir):
     """Heikin-Ashi smoothed candles (recursive ha_open — the EWM
     situation: applyInPandas per key, recursive-CTE oracle replicates
@@ -744,6 +795,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "robust_scale": q_robust_scale,
     "minmax_scale": q_minmax_scale,
     "ewm_indicators": q_ewm_indicators,
+    "holt_winters": q_holt_winters,
     "heikin_ashi": q_heikin_ashi,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -769,6 +821,7 @@ ORACLE_SQL: dict[str, str] = {
     "robust_scale": SQL_ROBUST_SCALE,
     "minmax_scale": SQL_MINMAX_SCALE,
     "ewm_indicators": _sql_ewm_indicators(),
+    "holt_winters": _sql_holt_winters(),
     "heikin_ashi": SQL_HEIKIN_ASHI,
     "q1_pricing_summary": SQL_Q1,
     "q3_shipping_priority": SQL_Q3,

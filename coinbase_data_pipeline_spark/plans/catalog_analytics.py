@@ -1194,6 +1194,85 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
+KMV_SET_A, KMV_SET_B = "purchase", "view"
+
+
+def q_kmv_set_ops(spark, sf_dir):
+    """Theta-sketch-style audience overlap: distinct purchasers vs
+    viewers, their union, their INTERSECTION, and the Jaccard overlap
+    — all from two k=64 KMV sketches built in one pass over events
+    (operators/sketches.py). The reference's analysis_tools.py answers
+    overlap questions with exact per-batch distincts; at 100 TB the
+    sketch replaces that with two 64-long arrays and no distinct-join.
+    Every step before the final division is integer compares on int64
+    hashes, so the whole pipeline value-hashes across engines."""
+    from ..operators.sketches import kmv_audience_overlap
+
+    ev = load_table(spark, sf_dir, "events")
+    return kmv_audience_overlap(ev, type_a=KMV_SET_A, type_b=KMV_SET_B,
+                                k=KMV_K)
+
+
+def _sql_kmv_set_ops(k: int = KMV_K) -> str:
+    full = float(1 << 60)
+    km1 = float(k - 1)
+
+    def est(n: str, kth: str) -> str:
+        return (f"CASE WHEN {n} >= {k} THEN {km1!r} * {full!r} / {kth} "
+                f"ELSE CAST({n} AS DOUBLE) END")
+
+    return f"""
+WITH hashes AS (
+  SELECT DISTINCT event_type AS audience,
+         {sql_hash60("CAST(user_id AS VARCHAR)", "kmv")} AS h
+  FROM events WHERE event_type IN ('{KMV_SET_A}', '{KMV_SET_B}')
+), ranked AS (
+  SELECT audience, h,
+         row_number() OVER (PARTITION BY audience ORDER BY h) AS rn
+  FROM hashes
+), mins AS (
+  SELECT audience, h, rn FROM ranked WHERE rn <= {k}
+), stats AS (
+  SELECT audience, CAST(count(*) AS BIGINT) AS n,
+         max(CASE WHEN rn = {k} THEN h END) AS kth
+  FROM mins GROUP BY audience
+), th AS (
+  SELECT least(
+    (SELECT CASE WHEN n >= {k} THEN kth ELSE {1 << 60} END
+       FROM stats WHERE audience = '{KMV_SET_A}'),
+    (SELECT CASE WHEN n >= {k} THEN kth ELSE {1 << 60} END
+       FROM stats WHERE audience = '{KMV_SET_B}')) AS theta
+), inter AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_common
+  FROM mins a, mins b, th
+  WHERE a.audience = '{KMV_SET_A}' AND b.audience = '{KMV_SET_B}'
+    AND a.h = b.h AND a.h < th.theta
+), u AS (
+  SELECT h, row_number() OVER (ORDER BY h) AS rn
+  FROM (SELECT DISTINCT h FROM mins)
+), ustats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_u,
+         max(CASE WHEN rn = {k} THEN h END) AS kth_u
+  FROM u WHERE rn <= {k}
+)
+SELECT '{KMV_SET_A}' AS audience_a, '{KMV_SET_B}' AS audience_b,
+       round({est('pa.n', 'pa.kth')}, 3) + 0 AS est_a,
+       round({est('pv.n', 'pv.kth')}, 3) + 0 AS est_b,
+       round({est('n_u', 'kth_u')}, 3) + 0 AS est_union,
+       n_common,
+       round(CAST(n_common AS DOUBLE) * {full!r} / theta, 3) + 0
+         AS est_intersection,
+       round((CAST(n_common AS DOUBLE) * {full!r} / theta)
+             / ({est('n_u', 'kth_u')}), 6) + 0 AS jaccard_est
+FROM (SELECT n, kth FROM stats WHERE audience = '{KMV_SET_A}') pa,
+     (SELECT n, kth FROM stats WHERE audience = '{KMV_SET_B}') pv,
+     th, inter, ustats
+"""
+
+
+SQL_KMV_SET_OPS = _sql_kmv_set_ops()
+
+
 SPARK_QUERIES_ANALYTICS: dict[
         str, Callable[[SparkSession, str], DataFrame]] = {
     "sessionize": q_sessionize,
@@ -1221,6 +1300,7 @@ SPARK_QUERIES_ANALYTICS: dict[
     "kmv_weekly_merge": q_kmv_weekly_merge,
     "zorder_layout": q_zorder_layout,
     "bloom_semi_join": q_bloom_semi_join,
+    "kmv_set_ops": q_kmv_set_ops,
 }
 
 ORACLE_SQL_ANALYTICS: dict[str, str] = {
@@ -1249,4 +1329,5 @@ ORACLE_SQL_ANALYTICS: dict[str, str] = {
     "kmv_weekly_merge": SQL_KMV_WEEKLY_MERGE,
     "zorder_layout": SQL_ZORDER_LAYOUT,
     "bloom_semi_join": SQL_BLOOM_SEMI_JOIN,
+    "kmv_set_ops": SQL_KMV_SET_OPS,
 }

@@ -1065,6 +1065,54 @@ LIMIT {PMI_TOP}
 """
 
 
+CMS_D, CMS_W, CMS_MIN_SHARE = 4, 4096, 0.002
+
+
+def q_heavy_hitters_cms(spark, sf_dir):
+    """Count-min-sketch heavy hitters: tokens whose CMS estimate is
+    ≥ 0.2% of the token stream, exact count alongside so the sketch's
+    one-sided error is visible (operators/sketches.py). The sketch is
+    a fixed 4×4096 counter grid — map-side-combinable, mergeable
+    cell-wise, broadcastable — sized so the collision noise floor
+    (N/w ≈ 0.024% of tokens) sits 8× under the report threshold; at
+    100 TB the exact-count column drops and the grid is the only
+    state that ever shuffles."""
+    from ..operators.sketches import cms_heavy_hitters
+
+    docs = load_table(spark, sf_dir, "documents")
+    return cms_heavy_hitters(docs, d=CMS_D, w=CMS_W,
+                             min_share=CMS_MIN_SHARE)
+
+
+SQL_HEAVY_HITTERS_CMS = f"""
+WITH toks AS (
+  SELECT t.tok AS tok
+  FROM (SELECT list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                           x -> len(x) > 0) AS l FROM documents),
+       unnest(l) AS t(tok)
+), counts AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY tok
+), cand AS (
+  SELECT tok, n, r.r AS r,
+         ('0x' || substr(md5('cms' || CAST(r.r AS VARCHAR) || ':' || tok),
+                         1, 15))::BIGINT % {CMS_W} AS c
+  FROM counts, (SELECT unnest([0, 1, 2, 3]) AS r) r
+), cells AS (
+  SELECT r, c, CAST(sum(n) AS BIGINT) AS cellsum
+  FROM cand GROUP BY r, c
+), est AS (
+  SELECT cand.tok, cand.n, min(cellsum) AS cms_est
+  FROM cand JOIN cells USING (r, c) GROUP BY cand.tok, cand.n
+), total AS (
+  SELECT CAST(sum(n) AS BIGINT) AS total FROM counts
+)
+SELECT tok, n, CAST(cms_est AS BIGINT) AS cms_est,
+       CAST(cms_est - n AS BIGINT) AS overestimate
+FROM est, total
+WHERE cms_est >= {CMS_MIN_SHARE!r} * CAST(total AS DOUBLE)
+"""
+
+
 # ----------------------------------------------------------------- registry
 
 SPARK_QUERIES_CORPUS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1093,6 +1141,7 @@ SPARK_QUERIES_CORPUS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_search": q_bm25_search,
     "fixed_k_sample": q_fixed_k_sample,
     "pmi_collocations": q_pmi_collocations,
+    "heavy_hitters_cms": q_heavy_hitters_cms,
 }
 
 ORACLE_SQL_CORPUS: dict[str, str] = {
@@ -1121,4 +1170,5 @@ ORACLE_SQL_CORPUS: dict[str, str] = {
     "bm25_search": SQL_BM25_SEARCH,
     "fixed_k_sample": SQL_FIXED_K_SAMPLE,
     "pmi_collocations": SQL_PMI_COLLOCATIONS,
+    "heavy_hitters_cms": SQL_HEAVY_HITTERS_CMS,
 }

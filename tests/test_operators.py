@@ -1255,3 +1255,77 @@ def test_spread_scan_noop_on_wide_input(spark):
     assert out is not narrow
     assert out.rdd.getNumPartitions() == par
     assert out.count() == 10_000
+
+
+def test_kmv_set_ops_known_overlap(spark):
+    """Theta-sketch intersection on a constructed overlap: A = users
+    0..1199, B = users 800..1999 → true |A∩B| = 400, |A∪B| = 2000,
+    J = 0.2. Each estimate must sit within its own sketch error: the
+    union is a k=64 KMV (~3/√(k−2) rel), the intersection inherits
+    union-level variance scaled by 1/J (standard theta bound) — assert
+    a conservative 3× that."""
+    from coinbase_data_pipeline_spark.operators.sketches import (
+        kmv_audience_overlap)
+
+    rows = ([("a", u) for u in range(0, 1200)]
+            + [("b", u) for u in range(800, 2000)])
+    ev = spark.createDataFrame(rows, "event_type string, user_id long")
+    out = kmv_audience_overlap(ev, type_a="a", type_b="b", k=64).collect()
+    assert len(out) == 1
+    r = out[0]
+    sigma = 3.0 / (64 - 2) ** 0.5
+    assert abs(r.est_a - 1200) / 1200 <= sigma
+    assert abs(r.est_b - 1200) / 1200 <= sigma
+    assert abs(r.est_union - 2000) / 2000 <= sigma
+    assert abs(r.est_intersection - 400) / 400 <= 3 * sigma / 0.2
+    assert abs(r.jaccard_est - 0.2) <= 3 * sigma
+
+
+def test_cms_one_sided_error_and_no_false_negatives(spark):
+    """CMS invariants on the real corpus: every reported estimate is
+    ≥ the exact count (one-sided error, overestimate ≥ 0), and every
+    true heavy hitter (exact n ≥ share·N) is reported — CMS can only
+    overestimate, so the estimate filter cannot miss one."""
+    from coinbase_data_pipeline_spark.operators.sketches import (
+        cms_heavy_hitters)
+    from coinbase_data_pipeline_spark.functions.text import tokens
+    from coinbase_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents")
+    share = 0.002
+    hh = cms_heavy_hitters(docs, min_share=share).collect()
+    assert hh, "corpus has heavy hitters at 0.2%"
+    assert all(r.cms_est >= r.n for r in hh)
+    assert all(r.overestimate == r.cms_est - r.n for r in hh)
+
+    toks = docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n")).collect()[0][0]
+    true_heavy = {r.tok for r in counts.collect()
+                  if r.n >= share * float(total)}
+    reported = {r.tok for r in hh}
+    assert true_heavy <= reported
+
+
+def test_holt_matches_reference_loop(spark):
+    """holt_features equals a plain-Python Holt recursion on the same
+    series, bit-for-bit (both run IEEE doubles in the same op order)."""
+    from coinbase_data_pipeline_spark.operators.indicators import (
+        holt_features)
+
+    ys = [10.0, 12.5, 11.0, 14.0, 13.25, 15.5, 16.0, 12.0]
+    df = spark.createDataFrame(
+        [("x", i, y) for i, y in enumerate(ys)],
+        "product_id string, bucket_start long, close double")
+    got = {r.bucket_start: (r.hw_level, r.hw_trend, r.hw_forecast)
+           for r in holt_features(df, key="product_id",
+                                  ts="bucket_start",
+                                  alpha=0.2, beta=0.1).collect()}
+    lvl, tr = ys[0], 0.0
+    exp = {0: (lvl, tr, lvl + tr)}
+    for t in range(1, len(ys)):
+        prev = lvl
+        lvl = 0.2 * ys[t] + 0.8 * (lvl + tr)
+        tr = 0.1 * (lvl - prev) + 0.9 * tr
+        exp[t] = (lvl, tr, lvl + tr)
+    assert got == exp
