@@ -297,3 +297,36 @@ def test_zorder_rank_window_is_sharded(spark):
     for m in _re.finditer(r"row_number\(\).*?windowspecdefinition\(([^)]*)\)",
                           analyzed):
         assert "shard" in m.group(1)
+
+
+def test_kmv_set_ops_single_scalar_cross(spark):
+    """The only non-equi join is the 1×1 sketch cross (two k-sized
+    sketch rows meeting for the theta math) — the events table itself
+    must reach the sketches through hash aggregation only, never a
+    nested-loop or sort-merge join."""
+    tree = formatted_plan(spark, "kmv_set_ops").split("\n\n")[0]
+    assert tree.count("BroadcastNestedLoopJoin") == 1
+    assert "SortMergeJoin" not in tree
+    assert "CartesianProduct" not in tree
+
+
+def test_heavy_hitters_cms_broadcasts_grid(spark):
+    """The d×w sketch grid and the 1-row total must BROADCAST to the
+    token-count side (BroadcastHashJoin + one scalar nested-loop);
+    token counts must never sort-merge against the grid."""
+    tree = formatted_plan(spark, "heavy_hitters_cms").split("\n\n")[0]
+    assert "BroadcastHashJoin" in tree           # cand ⋈ cells
+    assert tree.count("BroadcastNestedLoopJoin") == 1  # 1-row total
+    assert "SortMergeJoin" not in tree
+    assert "CartesianProduct" not in tree
+
+
+def test_holt_winters_single_key_partition_into_arrow(spark):
+    """The Holt recursion runs as ONE Arrow group stage partitioned by
+    the key — no joins, no extra exchanges beyond the candle build and
+    the per-key partition."""
+    tree = formatted_plan(spark, "holt_winters").split("\n\n")[0]
+    assert "FlatMapGroupsInPandas" in tree
+    assert "Join" not in tree
+    # scan-spread round-robin + candle groupBy + per-key partition
+    assert tree.count("Exchange") <= 3

@@ -84,6 +84,12 @@ PICKS = [
      "one-row bloom map broadcast; probe filtered pre-shuffle"),
     ("pmi_collocations",
      "tokenize once; vocab broadcast join-backs; top-N on survivors"),
+    ("kmv_set_ops",
+     "sharded k-min per audience; theta math on two 1-row sketches"),
+    ("heavy_hitters_cms",
+     "token counts once; fixed d-by-w grid broadcast for the min"),
+    ("holt_winters",
+     "one key exchange into the per-key Arrow recursion"),
 ]
 
 

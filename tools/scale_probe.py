@@ -67,6 +67,7 @@ def corpus_times(spark, mult: int) -> dict[str, float]:
 
     from coinbase_data_pipeline_spark.operators import ann as ANN
     from coinbase_data_pipeline_spark.operators import corpus as CP
+    from coinbase_data_pipeline_spark.operators import sketches as SK
     from coinbase_data_pipeline_spark.operators import textstats as TS
 
     out: dict[str, float] = {}
@@ -101,6 +102,19 @@ def corpus_times(spark, mult: int) -> dict[str, float]:
         ("graph_triangles", lambda: DD.graph_triangles(corpus),
          F.sum("triangles"), 2),
         ("dedup_spans", lambda: DD.repeated_spans(corpus)),
+        # pmi_collocations output is a fixed top-100, so its volume
+        # signal is the surviving heavy-bigram mass (sum c_ab) — wall
+        # should track the tokenize+count scan, i.e. input size
+        ("pmi_collocations",
+         lambda: TS.pmi_collocations(corpus, min_count=5, top_n=100),
+         F.sum("c_ab")),
+        # heavy_hitters_cms: hitter COUNT is ~input-invariant (shares
+        # don't change when the corpus is replicated); the volume
+        # signal is the hitters' total count mass, which scales with
+        # input — wall should track the token scan + d×w grid, never
+        # the vocabulary pair space
+        ("heavy_hitters_cms", lambda: SK.cms_heavy_hitters(corpus),
+         F.sum("n")),
     ]:
         name, fn = entry[0], entry[1]
         vol = entry[2] if len(entry) > 2 else None
