@@ -146,6 +146,7 @@ HEADLINERS = [
     "kmv_set_ops",
     "heavy_hitters_cms",
     "holt_winters",
+    "streaming_kmv",
 ]
 
 # Per-query repetitions; the reported time is the MIN across runs.

@@ -513,6 +513,82 @@ WHERE p.event_type = 'purchase'
 """
 
 
+def q_streaming_kmv(spark, sf_dir):
+    """KMV cardinality sketch maintained ON THE STREAM: per-day k-min
+    state (a fixed k·8-byte array per day — sketch-bounded, not
+    key-bounded) folded across four time-ordered micro-batches via
+    applyInPandasWithState; a far-future sentinel batch pushes the
+    watermark past every day's end, the event-time timeouts fire and
+    each day's FINAL sketch is flushed. The emitted (n_tracked,
+    kth_hash) state is exact integers; the estimate math runs
+    JVM-side here with the same expression as the batch
+    kmv_distinct_users — whose oracle this query shares verbatim
+    (streaming-vs-batch sketch equivalence: k-min merge across
+    arbitrary micro-batch boundaries is bit-identical to the one-shot
+    sketch)."""
+    import time as _time
+
+    from ..functions.text import hash60
+    from ..functions.timeutil import epoch_seconds
+    from ..sources.tables import load_table
+    from ..streaming.pipelines import run_to_memory, streaming_kmv_sketch
+    from .catalog_analytics import KMV_K
+
+    replay_dir = os.path.join(_TMP_ROOT, f"kmv-{uuid.uuid4().hex[:8]}")
+    try:
+        ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+        bounds = ev.agg(
+            epoch_seconds(F.min("ts")).alias("t0"),
+            (epoch_seconds(F.max("ts")) + 1.0).alias("t1"))
+        bucketed = (ev.crossJoin(F.broadcast(bounds))
+                    .withColumn("bucket", F.floor(
+                        4 * (epoch_seconds(F.col("ts")) - F.col("t0"))
+                        / (F.col("t1") - F.col("t0"))))
+                    .select("user_id", "ts", "bucket"))
+        for b in range(4):
+            (bucketed.filter(F.col("bucket") == b)
+             .select("user_id", "ts").coalesce(1)
+             .write.mode("overwrite" if b == 0 else "append")
+             .parquet(replay_dir))
+        # sentinel LAST (strictly later mtime): 30 days past max(ts)
+        # > every day end, so every real day's timeout fires
+        _time.sleep(0.1)
+        sentinel = ev.agg(F.lit(-1).cast("long").alias("user_id"),
+                          (F.max("ts") + F.expr("INTERVAL 30 DAYS"))
+                          .alias("ts"))
+        sentinel.coalesce(1).write.mode("append").parquet(replay_dir)
+        stream = (spark.readStream
+                  .schema("user_id long, ts timestamp")
+                  .option("maxFilesPerTrigger", 1)
+                  .parquet(replay_dir))
+        hashed = stream.select(
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            hash60(F.col("user_id").cast("string"), "kmv").alias("h"),
+            "ts")
+        sketches = streaming_kmv_sketch(hashed, k=KMV_K,
+                                        watermark="1 hour")
+        name = run_to_memory(sketches, output_mode="append")
+        out = spark.table(name)
+        # drop the sentinel's own day (its timeout never fires, but
+        # guard against it ever being emitted); real days all precede
+        # the sentinel by construction
+        last_real = ev.agg(F.date_trunc("day", F.max("ts"))
+                           .alias("last_day"))
+        out = (out.crossJoin(F.broadcast(last_real))
+               .filter(F.col("day") <= F.col("last_day")))
+        est = F.when(
+            F.col("n_tracked") >= KMV_K,
+            F.round((F.lit(float(KMV_K - 1)) * F.lit(float(1 << 60)))
+                    / F.col("kth_hash"), 3) + F.lit(0.0)) \
+            .otherwise(F.col("n_tracked").cast("double"))
+        return out.select("day", "n_tracked",
+                          F.when(F.col("n_tracked") >= KMV_K,
+                                 F.col("kth_hash")).alias("kth_hash"),
+                          est.alias("est_distinct"))
+    finally:
+        shutil.rmtree(replay_dir, ignore_errors=True)
+
+
 SPARK_QUERIES_STREAM: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_candles": q_streaming_candles,
     "streaming_dedup": q_streaming_dedup,
@@ -524,6 +600,7 @@ SPARK_QUERIES_STREAM: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_hopping": q_streaming_hopping,
     "streaming_sessionize_watermark": q_streaming_sessionize_watermark,
     "streaming_dedup_watermark": q_streaming_dedup_watermark,
+    "streaming_kmv": q_streaming_kmv,
 }
 
 ORACLE_SQL_STREAM: dict[str, str] = {
@@ -541,4 +618,10 @@ ORACLE_SQL_STREAM: dict[str, str] = {
     # same oracle as streaming_dedup: in-window duplicate delivery
     # must still collapse to the batch tick relation
     "streaming_dedup_watermark": SQL_STREAMING_DEDUP,
+    # same oracle as the batch KMV sketch: k-min merge across
+    # micro-batch boundaries must be bit-identical to the one-shot
+    # daily sketch
+    "streaming_kmv": __import__(
+        "coinbase_data_pipeline_spark.plans.catalog_analytics",
+        fromlist=["SQL_KMV_DISTINCT_USERS"]).SQL_KMV_DISTINCT_USERS,
 }

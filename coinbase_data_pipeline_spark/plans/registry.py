@@ -81,21 +81,25 @@ _CHECK_FIRST = [
     "graph_triangles", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_ngram_jaccard", "dedup_containment",
     "dedup_spans", "dedup_components", "knn_graph",
-    "kmeans_assign", "cluster_quality_profile",
+    "cluster_quality_profile",
     # (ann_bruteforce / ann_lsh / ann_range_search also sat here for
     # the spread_scan guard; they rolled to the next window to make
     # room for (b''') — the guard is semantics-preserving and the same
     # change is sampled in-window via ann_pq/ann_ivfpq/knn_graph.
-    # dedup_simhash_pairs / dedup_keep / corpus_curation rolled
-    # likewise for (b''''): each is a composition of in-window family
-    # members — dedup_simhash, dedup_keep_best, dedup_components —
-    # that sample the same guard.)
+    # dedup_simhash_pairs / dedup_keep / corpus_curation / kmeans_
+    # assign rolled likewise for (b''''): each is a composition of
+    # in-window family members — dedup_simhash, dedup_keep_best,
+    # dedup_components, cluster_quality_profile (which runs the same
+    # kmeans assignment) — that sample the same guard.)
     # (b''') brand-new round-5 queries: Z-order layout audit,
     # explicit Bloom-filter semi-join, PMI collocations.
     "zorder_layout", "bloom_semi_join", "pmi_collocations",
     # (b'''') brand-new round-5 session-2 queries: theta-sketch set
-    # operations, count-min heavy hitters, Holt double smoothing.
+    # operations, count-min heavy hitters, Holt double smoothing,
+    # and the sketch-on-stream capstone (per-day k-min state +
+    # watermark-timeout flush, sharing the batch KMV oracle).
     "kmv_set_ops", "heavy_hitters_cms", "holt_winters",
+    "streaming_kmv",
     # (b'') new in round 5: the production bounded-state streaming
     # variants promoted to oracle-paired catalog queries (watermark +
     # EventTimeTimeout tail flush; dropDuplicatesWithinWatermark).

@@ -377,3 +377,65 @@ def run_file_hopping_pipeline(spark: SparkSession, json_dir: str, *,
                      "n_ticks", "high", "low")
     name = run_to_memory(out, output_mode="complete")
     return spark.table(name)
+
+
+def streaming_kmv_sketch(events: DataFrame, *, day: str = "day",
+                         hash_col: str = "h", ts: str = "ts",
+                         k: int = 64,
+                         watermark: str = "1 hour") -> DataFrame:
+    """KMV cardinality sketch maintained ON THE STREAM: per-day
+    k-minimum-values state folded across micro-batches via
+    ``applyInPandasWithState`` — the streaming twin of the batch
+    kmv_distinct_users query (plans/catalog_analytics.py).
+
+    State per day is the k smallest distinct hashes — a FIXED k·8-byte
+    array regardless of how many events the day sees (the whole point
+    of sketching a stream: per-key state that never grows). Each
+    micro-batch merges its hashes into the array (k-min is
+    merge-invariant, so batch boundaries can't change the result).
+    Nothing is emitted while a day can still receive events; once the
+    watermark passes the day's END (no event of that day can arrive —
+    anything later is dropped as late data), the event-time timeout
+    fires, the day's FINAL sketch (n_tracked, kth_hash) is flushed
+    downstream and its state row removed. The estimate math stays
+    JVM/SQL-side (callers apply the shared KMV formula) so no Python
+    float rounding crosses the engine boundary.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = f"{day} timestamp, n_tracked long, kth_hash long"
+    state_schema = "mins array<long>"
+    day_us = 86_400 * 1_000_000
+
+    def _fold(key, pdfs, state):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            mins = list(state.get[0]) if state.exists else []
+            state.remove()
+            kth = mins[k - 1] if len(mins) >= k else None
+            yield pd.DataFrame(
+                [(pd.Timestamp(key[0]), len(mins), kth)],
+                columns=[day, "n_tracked", "kth_hash"])
+            return
+        hashes = set()
+        for pdf in pdfs:
+            hashes.update(int(h) for h in pdf[hash_col])
+        if state.exists:
+            hashes.update(state.get[0])
+        mins = sorted(hashes)[:k]
+        state.update((mins,))
+        # fire once the watermark passes the day's end; clamp above
+        # the current watermark (at-or-below is rejected)
+        day_end_ms = (int(pd.Timestamp(key[0]).value) // 1000
+                      + day_us) // 1000
+        state.setTimeoutTimestamp(
+            max(day_end_ms, state.getCurrentWatermarkMs() + 1))
+        yield pd.DataFrame(columns=[day, "n_tracked", "kth_hash"])
+
+    return (events.withWatermark(ts, watermark)
+            .groupBy(day)
+            .applyInPandasWithState(
+                _fold, outputStructType=out_schema,
+                stateStructType=state_schema, outputMode="append",
+                timeoutConf=GroupStateTimeout.EventTimeTimeout))

@@ -576,3 +576,69 @@ def test_streaming_sessionize_watermark_flushes_tails(spark, tmp_path):
     removed = sum(op.get("numRowsRemoved", 0)
                   for p in progress for op in p.get("stateOperators", []))
     assert removed > 0, "session state rows never removed by timeout"
+
+
+def test_streaming_kmv_bounded_state_and_exact_merge(spark, tmp_path):
+    """Streaming KMV sketch: (a) per-day k-min state folded across
+    micro-batches equals the one-shot batch k-min exactly (k-min is
+    merge-invariant), (b) once the watermark passes a day's end the
+    day's state row is EVICTED (numRowsRemoved) — state is bounded by
+    days in the watermark horizon, not days ever seen."""
+    import json
+
+    from coinbase_data_pipeline_spark.functions.text import hash60
+    from coinbase_data_pipeline_spark.streaming.pipelines import (
+        run_to_memory, streaming_kmv_sketch)
+
+    d = tmp_path / "kmv"
+    d.mkdir()
+
+    def row(uid, ts):
+        return json.dumps({"user_id": uid, "ts": ts})
+
+    # day 1 split across two batches (state must merge), day 2 in the
+    # third, sentinel in the fourth fires both days' timeouts
+    k = 8
+    f1 = d / "a.json"
+    f2 = d / "b.json"
+    f3 = d / "c.json"
+    f4 = d / "d.json"
+    f1.write_text("\n".join(row(u, "2024-03-01 09:00:00")
+                            for u in range(0, 20)))
+    f2.write_text("\n".join(row(u, "2024-03-01 18:00:00")
+                            for u in range(10, 30)))  # overlaps: distinct
+    f3.write_text("\n".join(row(u, "2024-03-02 09:00:00")
+                            for u in range(0, 5)))
+    f4.write_text(row(-1, "2024-05-01 00:00:00"))
+    _touch_mtimes([f1, f2, f3, f4])
+
+    stream = (spark.readStream
+              .schema("user_id long, ts timestamp")
+              .option("maxFilesPerTrigger", 1).json(str(d)))
+    hashed = stream.select(
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        hash60(F.col("user_id").cast("string"), "kmv").alias("h"),
+        "ts")
+    progress = []
+    name = run_to_memory(
+        streaming_kmv_sketch(hashed, k=k, watermark="1 hour"),
+        output_mode="append", progress_out=progress)
+    got = {str(r.day): (r.n_tracked, r.kth_hash)
+           for r in spark.table(name).collect()}
+
+    batch = (spark.createDataFrame(
+        [(u, "2024-03-01") for u in range(0, 30)]
+        + [(u, "2024-03-02") for u in range(0, 5)],
+        "user_id long, day string"))
+    want = {}
+    for day_key in ["2024-03-01", "2024-03-02"]:
+        hs = sorted(r.h for r in batch.filter(F.col("day") == day_key)
+                    .select(hash60(F.col("user_id").cast("string"),
+                                   "kmv").alias("h"))
+                    .distinct().collect())[:k]
+        want[day_key + " 00:00:00"] = (
+            len(hs), hs[k - 1] if len(hs) >= k else None)
+    assert got == want, (got, want)
+    removed = sum(op.get("numRowsRemoved", 0)
+                  for p in progress for op in p.get("stateOperators", []))
+    assert removed >= 2, f"day states never evicted: {progress}"
