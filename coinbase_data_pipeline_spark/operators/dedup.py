@@ -826,10 +826,13 @@ def doc_pagerank(docs: DataFrame, *, iterations: int = 3,
     a curation pipeline wants to inspect first.
 
     Deterministic and hash-checkable despite being an iterative float
-    algorithm: every per-edge contribution is 6dp-rounded, and each
-    node's incoming contributions are summed IN NEIGHBOR ORDER via a
-    sorted-struct fold (a groupBy SUM would add doubles in partition
-    order — unreplicable). Rank update:
+    algorithm: every per-edge contribution is 6dp-rounded — an exact
+    multiple of 1e-6 — and carried as BIGINT micros, so the per-node
+    reduction is a plain integer SUM: order-independent, map-side
+    combinable, bit-identical across engines (a double groupBy SUM
+    would add in partition order — unreplicable; the earlier
+    sorted-struct fold was replicable but serialized each node's
+    inbox through an array sort). Rank update:
     pr'(v) = 0.15/N + 0.85 * sum_u pr(u)/deg(u).
 
     Scale: the standard Pregel-in-DataFrame shape — edges partitioned
@@ -855,27 +858,33 @@ def doc_pagerank(docs: DataFrame, *, iterations: int = 3,
              .select(F.col("src").alias("node"), "n_nodes",
                      (F.round(F.lit(1.0) / F.col("n_nodes"), 6)
                       + F.lit(0.0)).alias("pr")))
-    ordered_sum = F.aggregate(
-        F.transform(F.array_sort(F.collect_list(F.struct("src", "c"))),
-                    lambda s: s.getField("c")),
-        F.lit(0.0), lambda acc, x: acc + x)
     for _ in range(iterations):
+        # fixed-point contributions (the TF-IDF cosine recipe): the
+        # 6dp-rounded pr/deg is an exact multiple of 1e-6, so carry it
+        # as BIGINT micros — the per-node reduction becomes a plain
+        # SUM: order-independent (no sorted-struct fold), map-side
+        # combinable (messages partially aggregate before the dst
+        # shuffle), and bit-identical across engines by integer
+        # arithmetic instead of by replicated float op order
         msgs = (edges
                 .join(state.withColumnRenamed("node", "src"), "src")
                 .join(deg, "src")
-                .select("dst", "src", "n_nodes",
-                        (F.round(F.col("pr") / F.col("deg"), 6)
-                         + F.lit(0.0)).alias("c")))
+                .select("dst", "n_nodes",
+                        F.round(F.col("pr") / F.col("deg")
+                                * F.lit(1_000_000.0))
+                        .cast("long").alias("c_us")))
         # node-sized state checkpoints per round (the connected_
         # components recipe): each round's message shuffle runs
         # exactly once instead of re-executing inside every deeper
         # round's plan — 2x wall time on the bench corpus
         state = (msgs.groupBy(F.col("dst").alias("node"))
                  .agg(F.first("n_nodes").alias("n_nodes"),
-                      ordered_sum.alias("s"))
+                      F.sum("c_us").alias("s_us"))
                  .select("node", "n_nodes",
                          (F.round(F.lit(1 - damping) / F.col("n_nodes")
-                                  + damping * F.col("s"), 6)
+                                  + damping * (F.col("s_us")
+                                               / F.lit(1_000_000.0)),
+                                  6)
                           + F.lit(0.0)).alias("pr"))
                  .localCheckpoint(eager=True))
     out = (state.join(deg.withColumnRenamed("src", "node"), "node")

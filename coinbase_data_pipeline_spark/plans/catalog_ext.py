@@ -1147,14 +1147,16 @@ WITH pr_pairs AS (
     for it in range(1, iterations + 1):
         parts.append(f"""
 , m{it} AS (
-  SELECT e.dst, e.src, round(p.pr / d.deg, 6) + 0 AS c
+  SELECT e.dst,
+         CAST(round(p.pr / d.deg * 1000000.0) AS BIGINT) AS c_us
   FROM edges e
   JOIN {prev} p ON p.node = e.src
   JOIN deg d ON d.src = e.src
 ), p{it} AS (
   SELECT dst AS node,
          round({1 - damping!r} / (SELECT n_nodes FROM nn)
-               + {damping!r} * list_sum(list(c ORDER BY src)), 6) + 0
+               + {damping!r} * (CAST(sum(c_us) AS BIGINT)
+                                / 1000000.0), 6) + 0
            AS pr
   FROM m{it} GROUP BY dst
 )""")
