@@ -337,19 +337,18 @@ def connected_components(pairs: DataFrame, *, src: str = "doc_a",
     canonical dedup groups (component id = min doc id in the
     component).
 
-    Each round fuses, in ONE plan with one checkpoint: (a) a 1-hop
-    step — every vertex takes the min of its neighbours' labels — and
-    (b) two chained pointer jumps — every vertex also takes its
-    label's label and that label's label. The jumps roughly triple
-    the propagation distance per round, so the rounds cover
-    components of diameter ~3^iterations (tests include a long-chain
-    graph that plain 1-hop at the same round count would split).
+    Each round does (a) a 1-hop step — every vertex takes the min of
+    its neighbours' labels — then (b) a pointer-jump step — every
+    vertex takes its label's label. The jump roughly doubles the
+    propagation distance per round, so the rounds cover components of
+    diameter ~2^iterations (tests include a long-chain graph that
+    plain 1-hop at the same round count would split).
 
     The loop exits at the FIXED POINT: when a round changes no label,
     the labeling is final (min-label propagation is monotone), so the
     result is exact regardless of the cap — near-dup graphs are
     clique-like and typically converge in 2-3 rounds; `iterations` is
-    only a runaway bound for adversarial diameter-3^16 graphs. The
+    only a runaway bound for adversarial diameter-2^16 graphs. The
     convergence probe is an isEmpty() on the just-checkpointed round
     output, so it costs a short local scan, not a recompute. Each
     round is two joins + one groupBy on the vertex set, no
@@ -380,37 +379,23 @@ def connected_components(pairs: DataFrame, *, src: str = "doc_a",
                             labels["id"] == edges["e_dst"])
                  .groupBy(F.col("e_src").alias("n_id"))
                  .agg(F.min("label").alias("n_min")))
+        half = (labels.join(neigh, labels["id"] == F.col("n_id"),
+                            "left")
+                .select(F.col("id"), F.col("label").alias("old"),
+                        F.least(F.col("label"),
+                                F.coalesce("n_min", "label"))
+                        .alias("label"))
+                .localCheckpoint(eager=True))
         # pointer jump: labels are always vertex ids, so label-of-label
         # is a self-join of the label table (left join only for safety
-        # — every label is present as an id). Fused with the 1-hop
-        # step into ONE plan — parallel composition (the jumps read
-        # the round's INPUT labels, not the post-hop ones) so the
-        # round needs a single checkpoint, i.e. 2 jobs instead of 3.
-        # Any monotone neighbor-min update has the same unique fixed
-        # point (stable ⟹ equal labels across every edge ⟹ constant
-        # per component ⟹ the component min). TWO chained jumps per
-        # round (label², label³ — one extra node-sized hash join in
-        # the same stage, far cheaper than the checkpoint it replaces)
-        # keep the reach growth at 3× per round, so the round budget
-        # covers diameter ~3^iterations — the long-chain test pins it.
-        parent = labels.select(F.col("id").alias("p_id"),
-                               F.col("label").alias("p_label"))
-        parent2 = labels.select(F.col("id").alias("q_id"),
-                                F.col("label").alias("q_label"))
-        stepped = (labels
-                   .join(neigh, labels["id"] == F.col("n_id"), "left")
-                   .join(parent, labels["label"] == F.col("p_id"),
-                         "left")
-                   .join(parent2, F.col("p_label") == F.col("q_id"),
-                         "left")
-                   .select(labels["id"],
-                           labels["label"].alias("old"),
-                           F.least(labels["label"],
-                                   F.coalesce("n_min", labels["label"]),
-                                   F.coalesce("p_label",
-                                              labels["label"]),
-                                   F.coalesce("q_label",
-                                              labels["label"]))
+        # — every label is present as an id)
+        parent = half.select(F.col("id").alias("p_id"),
+                             F.col("label").alias("p_label"))
+        stepped = (half.join(parent, half["label"] == F.col("p_id"),
+                             "left")
+                   .select(half["id"], half["old"],
+                           F.least(half["label"],
+                                   F.coalesce("p_label", half["label"]))
                            .alias("label"))
                    .localCheckpoint(eager=True))
         labels = stepped.select("id", "label")
