@@ -90,6 +90,8 @@ PICKS = [
      "token counts once; fixed d-by-w grid broadcast for the min"),
     ("holt_winters",
      "one key exchange into the per-key Arrow recursion"),
+    ("doc_pagerank",
+     "per-round dst shuffle of fixed-point longs, partial-agg sums"),
 ]
 
 
