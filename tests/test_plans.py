@@ -330,3 +330,13 @@ def test_holt_winters_single_key_partition_into_arrow(spark):
     assert "Join" not in tree
     # scan-spread round-robin + candle groupBy + per-key partition
     assert tree.count("Exchange") <= 3
+
+
+def test_doc_pagerank_has_no_array_folds(spark):
+    """The per-node inbox reduction must be a plain (fixed-point
+    BIGINT) sum — a collect_list anywhere in the rank loop would mean
+    per-node state proportional to degree, the unbounded-group shape
+    this repo bans from reductions."""
+    df = ALL_QUERIES["doc_pagerank"](spark, SF)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "collect_list" not in analyzed
