@@ -1329,3 +1329,49 @@ def test_holt_matches_reference_loop(spark):
         tr = 0.1 * (lvl - prev) + 0.9 * tr
         exp[t] = (lvl, tr, lvl + tr)
     assert got == exp
+
+
+def test_cms_sketch_is_cellwise_mergeable(spark):
+    """The d×w counter grid built over two disjoint halves of the
+    corpus and summed CELL-WISE must equal the grid built over the
+    whole corpus — the property that lets CMS partials combine
+    map-side and roll up across shards/days at 100 TB."""
+    from coinbase_data_pipeline_spark.functions.text import hash60, tokens
+    from coinbase_data_pipeline_spark.sources.tables import load_table
+
+    d, w = 4, 4096
+    docs = load_table(spark, SF, "documents")
+
+    def grid(df):
+        counts = (df.select(F.explode(tokens(F.col("text"))).alias("tok"))
+                  .groupBy("tok").agg(F.count(F.lit(1)).alias("n")))
+        cells = (counts.select(
+            "n",
+            F.posexplode(F.array(*[
+                F.pmod(hash60(F.col("tok"), f"cms{i}"), F.lit(w))
+                for i in range(d)])).alias("r", "c"))
+            .groupBy("r", "c").agg(F.sum("n").alias("cell")))
+        return {(row.r, row.c): row.cell for row in cells.collect()}
+
+    full = grid(docs)
+    a = grid(docs.filter(F.col("doc_id") % 2 == 0))
+    b = grid(docs.filter(F.col("doc_id") % 2 == 1))
+    merged = dict(a)
+    for k, v in b.items():
+        merged[k] = merged.get(k, 0) + v
+    assert merged == full
+
+
+def test_holt_constant_series_is_fixed_point(spark):
+    """On a constant series Holt must sit at its fixed point: level ==
+    the constant, trend == 0, forecast == the constant, at every step."""
+    from coinbase_data_pipeline_spark.operators.indicators import (
+        holt_features)
+
+    df = spark.createDataFrame(
+        [("x", i, 42.5) for i in range(50)],
+        "product_id string, bucket_start long, close double")
+    rows = holt_features(df, key="product_id", ts="bucket_start").collect()
+    assert len(rows) == 50
+    assert all(r.hw_level == 42.5 and r.hw_trend == 0.0
+               and r.hw_forecast == 42.5 for r in rows)
