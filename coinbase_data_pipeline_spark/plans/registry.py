@@ -49,6 +49,15 @@ for _part in _QUERY_PARTS:
 # go next; (c) everything else keeps its earlier green row on record in
 # CORRECTNESS_r01..r04.json and stays out of the window.  Driver rounds
 # r01..r04 map to the repo's work sessions 1..4 (one numbering scheme).
+#
+# ROUND-6 ROTATION PLAN (apply at round-6 start): front the 7 queries
+# that rolled out of the r05 window and so owe a driver row on current
+# code — ann_bruteforce, ann_lsh, ann_range_search,
+# dedup_simhash_pairs, dedup_keep, corpus_curation, kmeans_assign —
+# (each is green in the r05 session's full 182/182 sf0.01 parity
+# sweep; only the *driver's* ledger lags), then any round-6 changes,
+# then new queries. Everything else in the r05 window below gets its
+# driver row in CORRECTNESS_r05 and rotates out.
 _CHECK_FIRST = [
     # (a) the 12 never-driver-checked queries (r04 window roll-off;
     # each judge-verified at sf0.01 in the round-4 session) — these
