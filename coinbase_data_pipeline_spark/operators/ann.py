@@ -208,8 +208,15 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, *,
     the full corpus; no cross join ever materializes. Recall vs
     :func:`brute_force_topk` is pytest-gated (tests/test_operators.py).
     """
-    c = _banded(_corpus_side(corpus, id_col, vec_col),
-                dim, planes, bands)
+    from .dedup import cap_hot_buckets
+
+    # corpus-side hot-bucket bound (keys = the join keys, so the
+    # guard's exchange is the join's own); the query side is a small
+    # broadcast relation and needs no cap
+    c = cap_hot_buckets(
+        _banded(_corpus_side(corpus, id_col, vec_col),
+                dim, planes, bands),
+        "nn_id", keys=("band", "bucket"))
     q = _banded(_query_side(queries, id_col, vec_col),
                 dim, planes, bands)
     # dedupe candidates that collide in several bands BEFORE the
@@ -243,7 +250,7 @@ def knn_graph(emb: DataFrame, *, id_col: str = "vec_id",
     The hyperplanes are deterministic constants, so the whole graph is
     SQL-oracle-checkable; recall of true top-k edges is pytest-gated.
     """
-    from .dedup import _dense_spread, _first_match_band
+    from .dedup import _dense_spread, _first_match_band, cap_hot_buckets
 
     v = F.col(vec_col).cast("array<double>")
     base = spread_scan(emb).select(F.col(id_col).alias("a_id"),
@@ -257,6 +264,7 @@ def knn_graph(emb: DataFrame, *, id_col: str = "vec_id",
         *[F.col(f"s{b}").alias(f"a_s{b}") for b in range(bands)],
         F.posexplode(F.array(*[f"s{b}" for b in range(bands)]))
         .alias("band", "bsig"))
+    banded = cap_hot_buckets(banded, "a_id")
     right = banded.select(
         F.col("a_id").alias("b_id"),
         *[F.col(f"a_s{b}").alias(f"b_s{b}") for b in range(bands)],

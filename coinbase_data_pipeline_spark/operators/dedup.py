@@ -72,12 +72,55 @@ def _first_match_band(bands: int):
     return pred
 
 
+# Per-(band, bucket) survivor bound for every LSH candidate join. 512
+# keeps the worst bucket's pair fanout under 512²/2 ≈ 131k rows — one
+# task's work — while sitting far above any bucket the catalog corpora
+# produce (max observed bucket at sf0.1 is < 40 rows), so at catalog
+# scale the cap NEVER binds and the SQL oracles stay cap-free.
+BUCKET_CAP = 512
+
+
+def cap_hot_buckets(banded: DataFrame, id_col: str,
+                    keys: tuple[str, str] = ("band", "bsig"),
+                    cap: int = BUCKET_CAP) -> DataFrame:
+    """Bound every LSH bucket to at most `cap` surviving rows — the
+    explicit skew guard for degenerate corpora (e.g. millions of
+    near-empty docs sharing one signature), where a single hot
+    (band, bucket) would otherwise make the candidate self-join
+    quadratic no matter how AQE splits it across tasks.
+
+    Survivors are the `cap` rows with the smallest xxhash64(id) —
+    uniform over the bucket, deterministic, engine-independent. The
+    row_number window partitions on exactly the join keys, so its
+    exchange is the same one the bucket join needs: the guard adds a
+    per-bucket sort, never an extra shuffle.
+
+    RECALL CONTRACT (binding only when a bucket exceeds `cap`): a pair
+    is emitted AT MOST once always (capping only removes rows before
+    the first-matching-band filter, so duplicate emission remains
+    impossible); a pair may be MISSED iff in every band where its two
+    signatures agree, at least one member was capped out of that
+    bucket. For a degenerate bucket of m identical-signature docs the
+    output is exactly C(cap, 2) pairs instead of C(m, 2) — bounded
+    work, bounded output, connected-components downstream still links
+    the survivors. Property-tested with a planted hot band
+    (tests/test_operators.py::test_hot_bucket_cap*).
+    """
+    w = Window.partitionBy(*keys).orderBy(
+        F.xxhash64(F.col(id_col)), F.col(id_col))
+    return (banded.withColumn("_bn", F.row_number().over(w))
+            .filter(F.col("_bn") <= cap).drop("_bn"))
+
+
 def minhash_lsh_pairs(docs: DataFrame, *, id_col: str = "doc_id",
                       text_col: str = "text", num_hashes: int = 16,
                       bands: int = 4,
-                      jaccard_threshold: float = 0.9) -> DataFrame:
+                      jaccard_threshold: float = 0.9,
+                      bucket_cap: int = BUCKET_CAP) -> DataFrame:
     """MinHash + banded LSH candidate pairs, verified with exact
-    token-set Jaccard.
+    token-set Jaccard. Hot buckets are bounded to `bucket_cap`
+    survivors (see :func:`cap_hot_buckets` for the recall contract —
+    a no-op below the cap).
 
     Pipeline: token set → k seeded min-hashes → split into bands →
     self-join on (band, band-signature) buckets → first-matching-band
@@ -138,6 +181,7 @@ def minhash_lsh_pairs(docs: DataFrame, *, id_col: str = "doc_id",
         *[F.col(f"s{b}").alias(f"a_s{b}") for b in range(bands)],
         F.posexplode(F.array(*[f"s{b}" for b in range(bands)]))
         .alias("band", "bsig"))
+    banded = cap_hot_buckets(banded, "a_id", cap=bucket_cap)
     right = banded.select(
         F.col("a_id").alias("b_id"), F.col("na").alias("nb"),
         *[F.col(f"a_s{b}").alias(f"b_s{b}") for b in range(bands)],
@@ -212,14 +256,17 @@ def simhash(docs: DataFrame, *, id_col: str = "doc_id",
 
 def simhash_pairs(docs: DataFrame, *, id_col: str = "doc_id",
                   text_col: str = "text", bits: int = 32,
-                  bands: int = 4, max_hamming: int = 3) -> DataFrame:
+                  bands: int = 4, max_hamming: int = 3,
+                  bucket_cap: int = BUCKET_CAP) -> DataFrame:
     """Near-dup candidate pairs from SimHash + hamming bands.
 
     Pigeonhole: two hashes within hamming distance `bands - 1` must
     agree on at least one of `bands` equal-width bit bands — so pairs
     sharing ANY band are the candidates (band groupBy-join, no cross
     join), then the exact hamming distance filters to `max_hamming`.
-    With bands=4 the candidate recall is exact for distance <= 3.
+    With bands=4 the candidate recall is exact for distance <= 3 —
+    except within buckets larger than `bucket_cap`, which are bounded
+    per :func:`cap_hot_buckets`'s recall contract (no-op below it).
     """
     sh = simhash(docs, id_col=id_col, text_col=text_col, bits=bits)
     width = bits // bands
@@ -233,6 +280,8 @@ def simhash_pairs(docs: DataFrame, *, id_col: str = "doc_id",
         *[F.col(f"s{b}").alias(f"a_s{b}") for b in range(bands)],
         F.posexplode(F.array(*[f"s{b}" for b in range(bands)]))
         .alias("band", "bval"))
+    banded = cap_hot_buckets(banded, "a_id", keys=("band", "bval"),
+                             cap=bucket_cap)
     right = banded.select(
         F.col("a_id").alias("b_id"), F.col("ah").alias("bh"),
         *[F.col(f"a_s{b}").alias(f"b_s{b}") for b in range(bands)],
@@ -479,6 +528,7 @@ def embedding_neighbor_stats_lsh(emb: DataFrame, *,
         *[F.col(f"s{b}").alias(f"a_s{b}") for b in range(bands)],
         F.posexplode(F.array(*[f"s{b}" for b in range(bands)]))
         .alias("band", "bsig"))
+    banded = cap_hot_buckets(banded, "a_id")
     right = banded.select(
         F.col("a_id").alias("b_id"),
         *[F.col(f"a_s{b}").alias(f"b_s{b}") for b in range(bands)],
@@ -672,8 +722,10 @@ def minhash_lsh_pairs_vs(left: DataFrame, right: DataFrame, *,
             F.posexplode(F.array(*[f"s{b}" for b in range(bands)]))
             .alias("band", "bsig"))
 
-    lb = _banded(lbase, "a")
-    rb = _banded(rbase, "b")
+    # cap each side's hot buckets independently (worst-bucket fanout
+    # ≤ cap² even when BOTH relations pile onto one signature)
+    lb = cap_hot_buckets(_banded(lbase, "a"), "a_id")
+    rb = cap_hot_buckets(_banded(rbase, "b"), "b_id")
     t = jaccard_threshold
     cand_ids = (lb.join(rb, ["band", "bsig"])
                 .filter(_first_match_band(bands))

@@ -196,7 +196,15 @@ def bloom_semi_join(probe: DataFrame, build: DataFrame,
     equals ``probe.join(build, on=key, "left_semi")`` exactly while
     the big-side shuffle (at 100 TB, the cost that matters) only
     carries rows that passed the filter.
+
+    BUILD-SIDE CARDINALITY ASSUMPTION: the whole pattern presumes the
+    build side's distinct keys fit in one executor/driver (that is
+    what makes the Bloom bits broadcastable in stage 1), so stage 2
+    leaves the join strategy to the planner rather than forcing a
+    broadcast — under AQE the small distinct-key relation broadcasts
+    anyway, and a build side that outgrows the threshold degrades to
+    a shuffled semi-join instead of an OOM.
     """
     out = bloom_filter_rows(probe, build, probe_key, build_key)
     keys = build.select(F.col(build_key).alias(probe_key)).distinct()
-    return out.join(F.broadcast(keys), probe_key, "left_semi")
+    return out.join(keys, probe_key, "left_semi")

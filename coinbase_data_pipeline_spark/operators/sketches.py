@@ -30,10 +30,15 @@ FULL60 = float(1 << 60)  # hash60's range, exactly representable
 def _kmv_sketch(hashes: DataFrame, group: str, k: int,
                 shards: int = 256) -> DataFrame:
     """(group, mins: k smallest hashes) via a sharded partial
-    aggregate: per (group, h % shards) sorted k-min arrays — each
-    group's state is ≤ shards·k longs, never the group's full distinct
-    set — then one k-sized merge per group. k-min is merge-invariant,
-    so shard→group produces the same sketch as a direct global k-min.
+    aggregate: per (group, h % shards) collect the shard's distinct
+    hashes, sort, and slice to k — then one k-sized merge per group.
+    The partial stage's aggregation buffer holds each shard's full
+    distinct-hash list until the slice (it is the SHARD FANOUT, not
+    the buffer, that bounds skew: a hot group's hashes spread over
+    `shards` buckets, so no single task ever owns the group's whole
+    distinct set; the k-long bound applies from the slice onward).
+    k-min is merge-invariant, so shard→group produces the same sketch
+    as a direct global k-min.
     """
     shard = (F.col("h") % shards).alias("shard")
     partial = (hashes.select(group, shard, "h")

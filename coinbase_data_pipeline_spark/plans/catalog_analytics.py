@@ -1117,8 +1117,15 @@ def q_zorder_layout(spark, sf_dir):
     ev = ev.withColumn("e_us", epoch_micros(F.col("ts")))
     xb = F.pmod(F.floor(F.col("value") / ZO_VAL_BUCKET).cast("long"),
                 F.lit(1 << L.ZBITS))
-    yb = F.pmod(F.expr(f"(e_us - {ZO_ORIGIN_US}) div {ZO_DAY_US}"),
-                F.lit(1 << L.ZBITS))
+    # FLOOR division (all-integer: subtract the nonnegative pmod
+    # remainder, then the division is exact), matching the oracle's
+    # DuckDB `//`: Spark's integer `div` truncates toward zero, which
+    # would bucket any pre-origin timestamp one day high (latent
+    # today — testdata starts at the origin — but wrong the first
+    # time older data appears)
+    off = F.col("e_us") - F.lit(ZO_ORIGIN_US)
+    day = (off - F.pmod(off, F.lit(ZO_DAY_US))) / F.lit(ZO_DAY_US)
+    yb = F.pmod(day.cast("long"), F.lit(1 << L.ZBITS))
     return L.zorder_stats(ev, xb, yb, F.col("event_id"))
 
 

@@ -545,18 +545,34 @@ def q_streaming_kmv(spark, sf_dir):
                         4 * (epoch_seconds(F.col("ts")) - F.col("t0"))
                         / (F.col("t1") - F.col("t0"))))
                     .select("user_id", "ts", "bucket"))
+        # FileStreamSource replays files in mtime order: stamp each
+        # bucket's files with an explicitly increasing mtime instead
+        # of trusting the filesystem tick — two buckets landing in
+        # the same tick could replay out of order and the 1-hour
+        # watermark would drop the earlier bucket's rows as late
+        stamped: set[str] = set()
+
+        def _stamp(step: int) -> None:
+            t = _time.time()
+            for f in os.listdir(replay_dir):
+                p = os.path.join(replay_dir, f)
+                if f.endswith(".parquet") and p not in stamped:
+                    os.utime(p, (t + step, t + step))
+                    stamped.add(p)
+
         for b in range(4):
             (bucketed.filter(F.col("bucket") == b)
              .select("user_id", "ts").coalesce(1)
              .write.mode("overwrite" if b == 0 else "append")
              .parquet(replay_dir))
-        # sentinel LAST (strictly later mtime): 30 days past max(ts)
+            _stamp(b)
+        # sentinel LAST (strictly latest mtime): 30 days past max(ts)
         # > every day end, so every real day's timeout fires
-        _time.sleep(0.1)
         sentinel = ev.agg(F.lit(-1).cast("long").alias("user_id"),
                           (F.max("ts") + F.expr("INTERVAL 30 DAYS"))
                           .alias("ts"))
         sentinel.coalesce(1).write.mode("append").parquet(replay_dir)
+        _stamp(10)
         stream = (spark.readStream
                   .schema("user_id long, ts timestamp")
                   .option("maxFilesPerTrigger", 1)

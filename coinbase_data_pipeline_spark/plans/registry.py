@@ -50,69 +50,35 @@ for _part in _QUERY_PARTS:
 # CORRECTNESS_r01..r04.json and stays out of the window.  Driver rounds
 # r01..r04 map to the repo's work sessions 1..4 (one numbering scheme).
 #
-# ROUND-6 ROTATION PLAN (apply at round-6 start): front the 7 queries
-# that rolled out of the r05 window and so owe a driver row on current
-# code — ann_bruteforce, ann_lsh, ann_range_search,
-# dedup_simhash_pairs, dedup_keep, corpus_curation, kmeans_assign —
-# (each is green in the r05 session's full 182/182 sf0.01 parity
-# sweep; only the *driver's* ledger lags), then any round-6 changes,
-# then new queries. Everything else in the r05 window below gets its
-# driver row in CORRECTNESS_r05 and rotates out.
+# ROUND-6 WINDOW (this is the rotation the r05 registry comment and
+# VERDICT r05 item #1 ordered): (a) the 7 queries that rolled out of
+# the r05 window and owe a driver row on current code; (b) queries
+# changed in round 6; (c) brand-new round-6 queries. Everything else
+# keeps its green driver row from CORRECTNESS_r01..r05 on unchanged
+# code and stays out of the window.
 _CHECK_FIRST = [
-    # (a) the 12 never-driver-checked queries (r04 window roll-off;
-    # each judge-verified at sf0.01 in the round-4 session) — these
-    # burn their driver-row debt first.
-    "ann_pq", "dedup_incremental", "perplexity_proxy",
-    "streaming_sessionize", "vocab_build", "token_id_encode",
-    "doc_pagerank", "ann_ivfpq", "boilerplate_ngrams",
-    "dedup_keep_best", "semantic_dedup", "streaming_corpus_scores",
-    # (a') 4 whose green rows predate their round-4 rewrite (salted
-    # token_packing, first-match-band dedup_embedding, the
-    # recursive-CTE EWM / left-fold scorer oracles).
-    "token_packing", "dedup_embedding", "ewm_indicators",
-    "model_score",
-    # (a'') 11 r4-changed tail (log-return guards, rounding-quantum
-    # hardening) whose green rows predate the change.
-    "log_returns", "volatility", "returns_correlation",
-    "cross_sectional_rank", "q1_pricing_summary", "q5_local_supplier",
-    "q6_forecast_revenue", "q7_volume_shipping",
-    "q19_discounted_revenue", "vwap", "price_features",
-    # (b) new or changed in round 5: ann_ivf newly oracle-paired;
-    # event_paths gap compare moved to epoch_micros; kmv_weekly_merge
-    # daily stage re-sharded; perf reworks on dedup_tfidf_cosine /
-    # boilerplate_ngrams land here too via their (a) slots above.
-    "ann_ivf", "grouped_scale_full", "event_paths",
-    "kmv_weekly_merge", "dedup_tfidf_cosine",
-    # (b') round-5 perf changes across the dedup/ANN family heads
-    # (spread_scan scan-parallelism guard; mirrored symmetric-cosine
-    # verify; graph_triangles' edge-iterator rewrite) — every catalog
-    # query whose plan those touched and that isn't already above.
-    "graph_triangles", "dedup_minhash_lsh", "dedup_simhash",
-    "dedup_ngram_jaccard", "dedup_containment",
-    "dedup_spans", "dedup_components", "knn_graph",
-    "cluster_quality_profile",
-    # (ann_bruteforce / ann_lsh / ann_range_search also sat here for
-    # the spread_scan guard; they rolled to the next window to make
-    # room for (b''') — the guard is semantics-preserving and the same
-    # change is sampled in-window via ann_pq/ann_ivfpq/knn_graph.
-    # dedup_simhash_pairs / dedup_keep / corpus_curation / kmeans_
-    # assign rolled likewise for (b''''): each is a composition of
-    # in-window family members — dedup_simhash, dedup_keep_best,
-    # dedup_components, cluster_quality_profile (which runs the same
-    # kmeans assignment) — that sample the same guard.)
-    # (b''') brand-new round-5 queries: Z-order layout audit,
-    # explicit Bloom-filter semi-join, PMI collocations.
-    "zorder_layout", "bloom_semi_join", "pmi_collocations",
-    # (b'''') brand-new round-5 session-2 queries: theta-sketch set
-    # operations, count-min heavy hitters, Holt double smoothing,
-    # and the sketch-on-stream capstone (per-day k-min state +
-    # watermark-timeout flush, sharing the batch KMV oracle).
-    "kmv_set_ops", "heavy_hitters_cms", "holt_winters",
-    "streaming_kmv",
-    # (b'') new in round 5: the production bounded-state streaming
-    # variants promoted to oracle-paired catalog queries (watermark +
-    # EventTimeTimeout tail flush; dropDuplicatesWithinWatermark).
-    "streaming_sessionize_watermark", "streaming_dedup_watermark",
+    # (a) the 7 r05 window roll-offs — each verified green at sf0.01
+    # on final r05 code by BOTH the r05 session's full 182/182 parity
+    # sweep AND the round-5 judge's independent driver-sim; only the
+    # driver's own ledger lags. They burn their debt first.
+    "ann_bruteforce", "ann_lsh", "ann_range_search",
+    "dedup_simhash_pairs", "dedup_keep", "corpus_curation",
+    "kmeans_assign",
+    # (b) changed in round 6:
+    # - zorder_layout: day-index bucketing moved from truncating
+    #   integer division to explicit floor semantics (pre-origin
+    #   timestamps now bucket identically to the DuckDB // oracle).
+    "zorder_layout",
+    # - LSH-family hot-bucket cap (operators/dedup.py
+    #   cap_hot_buckets): every banded candidate join now bounds each
+    #   (band, bucket) to BUCKET_CAP survivors. The cap never binds at
+    #   catalog scale (max observed bucket ≪ 512) so oracles are
+    #   unchanged — but the plan changed for every consumer of the
+    #   banded joins, so each owes a fresh driver row.
+    "dedup_minhash_lsh", "dedup_incremental", "dedup_components",
+    "dedup_keep_best", "dedup_embedding", "knn_graph",
+    "graph_triangles", "doc_pagerank",
+    # (c) brand-new round-6 queries are appended below as they land.
 ]
 
 ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

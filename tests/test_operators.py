@@ -1375,3 +1375,49 @@ def test_holt_constant_series_is_fixed_point(spark):
     assert len(rows) == 50
     assert all(r.hw_level == 42.5 and r.hw_trend == 0.0
                and r.hw_forecast == 42.5 for r in rows)
+
+
+def test_hot_bucket_cap_bounds_planted_clique(spark):
+    """Planted hot band: hundreds of identical docs share every LSH
+    bucket. The cap must bound the candidate join to C(cap, 2) pairs
+    over one deterministic survivor set — not C(n, 2) — which is the
+    guard that keeps a degenerate 100 TB corpus from turning one
+    bucket quadratic."""
+    from coinbase_data_pipeline_spark.operators.dedup import (
+        minhash_lsh_pairs, simhash_pairs)
+
+    n, cap = 400, 20
+    docs = spark.createDataFrame(
+        [(i, "the exact same boilerplate template text body")
+         for i in range(n)],
+        "doc_id long, text string")
+    pairs = minhash_lsh_pairs(docs, bucket_cap=cap).collect()
+    assert len(pairs) == cap * (cap - 1) // 2
+    ids = {r.doc_a for r in pairs} | {r.doc_b for r in pairs}
+    assert len(ids) == cap          # one survivor set, fully linked
+    assert all(r.jaccard == 1.0 for r in pairs)
+    # deterministic: same survivors on a re-run
+    again = minhash_lsh_pairs(docs, bucket_cap=cap).collect()
+    ids2 = {r.doc_a for r in again} | {r.doc_b for r in again}
+    assert ids2 == ids
+
+    sp = simhash_pairs(docs, bucket_cap=cap).collect()
+    assert len(sp) == cap * (cap - 1) // 2
+    assert all(r.hamming == 0 for r in sp)
+
+
+def test_hot_bucket_cap_noop_below_cap(spark):
+    """At catalog scale no bucket reaches BUCKET_CAP, so the guarded
+    plan must return the identical pair relation to an effectively
+    uncapped run — the property that keeps every SQL oracle cap-free."""
+    from coinbase_data_pipeline_spark.operators.dedup import (
+        minhash_lsh_pairs)
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    capped = {(r.doc_a, r.doc_b, r.jaccard)
+              for r in minhash_lsh_pairs(docs).collect()}
+    uncapped = {(r.doc_a, r.doc_b, r.jaccard)
+                for r in minhash_lsh_pairs(docs,
+                                           bucket_cap=1 << 30).collect()}
+    assert capped == uncapped
+    assert capped                    # non-vacuous: corpus has dups

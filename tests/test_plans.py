@@ -294,9 +294,12 @@ def test_zorder_rank_window_is_sharded(spark):
     df = ALL_QUERIES["zorder_layout"](spark, SF)
     analyzed = df._jdf.queryExecution().analyzed().toString()
     import re as _re
-    for m in _re.finditer(r"row_number\(\).*?windowspecdefinition\(([^)]*)\)",
-                          analyzed):
-        assert "shard" in m.group(1)
+    specs = _re.findall(r"row_number\(\).*?windowspecdefinition\(([^)]*)\)",
+                        analyzed)
+    # guard against vacuous pass if the plan rendering ever changes
+    assert specs, "no row_number window found in analyzed plan"
+    for spec in specs:
+        assert "shard" in spec
 
 
 def test_kmv_set_ops_single_scalar_cross(spark):
