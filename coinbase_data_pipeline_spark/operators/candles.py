@@ -249,8 +249,27 @@ def candle_upsert(state: DataFrame, new_ticks: DataFrame, *,
                          volume=volume, freq=freq)
     on = [key, "bucket_start"]
     affected = delta.select(*on).distinct()
-    touched = state.join(F.broadcast(affected), on, "left_semi")
     untouched = state.join(F.broadcast(affected), on, "left_anti")
+    merged = candle_merge_partials(state, delta, key=key,
+                                   volume=volume is not None)
+    return untouched.unionByName(merged)
+
+
+def candle_merge_partials(state: DataFrame, delta: DataFrame, *,
+                          key: str = "product_id",
+                          volume: bool = False) -> DataFrame:
+    """Merge a batch of candle-state PARTIALS (:func:`candle_state`
+    output) into existing state, returning replacement rows for the
+    AFFECTED buckets only — the foreachBatch upsert body: work and
+    output both scale with the batch, and the returned rows are
+    exactly what a last-write-wins keyed store (sinks/tables.
+    merge_upsert, or Cassandra in the reference —
+    kafka_spark_processor/spark_processor.py:158-168) should absorb.
+    Mergeability comes from the (first_ts, last_ts) carry in the
+    state — see :func:`candle_state`."""
+    on = [key, "bucket_start"]
+    affected = delta.select(*on).distinct()
+    touched = state.join(F.broadcast(affected), on, "left_semi")
     aggs = [
         F.min(F.struct("first_ts", "open")).getField("open").alias("open"),
         F.max("high").alias("high"),
@@ -260,10 +279,9 @@ def candle_upsert(state: DataFrame, new_ticks: DataFrame, *,
         F.min("first_ts").alias("first_ts"),
         F.max("last_ts").alias("last_ts"),
     ]
-    if volume is not None:
+    if volume:
         aggs.append(F.sum("volume").alias("volume"))
-    merged = touched.unionByName(delta).groupBy(*on).agg(*aggs)
-    return untouched.unionByName(merged)
+    return touched.unionByName(delta).groupBy(*on).agg(*aggs)
 
 
 def candle_grid_fill(c: DataFrame, *, key: str = "product_id",

@@ -27,6 +27,23 @@ _TMP_ROOT = os.path.join(os.path.dirname(os.path.dirname(
     os.path.dirname(os.path.abspath(__file__)))), ".tmp")
 
 
+def _stamp_new_files(replay_dir: str, stamped: set[str], step: int,
+                     suffix: str) -> None:
+    """Give every not-yet-stamped data file in `replay_dir` an
+    explicitly increasing mtime (now + step). FileStreamSource replays
+    files in mtime order; two writes landing in the same filesystem
+    tick could otherwise replay out of order, and a watermarked query
+    would drop the earlier write's rows as late."""
+    import time as _time
+
+    t = _time.time()
+    for f in os.listdir(replay_dir):
+        p = os.path.join(replay_dir, f)
+        if f.endswith(suffix) and p not in stamped:
+            os.utime(p, (t + step, t + step))
+            stamped.add(p)
+
+
 def ticker_wire_json(t: DataFrame) -> DataFrame:
     """Tick rows → Advanced-Trade ticker JSON payloads (the producer's
     wire format, coinbase_kafka_producer/producer.py)."""
@@ -526,8 +543,6 @@ def q_streaming_kmv(spark, sf_dir):
     (streaming-vs-batch sketch equivalence: k-min merge across
     arbitrary micro-batch boundaries is bit-identical to the one-shot
     sketch)."""
-    import time as _time
-
     from ..functions.text import hash60
     from ..functions.timeutil import epoch_seconds
     from ..sources.tables import load_table
@@ -545,34 +560,20 @@ def q_streaming_kmv(spark, sf_dir):
                         4 * (epoch_seconds(F.col("ts")) - F.col("t0"))
                         / (F.col("t1") - F.col("t0"))))
                     .select("user_id", "ts", "bucket"))
-        # FileStreamSource replays files in mtime order: stamp each
-        # bucket's files with an explicitly increasing mtime instead
-        # of trusting the filesystem tick — two buckets landing in
-        # the same tick could replay out of order and the 1-hour
-        # watermark would drop the earlier bucket's rows as late
         stamped: set[str] = set()
-
-        def _stamp(step: int) -> None:
-            t = _time.time()
-            for f in os.listdir(replay_dir):
-                p = os.path.join(replay_dir, f)
-                if f.endswith(".parquet") and p not in stamped:
-                    os.utime(p, (t + step, t + step))
-                    stamped.add(p)
-
         for b in range(4):
             (bucketed.filter(F.col("bucket") == b)
              .select("user_id", "ts").coalesce(1)
              .write.mode("overwrite" if b == 0 else "append")
              .parquet(replay_dir))
-            _stamp(b)
+            _stamp_new_files(replay_dir, stamped, b, ".parquet")
         # sentinel LAST (strictly latest mtime): 30 days past max(ts)
         # > every day end, so every real day's timeout fires
         sentinel = ev.agg(F.lit(-1).cast("long").alias("user_id"),
                           (F.max("ts") + F.expr("INTERVAL 30 DAYS"))
                           .alias("ts"))
         sentinel.coalesce(1).write.mode("append").parquet(replay_dir)
-        _stamp(10)
+        _stamp_new_files(replay_dir, stamped, 10, ".parquet")
         stream = (spark.readStream
                   .schema("user_id long, ts timestamp")
                   .option("maxFilesPerTrigger", 1)
@@ -605,6 +606,56 @@ def q_streaming_kmv(spark, sf_dir):
         shutil.rmtree(replay_dir, ignore_errors=True)
 
 
+def q_streaming_upsert(spark, sf_dir):
+    """The reference's ACTUAL sink pattern, end to end: tick stream →
+    readStream → typed parse → foreachBatch merge-upsert into the
+    keyed candles store (spark_processor.py:158-168's
+    writeStream.foreachBatch(… Cassandra write), with the Cassandra
+    table played by sinks/tables.merge_upsert keyed
+    (product_id, start_time)). On-time ticks stream first across
+    several micro-batches; the late stragglers (event_id % 23 — the
+    same split as batch candle_upsert) land in a strictly later batch
+    and must MERGE into buckets the store already holds. The oracle
+    is the batch full recompute over all ticks, shared verbatim with
+    candle_upsert: stream-maintained store state must be
+    bit-identical to recomputation. Batch-id markers make re-applied
+    micro-batches no-ops (idempotent re-delivery, pytest-gated in
+    tests/test_streaming_sinks.py)."""
+    from ..streaming.pipelines import run_file_upsert_pipeline
+    from .catalog_ts import LATE_MOD
+
+    run_id = uuid.uuid4().hex[:8]
+    replay_dir = os.path.join(_TMP_ROOT, f"upsert-replay-{run_id}")
+    store_root = os.path.join(_TMP_ROOT, f"upsert-store-{run_id}")
+    try:
+        t = ticks(spark, sf_dir)
+        wire = t.select(
+            "event_id", "product_id",
+            F.date_format("time", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .alias("time"),
+            # double→string→double is lossless (shortest repr)
+            F.col("price").cast("string").alias("price"),
+            F.col("volume").cast("string").alias("volume"))
+        on_time = wire.filter(F.col("event_id") % LATE_MOD != 0)
+        late = wire.filter(F.col("event_id") % LATE_MOD == 0)
+        stamped: set[str] = set()
+        # 6 on-time files at maxFilesPerTrigger=2 → ≥3 micro-batches
+        # before the late file arrives in its own, strictly later one
+        on_time.repartition(6).write.mode("overwrite").json(replay_dir)
+        _stamp_new_files(replay_dir, stamped, 0, ".json")
+        late.coalesce(1).write.mode("append").json(replay_dir)
+        _stamp_new_files(replay_dir, stamped, 5, ".json")
+        out = run_file_upsert_pipeline(spark, replay_dir, store_root,
+                                       max_files_per_trigger=2)
+        # materialize before the finally deletes the store parquet
+        # (memory-sink queries get this for free; a table read is lazy)
+        return _round(out, ["open", "high", "low", "close",
+                            "volume"]).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(replay_dir, ignore_errors=True)
+        shutil.rmtree(store_root, ignore_errors=True)
+
+
 SPARK_QUERIES_STREAM: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_candles": q_streaming_candles,
     "streaming_dedup": q_streaming_dedup,
@@ -617,6 +668,7 @@ SPARK_QUERIES_STREAM: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_sessionize_watermark": q_streaming_sessionize_watermark,
     "streaming_dedup_watermark": q_streaming_dedup_watermark,
     "streaming_kmv": q_streaming_kmv,
+    "streaming_upsert": q_streaming_upsert,
 }
 
 ORACLE_SQL_STREAM: dict[str, str] = {
@@ -640,4 +692,9 @@ ORACLE_SQL_STREAM: dict[str, str] = {
     "streaming_kmv": __import__(
         "coinbase_data_pipeline_spark.plans.catalog_analytics",
         fromlist=["SQL_KMV_DISTINCT_USERS"]).SQL_KMV_DISTINCT_USERS,
+    # same oracle as the batch candle_upsert: the foreachBatch
+    # merge-upsert store must equal the full recompute over all ticks
+    "streaming_upsert": __import__(
+        "coinbase_data_pipeline_spark.plans.catalog_ts",
+        fromlist=["SQL_CANDLE_UPSERT"]).SQL_CANDLE_UPSERT,
 }

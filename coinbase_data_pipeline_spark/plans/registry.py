@@ -79,6 +79,10 @@ _CHECK_FIRST = [
     "dedup_keep_best", "dedup_embedding", "knn_graph",
     "graph_triangles", "doc_pagerank",
     # (c) brand-new round-6 queries are appended below as they land.
+    # - the reference's actual sink pattern: stream → foreachBatch →
+    #   keyed merge-upsert store, oracle = batch candle_upsert's full
+    #   recompute (shared verbatim).
+    "streaming_upsert",
 ]
 
 ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

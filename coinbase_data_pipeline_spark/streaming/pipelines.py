@@ -439,3 +439,91 @@ def streaming_kmv_sketch(events: DataFrame, *, day: str = "day",
                 _fold, outputStructType=out_schema,
                 stateStructType=state_schema, outputMode="append",
                 timeoutConf=GroupStateTimeout.EventTimeTimeout))
+
+
+def candle_upsert_batch_writer(store_root: str, *,
+                               freq: str = "5 minutes",
+                               volume: str | None = None):
+    """foreachBatch body for the reference's actual sink pattern —
+    writeStream.foreachBatch(write to a keyed upsert store)
+    (kafka_spark_processor/spark_processor.py:158-168, 203-213), with
+    Cassandra replaced by the merge-upsert table store
+    (sinks/tables.py) keyed (product_id, start_time).
+
+    Per micro-batch: aggregate the batch's ticks to candle-state
+    partials, merge them with the stored state for the AFFECTED
+    buckets only (operators/candles.candle_merge_partials — work
+    scales with the batch, not the table), and upsert the replacement
+    rows. Because candle state is mergeable, the store converges to
+    the full batch recompute no matter how ticks split across
+    micro-batches — including late data for buckets already written.
+
+    IDEMPOTENT RE-DELIVERY: Structured Streaming re-runs a batch id
+    after failure. Re-merging the same ticks would double-count, so
+    each applied batch id leaves a marker file (the standard
+    foreachBatch commit-log pattern; a transactional store would use
+    `txnAppId`/`txnVersion`): a re-delivered id is a no-op. Pytest:
+    tests/test_streaming_sinks.py::test_upsert_writer_idempotent.
+    """
+    import os
+
+    from ..operators.candles import candle_merge_partials, candle_state
+    from ..sinks.tables import merge_upsert, read_table
+    applied_dir = os.path.join(store_root, "_applied_batches")
+    table_path = os.path.join(store_root, "candles")
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        marker = os.path.join(applied_dir, str(batch_id))
+        if os.path.exists(marker):
+            return
+        spark = batch.sparkSession
+        delta = candle_state(batch, volume=volume, freq=freq)
+        if os.path.exists(table_path):
+            state = (read_table(spark, store_root, "candles")
+                     .withColumnRenamed("start_time", "bucket_start"))
+            replacement = candle_merge_partials(
+                state, delta, volume=volume is not None)
+        else:
+            replacement = delta
+        merge_upsert(
+            spark,
+            replacement.withColumnRenamed("bucket_start", "start_time"),
+            store_root, "candles")
+        os.makedirs(applied_dir, exist_ok=True)
+        open(marker, "w").close()
+
+    return apply_batch
+
+
+def run_file_upsert_pipeline(spark: SparkSession, json_dir: str,
+                             store_root: str, *,
+                             max_files_per_trigger: int = 4,
+                             freq: str = "5 minutes") -> DataFrame:
+    """End-to-end stream → keyed-upsert-store replay: JSON-lines tick
+    files → readStream → typed parse → foreachBatch merge-upsert into
+    the candles table — then read the final store back. The driver
+    oracle for this pipeline is the BATCH full recompute
+    (SQL_CANDLE_UPSERT): stream-maintained state must be bit-identical
+    to recomputation."""
+    raw = (spark.readStream
+           .schema("event_id long, product_id string, time string, "
+                   "price string, volume string")
+           .option("maxFilesPerTrigger", max_files_per_trigger)
+           .json(json_dir))
+    parsed = raw.select(
+        "product_id",
+        F.to_timestamp("time", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .alias("time"),
+        F.col("price").cast("double").alias("price"),
+        F.col("volume").cast("double").alias("volume"))
+    writer = candle_upsert_batch_writer(store_root, freq=freq,
+                                        volume="volume")
+    q = (parsed.writeStream.foreachBatch(writer)
+         .trigger(availableNow=True)
+         .option("checkpointLocation",
+                 f"{store_root}/_checkpoint-{uuid.uuid4().hex[:8]}")
+         .start())
+    q.awaitTermination()
+    from ..sinks.tables import read_table
+    return (read_table(spark, store_root, "candles")
+            .withColumnRenamed("start_time", "bucket_start"))
