@@ -1108,6 +1108,77 @@ def graph_triangles(docs: DataFrame, *, id_col: str = "doc_id",
                     coeff.alias("clustering_coeff")))
 
 
+def graph_triangles_doulion(docs: DataFrame, *, sample_p: float = 0.5,
+                            id_col: str = "doc_id",
+                            text_col: str = "text",
+                            num_hashes: int = 16, bands: int = 4,
+                            jaccard_threshold: float = 0.9) -> DataFrame:
+    """DOULION-style sampled GLOBAL triangle count over the near-dup
+    pair graph (Tsourakakis et al., KDD 2009: keep each edge with
+    probability p, count triangles among kept edges, scale by 1/p³ —
+    an unbiased estimator) — the 100×-survivable companion to
+    :func:`graph_triangles`, whose exact enumeration has an
+    irreducible Ω(#triangles) cost that sampling cuts by p³ (and the
+    wedge work by p^1.5).
+
+    The coin is a DETERMINISTIC hash gate — keep edge (a, b) iff
+    hash60('doulion:' a|b) < p·2^60 — so the estimate is reproducible
+    and the SQL oracle flips the same coins: an exactly checkable
+    approximate algorithm. Enumeration on the sparsified graph uses
+    the same degree-ordered edge-iterator as the exact operator
+    (row-local sorted-array intersection, O(m'^1.5) wedge bound).
+
+    One summary row: (n_edges, n_edges_kept, tri_sampled, sample_p,
+    est_triangles = tri_sampled/p³). Relative error vs the exact
+    count is pytest-gated (tests/test_operators.py).
+    """
+    pairs = minhash_lsh_pairs(docs, id_col=id_col, text_col=text_col,
+                              num_hashes=num_hashes, bands=bands,
+                              jaccard_threshold=jaccard_threshold)
+    e = (pairs.select(F.col("doc_a").alias("a"),
+                      F.col("doc_b").alias("b"))
+         .localCheckpoint(eager=True))
+    thresh = int(sample_p * (1 << 60))
+    gate = hash60(F.concat_ws("|", F.col("a").cast("string"),
+                              F.col("b").cast("string")),
+                  "doulion") < F.lit(thresh)
+    ke = e.filter(gate).localCheckpoint(eager=True)
+    deg = (ke.select(F.col("a").alias("node"))
+           .union(ke.select(F.col("b").alias("node")))
+           .groupBy("node").agg(F.count(F.lit(1)).alias("_d")))
+    da = deg.select(F.col("node").alias("a"), F.col("_d").alias("_da"))
+    db = deg.select(F.col("node").alias("b"), F.col("_d").alias("_db"))
+    und = ke.join(da, "a").join(db, "b")
+    fwd = (F.col("_da") < F.col("_db")) | \
+        ((F.col("_da") == F.col("_db")) & (F.col("a") < F.col("b")))
+    oe = und.select(
+        F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("dst"))
+    adj = (oe.groupBy("src")
+           .agg(F.array_sort(F.collect_list("dst")).alias("nbrs")))
+    j1 = (oe.join(adj.select(F.col("src").alias("_u"),
+                             F.col("nbrs").alias("un")),
+                  F.col("src") == F.col("_u"))
+          .select("src", "dst", "un"))
+    j1 = _dense_spread(j1, F.col("dst"))
+    # each triangle x<y<z (rank order) counted ONCE at its (x, y) edge
+    tri = (j1.join(adj.select(F.col("src").alias("_v"),
+                              F.col("nbrs").alias("vn")),
+                   F.col("dst") == F.col("_v"))
+           .agg(F.coalesce(
+               F.sum(F.size(F.array_intersect("un", "vn"))),
+               F.lit(0)).cast("long").alias("tri_sampled")))
+    scale = 1.0 / (sample_p ** 3)
+    return (e.agg(F.count(F.lit(1)).alias("n_edges"))
+            .crossJoin(F.broadcast(
+                ke.agg(F.count(F.lit(1)).alias("n_edges_kept"))))
+            .crossJoin(F.broadcast(tri))
+            .select("n_edges", "n_edges_kept", "tri_sampled",
+                    F.lit(float(sample_p)).alias("sample_p"),
+                    (F.round(F.col("tri_sampled") * F.lit(scale), 6)
+                     + F.lit(0.0)).alias("est_triangles")))
+
+
 def tfidf_cosine_pairs(docs: DataFrame, *, id_col: str = "doc_id",
                        text_col: str = "text", n: int = 3,
                        threshold: float = 0.5,

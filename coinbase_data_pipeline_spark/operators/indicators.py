@@ -534,6 +534,74 @@ def holt_features(df: DataFrame, *, key: str, ts: str,
     return df.groupBy(key).applyInPandas(_per_key, schema=schema)
 
 
+def holt_winters_seasonal(df: DataFrame, *, key: str, ts: str,
+                          price: str = "close", alpha: float = 0.2,
+                          beta: float = 0.1, gamma: float = 0.3,
+                          period: int = 24) -> DataFrame:
+    """TRIPLE (additive-seasonal) Holt-Winters per series — the rung
+    above :func:`holt_features` for data with a periodic profile (the
+    reference's candles exhibit hour-of-day seasonality; see
+    seasonality_profile):
+
+        level_t  = α·(y_t − s_{t−m}) + (1−α)·(level_{t−1} + trend_{t−1})
+        trend_t  = β·(level_t − level_{t−1}) + (1−β)·trend_{t−1}
+        season_t = γ·(y_t − level_t) + (1−γ)·s_{t−m}
+        forecast_{t+1} = level_t + trend_t + s_{t+1−m}
+
+    Seeding (the classic first-cycle init, written to be replicable):
+    level_m = left-fold sum of y_1..y_m divided by m, trend_m = 0,
+    s_i = y_i − level_m for i = 1..m. Output starts at t = m; series
+    shorter than one period emit nothing. Per-key applyInPandas
+    recursion (sequential by nature, parallel across keys); every
+    float op — including the seed fold — is ordered to match the
+    recursive-CTE oracle literally, so parity is bit-identical. The
+    seasonal state carried per step is the m-slot ring — a few
+    hundred doubles per live series at worst, nothing at rest.
+    """
+    import pandas as pd
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    m = period
+    oma, omb, omg = 1.0 - alpha, 1.0 - beta, 1.0 - gamma
+    base_fields = [f for f in df.schema.fields]
+    schema = StructType(base_fields + [
+        StructField("hw_level", DoubleType()),
+        StructField("hw_trend", DoubleType()),
+        StructField("hw_season", DoubleType()),
+        StructField("hw_forecast", DoubleType()),
+    ])
+
+    def _per_key(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts).reset_index(drop=True)
+        y = [float(v) for v in pdf[price]]
+        n = len(y)
+        if n < m:
+            return pdf.head(0).assign(hw_level=0.0, hw_trend=0.0,
+                                      hw_season=0.0, hw_forecast=0.0)
+        acc = y[0]
+        for i in range(1, m):        # left fold, matches list_reduce
+            acc = acc + y[i]
+        lvl = acc / m
+        tr = 0.0
+        seas = [y[i] - lvl for i in range(m)]
+        rows = [(lvl, tr, seas[m - 1], lvl + tr + seas[0])]
+        for t in range(m, n):
+            s_old = seas[t - m]
+            prev = lvl
+            lvl = alpha * (y[t] - s_old) + oma * (lvl + tr)
+            tr = beta * (lvl - prev) + omb * tr
+            s_new = gamma * (y[t] - lvl) + omg * s_old
+            seas.append(s_new)
+            rows.append((lvl, tr, s_new, lvl + tr + seas[t + 1 - m]))
+        out = pdf.iloc[m - 1:].reset_index(drop=True)
+        cols = list(zip(*rows))
+        return out.assign(hw_level=cols[0], hw_trend=cols[1],
+                          hw_season=cols[2], hw_forecast=cols[3])
+
+    return df.groupBy(key).applyInPandas(_per_key, schema=schema)
+
+
 # ------------------------------------------------------------ full pipeline
 
 def enhance_features(candles: DataFrame, *, key: str = "product_id",

@@ -620,6 +620,98 @@ FROM rec
 """
 
 
+HWS_ALPHA, HWS_BETA, HWS_GAMMA, HWS_PERIOD = 0.2, 0.1, 0.3, 24
+
+
+def q_holt_winters_seasonal(spark, sf_dir):
+    """TRIPLE (additive-seasonal) Holt-Winters over the HOURLY close
+    series, period = 24 (hour-of-day — the periodicity
+    seasonality_profile already measures on this data). Level, trend
+    AND a 24-slot seasonal ring evolve per step; output starts after
+    the first full cycle seeds the ring. Same doctrine as
+    holt_winters: applyInPandas recursion per product, recursive-CTE
+    oracle carrying the ring as a LIST column with the identical IEEE
+    op order (the seed mean is a left fold on both sides)."""
+    c = candles(spark, sf_dir)
+    hourly = (c.groupBy("product_id",
+                        F.date_trunc("hour", "bucket_start")
+                        .alias("hour_start"))
+              .agg(F.max_by("close", "bucket_start").alias("close")))
+    df = I.holt_winters_seasonal(hourly, key="product_id",
+                                 ts="hour_start", alpha=HWS_ALPHA,
+                                 beta=HWS_BETA, gamma=HWS_GAMMA,
+                                 period=HWS_PERIOD)
+    return _round(df.select("product_id", "hour_start", "hw_level",
+                            "hw_trend", "hw_season", "hw_forecast"),
+                  ["hw_level", "hw_trend", "hw_season", "hw_forecast"])
+
+
+def _sql_holt_winters_seasonal(alpha: float = HWS_ALPHA,
+                               beta: float = HWS_BETA,
+                               gamma: float = HWS_GAMMA,
+                               m: int = HWS_PERIOD) -> str:
+    """Recursive-CTE oracle for triple Holt-Winters. The recursion
+    carries the m-slot seasonal ring as a DOUBLE[] (oldest first:
+    after step t the ring is [s_{t−m+1} … s_t], so prev ring[1] is
+    exactly the s_{t−m} the update needs and ring[1] of the new ring
+    is the s_{t+1−m} the one-step forecast needs); the seed phase
+    accumulates the first cycle's values in a list and folds them
+    left-to-right (list_reduce), matching the Python loop's
+    accumulation order literally."""
+    oma, omb, omg = 1.0 - alpha, 1.0 - beta, 1.0 - gamma
+    return SQL_BASE.replace("WITH ", "WITH RECURSIVE ", 1) + f"""
+, hourly AS (
+  SELECT product_id, date_trunc('hour', bucket_start) AS hour_start,
+         arg_max(close, bucket_start) AS close
+  FROM candles GROUP BY 1, 2
+), ordered AS (
+  SELECT product_id, hour_start, close,
+         row_number() OVER (PARTITION BY product_id
+                            ORDER BY hour_start) AS rn
+  FROM hourly
+), rec AS (
+  SELECT product_id, hour_start, rn, close,
+         [close] AS ys,
+         CAST(NULL AS DOUBLE) AS lvl, CAST(NULL AS DOUBLE) AS tr,
+         CAST(NULL AS DOUBLE[]) AS seas
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT s.product_id, s.hour_start, s.rn, s.close,
+         CASE WHEN s.rn < {m} THEN s.ys ELSE NULL END AS ys,
+         s.lvl,
+         CASE WHEN s.rn < {m} THEN NULL
+              WHEN s.rn = {m} THEN CAST(0.0 AS DOUBLE)
+              ELSE {beta!r} * (s.lvl - s.prev_lvl)
+                   + {omb!r} * s.prev_tr END AS tr,
+         CASE WHEN s.rn < {m} THEN NULL
+              WHEN s.rn = {m} THEN
+                list_transform(s.ys, v -> v - s.lvl)
+              ELSE s.prev_seas[2:] ||
+                [{gamma!r} * (s.close - s.lvl)
+                 + {omg!r} * s.prev_seas[1]] END AS seas
+  FROM (
+    SELECT o.product_id, o.hour_start, o.rn, o.close,
+           CASE WHEN o.rn <= {m} THEN r.ys || [o.close]
+                ELSE NULL END AS ys,
+           CASE WHEN o.rn < {m} THEN NULL
+                WHEN o.rn = {m} THEN
+                  list_reduce(r.ys || [o.close], (a, b) -> a + b) / {m}
+                ELSE {alpha!r} * (o.close - r.seas[1])
+                     + {oma!r} * (r.lvl + r.tr) END AS lvl,
+           r.lvl AS prev_lvl, r.tr AS prev_tr, r.seas AS prev_seas
+    FROM rec r JOIN ordered o
+      ON o.product_id = r.product_id AND o.rn = r.rn + 1
+  ) s
+)
+SELECT product_id, hour_start,
+       ROUND(lvl, 6) + 0 AS hw_level,
+       ROUND(tr, 6) + 0 AS hw_trend,
+       ROUND(seas[{m}], 6) + 0 AS hw_season,
+       ROUND(lvl + tr + seas[1], 6) + 0 AS hw_forecast
+FROM rec WHERE rn >= {m}
+"""
+
+
 def q_heikin_ashi(spark, sf_dir):
     """Heikin-Ashi smoothed candles (recursive ha_open — the EWM
     situation: applyInPandas per key, recursive-CTE oracle replicates
@@ -796,6 +888,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minmax_scale": q_minmax_scale,
     "ewm_indicators": q_ewm_indicators,
     "holt_winters": q_holt_winters,
+    "holt_winters_seasonal": q_holt_winters_seasonal,
     "heikin_ashi": q_heikin_ashi,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -822,6 +915,7 @@ ORACLE_SQL: dict[str, str] = {
     "minmax_scale": SQL_MINMAX_SCALE,
     "ewm_indicators": _sql_ewm_indicators(),
     "holt_winters": _sql_holt_winters(),
+    "holt_winters_seasonal": _sql_holt_winters_seasonal(),
     "heikin_ashi": SQL_HEIKIN_ASHI,
     "q1_pricing_summary": SQL_Q1,
     "q3_shipping_priority": SQL_Q3,

@@ -1331,6 +1331,47 @@ def q_graph_triangles(spark, sf_dir):
     return DD.graph_triangles(docs)
 
 
+def q_graph_triangles_approx(spark, sf_dir):
+    """DOULION sampled global triangle count: keep each near-dup edge
+    by a deterministic hash coin at p=0.5, count triangles among kept
+    edges, scale by 1/p³ (unbiased — Tsourakakis et al. 2009). The
+    scale-path companion to graph_triangles' exact enumeration; the
+    oracle flips the identical coins, so even the approximation is
+    hash-checked exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    return DD.graph_triangles_doulion(docs, sample_p=DOULION_P)
+
+
+DOULION_P = 0.5
+
+
+def _sql_graph_triangles_approx(p: float = 0.5) -> str:
+    thresh = int(p * (1 << 60))
+    scale = 1.0 / p ** 3
+    gate = sql_hash60("CAST(a AS VARCHAR) || '|' || CAST(b AS VARCHAR)",
+                      "doulion")
+    return f"""
+WITH mp AS (
+  SELECT doc_a, doc_b FROM ({_sql_minhash().strip()}) p
+), e AS (
+  SELECT doc_a AS a, doc_b AS b FROM mp
+), ke AS (
+  SELECT a, b FROM e WHERE {gate} < {thresh}
+), tri AS (
+  SELECT ab.a, ab.b, bc.b AS c
+  FROM ke ab
+  JOIN ke bc ON bc.a = ab.b
+  JOIN ke ac ON ac.a = ab.a AND ac.b = bc.b
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+       (SELECT CAST(count(*) AS BIGINT) FROM ke) AS n_edges_kept,
+       (SELECT CAST(count(*) AS BIGINT) FROM tri) AS tri_sampled,
+       CAST({p} AS DOUBLE) AS sample_p,
+       ROUND((SELECT count(*) FROM tri) * CAST({scale} AS DOUBLE), 6)
+         + 0 AS est_triangles
+"""
+
+
 SQL_GRAPH_TRIANGLES = f"""
 WITH mp AS (
   SELECT doc_a, doc_b FROM ({_sql_minhash().strip()}) p
@@ -1656,6 +1697,7 @@ SPARK_QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_incremental": q_dedup_incremental,
     "doc_pagerank": q_doc_pagerank,
     "graph_triangles": q_graph_triangles,
+    "graph_triangles_approx": q_graph_triangles_approx,
     "embedding_quantize": q_embedding_quantize,
     "ann_range_search": q_ann_range_search,
     "dedup_tfidf_cosine": q_dedup_tfidf_cosine,
@@ -1697,6 +1739,7 @@ ORACLE_SQL_EXT: dict[str, str] = {
     "dedup_incremental": SQL_DEDUP_INCREMENTAL,
     "doc_pagerank": SQL_DOC_PAGERANK,
     "graph_triangles": SQL_GRAPH_TRIANGLES,
+    "graph_triangles_approx": _sql_graph_triangles_approx(DOULION_P),
     "embedding_quantize": SQL_EMBEDDING_QUANTIZE,
     "ann_range_search": SQL_ANN_RANGE_SEARCH,
     "dedup_tfidf_cosine": SQL_DEDUP_TFIDF_COSINE,

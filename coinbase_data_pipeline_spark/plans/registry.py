@@ -83,6 +83,14 @@ _CHECK_FIRST = [
     #   keyed merge-upsert store, oracle = batch candle_upsert's full
     #   recompute (shared verbatim).
     "streaming_upsert",
+    # - DOULION sampled triangle count: deterministic hash coin at
+    #   p=0.5, oracle flips the same coins — the 100×-survivable
+    #   estimator beside graph_triangles' exact enumeration.
+    "graph_triangles_approx",
+    # - triple (additive-seasonal) Holt-Winters on the hourly series,
+    #   period 24: the ring-carrying recursive-CTE oracle is
+    #   bit-identical to the applyInPandas recursion.
+    "holt_winters_seasonal",
 ]
 
 ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

@@ -1421,3 +1421,55 @@ def test_hot_bucket_cap_noop_below_cap(spark):
                                            bucket_cap=1 << 30).collect()}
     assert capped == uncapped
     assert capped                    # non-vacuous: corpus has dups
+
+
+def test_doulion_unbiased_and_close(spark):
+    """DOULION at p=0.5 on the near-dup graph: the hash-coin estimate
+    must land within 25% of the exact global triangle count (the
+    synthetic corpus' clique families give the estimator low
+    variance), and the kept-edge fraction must be near p."""
+    from coinbase_data_pipeline_spark.operators.dedup import (
+        graph_triangles, graph_triangles_doulion)
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    exact = (graph_triangles(docs)
+             .agg((F.sum("triangles") / 3).alias("t"))
+             .collect()[0].t)
+    row = graph_triangles_doulion(docs, sample_p=0.5).collect()[0]
+    assert exact > 0
+    assert abs(row.est_triangles - exact) / exact < 0.25
+    frac = row.n_edges_kept / row.n_edges
+    assert 0.4 < frac < 0.6
+    assert row.est_triangles == row.tri_sampled * 8.0
+
+
+def test_holt_winters_seasonal_periodic_fixed_point(spark):
+    """A purely periodic series (constant + zero-mean seasonal
+    pattern) is an exact fixed point of the triple recursion: level
+    stays at the constant, trend at 0, the seasonal ring reproduces
+    the pattern, and the one-step forecast equals the next value."""
+    from coinbase_data_pipeline_spark.operators.indicators import (
+        holt_winters_seasonal)
+
+    m, c = 4, 100.0
+    pat = [8.0, -2.0, -5.0, -1.0]            # zero-mean seasonal
+    n = 6 * m
+    df = spark.createDataFrame(
+        [("x", i, c + pat[i % m]) for i in range(n)],
+        "product_id string, bucket long, close double")
+    rows = sorted(holt_winters_seasonal(
+        df, key="product_id", ts="bucket", period=m).collect(),
+        key=lambda r: r.bucket)
+    assert len(rows) == n - m + 1
+    for r in rows:
+        assert r.hw_level == c
+        assert r.hw_trend == 0.0
+        assert r.hw_season == pat[r.bucket % m]
+        assert r.hw_forecast == c + pat[(r.bucket + 1) % m]
+
+    # series shorter than one period emits nothing
+    short = spark.createDataFrame(
+        [("x", i, 1.0) for i in range(m - 1)],
+        "product_id string, bucket long, close double")
+    assert holt_winters_seasonal(short, key="product_id", ts="bucket",
+                                 period=m).count() == 0
