@@ -147,6 +147,9 @@ HEADLINERS = [
     "heavy_hitters_cms",
     "holt_winters",
     "streaming_kmv",
+    "streaming_upsert",
+    "graph_triangles_approx",
+    "holt_winters_seasonal",
 ]
 
 # Per-query repetitions; the reported time is the MIN across runs.
@@ -168,6 +171,21 @@ def main() -> None:
     # warm the JVM + parquet footers once so per-query times measure
     # execution, not first-touch JIT
     SPARK_QUERIES["available_products"](spark, SF_DIR).count()
+
+    # one SESSION-LEVEL streaming warm-up: the first streaming query
+    # otherwise pays the engine's one-time init (state-store provider,
+    # streaming planner, memory-sink classes) inside its timed run —
+    # fixed cost that says nothing about the operators
+    import shutil as _sh
+    import tempfile as _tf
+    _d = _tf.mkdtemp()
+    with open(os.path.join(_d, "w.json"), "w") as _fh:
+        _fh.write('{"a": 1}\n')
+    _q = (spark.readStream.schema("a long").json(_d)
+          .writeStream.format("memory").queryName("bench_warmup")
+          .trigger(availableNow=True).start())
+    _q.awaitTermination()
+    _sh.rmtree(_d, ignore_errors=True)
 
     times: dict[str, float] = {}
     for name in HEADLINERS:
@@ -195,12 +213,18 @@ def main() -> None:
               file=sys.stderr)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    streaming_sec = round(sum(v for k, v in times.items()
+                              if k.startswith("streaming_")), 3)
     detail = {
         "metric": "headline_queries_total",
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         "queries": times,
         "runs": RUNS,
+        # streaming replays measure per-micro-batch engine overhead
+        # plus operator cost; the batch denominators in BASELINE.md
+        # are apples-to-oranges for these lines (see BASELINE.md)
+        "streaming_sec": streaming_sec,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -27,6 +27,35 @@ _TMP_ROOT = os.path.join(os.path.dirname(os.path.dirname(
     os.path.dirname(os.path.abspath(__file__)))), ".tmp")
 
 
+def _write_ordered_buckets(df: DataFrame, bucket_col: str,
+                           replay_dir: str, n_buckets: int) -> None:
+    """Write every replay bucket in ONE Spark job (partitionBy on the
+    bucket column — the old per-bucket filter+write loop re-scanned
+    the source once per bucket), then move the files into the flat
+    replay dir with strictly increasing per-bucket mtimes so
+    FileStreamSource replays them in bucket order. repartition(n,
+    bucket) puts each bucket's rows in one task, so partitionBy emits
+    exactly one file per bucket — one file == one micro-batch at
+    maxFilesPerTrigger=1."""
+    import time as _time
+
+    staging = f"{replay_dir}.staging"
+    (df.repartition(n_buckets, F.col(bucket_col))
+       .write.partitionBy(bucket_col).mode("overwrite").parquet(staging))
+    os.makedirs(replay_dir, exist_ok=True)
+    t = _time.time()
+    for b in range(n_buckets):
+        sub = os.path.join(staging, f"{bucket_col}={b}")
+        if not os.path.isdir(sub):
+            continue
+        for i, f in enumerate(sorted(os.listdir(sub))):
+            if f.endswith(".parquet"):
+                dst = os.path.join(replay_dir, f"b{b}-{i}.parquet")
+                os.rename(os.path.join(sub, f), dst)
+                os.utime(dst, (t + b, t + b))
+    shutil.rmtree(staging)
+
+
 def _stamp_new_files(replay_dir: str, stamped: set[str], step: int,
                      suffix: str) -> None:
     """Give every not-yet-stamped data file in `replay_dir` an
@@ -261,8 +290,8 @@ FROM zf
 def q_streaming_sessionize(spark, sf_dir):
     """The CUSTOM STATEFUL streaming operator
     (applyInPandasWithState sessionization), oracle-checked: events
-    replay across four strictly ordered micro-batches (one file per
-    time quartile, maxFilesPerTrigger=1 — FileStreamSource processes
+    replay across strictly ordered micro-batches (one file per time
+    half, maxFilesPerTrigger=1 — FileStreamSource processes
     oldest-modified first, so sequential appends fix the batch
     order); sessions spanning a batch boundary live in the keyed
     state between triggers. Emitted closed sessions must equal batch
@@ -284,14 +313,10 @@ def q_streaming_sessionize(spark, sf_dir):
             (epoch_seconds(F.max("ts")) + 1.0).alias("t1"))
         bucketed = (ev.crossJoin(F.broadcast(bounds))
                     .withColumn("bucket", F.floor(
-                        4 * (epoch_seconds(F.col("ts")) - F.col("t0"))
+                        2 * (epoch_seconds(F.col("ts")) - F.col("t0"))
                         / (F.col("t1") - F.col("t0"))))
                     .select("user_id", "ts", "bucket"))
-        for b in range(4):
-            (bucketed.filter(F.col("bucket") == b)
-             .select("user_id", "ts").coalesce(1)
-             .write.mode("overwrite" if b == 0 else "append")
-             .parquet(replay_dir))
+        _write_ordered_buckets(bucketed, "bucket", replay_dir, 2)
         stream = (spark.readStream
                   .schema("user_id long, ts timestamp")
                   .option("maxFilesPerTrigger", 1)
@@ -307,7 +332,7 @@ def q_streaming_sessionize(spark, sf_dir):
 
 def q_streaming_sessionize_watermark(spark, sf_dir):
     """The PRODUCTION sessionize path (watermark + EventTimeTimeout),
-    oracle-checked: same four ordered micro-batches as
+    oracle-checked: same ordered micro-batches as
     streaming_sessionize, plus a far-future sentinel event in a fifth
     batch that pushes the watermark past every open session's
     end + gap — the event-time timeouts fire, every tail session is
@@ -317,8 +342,6 @@ def q_streaming_sessionize_watermark(spark, sf_dir):
     the unwatermarked query's all-but-last contract, and it proves
     state is bounded by the watermark horizon rather than all users
     ever."""
-    import time as _time
-
     from ..sources.tables import load_table
     from ..streaming.pipelines import run_to_memory, streaming_sessionize
 
@@ -332,24 +355,22 @@ def q_streaming_sessionize_watermark(spark, sf_dir):
             (epoch_seconds(F.max("ts")) + 1.0).alias("t1"))
         bucketed = (ev.crossJoin(F.broadcast(bounds))
                     .withColumn("bucket", F.floor(
-                        4 * (epoch_seconds(F.col("ts")) - F.col("t0"))
+                        2 * (epoch_seconds(F.col("ts")) - F.col("t0"))
                         / (F.col("t1") - F.col("t0"))))
                     .select("user_id", "ts", "bucket"))
-        for b in range(4):
-            (bucketed.filter(F.col("bucket") == b)
-             .select("user_id", "ts").coalesce(1)
-             .write.mode("overwrite" if b == 0 else "append")
-             .parquet(replay_dir))
-        # sentinel batch LAST: 30 days past max(ts) > every
-        # session_end + gap. The 0.1s sleep guarantees a strictly
-        # later mtime — if FileStreamSource mis-ordered it FIRST, the
-        # watermark would jump ahead and drop the entire replay as
-        # late data (a loud, not silent, failure mode).
-        _time.sleep(0.1)
+        _write_ordered_buckets(bucketed, "bucket", replay_dir, 2)
+        # sentinel batch LAST (explicitly latest mtime via
+        # _stamp_new_files): 30 days past max(ts) > every
+        # session_end + gap. If FileStreamSource mis-ordered it
+        # FIRST, the watermark would jump ahead and drop the entire
+        # replay as late data (a loud, not silent, failure mode).
+        stamped = {os.path.join(replay_dir, f)
+                   for f in os.listdir(replay_dir)}
         sentinel = ev.agg(F.lit(-1).cast("long").alias("user_id"),
                           (F.max("ts") + F.expr("INTERVAL 30 DAYS"))
                           .alias("ts"))
         sentinel.coalesce(1).write.mode("append").parquet(replay_dir)
+        _stamp_new_files(replay_dir, stamped, 10, ".parquet")
         stream = (spark.readStream
                   .schema("user_id long, ts timestamp")
                   .option("maxFilesPerTrigger", 1)
@@ -533,7 +554,7 @@ WHERE p.event_type = 'purchase'
 def q_streaming_kmv(spark, sf_dir):
     """KMV cardinality sketch maintained ON THE STREAM: per-day k-min
     state (a fixed k·8-byte array per day — sketch-bounded, not
-    key-bounded) folded across four time-ordered micro-batches via
+    key-bounded) folded across time-ordered micro-batches via
     applyInPandasWithState; a far-future sentinel batch pushes the
     watermark past every day's end, the event-time timeouts fire and
     each day's FINAL sketch is flushed. The emitted (n_tracked,
@@ -557,18 +578,14 @@ def q_streaming_kmv(spark, sf_dir):
             (epoch_seconds(F.max("ts")) + 1.0).alias("t1"))
         bucketed = (ev.crossJoin(F.broadcast(bounds))
                     .withColumn("bucket", F.floor(
-                        4 * (epoch_seconds(F.col("ts")) - F.col("t0"))
+                        2 * (epoch_seconds(F.col("ts")) - F.col("t0"))
                         / (F.col("t1") - F.col("t0"))))
                     .select("user_id", "ts", "bucket"))
-        stamped: set[str] = set()
-        for b in range(4):
-            (bucketed.filter(F.col("bucket") == b)
-             .select("user_id", "ts").coalesce(1)
-             .write.mode("overwrite" if b == 0 else "append")
-             .parquet(replay_dir))
-            _stamp_new_files(replay_dir, stamped, b, ".parquet")
+        _write_ordered_buckets(bucketed, "bucket", replay_dir, 2)
         # sentinel LAST (strictly latest mtime): 30 days past max(ts)
         # > every day end, so every real day's timeout fires
+        stamped = {os.path.join(replay_dir, f)
+                   for f in os.listdir(replay_dir)}
         sentinel = ev.agg(F.lit(-1).cast("long").alias("user_id"),
                           (F.max("ts") + F.expr("INTERVAL 30 DAYS"))
                           .alias("ts"))
@@ -639,9 +656,9 @@ def q_streaming_upsert(spark, sf_dir):
         on_time = wire.filter(F.col("event_id") % LATE_MOD != 0)
         late = wire.filter(F.col("event_id") % LATE_MOD == 0)
         stamped: set[str] = set()
-        # 6 on-time files at maxFilesPerTrigger=2 → ≥3 micro-batches
+        # 4 on-time files at maxFilesPerTrigger=2 → 2 micro-batches
         # before the late file arrives in its own, strictly later one
-        on_time.repartition(6).write.mode("overwrite").json(replay_dir)
+        on_time.repartition(4).write.mode("overwrite").json(replay_dir)
         _stamp_new_files(replay_dir, stamped, 0, ".json")
         late.coalesce(1).write.mode("append").json(replay_dir)
         _stamp_new_files(replay_dir, stamped, 5, ".json")

@@ -51,7 +51,8 @@ def read_table(spark: SparkSession, root: str, table: str) -> DataFrame:
 
 
 def merge_upsert(spark: SparkSession, df: DataFrame, root: str,
-                 table: str, *, seq_col: str | None = None) -> None:
+                 table: str, *, seq_col: str | None = None,
+                 current: DataFrame | None = None) -> None:
     """Cassandra-style upsert: new rows replace existing rows with the
     same primary key; everything else is preserved.
 
@@ -60,12 +61,18 @@ def merge_upsert(spark: SparkSession, df: DataFrame, root: str,
     does not carry implicitly — pass `seq_col` (an ingest
     sequence/offset column) to break ties deterministically toward
     the highest value; without it, intra-batch duplicates resolve
-    arbitrarily (documented contract)."""
+    arbitrarily (documented contract).
+
+    `current`: pass the stored table if the caller already read it
+    this cycle (the foreachBatch writer does — saves one store read
+    per micro-batch); when omitted, the store is read here."""
     keys = list(TABLE_KEYS[table])
     path = _path(root, table)
     new = df.withColumn("_pri", F.lit(1))
     if os.path.exists(path):
-        current = spark.read.parquet(path).withColumn("_pri", F.lit(0))
+        if current is None:
+            current = spark.read.parquet(path)
+        current = current.withColumn("_pri", F.lit(0))
         # the ingest-sequence column may be new to the stored table —
         # backfill it as NULL (sorts last) so the union stays STRICT:
         # any other schema drift must fail loudly, not merge as NULLs
@@ -83,7 +90,11 @@ def merge_upsert(spark: SparkSession, df: DataFrame, root: str,
               .filter(F.col("_rn") == 1).drop("_rn", "_pri"))
 
     staging = f"{path}.staging-{uuid.uuid4().hex[:8]}"
-    merged.write.partitionBy("product_id").mode("overwrite").parquet(staging)
+    # co-locate each product before the partitioned write: one file
+    # per product instead of (tasks × products) shards — the store is
+    # re-read every merge cycle, so file count is a recurring cost
+    (merged.repartition("product_id")
+     .write.partitionBy("product_id").mode("overwrite").parquet(staging))
     if os.path.exists(path):
         # destructive step LAST (see sinks/archive.py compaction swap)
         trash = f"{path}.trash-{uuid.uuid4().hex[:8]}"

