@@ -136,6 +136,133 @@ def corpus_times(spark, mult: int) -> dict[str, float]:
     return out
 
 
+def streaming_state_curve(spark, mult: int) -> dict[str, tuple]:
+    """Measured state-size curve for the three bounded-state streaming
+    queries: replay the event stream at `mult`× (user/event ids
+    shifted per copy — distinct keys scale, the time axis does not)
+    and read the per-micro-batch stateOperators progress. Returns
+    {query: (input_rows, batches, peak_state_rows, rows_removed)}.
+
+    The claims these numbers pin down:
+    - streaming_kmv: state is ONE k-min sketch row per day — peak
+      state rows stay equal to the day count at every multiple (flat
+      curve), because the sketch absorbs any number of users.
+    - streaming_sessionize_watermark: state is one row per OPEN
+      session — peak tracks the live-user count (× mult), not events,
+      and every row is REMOVED by the event-time timeout flush
+      (removed == peak-ish, end state empty).
+    - streaming_dedup_watermark: state is one row per key inside the
+      watermark window — peak tracks keys (× mult). Removed stays 0
+      here BY DESIGN (this replay keeps every key in-window to match
+      the exactness oracle); eviction itself is pytest-gated
+      (test_streaming_dedup_watermark_evicts_state).
+    """
+    import os
+    import shutil
+    import uuid
+
+    from coinbase_data_pipeline_spark.functions.text import hash60
+    from coinbase_data_pipeline_spark.functions.timeutil import (
+        epoch_seconds)
+    from coinbase_data_pipeline_spark.plans.catalog_stream import (
+        _TMP_ROOT, _stamp_new_files, _write_ordered_buckets)
+    from coinbase_data_pipeline_spark.streaming.pipelines import (
+        run_file_dedup_watermark_pipeline, run_to_memory,
+        streaming_kmv_sketch, streaming_sessionize)
+
+    base = load_table(spark, SF_DIR, "events").select(
+        "user_id", "ts", "event_id")
+    parts = [base]
+    for i in range(1, mult):
+        parts.append(base.select(
+            (F.col("user_id") + i * 10_000_000).alias("user_id"),
+            "ts",
+            (F.col("event_id") + i * 1_000_000_000).alias("event_id")))
+    ev = parts[0]
+    for p in parts[1:]:
+        ev = ev.unionByName(p)
+    ev = ev.localCheckpoint(eager=True)
+    n_in = ev.count()
+
+    def summarize(prog: list) -> tuple[int, int, int]:
+        batches, peak, removed = 0, 0, 0
+        for p in prog:
+            ops = p.get("stateOperators") or []
+            if not ops:
+                continue
+            batches += 1
+            peak = max(peak, max(o.get("numRowsTotal", 0) for o in ops))
+            removed += sum(o.get("numRowsRemoved", 0) for o in ops)
+        return batches, peak, removed
+
+    def bucketed_replay(cols):
+        """events → 2 ordered time-half bucket files + far-future
+        sentinel file (the catalog harness shape)."""
+        replay = os.path.join(_TMP_ROOT, f"probe-{uuid.uuid4().hex[:8]}")
+        bounds = ev.agg(epoch_seconds(F.min("ts")).alias("t0"),
+                        (epoch_seconds(F.max("ts")) + 1.0).alias("t1"))
+        bucketed = (ev.crossJoin(F.broadcast(bounds))
+                    .withColumn("bucket", F.floor(
+                        2 * (epoch_seconds(F.col("ts")) - F.col("t0"))
+                        / (F.col("t1") - F.col("t0"))))
+                    .select(*cols, "bucket"))
+        _write_ordered_buckets(bucketed, "bucket", replay, 2)
+        stamped = {os.path.join(replay, f) for f in os.listdir(replay)}
+        sentinel = ev.agg(F.lit(-1).cast("long").alias("user_id"),
+                          (F.max("ts") + F.expr("INTERVAL 30 DAYS"))
+                          .alias("ts"))
+        sentinel.coalesce(1).write.mode("append").parquet(replay)
+        _stamp_new_files(replay, stamped, 10, ".parquet")
+        return replay
+
+    out: dict[str, tuple] = {}
+
+    # ---- streaming_kmv: one sketch row per day, flat in mult
+    replay = bucketed_replay(["user_id", "ts"])
+    try:
+        stream = (spark.readStream.schema("user_id long, ts timestamp")
+                  .option("maxFilesPerTrigger", 1).parquet(replay))
+        hashed = stream.select(
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            hash60(F.col("user_id").cast("string"), "kmv").alias("h"),
+            "ts")
+        prog: list = []
+        run_to_memory(streaming_kmv_sketch(hashed, k=64,
+                                           watermark="1 hour"),
+                      output_mode="append", progress_out=prog)
+        out["streaming_kmv"] = (n_in, *summarize(prog))
+    finally:
+        shutil.rmtree(replay, ignore_errors=True)
+
+    # ---- sessionize + watermark: state ∝ open sessions, all flushed
+    replay = bucketed_replay(["user_id", "ts"])
+    try:
+        stream = (spark.readStream.schema("user_id long, ts timestamp")
+                  .option("maxFilesPerTrigger", 1).parquet(replay))
+        prog = []
+        run_to_memory(streaming_sessionize(stream, gap_minutes=30,
+                                           watermark="1 minute"),
+                      output_mode="append", progress_out=prog)
+        out["streaming_sessionize_watermark"] = (n_in, *summarize(prog))
+    finally:
+        shutil.rmtree(replay, ignore_errors=True)
+
+    # ---- dedup + watermark: state ∝ keys in window
+    replay = os.path.join(_TMP_ROOT, f"probe-{uuid.uuid4().hex[:8]}")
+    try:
+        t = ev.select("event_id", "ts")
+        t.unionAll(t).repartition(4).write.mode("overwrite").json(replay)
+        prog = []
+        run_file_dedup_watermark_pipeline(
+            spark, replay, schema="event_id long, ts timestamp",
+            key_cols=["event_id"], ts_col="ts", delay="2160 hours",
+            max_files=2, progress_out=prog)
+        out["streaming_dedup_watermark"] = (n_in, *summarize(prog))
+    finally:
+        shutil.rmtree(replay, ignore_errors=True)
+    return out
+
+
 def main() -> None:
     spark = get_spark("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
@@ -186,6 +313,39 @@ def main() -> None:
         ratio = results[hi][name][0] / results[lo][name][0]
         lines.append(f"| {name} | " + " | ".join(cells)
                      + f" | {ratio:.1f}x ({hi}x/{lo}x) |")
+
+    stream_results = {m: streaming_state_curve(spark, m)
+                      for m in MULTIPLES}
+    lines += [
+        "",
+        "## Streaming state-size curve (bounded-state evidence)",
+        "",
+        "Event stream replayed at 1x/2x/4x (user/event ids shifted",
+        "per copy — distinct keys scale, the time axis does not);",
+        "cells read peak / removed (state rows) over the replay's",
+        "micro-batches, from stateOperators progress. The claims:",
+        "streaming_kmv's state is ONE sketch row per day, so its peak",
+        "is FLAT in input size (the sketch absorbs any user count);",
+        "sessionize's peak tracks OPEN sessions (× mult, ≪ events)",
+        "and the event-time timeout flush removes every row by end of",
+        "replay (removed == peak); dedup-within-watermark's peak",
+        "tracks keys in the window — removed is 0 HERE by design (the",
+        "replay keeps every key in-window for the exactness oracle);",
+        "its eviction behavior is pytest-gated separately",
+        "(tests/test_streaming_sinks.py::",
+        "test_streaming_dedup_watermark_evicts_state).",
+        "",
+        "| query | " + " | ".join(
+            f"{m}x in-rows → peak/removed" for m in MULTIPLES) + " |",
+        "|---|" + "---|" * len(MULTIPLES),
+    ]
+    for name in stream_results[MULTIPLES[0]]:
+        cells = []
+        for m in MULTIPLES:
+            n_in, batches, peak, removed = stream_results[m][name]
+            cells.append(f"{n_in:,} → {peak:,}/{removed:,}")
+        lines.append(f"| {name} | " + " | ".join(cells) + " |")
+
     with open("SCALING.md", "w") as f:
         f.write("\n".join(lines) + "\n")
     print("\n".join(lines))
