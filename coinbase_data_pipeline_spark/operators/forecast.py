@@ -109,3 +109,94 @@ def forecast_metrics(candles: DataFrame, *, key: str = "product_id",
          .alias("dir_acc"),
         F.count(F.lit(1)).alias("sample_count"),
     )
+
+
+def holt_grid_sweep(df: DataFrame, *, key: str = "product_id",
+                    ts: str = "bucket_start", price: str = "close",
+                    grid: list[tuple[float, float]] | None = None
+                    ) -> DataFrame:
+    """Distributed (α, β) hyperparameter sweep for Holt double
+    exponential smoothing, scored by one-step-ahead MAE per key — the
+    Spark-native analog of the reference's Optuna loop
+    (Crypto-TS-Model-master/src/optimize_model.py) re-expressed as a
+    deterministic grid so the result is oracle-checkable.
+
+    One Arrow-batched applyInPandas pass per key evaluates EVERY grid
+    point: the level/trend recursion is vectorized ACROSS the grid
+    lanes (one NumPy vector op per time step updates all candidates at
+    once), so the sweep costs one shuffle total — not one pass per
+    grid point — and parallelizes over keys exactly like
+    holt_features. Per-lane float semantics are unchanged by the
+    vectorization (elementwise NumPy ops round each lane's scalar op
+    individually), so every lane is bit-identical to the scalar
+    recursive-CTE oracle.
+
+    The per-step error |y_t − (level_{t−1} + trend_{t−1})| enters the
+    score as a fixed-point BIGINT (floor(|err|·1e6 + 0.5)) and the MAE
+    is the exact-integer ratio sum/(n·1e6) — order-free and
+    engine-independent. Output: one row per (key, alpha, beta) with
+    n_eval, mae, and is_best (argmin by integer error sum, ties to the
+    smallest (alpha, beta)).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import (BooleanType, DoubleType, LongType,
+                                   StructField, StructType)
+
+    if grid is None:
+        grid = HOLT_SWEEP_GRID
+    alphas = np.array([a for a, _ in grid], dtype=np.float64)
+    betas = np.array([b for _, b in grid], dtype=np.float64)
+
+    key_field = df.schema[key]
+    schema = StructType([
+        StructField(key, key_field.dataType),
+        StructField("alpha", DoubleType()),
+        StructField("beta", DoubleType()),
+        StructField("n_eval", LongType()),
+        StructField("sum_abs_err_fp", LongType()),
+    ])
+
+    def _per_key(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts)
+        y = pdf[price].to_numpy(dtype="float64")
+        n = len(y)
+        g = len(alphas)
+        oma, omb = 1.0 - alphas, 1.0 - betas
+        lvl = np.full(g, float(y[0]))
+        tr = np.zeros(g)
+        sum_fp = np.zeros(g, dtype=np.int64)
+        for t in range(1, n):
+            pred = lvl + tr
+            sum_fp += np.floor(
+                np.abs(y[t] - pred) * 1e6 + 0.5).astype(np.int64)
+            prev = lvl
+            lvl = alphas * y[t] + oma * pred
+            tr = betas * (lvl - prev) + omb * tr
+        return pd.DataFrame({
+            key: [pdf[key].iloc[0]] * g,
+            "alpha": alphas, "beta": betas,
+            "n_eval": np.full(g, max(n - 1, 0), dtype=np.int64),
+            "sum_abs_err_fp": sum_fp,
+        })
+
+    scored = df.groupBy(key).applyInPandas(_per_key, schema=schema)
+    best = scored.groupBy(key).agg(
+        F.min(F.struct("sum_abs_err_fp", "alpha", "beta")).alias("_m"))
+    return (scored.join(F.broadcast(best), key)
+            .select(key, "alpha", "beta", "n_eval",
+                    (F.round(F.col("sum_abs_err_fp")
+                             / (F.col("n_eval") * F.lit(1000000.0)), 6)
+                     + F.lit(0.0)).alias("mae"),
+                    ((F.col("sum_abs_err_fp") == F.col("_m.sum_abs_err_fp"))
+                     & (F.col("alpha") == F.col("_m.alpha"))
+                     & (F.col("beta") == F.col("_m.beta")))
+                    .alias("is_best")))
+
+
+# Default sweep grid: 3 smoothing × 3 trend rates around the engine's
+# Holt defaults (HW_ALPHA=0.2, HW_BETA=0.1) — inlined into the DuckDB
+# oracle via repr, so keep values exactly representable in repr form.
+HOLT_SWEEP_GRID: list[tuple[float, float]] = [
+    (a, b) for a in (0.1, 0.2, 0.4) for b in (0.05, 0.1, 0.3)]

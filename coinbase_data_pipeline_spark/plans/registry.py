@@ -12,7 +12,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from . import (catalog, catalog_analytics, catalog_corpus, catalog_ext,
-               catalog_multimodal, catalog_stream, catalog_ts, tpch)
+               catalog_multimodal, catalog_pred, catalog_stream,
+               catalog_ts, tpch)
 
 _QUERY_PARTS = (
     catalog.SPARK_QUERIES,
@@ -23,6 +24,7 @@ _QUERY_PARTS = (
     catalog_analytics.SPARK_QUERIES_ANALYTICS,
     catalog_corpus.SPARK_QUERIES_CORPUS,
     catalog_multimodal.SPARK_QUERIES_MULTIMODAL,
+    catalog_pred.SPARK_QUERIES_PRED,
 )
 _ORACLE_PARTS = (
     catalog.ORACLE_SQL,
@@ -33,6 +35,7 @@ _ORACLE_PARTS = (
     catalog_analytics.ORACLE_SQL_ANALYTICS,
     catalog_corpus.ORACLE_SQL_CORPUS,
     catalog_multimodal.ORACLE_SQL_MULTIMODAL,
+    catalog_pred.ORACLE_SQL_PRED,
 )
 
 _MERGED: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -50,47 +53,47 @@ for _part in _QUERY_PARTS:
 # CORRECTNESS_r01..r04.json and stays out of the window.  Driver rounds
 # r01..r04 map to the repo's work sessions 1..4 (one numbering scheme).
 #
-# ROUND-6 WINDOW (this is the rotation the r05 registry comment and
-# VERDICT r05 item #1 ordered): (a) the 7 queries that rolled out of
-# the r05 window and owe a driver row on current code; (b) queries
-# changed in round 6; (c) brand-new round-6 queries. Everything else
-# keeps its green driver row from CORRECTNESS_r01..r05 on unchanged
+# ROUND-7 WINDOW (the rotation VERDICT r06 item #1 ordered): (a) the
+# queries whose implementation changed in round 6 but whose latest
+# driver row predates that change — candle_upsert (merge path
+# refactored in operators/candles.py, last row r03) and the streaming
+# replay family (streaming/pipelines.py and catalog_stream.py were
+# reworked in r06; only streaming_upsert got an r06 row); (b) queries
+# changed in round 7; (c) brand-new round-7 queries. Everything else
+# keeps its green driver row from CORRECTNESS_r01..r06 on unchanged
 # code and stays out of the window.
 _CHECK_FIRST = [
-    # (a) the 7 r05 window roll-offs — each verified green at sf0.01
-    # on final r05 code by BOTH the r05 session's full 182/182 parity
-    # sweep AND the round-5 judge's independent driver-sim; only the
-    # driver's own ledger lags. They burn their debt first.
-    "ann_bruteforce", "ann_lsh", "ann_range_search",
-    "dedup_simhash_pairs", "dedup_keep", "corpus_curation",
-    "kmeans_assign",
-    # (b) changed in round 6:
-    # - zorder_layout: day-index bucketing moved from truncating
-    #   integer division to explicit floor semantics (pre-origin
-    #   timestamps now bucket identically to the DuckDB // oracle).
-    "zorder_layout",
-    # - LSH-family hot-bucket cap (operators/dedup.py
-    #   cap_hot_buckets): every banded candidate join now bounds each
-    #   (band, bucket) to BUCKET_CAP survivors. The cap never binds at
-    #   catalog scale (max observed bucket ≪ 512) so oracles are
-    #   unchanged — but the plan changed for every consumer of the
-    #   banded joins, so each owes a fresh driver row.
-    "dedup_minhash_lsh", "dedup_incremental", "dedup_components",
-    "dedup_keep_best", "dedup_embedding", "knn_graph",
-    "graph_triangles", "doc_pagerank",
-    # (c) brand-new round-6 queries are appended below as they land.
-    # - the reference's actual sink pattern: stream → foreachBatch →
-    #   keyed merge-upsert store, oracle = batch candle_upsert's full
-    #   recompute (shared verbatim).
-    "streaming_upsert",
-    # - DOULION sampled triangle count: deterministic hash coin at
-    #   p=0.5, oracle flips the same coins — the 100×-survivable
-    #   estimator beside graph_triangles' exact enumeration.
-    "graph_triangles_approx",
-    # - triple (additive-seasonal) Holt-Winters on the hourly series,
-    #   period 24: the ring-carrying recursive-CTE oracle is
-    #   bit-identical to the applyInPandas recursion.
-    "holt_winters_seasonal",
+    # (a) r06-changed code owing a current-code driver row. All were
+    # green in the r06 session's full parity sweep; only the driver's
+    # own ledger lags. Oldest debt (candle_upsert, r03) first.
+    "candle_upsert",
+    "streaming_late_candles", "streaming_sessionize",
+    "streaming_sessionize_watermark", "streaming_dedup",
+    "streaming_dedup_watermark", "streaming_hopping",
+    "streaming_touch_join", "streaming_kmv",
+    "streaming_corpus_scores", "streaming_classifier_scores",
+    # (b) changed in round 7:
+    # - the LSH hot-bucket cap gained a max-bucket-size pre-check that
+    #   skips the row_number window when no bucket exceeds the cap;
+    #   the emitted pairs are unchanged (pytest-pinned) but the plan
+    #   changed for every banded-join consumer, so each owes a row.
+    "dedup_minhash_lsh", "dedup_simhash_pairs", "knn_graph",
+    "dedup_embedding", "dedup_incremental",
+    # (c) brand-new round-7 queries are appended below as they land.
+    # - inverse-scaler denormalization (reference predictor.py:239
+    #   _denormalize_predictions): invert fitted robust/minmax stats
+    #   back to price space on model_score output.
+    "denormalize_predictions",
+    # - prediction-store retention (reference data_writer.py:290
+    #   cleanup_old_predictions): partition-pruned age-out + audit.
+    "prediction_retention",
+    # - per-(product, model) prediction-stats rollup (reference
+    #   data_writer.py:315 get_prediction_stats).
+    "prediction_stats",
+    # - distributed Holt/Holt-Winters (α, β) grid sweep scored by MAE,
+    #   argmin per product (reference optimize_model.py's Optuna loop
+    #   re-expressed as a deterministic grid).
+    "holt_param_sweep",
 ]
 
 ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

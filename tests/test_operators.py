@@ -1473,3 +1473,104 @@ def test_holt_winters_seasonal_periodic_fixed_point(spark):
         "product_id string, bucket long, close double")
     assert holt_winters_seasonal(short, key="product_id", ts="bucket",
                                  period=m).count() == 0
+
+
+# ------------------------------------------------ prediction lifecycle
+
+
+def test_denormalize_inverts_forward_scale(spark):
+    """Round-trip contract (predictor.py:239): pushing a value through
+    the forward robust transform and then denormalize_predictions is
+    the identity on the original price — including the iqr == 0
+    branch — and the Method-2 fallback fires for keys with no stats
+    row."""
+    from pyspark.sql import functions as F
+
+    from coinbase_data_pipeline_spark.operators import predictions as P
+
+    stats = spark.createDataFrame(
+        [("A", 100.0, 90.0, 110.0),   # iqr = 20
+         ("B", 50.0, 50.0, 50.0)],    # iqr = 0 -> forward was x - med
+        "product_id string, c_med double, c_q1 double, c_q3 double")
+    raw = spark.createDataFrame(
+        [("A", 104.0), ("A", 97.5), ("B", 53.25),
+         ("C", 200.0)],               # C has NO stats row -> fallback
+        "product_id string, price double")
+    fwd = (raw.join(stats, "product_id", "left")
+           .withColumn(
+               "pred_scaled",
+               F.when(F.col("c_med").isNull(), F.lit(1.5))
+                .when(F.col("c_q3") - F.col("c_q1") != 0,
+                      (F.col("price") - F.col("c_med"))
+                      / (F.col("c_q3") - F.col("c_q1")))
+                .otherwise(F.col("price") - F.col("c_med")))
+           .select("product_id", "price",
+                   F.col("price").alias("last_close"), "pred_scaled"))
+    out = {(r["product_id"], r["price"]): r["predicted_price"]
+           for r in P.denormalize_predictions(fwd, stats).collect()}
+    assert out[("A", 104.0)] == pytest.approx(104.0, abs=1e-9)
+    assert out[("A", 97.5)] == pytest.approx(97.5, abs=1e-9)
+    assert out[("B", 53.25)] == pytest.approx(53.25, abs=1e-9)
+    # fallback: last * (1 + 1.5/3 * 0.2) = 200 * 1.1
+    assert out[("C", 200.0)] == pytest.approx(220.0, abs=1e-9)
+
+
+def test_retention_cleanup_physical_contract(spark, tmp_path):
+    """Dropped partitions are gone from disk; kept partitions are
+    byte-identical (never read or rewritten); audit counts match."""
+    import os
+
+    from coinbase_data_pipeline_spark.operators import predictions as P
+
+    store = str(tmp_path / "store")
+    df = spark.createDataFrame(
+        [(d, i, float(i)) for d in
+         ("2024-01-10", "2024-01-21", "2024-01-22", "2024-02-01")
+         for i in range(5)],
+        "d string, k int, v double").selectExpr(
+            "CAST(d AS DATE) AS pred_date", "k", "v")
+    df.write.partitionBy("pred_date").parquet(store)
+
+    def part_bytes(day):
+        sub = os.path.join(store, f"pred_date={day}")
+        return {f: open(os.path.join(sub, f), "rb").read()
+                for f in sorted(os.listdir(sub))
+                if f.endswith(".parquet")}
+
+    kept_before = {d: part_bytes(d) for d in ("2024-01-22", "2024-02-01")}
+    audit = {(str(r["pred_date"]), r["action"]): r["row_count"]
+             for r in P.retention_cleanup(
+                 spark, store, cutoff="2024-01-22").collect()}
+    assert audit[("2024-01-10", "dropped")] == 5
+    assert audit[("2024-01-21", "dropped")] == 5
+    assert audit[("2024-01-22", "kept")] == 5
+    assert audit[("2024-02-01", "kept")] == 5
+    for d in ("2024-01-10", "2024-01-21"):
+        assert not os.path.exists(os.path.join(store, f"pred_date={d}"))
+    for d, before in kept_before.items():
+        assert part_bytes(d) == before, f"kept partition {d} mutated"
+
+
+def test_holt_sweep_picks_high_beta_on_planted_trend(spark):
+    """On a pure linear trend the sweep's argmin must prefer the
+    highest trend-smoothing β for any given α (faster trend lock-on →
+    strictly lower one-step MAE), and the flagged best must carry the
+    grid's minimum MAE."""
+    from coinbase_data_pipeline_spark.operators import forecast as FC
+
+    rows = [("T", float(t), 100.0 + 3.0 * t) for t in range(120)]
+    df = spark.createDataFrame(rows, "product_id string, bucket_start "
+                               "double, close double")
+    out = FC.holt_grid_sweep(df).collect()
+    assert len(out) == len(FC.HOLT_SWEEP_GRID)
+    by_ab = {(r["alpha"], r["beta"]): r for r in out}
+    alphas = sorted({a for a, _ in by_ab})
+    betas = sorted({b for _, b in by_ab})
+    for a in alphas:
+        maes = [by_ab[(a, b)]["mae"] for b in betas]
+        assert maes == sorted(maes, reverse=True), (
+            f"alpha={a}: MAE should fall as beta rises on a pure trend")
+    best = [r for r in out if r["is_best"]]
+    assert len(best) == 1
+    assert best[0]["mae"] == min(r["mae"] for r in out)
+    assert best[0]["beta"] == max(betas)
