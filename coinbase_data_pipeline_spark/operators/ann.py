@@ -250,7 +250,8 @@ def knn_graph(emb: DataFrame, *, id_col: str = "vec_id",
     The hyperplanes are deterministic constants, so the whole graph is
     SQL-oracle-checkable; recall of true top-k edges is pytest-gated.
     """
-    from .dedup import _dense_spread, _first_match_band, cap_hot_buckets
+    from .dedup import (_dense_spread, _first_match_band, _mask_cols,
+                        cap_hot_buckets)
 
     v = F.col(vec_col).cast("array<double>")
     base = spread_scan(emb).select(F.col(id_col).alias("a_id"),
@@ -264,18 +265,19 @@ def knn_graph(emb: DataFrame, *, id_col: str = "vec_id",
         *[F.col(f"s{b}").alias(f"a_s{b}") for b in range(bands)],
         F.posexplode(F.array(*[f"s{b}" for b in range(bands)]))
         .alias("band", "bsig"))
-    banded = cap_hot_buckets(banded, "a_id")
+    am, bm = _mask_cols()
+    banded = cap_hot_buckets(banded, "a_id", mask_col=am)
     right = banded.select(
         F.col("a_id").alias("b_id"),
         *[F.col(f"a_s{b}").alias(f"b_s{b}") for b in range(bands)],
-        "band", "bsig")
+        *([F.col(am).alias(bm)] if am else []), "band", "bsig")
     # UNORDERED candidate emission (a < b): cosine is bit-exactly
     # symmetric (see _score), so each pair's 64-dim dot product runs
     # ONCE and the edge mirrors afterward — half the verify CPU of
     # scoring both directions
     cand_ids = (banded.join(right, ["band", "bsig"])
                 .filter(F.col("a_id") < F.col("b_id"))
-                .filter(_first_match_band(bands))
+                .filter(_first_match_band(bands, am, bm))
                 .select("a_id", "b_id"))
     cand_ids = _dense_spread(cand_ids, F.col("a_id"), F.col("b_id"))
     cand = (cand_ids

@@ -53,22 +53,35 @@ def exact_dedup(docs: DataFrame, *, id_col: str = "doc_id",
                      (F.col(id_col) == F.col("keep_id")).alias("is_keeper")))
 
 
-def _first_match_band(bands: int):
+def _first_match_band(bands: int, a_mask: str | None = None,
+                      b_mask: str | None = None):
     """Predicate over a banded LSH self-join row: this row's band is
     the FIRST of the `bands` per-band signature columns (a_s{j} vs
-    b_s{j}) where the two sides agree. Emitting a pair only from its
-    first matching band is the exactly-once invariant that replaces a
-    global distinct over the candidate stream — all-scalar CASE
-    chain, stays inside whole-stage codegen. Load-bearing for
-    minhash, simhash AND embedding-LSH candidate generation; change
-    here, not inline."""
+    b_s{j}) where the two sides agree — the first EFFECTIVE band when
+    removal masks are given: a band j where either side was capped out
+    of its bucket (bit j of `a_mask`/`b_mask`, see
+    :func:`cap_hot_buckets`) could not have emitted the pair, so it
+    must not suppress emission from a later band where both survive.
+    Emitting a pair only from its first effective matching band is the
+    exactly-once invariant that replaces a global distinct over the
+    candidate stream — all-scalar CASE chain, stays inside whole-stage
+    codegen. Load-bearing for minhash, simhash AND embedding-LSH
+    candidate generation; change here, not inline."""
+    def _effective(j):
+        agree = F.col(f"a_s{j}") == F.col(f"b_s{j}")
+        if a_mask is None:
+            return agree
+        present = (F.shiftright(F.col(a_mask), j)
+                   .bitwiseOR(F.shiftright(F.col(b_mask), j))
+                   .bitwiseAND(F.lit(1)) == 0)
+        return agree & present
+
     pred = F.col("band") == 0
     for b in range(1, bands):
-        earlier_differ = F.lit(True)
+        earlier_none = F.lit(True)
         for j in range(b):
-            earlier_differ = earlier_differ & (F.col(f"a_s{j}")
-                                               != F.col(f"b_s{j}"))
-        pred = pred | ((F.col("band") == b) & earlier_differ)
+            earlier_none = earlier_none & ~_effective(j)
+        pred = pred | ((F.col("band") == b) & earlier_none)
     return pred
 
 
@@ -79,10 +92,32 @@ def _first_match_band(bands: int):
 # scale the cap NEVER binds and the SQL oracles stay cap-free.
 BUCKET_CAP = 512
 
+# Carry per-id removed-bands masks through every banded join so the
+# first-match filter never drops a pair that still has a surviving
+# band (the STRONG recall contract — see cap_hot_buckets). Default
+# False: on healthy corpora the cap never binds, the two contracts
+# coincide, and the mask machinery is pure overhead — measured
+# in-process (sf0.1, min-of-3, interleaved, broadcast-hinted masks):
+# minhash +0.80s (+27%), knn_graph +0.99s, embedding +0.46s,
+# incremental +0.85s, components +1.79s — the third pass over the
+# banded window (masks branch) plus the per-row mask probe. Flip True
+# for corpora where buckets genuinely exceed BUCKET_CAP and missed
+# recall matters more than ~25% extra candidate-stage cost; the
+# planted-pair pytest pins the True semantics
+# (test_capped_first_band_pair_recovers), and the planted-clique test
+# runs the full minhash pipeline under BOTH settings.
+CARRY_MASKS = False
+
+
+def _mask_cols():
+    return ("a_rm", "b_rm") if CARRY_MASKS else (None, None)
+
 
 def cap_hot_buckets(banded: DataFrame, id_col: str,
                     keys: tuple[str, str] = ("band", "bsig"),
-                    cap: int = BUCKET_CAP) -> DataFrame:
+                    cap: int = BUCKET_CAP,
+                    band_col: str = "band",
+                    mask_col: str | None = None) -> DataFrame:
     """Bound every LSH bucket to at most `cap` surviving rows — the
     explicit skew guard for degenerate corpora (e.g. millions of
     near-empty docs sharing one signature), where a single hot
@@ -95,21 +130,63 @@ def cap_hot_buckets(banded: DataFrame, id_col: str,
     exchange is the same one the bucket join needs: the guard adds a
     per-bucket sort, never an extra shuffle.
 
-    RECALL CONTRACT (binding only when a bucket exceeds `cap`): a pair
-    is emitted AT MOST once always (capping only removes rows before
-    the first-matching-band filter, so duplicate emission remains
-    impossible); a pair may be MISSED iff in every band where its two
-    signatures agree, at least one member was capped out of that
-    bucket. For a degenerate bucket of m identical-signature docs the
-    output is exactly C(cap, 2) pairs instead of C(m, 2) — bounded
-    work, bounded output, connected-components downstream still links
-    the survivors. Property-tested with a planted hot band
-    (tests/test_operators.py::test_hot_bucket_cap*).
+    With `mask_col`, the output additionally carries a per-id
+    removed-bands bitmask (bit j set ⇔ this id was capped OUT of its
+    band-j bucket), which :func:`_first_match_band` consumes so that a
+    band where either member was capped never suppresses emission from
+    a later band where both survive. The mask relation is built from
+    the REMOVED rows only — empty on any corpus below the cap, so its
+    broadcast re-attach join is cheap on the healthy path (though the
+    masks branch itself is a third pass over the bucket window — see
+    CARRY_MASKS for the measured cost and the default).
+
+    RECALL CONTRACT, binding only when a bucket exceeds `cap`. A pair
+    is emitted AT MOST once in every mode (capping only removes rows
+    before the first-match filter, so duplicate emission is
+    impossible). What can be MISSED depends on the mode the consumer
+    runs (all banded self/cross joins here follow CARRY_MASKS):
+
+    - WITHOUT masks (default): a pair is missed iff at least one
+      member was capped out of the FIRST band where the two
+      signatures agree. A later shared band where both members
+      survive does NOT recover the pair — the first-match filter
+      tests signature equality on the carried a_s*/b_s* columns, not
+      bucket survival, so recall in the above-cap regime is strictly
+      lower than the masked bound below.
+    - WITH masks (CARRY_MASKS=True): a pair is missed iff in EVERY
+      band where its two signatures agree, at least one member was
+      capped out of that band's bucket — the strongest bound a
+      per-bucket cap admits.
+
+    For a degenerate bucket of m identical-signature docs the two
+    modes coincide: every band keeps the SAME cap survivors (same
+    ids, same xxhash order), so the output is exactly C(cap, 2) pairs
+    instead of C(m, 2) — bounded work, bounded output,
+    connected-components downstream still links the survivors.
+    Property-tested with a planted hot band
+    (tests/test_operators.py::test_hot_bucket_cap*, run in BOTH
+    modes) and a planted first-band-capped pair that the masked mode
+    must re-emit from its second band
+    (test_capped_first_band_pair_recovers).
     """
     w = Window.partitionBy(*keys).orderBy(
         F.xxhash64(F.col(id_col)), F.col(id_col))
-    return (banded.withColumn("_bn", F.row_number().over(w))
-            .filter(F.col("_bn") <= cap).drop("_bn"))
+    numbered = banded.withColumn("_bn", F.row_number().over(w))
+    kept = numbered.filter(F.col("_bn") <= cap).drop("_bn")
+    if mask_col is None:
+        return kept
+    removed = numbered.filter(F.col("_bn") > cap)
+    masks = removed.groupBy(id_col).agg(
+        F.sum(F.expr(f"shiftleft(1L, {band_col})"))
+        .cast("long").alias(mask_col))
+    # explicit broadcast: hint-free planning stages a probe-side
+    # shuffle on id before AQE can see the (usually EMPTY) build side.
+    # Masks are one row per id capped out of SOME hot bucket — tiny on
+    # any corpus that isn't already pathological.
+    return (kept.join(F.broadcast(masks), id_col, "left")
+            .withColumn(mask_col,
+                        F.coalesce(F.col(mask_col),
+                                   F.lit(0).cast("long"))))
 
 
 def minhash_lsh_pairs(docs: DataFrame, *, id_col: str = "doc_id",
@@ -181,16 +258,18 @@ def minhash_lsh_pairs(docs: DataFrame, *, id_col: str = "doc_id",
         *[F.col(f"s{b}").alias(f"a_s{b}") for b in range(bands)],
         F.posexplode(F.array(*[f"s{b}" for b in range(bands)]))
         .alias("band", "bsig"))
-    banded = cap_hot_buckets(banded, "a_id", cap=bucket_cap)
+    am, bm = _mask_cols()
+    banded = cap_hot_buckets(banded, "a_id", cap=bucket_cap,
+                             mask_col=am)
     right = banded.select(
         F.col("a_id").alias("b_id"), F.col("na").alias("nb"),
         *[F.col(f"a_s{b}").alias(f"b_s{b}") for b in range(bands)],
-        "band", "bsig")
+        *([F.col(am).alias(bm)] if am else []), "band", "bsig")
     t = jaccard_threshold
     cand_ids = (banded.join(right, ["band", "bsig"])
                 .filter(F.col("a_id") < F.col("b_id"))
                 # exactly-once pair emission (no global distinct)
-                .filter(_first_match_band(bands))
+                .filter(_first_match_band(bands, am, bm))
                 # size-ratio block applied before anything
                 # materializes: implied by jaccard >= t, so it only
                 # drops pairs that could never pass
@@ -280,16 +359,17 @@ def simhash_pairs(docs: DataFrame, *, id_col: str = "doc_id",
         *[F.col(f"s{b}").alias(f"a_s{b}") for b in range(bands)],
         F.posexplode(F.array(*[f"s{b}" for b in range(bands)]))
         .alias("band", "bval"))
+    am, bm = _mask_cols()
     banded = cap_hot_buckets(banded, "a_id", keys=("band", "bval"),
-                             cap=bucket_cap)
+                             cap=bucket_cap, mask_col=am)
     right = banded.select(
         F.col("a_id").alias("b_id"), F.col("ah").alias("bh"),
         *[F.col(f"a_s{b}").alias(f"b_s{b}") for b in range(bands)],
-        "band", "bval")
+        *([F.col(am).alias(bm)] if am else []), "band", "bval")
     cand = (banded.join(right, ["band", "bval"])
             .filter(F.col("a_id") < F.col("b_id"))
             # exactly-once pair emission (no global dropDuplicates)
-            .filter(_first_match_band(bands))
+            .filter(_first_match_band(bands, am, bm))
             .select("a_id", "b_id", "ah", "bh"))
     ham = F.bit_count(F.col("ah").bitwiseXOR(F.col("bh")))
     return (cand.withColumn("hamming", ham)
@@ -528,19 +608,21 @@ def embedding_neighbor_stats_lsh(emb: DataFrame, *,
         *[F.col(f"s{b}").alias(f"a_s{b}") for b in range(bands)],
         F.posexplode(F.array(*[f"s{b}" for b in range(bands)]))
         .alias("band", "bsig"))
-    banded = cap_hot_buckets(banded, "a_id")
+    am, bm = _mask_cols()
+    banded = cap_hot_buckets(banded, "a_id", mask_col=am)
     right = banded.select(
         F.col("a_id").alias("b_id"),
         *[F.col(f"a_s{b}").alias(f"b_s{b}") for b in range(bands)],
-        "band", "bsig")
-    # exactly-once UNORDERED emission (a < b, first matching band, no
-    # global distinct): cosine is bit-exactly symmetric (per-element
-    # multiplies commute, shared fold order, an·bn commutes), so each
-    # pair's dot product runs ONCE and both endpoints' stats read the
-    # mirrored row — half the verify CPU of per-direction scoring
+        *([F.col(am).alias(bm)] if am else []), "band", "bsig")
+    # exactly-once UNORDERED emission (a < b, first effective matching
+    # band, no global distinct): cosine is bit-exactly symmetric
+    # (per-element multiplies commute, shared fold order, an·bn
+    # commutes), so each pair's dot product runs ONCE and both
+    # endpoints' stats read the mirrored row — half the verify CPU of
+    # per-direction scoring
     cand_ids = (banded.join(right, ["band", "bsig"])
                 .filter(F.col("a_id") < F.col("b_id"))
-                .filter(_first_match_band(bands))
+                .filter(_first_match_band(bands, am, bm))
                 .select("a_id", "b_id"))
     # the candidate verify (64-dim dot product per pair) is CPU-dense
     # over byte-small rows — see _dense_spread
@@ -724,11 +806,12 @@ def minhash_lsh_pairs_vs(left: DataFrame, right: DataFrame, *,
 
     # cap each side's hot buckets independently (worst-bucket fanout
     # ≤ cap² even when BOTH relations pile onto one signature)
-    lb = cap_hot_buckets(_banded(lbase, "a"), "a_id")
-    rb = cap_hot_buckets(_banded(rbase, "b"), "b_id")
+    am, bm = _mask_cols()
+    lb = cap_hot_buckets(_banded(lbase, "a"), "a_id", mask_col=am)
+    rb = cap_hot_buckets(_banded(rbase, "b"), "b_id", mask_col=bm)
     t = jaccard_threshold
     cand_ids = (lb.join(rb, ["band", "bsig"])
-                .filter(_first_match_band(bands))
+                .filter(_first_match_band(bands, am, bm))
                 .filter((F.col("na") * t <= F.col("nb"))
                         & (F.col("nb") * t <= F.col("na")))
                 .select("a_id", "b_id"))

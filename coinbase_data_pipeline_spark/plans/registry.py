@@ -73,10 +73,11 @@ _CHECK_FIRST = [
     "streaming_touch_join", "streaming_kmv",
     "streaming_corpus_scores", "streaming_classifier_scores",
     # (b) changed in round 7:
-    # - the LSH hot-bucket cap gained a max-bucket-size pre-check that
-    #   skips the row_number window when no bucket exceeds the cap;
-    #   the emitted pairs are unchanged (pytest-pinned) but the plan
-    #   changed for every banded-join consumer, so each owes a row.
+    # - the banded-join consumers gained the optional strong-recall
+    #   mask mode (dedup.CARRY_MASKS, ADVICE r06). The DEFAULT mode
+    #   compiles to the same plan as r06 (masks off: identical window,
+    #   identical predicate), so these rows re-confirm the refactor is
+    #   semantically inert on the catalog path.
     "dedup_minhash_lsh", "dedup_simhash_pairs", "knn_graph",
     "dedup_embedding", "dedup_incremental",
     # (c) brand-new round-7 queries are appended below as they land.

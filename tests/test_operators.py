@@ -1386,6 +1386,8 @@ def test_hot_bucket_cap_bounds_planted_clique(spark):
     from coinbase_data_pipeline_spark.operators.dedup import (
         minhash_lsh_pairs, simhash_pairs)
 
+    import coinbase_data_pipeline_spark.operators.dedup as DD
+
     n, cap = 400, 20
     docs = spark.createDataFrame(
         [(i, "the exact same boilerplate template text body")
@@ -1400,6 +1402,18 @@ def test_hot_bucket_cap_bounds_planted_clique(spark):
     again = minhash_lsh_pairs(docs, bucket_cap=cap).collect()
     ids2 = {r.doc_a for r in again} | {r.doc_b for r in again}
     assert ids2 == ids
+    # the strong-recall mask mode must produce the identical clique
+    # output (identical-signature docs share one survivor set across
+    # all bands, so the two contracts coincide) — this exercises the
+    # mask plumbing end-to-end through a real consumer
+    saved = DD.CARRY_MASKS
+    try:
+        DD.CARRY_MASKS = True
+        masked = minhash_lsh_pairs(docs, bucket_cap=cap).collect()
+    finally:
+        DD.CARRY_MASKS = saved
+    assert {(r.doc_a, r.doc_b) for r in masked} == \
+        {(r.doc_a, r.doc_b) for r in pairs}
 
     sp = simhash_pairs(docs, bucket_cap=cap).collect()
     assert len(sp) == cap * (cap - 1) // 2
@@ -1574,3 +1588,60 @@ def test_holt_sweep_picks_high_beta_on_planted_trend(spark):
     assert len(best) == 1
     assert best[0]["mae"] == min(r["mae"] for r in out)
     assert best[0]["beta"] == max(betas)
+
+
+def test_capped_first_band_pair_recovers(spark):
+    """The round-7 recall contract (ADVICE r06): a pair capped out of
+    the FIRST band where its signatures agree must still be emitted
+    from a later band where BOTH members survive. Synthetic banded
+    relation, bands=2: pair P0/P1 agree in both bands; a 60-doc flood
+    shares only their band-0 bucket, so with cap=4 at least one of
+    P0/P1 is (almost surely, and deterministically for this id set)
+    capped out of band 0 — without the removal masks the pair is lost;
+    with them it re-emits from band 1, exactly once."""
+    from pyspark.sql import functions as F
+
+    from coinbase_data_pipeline_spark.operators.dedup import (
+        _first_match_band, cap_hot_buckets)
+
+    bands, cap = 2, 4
+    rows = []
+
+    def add(doc, s0, s1):
+        rows.append((doc, s0, s1, 0, s0))
+        rows.append((doc, s0, s1, 1, s1))
+
+    add(1000, 7, 9)          # the pair: agree in band 0 AND band 1
+    add(1001, 7, 9)
+    for i in range(60):      # flood: band-0 bucket 7 only
+        add(i, 7, 100 + i)
+    banded = spark.createDataFrame(
+        rows, "a_id long, a_s0 long, a_s1 long, band int, bsig long")
+
+    capped = cap_hot_buckets(banded, "a_id", cap=cap, mask_col="a_rm")
+    # precondition for a meaningful test: at least one pair member was
+    # capped out of band 0 (the bucket holds 62 ids and cap=4; the
+    # xxhash order for this id set caps both 1000 and 1001 out)
+    masks = {r["a_id"]: r["a_rm"] for r in
+             capped.select("a_id", "a_rm").distinct().collect()}
+    assert masks[1000] & 1 or masks[1001] & 1
+
+    right = capped.select(
+        F.col("a_id").alias("b_id"),
+        *[F.col(f"a_s{b}").alias(f"b_s{b}") for b in range(bands)],
+        F.col("a_rm").alias("b_rm"), "band", "bsig")
+    pairs = (capped.join(right, ["band", "bsig"])
+             .filter(F.col("a_id") < F.col("b_id"))
+             .filter(_first_match_band(bands, "a_rm", "b_rm"))
+             .select("a_id", "b_id").collect())
+    hits = [r for r in pairs if (r["a_id"], r["b_id"]) == (1000, 1001)]
+    assert len(hits) == 1, (
+        f"pair must be emitted exactly once via band 1, got {len(hits)}")
+    # and the maskless predicate demonstrates the OLD defect: the
+    # band-0 agreement suppresses the band-1 emission
+    old = (capped.join(right, ["band", "bsig"])
+           .filter(F.col("a_id") < F.col("b_id"))
+           .filter(_first_match_band(bands))
+           .select("a_id", "b_id").collect())
+    assert not [r for r in old
+                if (r["a_id"], r["b_id"]) == (1000, 1001)]
