@@ -26,6 +26,73 @@ from .catalog_ext import SQL_QUALITY, SQL_TOKEN_COUNT, _sql_lang_id
 _TMP_ROOT = os.path.join(os.path.dirname(os.path.dirname(
     os.path.dirname(os.path.abspath(__file__)))), ".tmp")
 
+# Micro-batch count for the stateful replay queries (sessionize/kmv).
+# 2 halves keeps the TIMED bench path's fixed replay cost low (each
+# extra micro-batch is a full trigger cycle); the pytest path re-runs
+# the same queries at 4 buckets
+# (tests/test_streaming_sinks.py::test_sessionize_replay_four_buckets).
+REPLAY_BUCKETS = 2
+
+# Sentinel user whose PLANTED sessions straddle every micro-batch
+# boundary (see _time_buckets straddle_user). Measurement that forced
+# this (r07): at sf0.001 the natural sessions are seconds-to-minutes
+# long against month-long replay slices — ZERO of 946 cross ANY
+# boundary, so "sessions spanning a batch boundary live in the keyed
+# state" was vacuously true at every bucket count. The straddler makes
+# the cross-batch fold non-vacuous BY CONSTRUCTION at any scale; it is
+# filtered from every query result, so the natural-data oracles are
+# untouched.
+STRADDLER_UID = -2
+
+
+def _time_buckets(ev: DataFrame, ts_col: str, n: int, *,
+                  straddle_user: str | None = None) -> DataFrame:
+    """Assign each row its replay micro-batch: n equal TIME slices of
+    [min ts, max ts] — one broadcast min/max aggregate, never a global
+    sort. Shared by every stateful replay query so the pytest path can
+    exercise more batch boundaries than the bench path.
+
+    With `straddle_user` (a LONG user-id column name), the output also
+    carries STRADDLER_UID rows planted ±5 minutes around every
+    interior boundary — one two-event session per boundary, split
+    across the adjacent micro-batches (gap 10 min ≪ the 30-min session
+    gap), plus one closer event near end-of-stream so the last
+    straddle session is closed, not an unemittable tail. In this mode
+    the result is projected to (straddle_user, ts_col, bucket)."""
+    from ..functions.timeutil import epoch_seconds
+
+    bounds = ev.agg(
+        epoch_seconds(F.min(ts_col)).alias("t0"),
+        (epoch_seconds(F.max(ts_col)) + 1.0).alias("t1"))
+    out = (ev.crossJoin(F.broadcast(bounds))
+           .withColumn("bucket", F.floor(
+               n * (epoch_seconds(F.col(ts_col)) - F.col("t0"))
+               / (F.col("t1") - F.col("t0"))))
+           .drop("t0", "t1"))
+    if straddle_user is None:
+        return out
+    width = (F.col("t1") - F.col("t0")) / n
+    boundary = (bounds
+                .select(F.explode(F.sequence(F.lit(1), F.lit(n - 1)))
+                        .alias("i"), "t0", "t1")
+                .withColumn("tb", F.col("t0") + F.col("i") * width))
+    strad = boundary.select(F.explode(F.array(
+        F.struct((F.col("tb") - 300.0).alias("sec"),
+                 (F.col("i") - 1).cast("long").alias("bucket")),
+        F.struct((F.col("tb") + 300.0).alias("sec"),
+                 F.col("i").cast("long").alias("bucket")))).alias("e"))
+    closer = bounds.select(F.struct(
+        (F.col("t1") - 1.0).alias("sec"),
+        F.lit(n - 1).cast("long").alias("bucket")).alias("e"))
+    planted = (strad.unionByName(closer)
+               .select(F.lit(STRADDLER_UID).cast("long")
+                       .alias(straddle_user),
+                       F.timestamp_seconds(F.col("e.sec"))
+                       .alias(ts_col),
+                       F.col("e.bucket").alias("bucket")))
+    return (out.select(straddle_user, ts_col, "bucket")
+            .unionByName(planted))
+
 
 def _write_ordered_buckets(df: DataFrame, bucket_col: str,
                            replay_dir: str, n_buckets: int) -> None:
@@ -287,47 +354,70 @@ FROM zf
 """
 
 
-def q_streaming_sessionize(spark, sf_dir):
-    """The CUSTOM STATEFUL streaming operator
-    (applyInPandasWithState sessionization), oracle-checked: events
-    replay across strictly ordered micro-batches (one file per time
-    half, maxFilesPerTrigger=1 — FileStreamSource processes
-    oldest-modified first, so sequential appends fix the batch
-    order); sessions spanning a batch boundary live in the keyed
-    state between triggers. Emitted closed sessions must equal batch
-    sessionization minus each user's open tail session (which in
-    production waits for the event-time timeout). Quartile bounds
-    come from one broadcast min/max aggregate — the replay writer
-    never sorts globally."""
+def _run_sessionize_replay(spark, sf_dir, *, n_buckets: int | None = None,
+                           watermark: str | None = None):
+    """Shared replay harness for both sessionize queries: write the
+    time-bucketed events (PLUS the planted boundary straddler — see
+    STRADDLER_UID) as ordered micro-batch files, stream them through
+    streaming_sessionize, return the RAW memory-sink table (straddler
+    and sentinel rows included — callers filter). The pytest path
+    calls this directly at 4 buckets and asserts the straddler's
+    cross-batch folds; the catalog queries call it at REPLAY_BUCKETS."""
     from ..sources.tables import load_table
     from ..streaming.pipelines import run_to_memory, streaming_sessionize
 
+    n = REPLAY_BUCKETS if n_buckets is None else n_buckets
     replay_dir = os.path.join(_TMP_ROOT, f"sess-{uuid.uuid4().hex[:8]}")
     try:
-        from ..functions.timeutil import epoch_seconds
-
-        ev = load_table(spark, sf_dir, "events").select(
-            "user_id", "ts", "event_id")
-        bounds = ev.agg(
-            epoch_seconds(F.min("ts")).alias("t0"),
-            (epoch_seconds(F.max("ts")) + 1.0).alias("t1"))
-        bucketed = (ev.crossJoin(F.broadcast(bounds))
-                    .withColumn("bucket", F.floor(
-                        2 * (epoch_seconds(F.col("ts")) - F.col("t0"))
-                        / (F.col("t1") - F.col("t0"))))
-                    .select("user_id", "ts", "bucket"))
-        _write_ordered_buckets(bucketed, "bucket", replay_dir, 2)
+        ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+        bucketed = _time_buckets(ev, "ts", n, straddle_user="user_id")
+        _write_ordered_buckets(bucketed, "bucket", replay_dir, n)
+        if watermark is not None:
+            # sentinel batch LAST (explicitly latest mtime via
+            # _stamp_new_files): 30 days past max(ts) > every
+            # session_end + gap. If FileStreamSource mis-ordered it
+            # FIRST, the watermark would jump ahead and drop the
+            # entire replay as late data (a loud, not silent,
+            # failure mode).
+            stamped = {os.path.join(replay_dir, f)
+                       for f in os.listdir(replay_dir)}
+            sentinel = ev.agg(
+                F.lit(-1).cast("long").alias("user_id"),
+                (F.max("ts") + F.expr("INTERVAL 30 DAYS")).alias("ts"))
+            sentinel.coalesce(1).write.mode("append").parquet(replay_dir)
+            _stamp_new_files(replay_dir, stamped, 10, ".parquet")
         stream = (spark.readStream
                   .schema("user_id long, ts timestamp")
                   .option("maxFilesPerTrigger", 1)
                   .parquet(replay_dir))
-        sessions = streaming_sessionize(stream, gap_minutes=30)
+        sessions = streaming_sessionize(stream, gap_minutes=30,
+                                        **({} if watermark is None
+                                           else {"watermark": watermark}))
         name = run_to_memory(sessions, output_mode="append")
         # memory sink is fully materialized → safe to drop the files
-        return spark.table(name).select(
-            "user_id", "session_start", "session_end", "n_events")
+        return spark.table(name)
     finally:
         shutil.rmtree(replay_dir, ignore_errors=True)
+
+
+def q_streaming_sessionize(spark, sf_dir):
+    """The CUSTOM STATEFUL streaming operator
+    (applyInPandasWithState sessionization), oracle-checked: events
+    replay across strictly ordered micro-batches (one file per time
+    slice, maxFilesPerTrigger=1 — FileStreamSource processes
+    oldest-modified first, so sequential appends fix the batch
+    order); sessions spanning a batch boundary live in the keyed
+    state between triggers — guaranteed non-vacuously by the planted
+    STRADDLER_UID sessions around every boundary (filtered out here,
+    fold-asserted in pytest). Emitted closed sessions must equal
+    batch sessionization minus each user's open tail session (which
+    in production waits for the event-time timeout). Slice bounds
+    come from one broadcast min/max aggregate — the replay writer
+    never sorts globally."""
+    return (_run_sessionize_replay(spark, sf_dir)
+            .filter(F.col("user_id") != STRADDLER_UID)
+            .select("user_id", "session_start", "session_end",
+                    "n_events"))
 
 
 def q_streaming_sessionize_watermark(spark, sf_dir):
@@ -341,49 +431,12 @@ def q_streaming_sessionize_watermark(spark, sf_dir):
     sessionization — tails included — which is strictly stronger than
     the unwatermarked query's all-but-last contract, and it proves
     state is bounded by the watermark horizon rather than all users
-    ever."""
-    from ..sources.tables import load_table
-    from ..streaming.pipelines import run_to_memory, streaming_sessionize
-
-    replay_dir = os.path.join(_TMP_ROOT, f"sesswm-{uuid.uuid4().hex[:8]}")
-    try:
-        from ..functions.timeutil import epoch_seconds
-
-        ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
-        bounds = ev.agg(
-            epoch_seconds(F.min("ts")).alias("t0"),
-            (epoch_seconds(F.max("ts")) + 1.0).alias("t1"))
-        bucketed = (ev.crossJoin(F.broadcast(bounds))
-                    .withColumn("bucket", F.floor(
-                        2 * (epoch_seconds(F.col("ts")) - F.col("t0"))
-                        / (F.col("t1") - F.col("t0"))))
-                    .select("user_id", "ts", "bucket"))
-        _write_ordered_buckets(bucketed, "bucket", replay_dir, 2)
-        # sentinel batch LAST (explicitly latest mtime via
-        # _stamp_new_files): 30 days past max(ts) > every
-        # session_end + gap. If FileStreamSource mis-ordered it
-        # FIRST, the watermark would jump ahead and drop the entire
-        # replay as late data (a loud, not silent, failure mode).
-        stamped = {os.path.join(replay_dir, f)
-                   for f in os.listdir(replay_dir)}
-        sentinel = ev.agg(F.lit(-1).cast("long").alias("user_id"),
-                          (F.max("ts") + F.expr("INTERVAL 30 DAYS"))
-                          .alias("ts"))
-        sentinel.coalesce(1).write.mode("append").parquet(replay_dir)
-        _stamp_new_files(replay_dir, stamped, 10, ".parquet")
-        stream = (spark.readStream
-                  .schema("user_id long, ts timestamp")
-                  .option("maxFilesPerTrigger", 1)
-                  .parquet(replay_dir))
-        sessions = streaming_sessionize(stream, gap_minutes=30,
-                                        watermark="1 minute")
-        name = run_to_memory(sessions, output_mode="append")
-        return (spark.table(name)
-                .filter(F.col("user_id") != -1)
-                .select("user_id", "session_start", "session_end",
-                        "n_events"))
-    finally:
-        shutil.rmtree(replay_dir, ignore_errors=True)
+    ever. Straddler sessions (STRADDLER_UID) are excluded like the
+    sentinel — they exist to make the cross-batch fold non-vacuous."""
+    return (_run_sessionize_replay(spark, sf_dir, watermark="1 minute")
+            .filter(~F.col("user_id").isin(-1, STRADDLER_UID))
+            .select("user_id", "session_start", "session_end",
+                    "n_events"))
 
 
 # the COMPLETE sessionization (tails included) — the watermarked
@@ -565,7 +618,6 @@ def q_streaming_kmv(spark, sf_dir):
     arbitrary micro-batch boundaries is bit-identical to the one-shot
     sketch)."""
     from ..functions.text import hash60
-    from ..functions.timeutil import epoch_seconds
     from ..sources.tables import load_table
     from ..streaming.pipelines import run_to_memory, streaming_kmv_sketch
     from .catalog_analytics import KMV_K
@@ -573,15 +625,10 @@ def q_streaming_kmv(spark, sf_dir):
     replay_dir = os.path.join(_TMP_ROOT, f"kmv-{uuid.uuid4().hex[:8]}")
     try:
         ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
-        bounds = ev.agg(
-            epoch_seconds(F.min("ts")).alias("t0"),
-            (epoch_seconds(F.max("ts")) + 1.0).alias("t1"))
-        bucketed = (ev.crossJoin(F.broadcast(bounds))
-                    .withColumn("bucket", F.floor(
-                        2 * (epoch_seconds(F.col("ts")) - F.col("t0"))
-                        / (F.col("t1") - F.col("t0"))))
-                    .select("user_id", "ts", "bucket"))
-        _write_ordered_buckets(bucketed, "bucket", replay_dir, 2)
+        bucketed = _time_buckets(ev, "ts", REPLAY_BUCKETS).select(
+            "user_id", "ts", "bucket")
+        _write_ordered_buckets(bucketed, "bucket", replay_dir,
+                               REPLAY_BUCKETS)
         # sentinel LAST (strictly latest mtime): 30 days past max(ts)
         # > every day end, so every real day's timeout fires
         stamped = {os.path.join(replay_dir, f)

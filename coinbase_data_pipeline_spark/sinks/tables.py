@@ -52,7 +52,8 @@ def read_table(spark: SparkSession, root: str, table: str) -> DataFrame:
 
 def merge_upsert(spark: SparkSession, df: DataFrame, root: str,
                  table: str, *, seq_col: str | None = None,
-                 current: DataFrame | None = None) -> None:
+                 current: DataFrame | None = None,
+                 commit_marks: list[str] | None = None) -> None:
     """Cassandra-style upsert: new rows replace existing rows with the
     same primary key; everything else is preserved.
 
@@ -65,7 +66,16 @@ def merge_upsert(spark: SparkSession, df: DataFrame, root: str,
 
     `current`: pass the stored table if the caller already read it
     this cycle (the foreachBatch writer does — saves one store read
-    per micro-batch); when omitted, the store is read here."""
+    per micro-batch); when omitted, the store is read here.
+
+    `commit_marks`: names to record under the table's `_applied/`
+    metadata dir IN THE SAME directory swap that publishes the data —
+    the foreachBatch writer passes its batch id here so data and
+    applied-marker commit atomically (one rename); a crash anywhere
+    before the swap leaves neither, a crash after leaves both, so a
+    re-delivered batch id can never double-merge. Existing marks are
+    carried forward into every new staging dir. Spark ignores the
+    underscore-prefixed dir when reading the table."""
     keys = list(TABLE_KEYS[table])
     path = _path(root, table)
     new = df.withColumn("_pri", F.lit(1))
@@ -95,6 +105,15 @@ def merge_upsert(spark: SparkSession, df: DataFrame, root: str,
     # re-read every merge cycle, so file count is a recurring cost
     (merged.repartition("product_id")
      .write.partitionBy("product_id").mode("overwrite").parquet(staging))
+    old_marks = os.path.join(path, "_applied")
+    if commit_marks is not None or os.path.isdir(old_marks):
+        mark_dir = os.path.join(staging, "_applied")
+        os.makedirs(mark_dir, exist_ok=True)
+        if os.path.isdir(old_marks):
+            for m in os.listdir(old_marks):
+                open(os.path.join(mark_dir, m), "w").close()
+        for m in commit_marks or []:
+            open(os.path.join(mark_dir, m), "w").close()
     if os.path.exists(path):
         # destructive step LAST (see sinks/archive.py compaction swap)
         trash = f"{path}.trash-{uuid.uuid4().hex[:8]}"

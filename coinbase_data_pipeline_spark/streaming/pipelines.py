@@ -507,20 +507,25 @@ def candle_upsert_batch_writer(store_root: str, *,
 
     IDEMPOTENT RE-DELIVERY: Structured Streaming re-runs a batch id
     after failure. Re-merging the same ticks would double-count, so
-    each applied batch id leaves a marker file (the standard
-    foreachBatch commit-log pattern; a transactional store would use
-    `txnAppId`/`txnVersion`): a re-delivered id is a no-op. Pytest:
+    each applied batch id leaves a marker (the standard foreachBatch
+    commit-log pattern; a transactional store would use
+    `txnAppId`/`txnVersion`): a re-delivered id is a no-op. The marker
+    is written INSIDE the staging directory and published by the SAME
+    rename that publishes the merged data (merge_upsert commit_marks),
+    so marker and merge are atomic — there is no crash window where
+    the store contains a batch's ticks but not its marker (or vice
+    versa), which a post-swap marker write would leave open to a
+    double merge. Pytest:
     tests/test_streaming_sinks.py::test_upsert_writer_idempotent.
     """
     import os
 
     from ..operators.candles import candle_merge_partials, candle_state
     from ..sinks.tables import merge_upsert, read_table
-    applied_dir = os.path.join(store_root, "_applied_batches")
     table_path = os.path.join(store_root, "candles")
 
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
-        marker = os.path.join(applied_dir, str(batch_id))
+        marker = os.path.join(table_path, "_applied", str(batch_id))
         if os.path.exists(marker):
             return
         spark = batch.sparkSession
@@ -540,9 +545,8 @@ def candle_upsert_batch_writer(store_root: str, *,
         merge_upsert(
             spark,
             replacement.withColumnRenamed("bucket_start", "start_time"),
-            store_root, "candles", current=stored)
-        os.makedirs(applied_dir, exist_ok=True)
-        open(marker, "w").close()
+            store_root, "candles", current=stored,
+            commit_marks=[str(batch_id)])
 
     return apply_batch
 

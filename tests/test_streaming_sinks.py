@@ -753,3 +753,84 @@ def test_kafka_source_options_and_resolution(spark):
     assert ("DATA_SOURCE_NOT_FOUND" in msg or "kafka" in msg.lower())
     # make sure it is the classpath gap, not an option/validation error
     assert "startingOffsets" not in msg
+
+
+def test_upsert_markers_commit_atomically_with_data(spark, tmp_path):
+    """The applied-batch marker is published by the same directory
+    rename that publishes the merged data (merge_upsert commit_marks):
+    markers live INSIDE the table dir, are carried forward across
+    merges, and removing the table state removes the markers with it —
+    no state where data exists without its marker or vice versa."""
+    import os
+
+    from coinbase_data_pipeline_spark.plans.catalog import ticks
+    from coinbase_data_pipeline_spark.streaming.pipelines import (
+        candle_upsert_batch_writer)
+
+    t = (ticks(spark, SF).select("product_id", "time", "price",
+                                 "volume").limit(1000).cache())
+    b0 = t.filter(F.col("time") < "2024-01-01 12:00:00")
+    b1 = t.filter(F.col("time") >= "2024-01-01 12:00:00")
+
+    root = str(tmp_path / "store")
+    table = os.path.join(root, "candles")
+    w = candle_upsert_batch_writer(root, volume="volume")
+    w(b0, 0)
+    assert os.path.exists(os.path.join(table, "_applied", "0"))
+    w(b1, 1)
+    # carried forward through the swap: both markers in the CURRENT dir
+    assert sorted(os.listdir(os.path.join(table, "_applied"))) == \
+        ["0", "1"]
+    # markers share the table's lifetime — wiping state wipes them
+    import shutil
+    shutil.rmtree(table)
+    assert not os.path.exists(os.path.join(table, "_applied"))
+    # and a fresh start re-applies cleanly (no stale marker veto)
+    w(b0, 0)
+    assert os.path.exists(os.path.join(table, "_applied", "0"))
+
+
+def test_sessionize_replay_four_buckets(spark):
+    """The bench path replays sessionize over 2 micro-batches to keep
+    fixed replay costs out of the timed run; THIS test owns the
+    many-boundary evidence (ADVICE r06): at 4 buckets the streamed
+    closed sessions must still match batch sessionization minus each
+    user's tail session, AND the planted straddler sessions — one per
+    interior boundary, events in ADJACENT micro-batches — must each
+    emit as ONE folded session of 2 events. Measured motivation: at
+    sf0.001 zero of 946 natural sessions cross any slice boundary, so
+    without the straddler the cross-batch-state claim was vacuous."""
+    from coinbase_data_pipeline_spark.operators.sessions import sessionize
+    from coinbase_data_pipeline_spark.plans import catalog_stream as CS
+
+    raw = CS._run_sessionize_replay(spark, SF, n_buckets=4).collect()
+
+    streamed = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in raw if r.user_id != CS.STRADDLER_UID}
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    batch = sessionize(ev, user="user_id", ts="ts",
+                       gap_minutes=30).collect()
+    # drop each user's LAST session (open tail — unemittable without
+    # a watermark timeout), mirroring the query's documented contract
+    last = {}
+    for r in batch:
+        cur = last.get(r.user_id)
+        if cur is None or r.session_start > cur.session_start:
+            last[r.user_id] = r
+    expected = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in batch
+        if r is not last[r.user_id]}
+    assert streamed == expected and streamed
+
+    # the cross-batch fold, non-vacuous by construction: 3 interior
+    # boundaries -> 3 closed straddler sessions, each folded from one
+    # event in batch i-1 and one in batch i (10-minute span), the
+    # closer event forming the dropped tail
+    strad = sorted((r.session_start, r.session_end, r.n_events)
+                   for r in raw if r.user_id == CS.STRADDLER_UID)
+    assert len(strad) == 3
+    for start, end, n_events in strad:
+        assert n_events == 2
+        assert abs((end - start).total_seconds() - 600.0) < 1.0
