@@ -150,6 +150,22 @@ HEADLINERS = [
     "streaming_upsert",
     "graph_triangles_approx",
     "holt_winters_seasonal",
+    # round-7 additions (prediction-store lifecycle)...
+    "denormalize_predictions",
+    "prediction_retention",
+    "prediction_stats",
+    "holt_param_sweep",
+    # ...and the round-7 long-tail sweep's >2s surprises, promoted so
+    # no expensive query's cost is unknown (BENCH_TAIL_r07.json holds
+    # the full 63-query single-run sweep)
+    "dedup_keep",
+    "corpus_curation",
+    "ann_lsh",
+    "ngram_doc_frequency",
+    "quality_classifier",
+    "streaming_candles",
+    "scale_fit_transform",
+    "returns_correlation",
 ]
 
 # Per-query repetitions; the reported time is the MIN across runs.
