@@ -182,9 +182,13 @@ def holt_grid_sweep(df: DataFrame, *, key: str = "product_id",
         })
 
     scored = df.groupBy(key).applyInPandas(_per_key, schema=schema)
-    best = scored.groupBy(key).agg(
-        F.min(F.struct("sum_abs_err_fp", "alpha", "beta")).alias("_m"))
-    return (scored.join(F.broadcast(best), key)
+    # argmin as a whole-partition window over the TINY scored relation
+    # (keys × grid rows) — a groupBy+join here would re-execute the
+    # per-key Arrow recursion for the second consumer of `scored`
+    # (verified via .explain: two FlatMapGroupsInPandas subtrees)
+    m = F.min(F.struct("sum_abs_err_fp", "alpha", "beta")).over(
+        Window.partitionBy(key))
+    return (scored.withColumn("_m", m)
             .select(key, "alpha", "beta", "n_eval",
                     (F.round(F.col("sum_abs_err_fp")
                              / (F.col("n_eval") * F.lit(1000000.0)), 6)

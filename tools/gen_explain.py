@@ -92,6 +92,12 @@ PICKS = [
      "one key exchange into the per-key Arrow recursion"),
     ("doc_pagerank",
      "per-round dst shuffle of fixed-point longs, partial-agg sums"),
+    ("denormalize_predictions",
+     "stats broadcast twice (forward + inverse); one key window"),
+    ("prediction_stats",
+     "mapInPandas score -> left join actuals -> fixed-point agg"),
+    ("holt_param_sweep",
+     "whole grid inside ONE per-key Arrow recursion; window argmin"),
 ]
 
 
