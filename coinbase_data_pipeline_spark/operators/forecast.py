@@ -190,9 +190,12 @@ def holt_grid_sweep(df: DataFrame, *, key: str = "product_id",
         Window.partitionBy(key))
     return (scored.withColumn("_m", m)
             .select(key, "alpha", "beta", "n_eval",
-                    (F.round(F.col("sum_abs_err_fp")
-                             / (F.col("n_eval") * F.lit(1000000.0)), 6)
-                     + F.lit(0.0)).alias("mae"),
+                    # integer half-up rounding: an exact sum/count
+                    # ratio can land on a 6dp midpoint where Spark's
+                    # and DuckDB's double rounds diverge
+                    (F.expr("(2 * sum_abs_err_fp + n_eval) "
+                            "div (2 * n_eval)")
+                     / F.lit(1000000.0)).alias("mae"),
                     ((F.col("sum_abs_err_fp") == F.col("_m.sum_abs_err_fp"))
                      & (F.col("alpha") == F.col("_m.alpha"))
                      & (F.col("beta") == F.col("_m.beta")))

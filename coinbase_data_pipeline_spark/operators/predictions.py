@@ -145,10 +145,122 @@ def prediction_stats(preds: DataFrame, actuals: DataFrame, *,
                  F.max(pred_time_col).alias("latest_prediction"),
                  F.sum(err_fp).alias("_sum_fp"),
                  F.count(err_fp).alias("_n_scored"))
+            # integer half-up rounding — an exact sum/count ratio can
+            # land on a 6dp midpoint where double rounds diverge
+            # across engines (see model_metrics)
             .withColumn(
                 "mae",
-                F.round(F.col("_sum_fp")
-                        / (F.col("_n_scored") * F.lit(1000000.0)), 6)
-                + F.lit(0.0))
+                F.expr("(2 * _sum_fp + _n_scored) div (2 * _n_scored)")
+                / F.lit(1000000.0))
             .withColumn("scored_predictions", F.col("_n_scored"))
             .drop("_sum_fp", "_n_scored"))
+
+
+def model_metrics(preds: DataFrame, actuals: DataFrame, *,
+                  key: str = "product_id",
+                  model_col: str = "model_version",
+                  pred_time_col: str = "origin_time",
+                  target_time_col: str = "target_time",
+                  horizon_col: str = "horizon",
+                  pred_col: str = "predicted_price",
+                  actual_ts: str = "bucket_start",
+                  actual_col: str = "close") -> DataFrame:
+    """The model_metrics TABLE rows (data_writer.py:189
+    ``write_model_metrics``): per (product, model, horizon) — MAE,
+    RMSE, MAPE, directional accuracy, sample count — computed from
+    realized targets, one row per horizon exactly as the reference's
+    multi-horizon branch inserts them.
+
+    Every mean reduces through fixed-point BIGINT sums so the
+    aggregates are order-free (map-side combinable at any
+    partitioning) and bit-identical to the SQL oracle:
+    |err| and |err|/|actual| at 1e6 granularity, err² at 1e4 (the
+    coarser scale keeps the squared sum far from BIGINT overflow —
+    |err| ≤ 1e4 over 2e5 rows stays < 2.4e17); RMSE/MAE/MAPE are
+    6dp-rounds of exact-integer ratios (and a sqrt of one).
+    Direction is sign(predicted − close@origin) vs
+    sign(actual − close@origin) — the reference's "did the model call
+    the move from the forecast origin correctly".
+    """
+    a = actuals.select(F.col(key).alias("_ak"),
+                       F.col(actual_ts).alias("_att"),
+                       F.col(actual_col).alias("_actual"))
+    o = actuals.select(F.col(key).alias("_ok"),
+                       F.col(actual_ts).alias("_ott"),
+                       F.col(actual_col).alias("_origin_close"))
+    j = (preds
+         .join(a, (F.col(key) == F.col("_ak"))
+               & (F.col(target_time_col) == F.col("_att")))
+         .drop("_ak", "_att"))
+    j = (j.join(o, (F.col(key) == F.col("_ok"))
+                & (F.col(pred_time_col) == F.col("_ott")))
+         .drop("_ok", "_ott"))
+    err = F.col(pred_col) - F.col("_actual")
+    fp6 = lambda c: F.floor(c * F.lit(1000000.0) + F.lit(0.5))  # noqa: E731
+    abs_fp = fp6(F.abs(err)).cast("long")
+    sq_fp = F.floor(err * err * F.lit(10000.0)
+                    + F.lit(0.5)).cast("long")
+    ape_fp = F.when(F.col("_actual") != 0,
+                    fp6(F.abs(err) / F.abs(F.col("_actual")))
+                    .cast("long"))
+    dir_ok = (F.signum(F.col(pred_col) - F.col("_origin_close"))
+              == F.signum(F.col("_actual") - F.col("_origin_close"))
+              ).cast("long")
+    g = j.groupBy(key, model_col, horizon_col).agg(
+        F.sum(abs_fp).alias("_sa"),
+        F.sum(sq_fp).alias("_ss"),
+        F.sum(ape_fp).alias("_sp"),
+        F.count(ape_fp).alias("_np"),
+        F.sum(dir_ok).alias("_nd"),
+        F.count(F.lit(1)).alias("sample_count"))
+    # exact ratios of integers CAN land on exact 6dp midpoints, where
+    # Spark's shortest-repr HALF_UP round and DuckDB's round(x*1e6)/1e6
+    # disagree — so round them in INTEGER arithmetic (half-up via
+    # (2a + b) div (2b), positive operands) and only then divide by
+    # 1e6; the sqrt-based RMSE keeps a double round (irrational
+    # outputs don't hit terminating-decimal midpoints)
+    return g.select(
+        key, model_col, horizon_col,
+        (F.expr("(2 * _sa + sample_count) div (2 * sample_count)")
+         / F.lit(1000000.0)).alias("mae"),
+        (F.round(F.sqrt(F.col("_ss")
+                        / (F.col("sample_count") * F.lit(10000.0))), 6)
+         + F.lit(0.0)).alias("rmse"),
+        (F.expr("(2 * _sp + _np) div (2 * _np)")
+         / F.lit(1000000.0)).alias("mape"),
+        (F.expr("(2 * _nd * 1000000 + sample_count) "
+                "div (2 * sample_count)")
+         / F.lit(1000000.0)).alias("directional_accuracy"),
+        "sample_count")
+
+
+def recent_predictions(preds: DataFrame, *,
+                       key: str = "product_id",
+                       model_col: str = "model_version",
+                       pred_time_col: str = "origin_time",
+                       horizon_col: str = "horizon",
+                       hours_back: int = 24,
+                       limit: int = 1000) -> DataFrame:
+    """The get_recent_predictions read path (data_writer.py:242):
+    per (product, model), predictions from the trailing `hours_back`
+    window, capped at `limit` rows, newest first — Cassandra's
+    partition-ordered LIMIT re-expressed as a rank window.
+
+    The recency cutoff anchors on each group's OWN latest
+    prediction_time (one window max — deterministic from the data,
+    no wall clock). The rank filter compiles to WindowGroupLimit, so
+    each group stops after `limit` rows instead of ranking its whole
+    history — the property that keeps this read O(limit) per key on
+    an unbounded store."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key, model_col)
+    wo = w.orderBy(F.col(pred_time_col).desc(), F.col(horizon_col))
+    cutoff = F.max(pred_time_col).over(w) \
+        - F.expr(f"INTERVAL {hours_back} HOURS")
+    return (preds
+            .withColumn("_cut", cutoff)
+            .filter(F.col(pred_time_col) >= F.col("_cut"))
+            .withColumn("_rn", F.row_number().over(wo))
+            .filter(F.col("_rn") <= limit)
+            .drop("_cut", "_rn"))

@@ -163,14 +163,8 @@ def q_prediction_stats(spark, sf_dir):
     per (product, model) total count, earliest/latest prediction time,
     and the realized-target MAE (fixed-point BIGINT sum — order-free,
     map-side combinable)."""
-    win = WD.sliding_windows(candles(spark, sf_dir))
-    preds = (SC.score_windows(win)
-             .withColumn("predicted_price",
-                         F.round("predicted_price", RND) + F.lit(0.0))
-             .withColumn("target_time",
-                         F.expr("timestampadd(MINUTE, 5 * horizon, "
-                                "origin_time)")))
-    out = P.prediction_stats(preds, candles(spark, sf_dir))
+    out = P.prediction_stats(_scored_preds(spark, sf_dir),
+                             candles(spark, sf_dir))
     return out.select(
         "product_id", F.col("model_version").alias("model_name"),
         "total_predictions", "earliest_prediction", "latest_prediction",
@@ -193,11 +187,12 @@ SELECT product_id, model_name,
        max(origin_time) AS latest_prediction,
        count(CASE WHEN actual IS NOT NULL THEN 1 END)
          AS scored_predictions,
-       ROUND(sum(CASE WHEN actual IS NOT NULL THEN
-                 CAST(floor(abs(predicted_price - actual) * 1000000.0
-                            + 0.5) AS BIGINT) END)
-             / (count(CASE WHEN actual IS NOT NULL THEN 1 END)
-                * 1000000.0), 6) + 0 AS mae
+       (2 * sum(CASE WHEN actual IS NOT NULL THEN
+                CAST(floor(abs(predicted_price - actual) * 1000000.0
+                           + 0.5) AS BIGINT) END)
+        + count(CASE WHEN actual IS NOT NULL THEN 1 END))
+       // (2 * count(CASE WHEN actual IS NOT NULL THEN 1 END))
+       / 1000000.0 AS mae
 FROM j GROUP BY 1, 2
 """
 
@@ -255,10 +250,117 @@ def _sql_holt_param_sweep() -> str:
 )
 SELECT s.product_id, s.alpha, s.beta,
        CAST(s.n_eval AS BIGINT) AS n_eval,
-       ROUND(s.sum_fp / (s.n_eval * 1000000.0), 6) + 0 AS mae,
+       (2 * s.sum_fp + s.n_eval) // (2 * s.n_eval)
+         / 1000000.0 AS mae,
        (s.sum_fp = b.m.s AND s.alpha = b.m.a AND s.beta = b.m.b)
          AS is_best
 FROM scored s JOIN best b USING (product_id)
+"""
+
+
+# ----------------------------------------------------- model metrics
+
+def _scored_preds(spark, sf_dir):
+    """model_score predictions with 6dp-rounded prices and realized
+    target times — the shared input for every metrics/read-path query
+    (one definition so all oracles see identical doubles)."""
+    win = WD.sliding_windows(candles(spark, sf_dir))
+    return (SC.score_windows(win)
+            .withColumn("predicted_price",
+                        F.round("predicted_price", RND) + F.lit(0.0))
+            .withColumn("target_time",
+                        F.expr("timestampadd(MINUTE, 5 * horizon, "
+                               "origin_time)")))
+
+
+def q_model_metrics(spark, sf_dir):
+    """The model_metrics table rows (data_writer.py:189
+    write_model_metrics, multi-horizon branch): per (product, model,
+    horizon) MAE / RMSE / MAPE / directional accuracy / sample count
+    over realized targets — every mean a fixed-point BIGINT sum."""
+    out = P.model_metrics(_scored_preds(spark, sf_dir),
+                          candles(spark, sf_dir))
+    return out.select(
+        "product_id", F.col("model_version").alias("model_name"),
+        "horizon", "mae", "rmse", "mape", "directional_accuracy",
+        "sample_count")
+
+
+def _sql_model_metrics() -> str:
+    return SQL_BASE + f"""
+, preds AS ({_sql_model_score()}
+), j AS (
+  SELECT p.product_id, p.model_version AS model_name, p.horizon,
+         p.predicted_price, c.close AS actual,
+         o.close AS origin_close
+  FROM preds p
+  JOIN candles c
+    ON c.product_id = p.product_id
+   AND c.bucket_start = p.origin_time + p.horizon * INTERVAL 5 MINUTE
+  JOIN candles o
+    ON o.product_id = p.product_id AND o.bucket_start = p.origin_time
+), g AS (
+  SELECT product_id, model_name, horizon,
+         sum(CAST(floor(abs(predicted_price - actual) * 1000000.0
+                        + 0.5) AS BIGINT)) AS sa,
+         sum(CAST(floor((predicted_price - actual)
+                        * (predicted_price - actual) * 10000.0
+                        + 0.5) AS BIGINT)) AS ss,
+         sum(CASE WHEN actual != 0 THEN
+             CAST(floor(abs(predicted_price - actual) / abs(actual)
+                        * 1000000.0 + 0.5) AS BIGINT) END) AS sp,
+         count(CASE WHEN actual != 0 THEN 1 END) AS np,
+         sum(CASE WHEN sign(predicted_price - origin_close)
+                     = sign(actual - origin_close)
+                  THEN 1 ELSE 0 END) AS nd,
+         count(*) AS sample_count
+  FROM j GROUP BY 1, 2, 3
+)
+SELECT product_id, model_name, horizon,
+       (2 * sa + sample_count) // (2 * sample_count)
+         / 1000000.0 AS mae,
+       ROUND(sqrt(ss / (sample_count * 10000.0)), 6) + 0 AS rmse,
+       (2 * sp + np) // (2 * np) / 1000000.0 AS mape,
+       (2 * nd * 1000000 + sample_count) // (2 * sample_count)
+         / 1000000.0 AS directional_accuracy,
+       CAST(sample_count AS BIGINT) AS sample_count
+FROM g
+"""
+
+
+# ------------------------------------------------- recent predictions
+
+def q_recent_predictions(spark, sf_dir):
+    """get_recent_predictions (data_writer.py:242): per (product,
+    model), the trailing-24h predictions capped at 1000 rows — the
+    Cassandra partition-ordered LIMIT as a rank window that compiles
+    to WindowGroupLimit (each group stops ranking after the cap)."""
+    out = P.recent_predictions(_scored_preds(spark, sf_dir))
+    return out.select(
+        "product_id", F.col("model_version").alias("model_name"),
+        F.col("origin_time").alias("prediction_time"),
+        "target_time", "horizon", "predicted_price")
+
+
+def _sql_recent_predictions(hours_back: int = 24,
+                            limit: int = 1000) -> str:
+    return f"""
+WITH preds AS ({_sql_model_score()}
+), wm AS (
+  SELECT *, max(origin_time) OVER (PARTITION BY product_id,
+                                   model_version) AS mx
+  FROM preds
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY product_id, model_version
+                               ORDER BY origin_time DESC, horizon)
+              AS rn
+  FROM wm WHERE origin_time >= mx - INTERVAL {hours_back} HOURS
+)
+SELECT product_id, model_version AS model_name,
+       origin_time AS prediction_time,
+       origin_time + horizon * INTERVAL 5 MINUTE AS target_time,
+       horizon, predicted_price
+FROM ranked WHERE rn <= {limit}
 """
 
 
@@ -269,6 +371,8 @@ SPARK_QUERIES_PRED = {
     "prediction_retention": q_prediction_retention,
     "prediction_stats": q_prediction_stats,
     "holt_param_sweep": q_holt_param_sweep,
+    "model_metrics": q_model_metrics,
+    "recent_predictions": q_recent_predictions,
 }
 
 ORACLE_SQL_PRED = {
@@ -276,4 +380,6 @@ ORACLE_SQL_PRED = {
     "prediction_retention": SQL_PREDICTION_RETENTION,
     "prediction_stats": _sql_prediction_stats(),
     "holt_param_sweep": _sql_holt_param_sweep(),
+    "model_metrics": _sql_model_metrics(),
+    "recent_predictions": _sql_recent_predictions(),
 }

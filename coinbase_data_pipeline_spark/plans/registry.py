@@ -95,6 +95,13 @@ _CHECK_FIRST = [
     #   argmin per product (reference optimize_model.py's Optuna loop
     #   re-expressed as a deterministic grid).
     "holt_param_sweep",
+    # - model_metrics table rows (reference data_writer.py:189
+    #   write_model_metrics): per (product, model, horizon)
+    #   MAE/RMSE/MAPE/dir-acc/sample_count, fixed-point sums.
+    "model_metrics",
+    # - trailing-24h LIMIT-1000 read (reference data_writer.py:242
+    #   get_recent_predictions) via WindowGroupLimit.
+    "recent_predictions",
 ]
 
 ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

@@ -343,3 +343,13 @@ def test_doc_pagerank_has_no_array_folds(spark):
     df = ALL_QUERIES["doc_pagerank"](spark, SF)
     analyzed = df._jdf.queryExecution().analyzed().toString()
     assert "collect_list" not in analyzed
+
+
+def test_recent_predictions_uses_window_group_limit(spark):
+    """The trailing-window LIMIT read (get_recent_predictions parity)
+    must compile its rank filter to WindowGroupLimit — each (product,
+    model) group stops after the cap instead of ranking its whole
+    prediction history, the property that keeps the read O(limit) per
+    key on an unbounded store."""
+    p = formatted_plan(spark, "recent_predictions")
+    assert "WindowGroupLimit" in p
