@@ -834,3 +834,25 @@ def test_sessionize_replay_four_buckets(spark):
     for start, end, n_events in strad:
         assert n_events == 2
         assert abs((end - start).total_seconds() - 600.0) < 1.0
+
+
+def test_kmv_replay_four_buckets_matches_two(spark):
+    """The streamed per-day KMV sketch must be invariant to the
+    micro-batch split: replaying over 4 time slices (more days broken
+    across batch boundaries, more cross-batch k-min folds) yields
+    exactly the 2-slice result — which parity already pins to the
+    one-shot batch sketch. k-min merge associativity on the stream,
+    demonstrated rather than assumed."""
+    from coinbase_data_pipeline_spark.plans import catalog_stream as CS
+
+    def run(n):
+        saved = CS.REPLAY_BUCKETS
+        try:
+            CS.REPLAY_BUCKETS = n
+            return {tuple(r) for r in
+                    CS.q_streaming_kmv(spark, SF).collect()}
+        finally:
+            CS.REPLAY_BUCKETS = saved
+
+    four, two = run(4), run(2)
+    assert four == two and four
