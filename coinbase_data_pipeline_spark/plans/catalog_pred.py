@@ -328,6 +328,43 @@ FROM g
 """
 
 
+# ----------------------------------------------------- temporal split
+
+TRAIN_RATIO = 0.8
+
+
+def q_train_test_split(spark, sf_dir):
+    """The reference's temporal train/test split
+    (Crypto-TS-Model-master/src/data_loader.py:284:
+    split_idx = int(len * train_ratio), first chunk trains) per
+    product: one key exchange carries both the ordered row_number and
+    the whole-partition count — no second shuffle, no driver-side
+    len()."""
+    from pyspark.sql import Window
+
+    c = candles(spark, sf_dir)
+    w = Window.partitionBy("product_id").orderBy("bucket_start")
+    wc = Window.partitionBy("product_id")
+    rn = F.row_number().over(w)
+    n = F.count(F.lit(1)).over(wc)
+    split = F.when(rn <= F.floor(n * F.lit(TRAIN_RATIO)),
+                   F.lit("train")).otherwise(F.lit("test"))
+    return c.select("product_id", "bucket_start",
+                    (F.round("close", RND) + F.lit(0.0)).alias("close"),
+                    split.alias("split"))
+
+
+SQL_TRAIN_TEST_SPLIT = SQL_BASE + f"""
+SELECT product_id, bucket_start, ROUND(close, 6) + 0 AS close,
+       CASE WHEN row_number() OVER w
+                 <= floor(count(*) OVER (PARTITION BY product_id)
+                          * {TRAIN_RATIO})
+            THEN 'train' ELSE 'test' END AS split
+FROM candles
+WINDOW w AS (PARTITION BY product_id ORDER BY bucket_start)
+"""
+
+
 # ------------------------------------------------- recent predictions
 
 def q_recent_predictions(spark, sf_dir):
@@ -373,6 +410,7 @@ SPARK_QUERIES_PRED = {
     "holt_param_sweep": q_holt_param_sweep,
     "model_metrics": q_model_metrics,
     "recent_predictions": q_recent_predictions,
+    "train_test_split": q_train_test_split,
 }
 
 ORACLE_SQL_PRED = {
@@ -382,4 +420,5 @@ ORACLE_SQL_PRED = {
     "holt_param_sweep": _sql_holt_param_sweep(),
     "model_metrics": _sql_model_metrics(),
     "recent_predictions": _sql_recent_predictions(),
+    "train_test_split": SQL_TRAIN_TEST_SPLIT,
 }

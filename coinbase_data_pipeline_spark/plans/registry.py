@@ -102,6 +102,9 @@ _CHECK_FIRST = [
     # - trailing-24h LIMIT-1000 read (reference data_writer.py:242
     #   get_recent_predictions) via WindowGroupLimit.
     "recent_predictions",
+    # - per-product temporal train/test split (reference
+    #   data_loader.py:284, split_idx = int(len * train_ratio)).
+    "train_test_split",
 ]
 
 ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

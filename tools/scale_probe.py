@@ -136,6 +136,55 @@ def corpus_times(spark, mult: int) -> dict[str, float]:
     return out
 
 
+def candle_times(spark, mult: int) -> dict[str, tuple]:
+    """Forecast/prediction-family curve: replicate the candle relation
+    by product (id-suffixed copies — KEY count scales, per-key series
+    length does not) and time the round-7 additions. Expected shape:
+    holt_param_sweep is one applyInPandas pass, embarrassingly
+    parallel across keys, so wall grows ≤ linearly in key count until
+    keys ≥ cores; model_metrics is joins + partial-agg sums, linear in
+    rows. Super-linear growth here would mean the grid sweep or the
+    metrics join shuffles more than its input."""
+    from coinbase_data_pipeline_spark.operators import forecast as FC
+    from coinbase_data_pipeline_spark.operators import predictions as P
+    from coinbase_data_pipeline_spark.operators import scoring as SC
+    from coinbase_data_pipeline_spark.operators import windows as WD
+    from coinbase_data_pipeline_spark.plans.catalog import candles
+
+    base = candles(spark, SF_DIR)
+    parts = [base]
+    for i in range(1, mult):
+        parts.append(base.withColumn(
+            "product_id", F.concat("product_id", F.lit(f"#{i}"))))
+    c = parts[0]
+    for p in parts[1:]:
+        c = c.unionByName(p)
+    c = c.localCheckpoint(eager=True)
+
+    def scored():
+        return (SC.score_windows(WD.sliding_windows(c))
+                .withColumn("predicted_price",
+                            F.round("predicted_price", 6) + F.lit(0.0))
+                .withColumn("target_time",
+                            F.expr("timestampadd(MINUTE, 5 * horizon, "
+                                   "origin_time)")))
+
+    out: dict[str, tuple] = {}
+    for name, fn, vol in [
+        ("holt_param_sweep", lambda: FC.holt_grid_sweep(c),
+         F.sum("n_eval")),
+        ("model_metrics", lambda: P.model_metrics(scored(), c),
+         F.sum("sample_count")),
+    ]:
+        t0 = time.time()
+        df = fn()
+        row = df.agg(F.count(F.lit(1)).alias("n"),
+                     F.bit_xor(F.xxhash64(*df.columns)).alias("h"),
+                     vol.alias("vol")).collect()[0]
+        out[name] = (round(time.time() - t0, 2), int(row["vol"]))
+    return out
+
+
 def streaming_state_curve(spark, mult: int) -> dict[str, tuple]:
     """Measured state-size curve for the three bounded-state streaming
     queries: replay the event stream at `mult`× (user/event ids
@@ -345,6 +394,34 @@ def main() -> None:
             n_in, batches, peak, removed = stream_results[m][name]
             cells.append(f"{n_in:,} → {peak:,}/{removed:,}")
         lines.append(f"| {name} | " + " | ".join(cells) + " |")
+
+    candle_results = {m: candle_times(spark, m) for m in MULTIPLES}
+    lines += [
+        "",
+        "## Forecast/prediction family (round-7 additions)",
+        "",
+        "Candle relation replicated by product (id-suffixed copies:",
+        "KEY count scales, per-key series length does not).",
+        "holt_param_sweep runs the whole (α, β) grid inside one",
+        "applyInPandas pass per key — wall should grow ≤ linearly in",
+        "keys while keys < cores; model_metrics is equi-joins +",
+        "partial-agg fixed-point sums — linear in rows. (volume) =",
+        "evaluated points / scored samples.",
+        "",
+        "| operator | " + " | ".join(f"{m}x sec (volume)"
+                                     for m in MULTIPLES)
+        + " | max/1x |",
+        "|---|" + "---|" * (len(MULTIPLES) + 1),
+    ]
+    for name in candle_results[MULTIPLES[0]]:
+        cells = []
+        for m in MULTIPLES:
+            t, rows = candle_results[m][name]
+            cells.append(f"{t:.1f} ({rows:,})")
+        ratio = (candle_results[MULTIPLES[-1]][name][0]
+                 / candle_results[MULTIPLES[0]][name][0])
+        lines.append(f"| {name} | " + " | ".join(cells)
+                     + f" | {ratio:.1f}x ({MULTIPLES[-1]}x/1x) |")
 
     with open("SCALING.md", "w") as f:
         f.write("\n".join(lines) + "\n")
