@@ -365,6 +365,53 @@ WINDOW w AS (PARTITION BY product_id ORDER BY bucket_start)
 """
 
 
+# -------------------------------------------------- input validation
+
+SEQ_LEN_MIN = 24
+
+
+def q_validate_input(spark, sf_dir):
+    """The predictor's input gate (predictor.py:346
+    validate_input_data) as a distributed per-product report: OHLCV
+    null counts, row count, and the is_valid verdict (no nulls in the
+    required columns AND at least seq_len rows). One partial-agg
+    shuffle; the reference's per-frame pandas checks become a single
+    grouped pass over every product at once."""
+    c = candles(spark, sf_dir)
+    cols = ["open", "high", "low", "close", "volume"]
+    nulls = [F.sum(F.col(x).isNull().cast("long"))
+             .alias(f"n_null_{x}") for x in cols]
+    g = c.groupBy("product_id").agg(
+        F.count(F.lit(1)).alias("n_rows"), *nulls)
+    ok = F.lit(True)
+    for x in cols:
+        ok = ok & (F.col(f"n_null_{x}") == 0)
+    ok = ok & (F.col("n_rows") >= SEQ_LEN_MIN)
+    return g.withColumn("is_valid", ok)
+
+
+SQL_VALIDATE_INPUT = SQL_BASE + f"""
+SELECT product_id, count(*) AS n_rows,
+       CAST(sum(CASE WHEN open IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null_open,
+       CAST(sum(CASE WHEN high IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null_high,
+       CAST(sum(CASE WHEN low IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null_low,
+       CAST(sum(CASE WHEN close IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null_close,
+       CAST(sum(CASE WHEN volume IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null_volume,
+       (sum(CASE WHEN open IS NULL THEN 1 ELSE 0 END) = 0
+        AND sum(CASE WHEN high IS NULL THEN 1 ELSE 0 END) = 0
+        AND sum(CASE WHEN low IS NULL THEN 1 ELSE 0 END) = 0
+        AND sum(CASE WHEN close IS NULL THEN 1 ELSE 0 END) = 0
+        AND sum(CASE WHEN volume IS NULL THEN 1 ELSE 0 END) = 0
+        AND count(*) >= {SEQ_LEN_MIN}) AS is_valid
+FROM candles GROUP BY product_id
+"""
+
+
 # ------------------------------------------------- recent predictions
 
 def q_recent_predictions(spark, sf_dir):
@@ -411,6 +458,7 @@ SPARK_QUERIES_PRED = {
     "model_metrics": q_model_metrics,
     "recent_predictions": q_recent_predictions,
     "train_test_split": q_train_test_split,
+    "validate_input": q_validate_input,
 }
 
 ORACLE_SQL_PRED = {
@@ -421,4 +469,5 @@ ORACLE_SQL_PRED = {
     "model_metrics": _sql_model_metrics(),
     "recent_predictions": _sql_recent_predictions(),
     "train_test_split": SQL_TRAIN_TEST_SPLIT,
+    "validate_input": SQL_VALIDATE_INPUT,
 }

@@ -105,6 +105,9 @@ _CHECK_FIRST = [
     # - per-product temporal train/test split (reference
     #   data_loader.py:284, split_idx = int(len * train_ratio)).
     "train_test_split",
+    # - predictor input gate as a per-product validation report
+    #   (reference predictor.py:346 validate_input_data).
+    "validate_input",
 ]
 
 ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
