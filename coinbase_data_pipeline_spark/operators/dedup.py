@@ -117,7 +117,8 @@ def cap_hot_buckets(banded: DataFrame, id_col: str,
                     keys: tuple[str, str] = ("band", "bsig"),
                     cap: int = BUCKET_CAP,
                     band_col: str = "band",
-                    mask_col: str | None = None) -> DataFrame:
+                    mask_col: str | None = None,
+                    links: bool = False):
     """Bound every LSH bucket to at most `cap` surviving rows — the
     explicit skew guard for degenerate corpora (e.g. millions of
     near-empty docs sharing one signature), where a single hot
@@ -129,6 +130,15 @@ def cap_hot_buckets(banded: DataFrame, id_col: str,
     row_number window partitions on exactly the join keys, so its
     exchange is the same one the bucket join needs: the guard adds a
     per-bucket sort, never an extra shuffle.
+
+    With `links=True`, returns (kept, links) where links maps every
+    capped-out id to its first-capped bucket's rank-1 survivor (the
+    hub) — O(m) star candidates that keep a hot duplicate FAMILY
+    connected for keeper/component decisions after the cap removed
+    its C(m,2) interior (measured need: the sf0.1 corpus has a
+    ~2400-doc boilerplate family — half the corpus — whose members
+    beyond the cap would otherwise silently become their own dedup
+    keepers). Consumers exact-verify the links like any candidate.
 
     With `mask_col`, the output additionally carries a per-id
     removed-bands bitmask (bit j set ⇔ this id was capped OUT of its
@@ -173,6 +183,25 @@ def cap_hot_buckets(banded: DataFrame, id_col: str,
         F.xxhash64(F.col(id_col)), F.col(id_col))
     numbered = banded.withColumn("_bn", F.row_number().over(w))
     kept = numbered.filter(F.col("_bn") <= cap).drop("_bn")
+    if links:
+        # STAR LINKS: every capped-out row still gets ONE candidate
+        # pair to its bucket's rank-1 survivor (the hub), from the
+        # first band it was capped in. O(m) extra candidates per hot
+        # bucket instead of the C(m,2) the cap removed — enough to
+        # keep a duplicate FAMILY connected for keeper/component
+        # decisions (the family's survivors are a clique, the hub is
+        # in it, every non-survivor hangs off the hub). The links are
+        # CANDIDATES: consumers still exact-verify them, so a
+        # non-duplicate that merely collided into a hot bucket never
+        # false-links.
+        hubs = numbered.filter(F.col("_bn") == 1).select(
+            *keys, F.col(id_col).alias("_hub"))
+        removed_rows = numbered.filter(F.col("_bn") > cap).select(
+            id_col, *keys)
+        lk = (removed_rows.join(hubs, list(keys))
+              .groupBy(id_col)
+              .agg(F.min_by("_hub", F.col(band_col)).alias("hub_id")))
+        return kept, lk
     if mask_col is None:
         return kept
     removed = numbered.filter(F.col("_bn") > cap)
@@ -193,11 +222,26 @@ def minhash_lsh_pairs(docs: DataFrame, *, id_col: str = "doc_id",
                       text_col: str = "text", num_hashes: int = 16,
                       bands: int = 4,
                       jaccard_threshold: float = 0.9,
-                      bucket_cap: int = BUCKET_CAP) -> DataFrame:
+                      bucket_cap: int = BUCKET_CAP,
+                      link_capped: bool = False) -> DataFrame:
     """MinHash + banded LSH candidate pairs, verified with exact
     token-set Jaccard. Hot buckets are bounded to `bucket_cap`
     survivors (see :func:`cap_hot_buckets` for the recall contract —
     a no-op below the cap).
+
+    `link_capped=True` is the mode the KEEPER/COMPONENT decision
+    queries use: every capped-out doc additionally gets one verified
+    star candidate to its hot bucket's hub survivor, so a duplicate
+    family larger than the cap stays CONNECTED (each member still
+    maps to the family keeper) while the pair list stays O(cap² + m)
+    per hot bucket instead of O(m²). Without it (the default for the
+    raw pair-list query), the list is exactly the survivors' pairs —
+    the documented bounded-recall contract. The sf0.1 corpus makes
+    this distinction real: one ~2400-doc boilerplate family exceeds
+    the 512 cap, and unlinked members would silently become their own
+    keepers. In link mode a pair can appear twice (star + main
+    stream) when a doc survives some band — the component fold is
+    insensitive to duplicate edges.
 
     Pipeline: token set → k seeded min-hashes → split into bands →
     self-join on (band, band-signature) buckets → first-matching-band
@@ -259,8 +303,13 @@ def minhash_lsh_pairs(docs: DataFrame, *, id_col: str = "doc_id",
         F.posexplode(F.array(*[f"s{b}" for b in range(bands)]))
         .alias("band", "bsig"))
     am, bm = _mask_cols()
-    banded = cap_hot_buckets(banded, "a_id", cap=bucket_cap,
-                             mask_col=am)
+    if link_capped:
+        banded, lk = cap_hot_buckets(banded, "a_id", cap=bucket_cap,
+                                     links=True)
+        am = bm = None
+    else:
+        banded = cap_hot_buckets(banded, "a_id", cap=bucket_cap,
+                                 mask_col=am)
     right = banded.select(
         F.col("a_id").alias("b_id"), F.col("na").alias("nb"),
         *[F.col(f"a_s{b}").alias(f"b_s{b}") for b in range(bands)],
@@ -276,6 +325,19 @@ def minhash_lsh_pairs(docs: DataFrame, *, id_col: str = "doc_id",
                 .filter((F.col("na") * t <= F.col("nb"))
                         & (F.col("nb") * t <= F.col("na")))
                 .select("a_id", "b_id"))
+    if link_capped:
+        # star candidates for capped-out docs (see cap_hot_buckets
+        # links contract). Ordered like the main stream; they skip
+        # the size-ratio pre-filter (the exact verify below decides)
+        # and may duplicate a main-stream pair when a doc survives
+        # some band — harmless for the component/keeper consumers
+        # this mode exists for.
+        link_ids = lk.select(
+            F.least(F.col("a_id"), F.col("hub_id")).alias("la"),
+            F.greatest(F.col("a_id"), F.col("hub_id")).alias("lb"))
+        cand_ids = cand_ids.unionByName(
+            link_ids.select(F.col("la").alias("a_id"),
+                            F.col("lb").alias("b_id")))
     # spread the verify stage: without an exchange here the whole
     # pipeline inherits the document scan's (few) input partitions and
     # the O(pairs × tokens) exact verify runs near-serial. Shuffles

@@ -402,7 +402,9 @@ def q_dedup_components(spark, sf_dir):
     near-dup pairs (min-label propagation + pointer jumping, 8 rounds
     → covers diameter ~2^8)."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = DD.minhash_lsh_pairs(docs)
+    # link_capped: above-cap family members still join their
+    # component via hub star links (no-op at oracle scale)
+    pairs = DD.minhash_lsh_pairs(docs, link_capped=True)
     return DD.connected_components(pairs)
 
 
@@ -755,7 +757,9 @@ def q_dedup_keep(spark, sf_dir):
     near-dup component keeper (min doc id) with an is_keeper flag —
     the table a curation pipeline joins against to drop duplicates."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = DD.minhash_lsh_pairs(docs)
+    # link_capped: a >cap duplicate family must still map every
+    # member to the family keeper (no-op at oracle scale)
+    pairs = DD.minhash_lsh_pairs(docs, link_capped=True)
     return DD.dedup_keep_decision(docs, pairs)
 
 
@@ -776,7 +780,7 @@ def q_dedup_keep_best(spark, sf_dir):
     The quality input is the already-oracled 6dp quality_score view,
     so both engines argmax over identical doubles."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = DD.minhash_lsh_pairs(docs)
+    pairs = DD.minhash_lsh_pairs(docs, link_capped=True)
     qual = (TS.quality_score(docs)
             .select("doc_id",
                     (F.round("quality", RND) + F.lit(0.0))
@@ -819,7 +823,8 @@ def q_corpus_curation(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     lang = TS.lang_id(docs).select("doc_id", "pred_lang")
     qual = TS.quality_score(docs).select("doc_id", "quality")
-    keep = DD.dedup_keep_decision(docs, DD.minhash_lsh_pairs(docs))
+    keep = DD.dedup_keep_decision(
+        docs, DD.minhash_lsh_pairs(docs, link_capped=True))
     return (lang.join(qual, "doc_id").join(keep, "doc_id")
             .filter((F.col("pred_lang") == "en")
                     & (F.col("quality") >= 0.5)

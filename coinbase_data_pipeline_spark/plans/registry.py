@@ -80,6 +80,13 @@ _CHECK_FIRST = [
     #   semantically inert on the catalog path.
     "dedup_minhash_lsh", "dedup_simhash_pairs", "knn_graph",
     "dedup_embedding", "dedup_incremental",
+    # - the keeper/component decision queries now consume
+    #   link_capped=True minhash pairs (star links keep >cap
+    #   duplicate families connected; discovered because the sf0.1
+    #   corpus has a ~2400-doc family vs the 512 cap). No-op at the
+    #   driver's sf0.01 (no bucket binds) but the plan changed.
+    "dedup_components", "dedup_keep", "dedup_keep_best",
+    "corpus_curation",
     # (c) brand-new round-7 queries are appended below as they land.
     # - inverse-scaler denormalization (reference predictor.py:239
     #   _denormalize_predictions): invert fitted robust/minmax stats

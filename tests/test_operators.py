@@ -1645,3 +1645,39 @@ def test_capped_first_band_pair_recovers(spark):
            .select("a_id", "b_id").collect())
     assert not [r for r in old
                 if (r["a_id"], r["b_id"]) == (1000, 1001)]
+
+
+def test_star_links_keep_capped_family_connected(spark):
+    """The round-7 finding that forced link mode: a duplicate family
+    larger than the bucket cap loses its non-survivors' pairs, so
+    without star links every capped-out member silently becomes its
+    own dedup keeper (the sf0.1 corpus has a ~2400-doc family vs the
+    512 cap). With link_capped=True the whole planted 400-doc clique
+    must land in ONE component — every member maps to the family
+    keeper — at O(cap² + m) pairs, and the default mode demonstrably
+    leaves the non-survivors unlinked."""
+    from coinbase_data_pipeline_spark.operators.dedup import (
+        dedup_keep_decision, minhash_lsh_pairs)
+
+    n, cap = 400, 20
+    docs = spark.createDataFrame(
+        [(i, "the exact same boilerplate template text body")
+         for i in range(n)],
+        "doc_id long, text string")
+
+    linked = minhash_lsh_pairs(docs, bucket_cap=cap, link_capped=True)
+    keep = dedup_keep_decision(docs, linked).collect()
+    assert len(keep) == n
+    assert all(r.keep_id == 0 for r in keep), (
+        "every family member must map to the family keeper")
+    assert sum(r.is_keeper for r in keep) == 1
+    # pair volume stays bounded: survivors' clique + one star link
+    # per capped-out member (all verified at jaccard 1.0)
+    assert linked.count() == cap * (cap - 1) // 2 + (n - cap)
+
+    # the default (pair-list) mode keeps its documented contract:
+    # survivors only — which is exactly why the decision paths must
+    # not use it above the cap
+    plain = minhash_lsh_pairs(docs, bucket_cap=cap)
+    keep_plain = dedup_keep_decision(docs, plain).collect()
+    assert sum(r.is_keeper for r in keep_plain) == n - cap + 1

@@ -76,7 +76,8 @@ def corpus_times(spark, mult: int) -> dict[str, float]:
         ("dedup_ngram_jaccard", lambda: DD.ngram_jaccard_pairs(corpus)),
         ("dedup_simhash_pairs", lambda: DD.simhash_pairs(corpus)),
         ("dedup_components",
-         lambda: DD.connected_components(DD.minhash_lsh_pairs(corpus))),
+         lambda: DD.connected_components(
+             DD.minhash_lsh_pairs(corpus, link_capped=True))),
         ("dedup_containment", lambda: DD.containment_pairs(corpus)),
         ("dedup_tfidf_cosine", lambda: DD.tfidf_cosine_pairs(corpus)),
         ("knn_graph", lambda: ANN.knn_graph(ecorpus)),
