@@ -817,7 +817,9 @@ def dedup_keep_best_decision(docs: DataFrame, pairs: DataFrame,
 def minhash_lsh_pairs_vs(left: DataFrame, right: DataFrame, *,
                          id_col: str = "doc_id", text_col: str = "text",
                          num_hashes: int = 16, bands: int = 4,
-                         jaccard_threshold: float = 0.9) -> DataFrame:
+                         jaccard_threshold: float = 0.9,
+                         bucket_cap: int = BUCKET_CAP,
+                         link_capped: bool = False) -> DataFrame:
     """Cross-relation MinHash LSH: candidate pairs between a LEFT
     relation (e.g. a newly arrived batch) and a RIGHT relation (e.g.
     the historical corpus) — the join an incremental ingest pipeline
@@ -869,14 +871,45 @@ def minhash_lsh_pairs_vs(left: DataFrame, right: DataFrame, *,
     # cap each side's hot buckets independently (worst-bucket fanout
     # ≤ cap² even when BOTH relations pile onto one signature)
     am, bm = _mask_cols()
-    lb = cap_hot_buckets(_banded(lbase, "a"), "a_id", mask_col=am)
-    rb = cap_hot_buckets(_banded(rbase, "b"), "b_id", mask_col=bm)
+    link_ids = None
+    if link_capped:
+        # cross-relation star links: a LEFT (batch) doc capped out of
+        # its bucket still gets one verified candidate against the
+        # RIGHT (history) side's hub survivor — without it, a batch
+        # doc inside a >cap family would come back is_new even though
+        # its duplicates fill the history bucket. (A capped-out RIGHT
+        # doc needs no link: it is only a match target, and the
+        # bucket's `cap` history survivors already represent it.)
+        am = bm = None
+        w = Window.partitionBy("band", "bsig")
+        lnum = _banded(lbase, "a").withColumn(
+            "_bn", F.row_number().over(
+                w.orderBy(F.xxhash64(F.col("a_id")), F.col("a_id"))))
+        rnum = _banded(rbase, "b").withColumn(
+            "_bn", F.row_number().over(
+                w.orderBy(F.xxhash64(F.col("b_id")), F.col("b_id"))))
+        lb = lnum.filter(F.col("_bn") <= bucket_cap).drop("_bn")
+        rb = rnum.filter(F.col("_bn") <= bucket_cap).drop("_bn")
+        rhubs = rnum.filter(F.col("_bn") == 1).select(
+            "band", "bsig", F.col("b_id").alias("_hub"))
+        lrm = (lnum.filter(F.col("_bn") > bucket_cap)
+               .select("a_id", "band", "bsig"))
+        link_ids = (lrm.join(rhubs, ["band", "bsig"])
+                    .groupBy("a_id")
+                    .agg(F.min_by("_hub", F.col("band")).alias("b_id")))
+    else:
+        lb = cap_hot_buckets(_banded(lbase, "a"), "a_id",
+                             cap=bucket_cap, mask_col=am)
+        rb = cap_hot_buckets(_banded(rbase, "b"), "b_id",
+                             cap=bucket_cap, mask_col=bm)
     t = jaccard_threshold
     cand_ids = (lb.join(rb, ["band", "bsig"])
                 .filter(_first_match_band(bands, am, bm))
                 .filter((F.col("na") * t <= F.col("nb"))
                         & (F.col("nb") * t <= F.col("na")))
                 .select("a_id", "b_id"))
+    if link_ids is not None:
+        cand_ids = cand_ids.unionByName(link_ids)
     cand_ids = _dense_spread(cand_ids, F.col("a_id"), F.col("b_id"))
     cand = (cand_ids
             .join(lbase.select("a_id", F.col("toks").alias("atoks"),
@@ -895,12 +928,21 @@ def minhash_lsh_pairs_vs(left: DataFrame, right: DataFrame, *,
 def incremental_dedup(batch: DataFrame, history: DataFrame, *,
                       id_col: str = "doc_id", text_col: str = "text",
                       num_hashes: int = 16, bands: int = 4,
-                      jaccard_threshold: float = 0.9) -> DataFrame:
+                      jaccard_threshold: float = 0.9,
+                      bucket_cap: int = BUCKET_CAP,
+                      link_capped: bool = True) -> DataFrame:
     """Per-batch-doc dedup decision table against the historical
     corpus: (doc_id, dup_of = smallest matching history id,
     n_matches, max_jaccard, is_new). Every batch doc appears exactly
     once — docs with no near-dup in history (including empty docs)
     come back is_new = true.
+
+    `link_capped` defaults ON here (unlike the raw pair list): this IS
+    a decision table, and a batch doc capped out of a >cap bucket
+    would otherwise come back is_new even though its duplicates fill
+    the history side — the star link to the history hub keeps the
+    verdict correct at O(1) extra candidates per capped doc
+    (pytest: test_incremental_star_links_keep_verdicts).
 
     One cross-relation LSH join (:func:`minhash_lsh_pairs_vs`) + one
     per-batch-doc aggregate + one left join on the batch key. The
@@ -910,7 +952,8 @@ def incremental_dedup(batch: DataFrame, history: DataFrame, *,
     pairs = minhash_lsh_pairs_vs(
         batch, history, id_col=id_col, text_col=text_col,
         num_hashes=num_hashes, bands=bands,
-        jaccard_threshold=jaccard_threshold)
+        jaccard_threshold=jaccard_threshold,
+        bucket_cap=bucket_cap, link_capped=link_capped)
     matches = (pairs.groupBy(F.col("left_id").alias(id_col))
                .agg(F.min("right_id").alias("dup_of"),
                     F.count(F.lit(1)).alias("n_matches"),

@@ -1681,3 +1681,32 @@ def test_star_links_keep_capped_family_connected(spark):
     plain = minhash_lsh_pairs(docs, bucket_cap=cap)
     keep_plain = dedup_keep_decision(docs, plain).collect()
     assert sum(r.is_keeper for r in keep_plain) == n - cap + 1
+
+
+def test_incremental_star_links_keep_verdicts(spark):
+    """Cross-relation star links: a batch doc capped out of a >cap
+    bucket must still be verified against the history hub and come
+    back is_new=False when its duplicates fill the history side;
+    link_capped=False demonstrably mislabels the capped-out members
+    as new."""
+    from coinbase_data_pipeline_spark.operators.dedup import (
+        incremental_dedup)
+
+    text = "the exact same boilerplate template text body"
+    history = spark.createDataFrame(
+        [(i, text) for i in range(300)], "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(1000 + i, text) for i in range(50)],
+        "doc_id long, text string")
+
+    linked = incremental_dedup(batch, history, bucket_cap=8).collect()
+    assert len(linked) == 50
+    assert all(not r.is_new for r in linked), (
+        "every batch member of the family must be flagged a dup")
+    assert all(r.max_jaccard == 1.0 for r in linked)
+
+    plain = incremental_dedup(batch, history, bucket_cap=8,
+                              link_capped=False).collect()
+    assert sum(r.is_new for r in plain) > 0, (
+        "without links some capped-out batch docs are mislabeled new "
+        "- the defect the default guards against")
