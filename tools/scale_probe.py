@@ -324,26 +324,37 @@ def main() -> None:
         "Base corpus: sf0.1 documents (embeddings for knn_graph, with",
         "deterministic per-component perturbation so copies don't",
         "collapse into cosine-1 cliques); multiples built by unioning",
-        "id-shifted, token-perturbed copies. The copies near-dup each",
-        "other, so OUTPUT pairs grow ~14x at 4x input — wall time is",
-        "therefore expected to track output (the exact-verify stage's",
-        "irreducible per-pair work), and it does; growth beyond the",
-        "output curve would indicate a candidate-generation blow-up.",
-        "Because output growth (~14x) is close to the quadratic",
-        "candidate space (16x), this curve alone cannot separate",
-        "bucketed from all-pairs candidates — that evidence is (a) the",
-        "plan audits (no CartesianProduct/BroadcastNestedLoopJoin",
-        "anywhere in the family) and (b) BASELINE.md, where the",
-        "all-pairs single-node oracle formulations blow a 60s cap at",
-        "1x while these plans finish in seconds. local[32]; times",
-        "include the count action; single-run (noisy - compare",
-        "shapes, not single cells).",
+        "id-shifted, token-perturbed copies.",
+        "",
+        "TWO REGIMES show in these curves (since the r06 hot-bucket",
+        "cap). The sf0.1 corpus itself contains a ~2400-doc",
+        "boilerplate family — beyond BUCKET_CAP=512 — so the",
+        "minhash/simhash family and everything built on its pairs",
+        "(components, pagerank, triangles) runs CAPPED: per hot",
+        "bucket the pair list is bounded at C(cap,2) survivors plus",
+        "one star link per capped-out member (decision consumers),",
+        "which is why those volume columns grow far slower than the",
+        "corpus and wall stays flat-to-sublinear — the skew guard",
+        "doing exactly its 100 TB job. dedup_ngram_jaccard's LOSSLESS",
+        "log-length bucketing is uncapped by design, so its row shows",
+        "the true output curve (~14x pairs at 4x input) and wall",
+        "tracks it — the exact-verify stage's irreducible per-pair",
+        "work. Growth beyond the volume curve in ANY row would",
+        "indicate a candidate-generation blow-up; the",
+        "bucketed-not-all-pairs evidence is (a) the plan audits (no",
+        "CartesianProduct/BroadcastNestedLoopJoin anywhere in the",
+        "family) and (b) BASELINE.md, where the all-pairs single-node",
+        "oracle formulations blow a 60s cap at 1x while these plans",
+        "finish in seconds. local[32]; times include the count",
+        "action; single-run (noisy - compare shapes, not single",
+        "cells; the first heavy row pays session JIT).",
         "Regenerate: `PYTHONPATH=. python tools/scale_probe.py`.",
         "",
         "The (volume) column is output rows, except doc_pagerank",
         "(total degree = 2x edges — wall is edge-bound, output is",
         "node-sized) and graph_triangles (total per-node triangle",
-        "count = 3x triangles — the exact enumerator's output floor).",
+        "count = 3x triangles — the exact enumerator's output floor",
+        "over the capped pair graph).",
         "",
         "| operator | " + " | ".join(f"{m}x sec (volume)"
                                      for m in MULTIPLES)
