@@ -881,13 +881,23 @@ def minhash_lsh_pairs_vs(left: DataFrame, right: DataFrame, *,
         # doc needs no link: it is only a match target, and the
         # bucket's `cap` history survivors already represent it.)
         am = bm = None
+        from pyspark import StorageLevel
         w = Window.partitionBy("band", "bsig")
+        # persist both numbered banded relations: each feeds TWO
+        # consumers (kept + hubs/removed), and without truncation the
+        # k-way signature hashing re-executes per consumer (measured
+        # ~2x on the sf0.1 incremental query). The history side being
+        # materialized is the documented scale design anyway — a real
+        # deployment maintains it as a table across cycles; the batch
+        # side is per-cycle small by definition.
         lnum = _banded(lbase, "a").withColumn(
             "_bn", F.row_number().over(
-                w.orderBy(F.xxhash64(F.col("a_id")), F.col("a_id"))))
+                w.orderBy(F.xxhash64(F.col("a_id")), F.col("a_id")))) \
+            .persist(StorageLevel.MEMORY_AND_DISK)
         rnum = _banded(rbase, "b").withColumn(
             "_bn", F.row_number().over(
-                w.orderBy(F.xxhash64(F.col("b_id")), F.col("b_id"))))
+                w.orderBy(F.xxhash64(F.col("b_id")), F.col("b_id")))) \
+            .persist(StorageLevel.MEMORY_AND_DISK)
         lb = lnum.filter(F.col("_bn") <= bucket_cap).drop("_bn")
         rb = rnum.filter(F.col("_bn") <= bucket_cap).drop("_bn")
         rhubs = rnum.filter(F.col("_bn") == 1).select(
