@@ -365,6 +365,77 @@ WINDOW w AS (PARTITION BY product_id ORDER BY bucket_start)
 """
 
 
+# -------------------------------------------- walk-forward CV folds
+
+WF_FOLDS = [(1, 0.5), (2, 0.6), (3, 0.7), (4, 0.8)]
+WF_TEST_FRAC = 0.1
+
+
+def q_walk_forward_splits(spark, sf_dir):
+    """Expanding-window walk-forward cross-validation folds — the
+    evaluation harness the reference's hyperparameter loop
+    (optimize_model.py) needs on top of the single ratio split: fold i
+    trains on the first fₖ of each product's series and tests on the
+    next 10%. Emitted as a FOLD MANIFEST (K rows per product:
+    train_end / test_end timestamps + sizes) rather than duplicating
+    the data K times — at 100 TB downstream folds join the candle
+    table on the manifest's time ranges, so the CV harness itself is
+    O(K · keys). One key exchange carries rank + count; the per-fold
+    boundary timestamps reduce through partial-agg max(CASE...)."""
+    from pyspark.sql import Window
+
+    c = candles(spark, sf_dir)
+    w = Window.partitionBy("product_id").orderBy("bucket_start")
+    wc = Window.partitionBy("product_id")
+    e = (c.select("product_id", "bucket_start")
+         .withColumn("rn", F.row_number().over(w))
+         .withColumn("n", F.count(F.lit(1)).over(wc))
+         .select("product_id", "bucket_start", "rn", "n",
+                 F.explode(F.array(*[
+                     F.struct(F.lit(i).alias("fold"),
+                              F.lit(f).alias("frac"))
+                     for i, f in WF_FOLDS])).alias("f")))
+    train_rank = F.floor(F.col("n") * F.col("f.frac"))
+    test_rank = F.least(
+        F.floor(F.col("n") * (F.col("f.frac") + F.lit(WF_TEST_FRAC))),
+        F.col("n"))
+    return (e.groupBy("product_id", F.col("f.fold").alias("fold"))
+            .agg(F.max(F.when(F.col("rn") <= train_rank,
+                              F.col("bucket_start"))).alias("train_end"),
+                 F.max(F.when(F.col("rn") <= test_rank,
+                              F.col("bucket_start"))).alias("test_end"),
+                 F.max(train_rank).alias("n_train"),
+                 (F.max(test_rank) - F.max(train_rank))
+                 .alias("n_test")))
+
+
+def _sql_walk_forward_splits() -> str:
+    vals = ", ".join(f"({i}, {f!r})" for i, f in WF_FOLDS)
+    return SQL_BASE + f"""
+, folds AS (
+  SELECT CAST(i AS INT) AS fold, CAST(f AS DOUBLE) AS frac
+  FROM (VALUES {vals}) t(i, f)
+), ranked AS (
+  SELECT product_id, bucket_start,
+         row_number() OVER (PARTITION BY product_id
+                            ORDER BY bucket_start) AS rn,
+         count(*) OVER (PARTITION BY product_id) AS n
+  FROM candles
+)
+SELECT product_id, fold,
+       max(CASE WHEN rn <= floor(n * frac)
+                THEN bucket_start END) AS train_end,
+       max(CASE WHEN rn <= least(floor(n * (frac + {WF_TEST_FRAC!r})),
+                                 n)
+                THEN bucket_start END) AS test_end,
+       CAST(max(floor(n * frac)) AS BIGINT) AS n_train,
+       CAST(max(least(floor(n * (frac + {WF_TEST_FRAC!r})), n))
+            - max(floor(n * frac)) AS BIGINT) AS n_test
+FROM ranked, folds
+GROUP BY 1, 2
+"""
+
+
 # -------------------------------------------------- input validation
 
 SEQ_LEN_MIN = 24
@@ -459,6 +530,7 @@ SPARK_QUERIES_PRED = {
     "recent_predictions": q_recent_predictions,
     "train_test_split": q_train_test_split,
     "validate_input": q_validate_input,
+    "walk_forward_splits": q_walk_forward_splits,
 }
 
 ORACLE_SQL_PRED = {
@@ -470,4 +542,5 @@ ORACLE_SQL_PRED = {
     "recent_predictions": _sql_recent_predictions(),
     "train_test_split": SQL_TRAIN_TEST_SPLIT,
     "validate_input": SQL_VALIDATE_INPUT,
+    "walk_forward_splits": _sql_walk_forward_splits(),
 }

@@ -115,6 +115,10 @@ _CHECK_FIRST = [
     # - predictor input gate as a per-product validation report
     #   (reference predictor.py:346 validate_input_data).
     "validate_input",
+    # - expanding-window walk-forward CV fold manifest (the
+    #   optimize_model.py evaluation harness; K rows per product, not
+    #   K data copies).
+    "walk_forward_splits",
 ]
 
 ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
