@@ -1,7 +1,7 @@
-"""Catalog part 9: prediction-store lifecycle, oracle-paired.
+"""Catalog part 9: the prediction-service lifecycle, oracle-paired.
 
-The four read/write-path capabilities the round-6 review ranked as the
-remaining reference-parity gaps, each mapped to its reference seam:
+Every remaining read/write-path capability of the reference's
+prediction service, each mapped to its seam:
 
 - denormalize_predictions — predictor.py:239 ``_denormalize_predictions``
   (invert the fitted RobustScaler back to USD price space);
@@ -9,8 +9,26 @@ remaining reference-parity gaps, each mapped to its reference seam:
   (age out store partitions older than the cutoff, audited);
 - prediction_stats       — data_writer.py:315 ``get_prediction_stats``
   (per (product, model) count / earliest / latest + error summary);
-- holt_param_sweep       — Crypto-TS-Model-master/src/optimize_model.py
-  (hyperparameter search, re-expressed as a deterministic grid sweep).
+- model_metrics          — data_writer.py:189 ``write_model_metrics``
+  (the per-horizon MAE/RMSE/MAPE/dir-acc metrics-table rows);
+- recent_predictions     — data_writer.py:242 ``get_recent_predictions``
+  (trailing-window LIMIT read, WindowGroupLimit);
+- validate_input         — predictor.py:346 ``validate_input_data``
+  (per-product input gate report);
+- train_test_split       — Crypto-TS-Model data_loader.py:284
+  (ratio-based temporal split);
+- walk_forward_splits    — expanding-window CV fold manifest (the
+  evaluation harness over optimize_model.py's loop);
+- holt_param_sweep       — optimize_model.py's hyperparameter search,
+  re-expressed as a deterministic grid sweep.
+
+ROUNDING DOCTRINE (learned from a real hash mismatch in this module):
+an exact integer sum/count ratio can land on an exact 6dp midpoint,
+where Spark's shortest-repr HALF_UP round and DuckDB's
+round(x*1e6)/1e6 disagree — every exact ratio here rounds in INTEGER
+arithmetic ((2a + b) div (2b), positive operands) and divides by 1e6
+after; only sqrt-derived outputs (irrational, never terminating
+midpoints) keep a double round.
 """
 
 from __future__ import annotations
