@@ -166,3 +166,68 @@ def test_candle_upsert_equals_batch_for_any_split(spark, rows, split):
         return {tuple(r) for r in d.collect()}
 
     assert keyset(merged) == keyset(full)
+
+
+@given(y=st.lists(st.floats(min_value=1.0, max_value=1e5,
+                            allow_nan=False, allow_infinity=False),
+                  min_size=3, max_size=40))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_holt_sweep_lanes_match_scalar_python(spark, y):
+    """The oracle doctrine's load-bearing claim for holt_param_sweep:
+    vectorizing the level/trend recursion ACROSS grid lanes changes
+    nothing per lane — every (alpha, beta) lane's fixed-point error
+    sum must equal a scalar pure-Python replay of the recursion, for
+    arbitrary float series."""
+    import math
+
+    from coinbase_data_pipeline_spark.operators.forecast import (
+        HOLT_SWEEP_GRID, holt_grid_sweep)
+
+    df = spark.createDataFrame(
+        [("K", float(t), float(v)) for t, v in enumerate(y)],
+        "product_id string, bucket_start double, close double")
+    got = {(r.alpha, r.beta): r for r in holt_grid_sweep(df).collect()}
+
+    for alpha, beta in HOLT_SWEEP_GRID:
+        lvl, tr, s = y[0], 0.0, 0
+        for t in range(1, len(y)):
+            pred = lvl + tr
+            s += int(math.floor(abs(y[t] - pred) * 1e6 + 0.5))
+            prev = lvl
+            lvl = alpha * y[t] + (1.0 - alpha) * pred
+            tr = beta * (lvl - prev) + (1.0 - beta) * tr
+        r = got[(alpha, beta)]
+        assert r.n_eval == len(y) - 1
+        # mae is the integer-rounded s/(n*1e6); replay the same
+        # integer arithmetic
+        n = len(y) - 1
+        assert r.mae == ((2 * s + n) // (2 * n)) / 1e6
+
+
+@given(center=st.floats(min_value=-1e4, max_value=1e4,
+                        allow_nan=False),
+       spread=st.one_of(st.just(0.0),
+                        st.floats(min_value=1e-6, max_value=1e3,
+                                  allow_nan=False)),
+       x=st.floats(min_value=-1e4, max_value=1e4, allow_nan=False))
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_denormalize_round_trip_identity(spark, center, spread, x):
+    """Forward robust scale then denormalize_predictions is the exact
+    identity for ANY stats — including the degenerate iqr == 0 branch
+    — up to one float multiply/divide round-trip."""
+    from coinbase_data_pipeline_spark.operators import predictions as P
+
+    q1, q3 = center - spread, center + spread
+    stats = spark.createDataFrame(
+        [("A", center, q1, q3)],
+        "product_id string, c_med double, c_q1 double, c_q3 double")
+    iqr = q3 - q1
+    scaled = (x - center) / iqr if iqr != 0 else x - center
+    preds = spark.createDataFrame(
+        [("A", x, scaled)],
+        "product_id string, last_close double, pred_scaled double")
+    out = P.denormalize_predictions(preds, stats).collect()[0]
+    tol = max(abs(x), 1.0) * 1e-12 + 1e-9
+    assert abs(out.predicted_price - x) <= tol
