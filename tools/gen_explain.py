@@ -98,6 +98,10 @@ PICKS = [
      "mapInPandas score -> left join actuals -> fixed-point agg"),
     ("holt_param_sweep",
      "whole grid inside ONE per-key Arrow recursion; window argmin"),
+    ("recent_predictions",
+     "trailing-window LIMIT read: WindowGroupLimit below the sort"),
+    ("walk_forward_splits",
+     "CV fold manifest: rank+count share one key exchange"),
 ]
 
 
