@@ -157,6 +157,7 @@ HEADLINERS = [
     "holt_param_sweep",
     "model_metrics",
     "recent_predictions",
+    "streaming_model_score",
     # ...and the round-7 long-tail sweep's >2s surprises, promoted so
     # no expensive query's cost is unknown (BENCH_TAIL_r07.json holds
     # the full 63-query single-run sweep)

@@ -720,6 +720,62 @@ def q_streaming_upsert(spark, sf_dir):
         shutil.rmtree(store_root, ignore_errors=True)
 
 
+def q_streaming_model_score(spark, sf_dir):
+    """The reference's prediction loop ON the stream: candles replay
+    as time-ordered micro-batches, a bounded per-product ring of the
+    last 23 quantized closes lives in keyed state, and every candle
+    completing a window emits the stub model's per-horizon predictions
+    (streaming/pipelines.streaming_model_score). Quantization uses the
+    SAME JVM expression as the batch sliding_windows encoder, so the
+    streamed predictions hash-match the batch model_score ORACLE
+    (shared verbatim) — windows spanning the micro-batch boundary are
+    the common case by construction (the ring IS the state), so the
+    cross-batch fold can never go vacuous here. The one alignment
+    filter: batch model_score only scores origins whose pred_len
+    targets exist (its y-window gate), so the streamed result keeps
+    origins with at least pred_len later candles — in production the
+    tail origins' predictions simply wait for their targets."""
+    from pyspark.sql import Window
+
+    from ..streaming.pipelines import run_to_memory, streaming_model_score
+    from .catalog import candles
+
+    replay_dir = os.path.join(_TMP_ROOT, f"mscore-{uuid.uuid4().hex[:8]}")
+    try:
+        c = candles(spark, sf_dir).select(
+            "product_id", "bucket_start", "close")
+        bucketed = _time_buckets(c, "bucket_start", REPLAY_BUCKETS)
+        _write_ordered_buckets(bucketed, "bucket", replay_dir,
+                               REPLAY_BUCKETS)
+        stream = (spark.readStream
+                  .schema("product_id string, bucket_start timestamp, "
+                          "close double")
+                  .option("maxFilesPerTrigger", 1)
+                  .parquet(replay_dir))
+        # the EXACT batch quantization (operators/windows.py) — this
+        # is what makes streamed floats bit-equal to the oracle's
+        quant = stream.select(
+            "product_id", "bucket_start",
+            F.round(F.col("close") * 1e6).cast("long").alias("p6"))
+        preds = streaming_model_score(quant)
+        name = run_to_memory(preds, output_mode="append")
+        w = Window.partitionBy("product_id").orderBy("bucket_start")
+        wc = Window.partitionBy("product_id")
+        eligible = (c.select("product_id", "bucket_start")
+                    .withColumn("_rn", F.row_number().over(w))
+                    .withColumn("_n", F.count(F.lit(1)).over(wc))
+                    .filter(F.col("_rn") <= F.col("_n") - 6)
+                    .select("product_id",
+                            F.col("bucket_start").alias("origin_time")))
+        return (spark.table(name)
+                .join(eligible, ["product_id", "origin_time"])
+                .select("product_id", "origin_time", "horizon",
+                        (F.round("predicted_price", 6) + F.lit(0.0))
+                        .alias("predicted_price"), "model_version"))
+    finally:
+        shutil.rmtree(replay_dir, ignore_errors=True)
+
+
 SPARK_QUERIES_STREAM: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_candles": q_streaming_candles,
     "streaming_dedup": q_streaming_dedup,
@@ -733,6 +789,7 @@ SPARK_QUERIES_STREAM: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_dedup_watermark": q_streaming_dedup_watermark,
     "streaming_kmv": q_streaming_kmv,
     "streaming_upsert": q_streaming_upsert,
+    "streaming_model_score": q_streaming_model_score,
 }
 
 ORACLE_SQL_STREAM: dict[str, str] = {
@@ -761,4 +818,9 @@ ORACLE_SQL_STREAM: dict[str, str] = {
     "streaming_upsert": __import__(
         "coinbase_data_pipeline_spark.plans.catalog_ts",
         fromlist=["SQL_CANDLE_UPSERT"]).SQL_CANDLE_UPSERT,
+    # same oracle as the batch model scorer: ring-state streaming
+    # scoring must be bit-identical to the sliding-window batch path
+    "streaming_model_score": __import__(
+        "coinbase_data_pipeline_spark.plans.catalog_ext",
+        fromlist=["_sql_model_score"])._sql_model_score(),
 }

@@ -119,6 +119,10 @@ _CHECK_FIRST = [
     #   optimize_model.py evaluation harness; K rows per product, not
     #   K data copies).
     "walk_forward_splits",
+    # - the prediction loop ON the stream: per-product ring-buffer
+    #   state (applyInPandasWithState), bit-identical to the batch
+    #   model_score oracle (shared verbatim).
+    "streaming_model_score",
 ]
 
 ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

@@ -584,3 +584,92 @@ def run_file_upsert_pipeline(spark: SparkSession, json_dir: str,
     from ..sinks.tables import read_table
     return (read_table(spark, store_root, "candles")
             .withColumnRenamed("start_time", "bucket_start"))
+
+
+def streaming_model_score(stream: DataFrame, *, key: str = "product_id",
+                          ts: str = "bucket_start", p6_col: str = "p6",
+                          seq_len: int = 24, pred_len: int = 6,
+                          model_version: str = "stub-linear-1"
+                          ) -> DataFrame:
+    """The reference's prediction loop ON the stream: per product, a
+    bounded ring of the last ``seq_len − 1`` quantized closes lives in
+    keyed state (applyInPandasWithState); every arriving candle that
+    completes a window emits one prediction row per horizon — the
+    predictor.py fetch → window → model → write cycle without ever
+    re-reading history. State is seq_len−1 longs per product — fixed
+    size, key-bounded, never event-bounded.
+
+    BIT-identical to the batch scorer by construction: the caller
+    quantizes prices with the SAME JVM expression sliding_windows
+    uses (round(close·1e6)::long), the ring carries those longs, and
+    scoring decodes and folds through the identical
+    stub_linear_model vectorized path (operators/scoring.py) — so the
+    streamed result hash-matches the batch model_score oracle for
+    every origin whose window is complete. Windows SPANNING a
+    micro-batch boundary are the common case (the ring is the state),
+    so the cross-batch fold is exercised by construction at any
+    replay split.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (ArrayType, DoubleType, IntegerType,
+                                   LongType, StringType, StructField,
+                                   StructType, TimestampType)
+
+    from ..operators.scoring import PRICE_SCALE, stub_linear_model
+
+    mdl = stub_linear_model(seq_len, pred_len)
+    out_schema = StructType([
+        StructField(key, StringType()),
+        StructField("origin_time", TimestampType()),
+        StructField("horizon", IntegerType()),
+        StructField("predicted_price", DoubleType()),
+        StructField("model_version", StringType()),
+    ])
+    state_schema = StructType([
+        StructField("ring", ArrayType(LongType()))])
+    horizons = np.arange(1, pred_len + 1)
+    cols = [key, "origin_time", "horizon", "predicted_price",
+            "model_version"]
+
+    def _fold(pkey, pdfs, state):
+        buf = np.array(state.get[0] if state.exists else [],
+                       dtype=np.int64)
+        frames = []
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values(ts)
+            vals = pdf[p6_col].to_numpy(dtype=np.int64)
+            times = pdf[ts].to_numpy()
+            full = np.concatenate([buf, vals])
+            ends = np.arange(len(buf), len(full))
+            ok = ends >= seq_len - 1
+            if ok.any():
+                idx = ends[ok]
+                mat = np.stack(
+                    [full[e - seq_len + 1:e + 1] for e in idx]
+                ).astype(np.float64)
+                mat /= PRICE_SCALE
+                preds = mdl(mat)
+                n = len(idx)
+                frames.append(pd.DataFrame({
+                    key: np.repeat(pkey[0], n * pred_len),
+                    "origin_time": times[ok].repeat(pred_len),
+                    "horizon": np.tile(horizons, n).astype(np.int32),
+                    "predicted_price": preds.reshape(-1),
+                    "model_version": model_version,
+                }))
+            buf = full[-(seq_len - 1):]
+        state.update(([int(v) for v in buf],))
+        if frames:
+            yield from frames
+        else:
+            yield pd.DataFrame(columns=cols)
+
+    return (stream.groupBy(key).applyInPandasWithState(
+        _fold, outputStructType=out_schema,
+        stateStructType=state_schema, outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout))

@@ -856,3 +856,27 @@ def test_kmv_replay_four_buckets_matches_two(spark):
 
     four, two = run(4), run(2)
     assert four == two and four
+
+
+def test_streaming_model_score_split_invariant(spark):
+    """Ring-state streaming scoring must be invariant to the
+    micro-batch split: 4 replay slices (more windows spanning a
+    boundary) yields exactly the 2-slice result, which parity already
+    pins to the batch model_score oracle. Unlike sessionize, the
+    cross-batch fold here can never be vacuous — every window whose
+    23-candle lookback crosses a slice edge reads the ring carried in
+    state, and with month-long slices vs 5-minute candles there are
+    always ~23 such windows per product per boundary."""
+    from coinbase_data_pipeline_spark.plans import catalog_stream as CS
+
+    def run(n):
+        saved = CS.REPLAY_BUCKETS
+        try:
+            CS.REPLAY_BUCKETS = n
+            return {tuple(r) for r in
+                    CS.q_streaming_model_score(spark, SF).collect()}
+        finally:
+            CS.REPLAY_BUCKETS = saved
+
+    four, two = run(4), run(2)
+    assert four == two and len(four) > 1000
