@@ -169,6 +169,10 @@ HEADLINERS = [
     "streaming_candles",
     "scale_fit_transform",
     "returns_correlation",
+    # round-8 additions (CV sweep, health report, single-step read)
+    "holt_cv_sweep",
+    "service_health",
+    "predict_single_step",
 ]
 
 # Per-query repetitions; the reported time is the MIN across runs.

@@ -229,7 +229,8 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, *,
 
 def knn_graph(emb: DataFrame, *, id_col: str = "vec_id",
               vec_col: str = "embedding", dim: int = 64,
-              planes: int = 4, bands: int = 8, k: int = 5) -> DataFrame:
+              planes: int = 4, bands: int = 8, k: int = 5,
+              carry_masks: bool | None = None) -> DataFrame:
     """Approximate k-nearest-neighbor GRAPH over the corpus itself —
     the substrate for graph-based curation (SemDeDup clustering,
     near-dup PageRank, label propagation): per vector, its top-k
@@ -265,7 +266,7 @@ def knn_graph(emb: DataFrame, *, id_col: str = "vec_id",
         *[F.col(f"s{b}").alias(f"a_s{b}") for b in range(bands)],
         F.posexplode(F.array(*[f"s{b}" for b in range(bands)]))
         .alias("band", "bsig"))
-    am, bm = _mask_cols()
+    am, bm = _mask_cols(carry_masks)
     banded = cap_hot_buckets(banded, "a_id", mask_col=am)
     right = banded.select(
         F.col("a_id").alias("b_id"),

@@ -207,3 +207,111 @@ def holt_grid_sweep(df: DataFrame, *, key: str = "product_id",
 # oracle via repr, so keep values exactly representable in repr form.
 HOLT_SWEEP_GRID: list[tuple[float, float]] = [
     (a, b) for a in (0.1, 0.2, 0.4) for b in (0.05, 0.1, 0.3)]
+
+
+def holt_cv_sweep(df: DataFrame, *, key: str = "product_id",
+                  ts: str = "bucket_start", price: str = "close",
+                  grid: list[tuple[float, float]] | None = None,
+                  folds: list[tuple[int, float]] | None = None,
+                  test_frac: float = 0.1) -> DataFrame:
+    """Walk-forward VALIDATION-scored (α, β) sweep — the missing half
+    of :func:`holt_grid_sweep` (VERDICT r07 #3): the reference's
+    Optuna loop (Crypto-TS-Model-master/src/optimize_model.py) scores
+    every trial on a HELD-OUT split (train.py's per-epoch val loss),
+    whereas holt_grid_sweep's one-step MAE over the whole series is
+    in-sample selection that overfits any regime change.
+
+    Composition of the walk_forward_splits fold manifest with the
+    grid sweep: for each expanding-window fold (train = first fₖ of
+    each key's series, test = the next `test_frac`), the level/trend
+    recursion folds through the TRAIN span unscored and accumulates
+    the one-step-ahead error ONLY over the TEST span; errors sum
+    across folds per (key, α, β) and argmin flags the winner.
+
+    Same execution shape as holt_grid_sweep — one Arrow applyInPandas
+    pass per key, grid lanes vectorized inside the recursion (folds
+    loop outside: spans differ per fold, so the pass costs
+    len(folds) × series length, still one shuffle total) — and the
+    same fixed-point contract: per-step |err| enters as
+    floor(|err|·1e6 + 0.5) BIGINT, the fold-summed MAE is the exact
+    integer half-up ratio, ties break to the smallest (α, β).
+    Pytest pins that the CV argmin diverges from the in-sample argmin
+    on a planted trend→oscillation regime change."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import (DoubleType, LongType, StructField,
+                                   StructType)
+
+    if grid is None:
+        grid = HOLT_SWEEP_GRID
+    if folds is None:
+        folds = HOLT_CV_FOLDS
+    alphas = np.array([a for a, _ in grid], dtype=np.float64)
+    betas = np.array([b for _, b in grid], dtype=np.float64)
+    fracs = [f for _, f in folds]
+
+    key_field = df.schema[key]
+    schema = StructType([
+        StructField(key, key_field.dataType),
+        StructField("alpha", DoubleType()),
+        StructField("beta", DoubleType()),
+        StructField("n_eval", LongType()),
+        StructField("sum_abs_err_fp", LongType()),
+    ])
+
+    def _per_key(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts)
+        y = pdf[price].to_numpy(dtype="float64")
+        n = len(y)
+        g = len(alphas)
+        oma, omb = 1.0 - alphas, 1.0 - betas
+        sum_fp = np.zeros(g, dtype=np.int64)
+        n_eval = 0
+        for frac in fracs:
+            n_train = int(np.floor(n * frac))
+            n_end = min(int(np.floor(n * (frac + test_frac))), n)
+            if n < 2 or n_end <= max(n_train, 1):
+                continue
+            lvl = np.full(g, float(y[0]))
+            tr = np.zeros(g)
+            # one-step-ahead over rows 2..n_end (1-based); rows in the
+            # test span (rank > n_train) score, the train span only
+            # advances the recursion state
+            for t in range(1, n_end):
+                pred = lvl + tr
+                if t >= n_train:
+                    sum_fp += np.floor(
+                        np.abs(y[t] - pred) * 1e6 + 0.5).astype(np.int64)
+                prev = lvl
+                lvl = alphas * y[t] + oma * pred
+                tr = betas * (lvl - prev) + omb * tr
+            n_eval += n_end - max(n_train, 1)
+        return pd.DataFrame({
+            key: [pdf[key].iloc[0]] * g,
+            "alpha": alphas, "beta": betas,
+            "n_eval": np.full(g, n_eval, dtype=np.int64),
+            "sum_abs_err_fp": sum_fp,
+        })
+
+    scored = df.groupBy(key).applyInPandas(_per_key, schema=schema)
+    m = F.min(F.struct("sum_abs_err_fp", "alpha", "beta")).over(
+        Window.partitionBy(key))
+    return (scored.withColumn("_m", m)
+            .filter(F.col("n_eval") > 0)
+            .select(key, "alpha", "beta", "n_eval",
+                    (F.expr("(2 * sum_abs_err_fp + n_eval) "
+                            "div (2 * n_eval)")
+                     / F.lit(1000000.0)).alias("mae"),
+                    ((F.col("sum_abs_err_fp") == F.col("_m.sum_abs_err_fp"))
+                     & (F.col("alpha") == F.col("_m.alpha"))
+                     & (F.col("beta") == F.col("_m.beta")))
+                    .alias("is_best")))
+
+
+# CV folds: the walk_forward_splits manifest fractions (fold i trains
+# on the first fₖ, tests on the next 10%) — kept in lockstep with
+# plans/catalog_pred.py's WF_FOLDS so the manifest query and the CV
+# sweep describe the same folds.
+HOLT_CV_FOLDS: list[tuple[int, float]] = [
+    (1, 0.5), (2, 0.6), (3, 0.7), (4, 0.8)]

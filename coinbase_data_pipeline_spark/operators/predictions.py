@@ -240,27 +240,100 @@ def recent_predictions(preds: DataFrame, *,
                        pred_time_col: str = "origin_time",
                        horizon_col: str = "horizon",
                        hours_back: int = 24,
-                       limit: int = 1000) -> DataFrame:
+                       limit: int = 1000,
+                       cutoff: str | None = None) -> DataFrame:
     """The get_recent_predictions read path (data_writer.py:242):
     per (product, model), predictions from the trailing `hours_back`
     window, capped at `limit` rows, newest first — Cassandra's
     partition-ordered LIMIT re-expressed as a rank window.
 
-    The recency cutoff anchors on each group's OWN latest
-    prediction_time (one window max — deterministic from the data,
-    no wall clock). The rank filter compiles to WindowGroupLimit, so
-    each group stops after `limit` rows instead of ranking its whole
-    history — the property that keeps this read O(limit) per key on
-    an unbounded store."""
+    `cutoff` is the production path: an explicit timestamp literal
+    ('YYYY-MM-DD HH:MM:SS') filters BEFORE any window runs, so on a
+    date-partitioned store the predicate prunes partitions and
+    reaches the parquet scan (plan-asserted in
+    tests/test_plans.py::test_recent_predictions_cutoff_pushdown).
+    The default (cutoff=None) anchors on each group's OWN latest
+    prediction_time — deterministic from the data, no wall clock,
+    which is what the SQL oracle needs — but that windowed max must
+    scan each group's FULL history before the rank can stop, so at
+    production scale pass the cutoff. The rank filter compiles to
+    WindowGroupLimit either way, so each group stops ranking after
+    `limit` rows."""
     from pyspark.sql import Window
 
     w = Window.partitionBy(key, model_col)
     wo = w.orderBy(F.col(pred_time_col).desc(), F.col(horizon_col))
-    cutoff = F.max(pred_time_col).over(w) \
+    if cutoff is not None:
+        flt = preds.filter(
+            F.col(pred_time_col)
+            >= F.lit(cutoff).cast("timestamp")
+            - F.expr(f"INTERVAL {hours_back} HOURS"))
+        return (flt.withColumn("_rn", F.row_number().over(wo))
+                .filter(F.col("_rn") <= limit).drop("_rn"))
+    cut = F.max(pred_time_col).over(w) \
         - F.expr(f"INTERVAL {hours_back} HOURS")
     return (preds
-            .withColumn("_cut", cutoff)
+            .withColumn("_cut", cut)
             .filter(F.col(pred_time_col) >= F.col("_cut"))
             .withColumn("_rn", F.row_number().over(wo))
             .filter(F.col("_rn") <= limit)
             .drop("_cut", "_rn"))
+
+
+def service_health(preds: DataFrame, candles: DataFrame, *,
+                   key: str = "product_id",
+                   model_col: str = "model_version",
+                   pred_time_col: str = "origin_time",
+                   target_time_col: str = "target_time",
+                   actual_ts: str = "bucket_start",
+                   pred_max_age_minutes: int = 60,
+                   candle_max_age_minutes: int = 30) -> DataFrame:
+    """The prediction service's operational status report — reference
+    prediction_service.py:324 ``_health_check`` + :353 ``get_status``
+    (per-product last_prediction_times, data-availability check) as
+    one relation over the stores the service writes: per (product,
+    model), the last prediction's age and the last candle's age
+    against the data-anchored "now" (global max candle time — the
+    oracle-deterministic stand-in for the wall clock), scored vs
+    pending prediction counts, and the is_healthy verdict (both ages
+    within their thresholds).
+
+    Products present in the candle store but never predicted for
+    still report (NULL model/ages → is_healthy false) — the
+    reference's missing-products warning as a row, not a log line.
+
+    Plan: one partial-agg shuffle per input (both collapse to one
+    row per (product[, model]) before any join), the global "now" is
+    a broadcast one-row aggregate, and the health join is
+    broadcast-sized by construction — O(products × models) rows
+    total, regardless of store size."""
+    now = candles.agg(F.max(actual_ts).alias("_now"))
+    pg = (preds.crossJoin(F.broadcast(now))
+          .groupBy(key, model_col)
+          .agg(F.max(pred_time_col).alias("last_prediction"),
+               F.count(F.lit(1)).alias("total_predictions"),
+               F.sum((F.col(target_time_col) <= F.col("_now"))
+                     .cast("long")).alias("scored_predictions"),
+               F.sum((F.col(target_time_col) > F.col("_now"))
+                     .cast("long")).alias("pending_predictions")))
+    cg = candles.groupBy(key).agg(
+        F.max(actual_ts).alias("last_candle"))
+    j = (cg.join(pg, key, "left")
+         .crossJoin(F.broadcast(now)))
+    pred_age = F.expr("timestampdiff(MINUTE, last_prediction, _now)")
+    candle_age = F.expr("timestampdiff(MINUTE, last_candle, _now)")
+    healthy = (F.coalesce(pred_age <= pred_max_age_minutes,
+                          F.lit(False))
+               & (candle_age <= candle_max_age_minutes))
+    return j.select(
+        key, F.col(model_col).alias("model_name"),
+        "last_candle", "last_prediction",
+        candle_age.alias("candle_age_minutes"),
+        pred_age.alias("prediction_age_minutes"),
+        F.coalesce("total_predictions", F.lit(0))
+        .alias("total_predictions"),
+        F.coalesce("scored_predictions", F.lit(0))
+        .alias("scored_predictions"),
+        F.coalesce("pending_predictions", F.lit(0))
+        .alias("pending_predictions"),
+        healthy.alias("is_healthy"))

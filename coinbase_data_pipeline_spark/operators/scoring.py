@@ -80,6 +80,27 @@ def stub_linear_model(seq_len: int, pred_len: int, *,
     return model
 
 
+def single_step_model(seq_len: int = 24, pred_len: int = 6, *,
+                      decay: float = 0.9) -> Callable[[np.ndarray],
+                                                      np.ndarray]:
+    """Horizon-1 head of the FULL stub: row 0 of
+    stub_weights(seq_len, pred_len) with the identical strict left
+    fold — so predict_single_step returns exactly ``pred[0]`` of the
+    full predictor (reference predictor.py:280
+    ``predict_single_step`` delegates to predict() and takes the
+    first step), while the plan computes ONE horizon instead of
+    pred_len-then-filter."""
+    w0 = stub_weights(seq_len, pred_len, decay)[0]
+
+    def model(x: np.ndarray) -> np.ndarray:
+        acc = w0[0] * x[:, 0]
+        for i in range(1, seq_len):
+            acc = acc + w0[i] * x[:, i]
+        return acc.reshape(-1, 1)
+
+    return model
+
+
 def real_model(checkpoint_path: str):  # pragma: no cover - env-gated
     """Load a trained torch checkpoint (the reference's
     predictor.py _load_model seam). STUB: torch is not installed in

@@ -53,76 +53,59 @@ for _part in _QUERY_PARTS:
 # CORRECTNESS_r01..r04.json and stays out of the window.  Driver rounds
 # r01..r04 map to the repo's work sessions 1..4 (one numbering scheme).
 #
-# ROUND-7 WINDOW (the rotation VERDICT r06 item #1 ordered): (a) the
-# queries whose implementation changed in round 6 but whose latest
-# driver row predates that change — candle_upsert (merge path
-# refactored in operators/candles.py, last row r03) and the streaming
-# replay family (streaming/pipelines.py and catalog_stream.py were
-# reworked in r06; only streaming_upsert got an r06 row); (b) queries
-# changed in round 7; (c) brand-new round-7 queries. Everything else
-# keeps its green driver row from CORRECTNESS_r01..r06 on unchanged
-# code and stays out of the window.
+# ROUND-8 WINDOW (the rotation VERDICT r07 item #1 ordered): (a) the
+# two queries whose code changed after their latest driver rows —
+# streaming_upsert (sinks/tables.py marker atomicity, r07 change,
+# last row r06) and streaming_candles (r06 replay plumbing, row still
+# r02); (b) brand-new round-8 queries; (c) queries whose plans
+# changed in round 8 — the link-mode dedup family (lazy-checkpoint
+# rework of cap_hot_buckets/minhash_lsh_pairs_vs), the carry_masks
+# parameter threading through every banded join (default plan
+# identical, rows re-confirm the refactor is inert), and
+# streaming_model_score (cross-chunk sort fix, ADVICE r07); (d) the
+# remaining slots drain the OLDEST green rows first — the r01 ledger
+# entries, then the r02 TPC-H/analytics block. Everything else keeps
+# its green driver row from CORRECTNESS_r01..r07 on unchanged code.
 _CHECK_FIRST = [
-    # (a) r06-changed code owing a current-code driver row. All were
-    # green in the r06 session's full parity sweep; only the driver's
-    # own ledger lags. Oldest debt (candle_upsert, r03) first.
-    "candle_upsert",
-    "streaming_late_candles", "streaming_sessionize",
-    "streaming_sessionize_watermark", "streaming_dedup",
-    "streaming_dedup_watermark", "streaming_hopping",
-    "streaming_touch_join", "streaming_kmv",
-    "streaming_corpus_scores", "streaming_classifier_scores",
-    # (b) changed in round 7:
-    # - the banded-join consumers gained the optional strong-recall
-    #   mask mode (dedup.CARRY_MASKS, ADVICE r06). The DEFAULT mode
-    #   compiles to the same plan as r06 (masks off: identical window,
-    #   identical predicate), so these rows re-confirm the refactor is
-    #   semantically inert on the catalog path.
+    # (a) changed-after-row debt, oldest first
+    "streaming_candles", "streaming_upsert",
+    # (b) new round-8 queries:
+    # - walk-forward VALIDATION-scored Holt sweep (optimize_model.py
+    #   scores trials on a held-out split; holt_param_sweep was the
+    #   in-sample variant — pytest pins their argmin divergence).
+    "holt_cv_sweep",
+    # - service status/health report (prediction_service.py:324
+    #   _health_check + :353 get_status): per (product, model) ages
+    #   vs data-anchored now, scored/pending counts, is_healthy.
+    "service_health",
+    # - horizon-1 read path (predictor.py:280 predict_single_step),
+    #   numerically identical to model_score's h=1 rows.
+    "predict_single_step",
+    # (c) round-8-changed plans
+    "streaming_model_score",
     "dedup_minhash_lsh", "dedup_simhash_pairs", "knn_graph",
     "dedup_embedding", "dedup_incremental",
-    # - the keeper/component decision queries now consume
-    #   link_capped=True minhash pairs (star links keep >cap
-    #   duplicate families connected; discovered because the sf0.1
-    #   corpus has a ~2400-doc family vs the 512 cap). No-op at the
-    #   driver's sf0.01 (no bucket binds) but the plan changed.
     "dedup_components", "dedup_keep", "dedup_keep_best",
     "corpus_curation",
-    # (c) brand-new round-7 queries are appended below as they land.
-    # - inverse-scaler denormalization (reference predictor.py:239
-    #   _denormalize_predictions): invert fitted robust/minmax stats
-    #   back to price space on model_score output.
-    "denormalize_predictions",
-    # - prediction-store retention (reference data_writer.py:290
-    #   cleanup_old_predictions): partition-pruned age-out + audit.
-    "prediction_retention",
-    # - per-(product, model) prediction-stats rollup (reference
-    #   data_writer.py:315 get_prediction_stats).
-    "prediction_stats",
-    # - distributed Holt/Holt-Winters (α, β) grid sweep scored by MAE,
-    #   argmin per product (reference optimize_model.py's Optuna loop
-    #   re-expressed as a deterministic grid).
-    "holt_param_sweep",
-    # - model_metrics table rows (reference data_writer.py:189
-    #   write_model_metrics): per (product, model, horizon)
-    #   MAE/RMSE/MAPE/dir-acc/sample_count, fixed-point sums.
-    "model_metrics",
-    # - trailing-24h LIMIT-1000 read (reference data_writer.py:242
-    #   get_recent_predictions) via WindowGroupLimit.
-    "recent_predictions",
-    # - per-product temporal train/test split (reference
-    #   data_loader.py:284, split_idx = int(len * train_ratio)).
-    "train_test_split",
-    # - predictor input gate as a per-product validation report
-    #   (reference predictor.py:346 validate_input_data).
-    "validate_input",
-    # - expanding-window walk-forward CV fold manifest (the
-    #   optimize_model.py evaluation harness; K rows per product, not
-    #   K data copies).
-    "walk_forward_splits",
-    # - the prediction loop ON the stream: per-product ring-buffer
-    #   state (applyInPandasWithState), bit-identical to the batch
-    #   model_score oracle (shared verbatim).
-    "streaming_model_score",
+    # (d) oldest-green-first refresh: the eleven r01 rows...
+    "candle_parse", "macd_approx", "top_k", "dedup_exact",
+    "prediction_horizon_eval", "scale_fit_transform",
+    "embedding_centroids", "lang_id", "quality_score", "token_count",
+    "doc_fingerprint",
+    # ...then the r02 TPC-H block (unchanged code, six-round-old
+    # evidence)...
+    "q4_order_priority", "q10_returned_items", "q14_promo_effect",
+    "q18_large_orders", "q8_market_share", "q9_product_profit",
+    "q13_customer_distribution", "q15_top_supplier",
+    "q17_small_quantity", "q22_global_sales_opportunity",
+    "q2_min_cost_supplier", "q11_important_stock",
+    "q12_priority_shipping", "q16_supplier_cnt", "q20_part_promotion",
+    "q21_suppliers_kept_waiting",
+    # ...then the oldest r02 analytics/time-series rows up to the
+    # driver's 50-slot window.
+    "clean_series", "candle_rollup", "grouped_scale", "candle_gaps",
+    "retention_cohorts", "bollinger", "stochastic",
+    "daily_active_users",
 ]
 
 ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

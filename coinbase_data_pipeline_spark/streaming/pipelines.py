@@ -635,12 +635,20 @@ def streaming_model_score(stream: DataFrame, *, key: str = "product_id",
             "model_version"]
 
     def _fold(pkey, pdfs, state):
+        # Accumulate EVERY Arrow chunk before sorting: a group larger
+        # than spark.sql.execution.arrow.maxRecordsPerBatch arrives as
+        # multiple chunks in shuffle (not time) order, so a per-chunk
+        # sort would fold the ring out of order and silently break the
+        # bit-identical-to-batch contract. One global sort per trigger
+        # mirrors fold_session_times; memory is bounded by the group's
+        # rows in this trigger, which the replay harness already bounds.
         buf = np.array(state.get[0] if state.exists else [],
                        dtype=np.int64)
+        chunks = [pdf for pdf in pdfs if len(pdf)]
         frames = []
-        for pdf in pdfs:
-            if not len(pdf):
-                continue
+        if chunks:
+            pdf = (pd.concat(chunks, ignore_index=True)
+                   if len(chunks) > 1 else chunks[0])
             pdf = pdf.sort_values(ts)
             vals = pdf[p6_col].to_numpy(dtype=np.int64)
             times = pdf[ts].to_numpy()

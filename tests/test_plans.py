@@ -353,3 +353,31 @@ def test_recent_predictions_uses_window_group_limit(spark):
     key on an unbounded store."""
     p = formatted_plan(spark, "recent_predictions")
     assert "WindowGroupLimit" in p
+
+
+def test_recent_predictions_cutoff_pushdown(spark, tmp_path):
+    """The production path (explicit cutoff, VERDICT r07 #7): with a
+    literal cutoff the recency predicate must reach the parquet scan's
+    PushedFilters BEFORE any window runs — on a date-partitioned store
+    that is what prunes old partitions; the windowed-max default
+    (needed for oracle determinism) structurally cannot push."""
+    from pyspark.sql import functions as F
+
+    from coinbase_data_pipeline_spark.operators import predictions as P
+
+    store = str(tmp_path / "preds")
+    preds = spark.createDataFrame(
+        [("A", "m1", f"2024-01-01 {h:02d}:00:00", 1, 1.0)
+         for h in range(24)],
+        "product_id string, model_version string, ot string, "
+        "horizon int, predicted_price double"
+    ).withColumn("origin_time", F.col("ot").cast("timestamp")).drop("ot")
+    preds.write.parquet(store)
+    out = P.recent_predictions(spark.read.parquet(store),
+                               cutoff="2024-01-02 00:00:00")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    pushed = [ln for ln in plan.splitlines()
+              if "PushedFilters" in ln and "origin_time" in ln
+              and "GreaterThanOrEqual" in ln]
+    assert pushed, f"cutoff predicate not pushed to scan:\n{plan}"
+    assert out.count() == 24  # cutoff-24h covers the whole day
