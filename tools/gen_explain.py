@@ -102,6 +102,12 @@ PICKS = [
      "trailing-window LIMIT read: WindowGroupLimit below the sort"),
     ("walk_forward_splits",
      "CV fold manifest: rank+count share one key exchange"),
+    ("holt_cv_sweep",
+     "folds x grid inside ONE per-key Arrow recursion; window argmin"),
+    ("service_health",
+     "two partial-agg rollups + broadcast now; product-sized join"),
+    ("predict_single_step",
+     "single-horizon head over the window encoder; no h-explode"),
 ]
 
 
