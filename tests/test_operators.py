@@ -1792,3 +1792,38 @@ def test_predict_single_step_matches_model_score_h1(spark):
     for r in single:
         assert full[(r["product_id"], r["prediction_time"])] \
             == r["predicted_price"]
+
+
+def test_mask_mode_parity_on_real_corpus(spark):
+    """CARRY_MASKS=True must be RESULT-identical to the default on any
+    corpus below the bucket cap (the two recall contracts coincide —
+    the mode only pays for stronger recall ABOVE the cap). Pinned on
+    the real sf0.001 corpus for the two consumers with the most
+    band-filter surface, beyond the planted-clique tests."""
+    import coinbase_data_pipeline_spark.operators.dedup as DD
+    from coinbase_data_pipeline_spark.operators.ann import knn_graph
+    from coinbase_data_pipeline_spark.operators.dedup import (
+        minhash_lsh_pairs)
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    base_pairs = {(r.doc_a, r.doc_b, r.jaccard)
+                  for r in minhash_lsh_pairs(docs).collect()}
+    base_knn = {(r.vec_id, r.nn_id, r.rank)
+                for r in knn_graph(emb).collect()}
+    saved = DD.CARRY_MASKS
+    try:
+        DD.CARRY_MASKS = True
+        masked_pairs = {(r.doc_a, r.doc_b, r.jaccard)
+                        for r in minhash_lsh_pairs(docs).collect()}
+        masked_knn = {(r.vec_id, r.nn_id, r.rank)
+                      for r in knn_graph(emb).collect()}
+    finally:
+        DD.CARRY_MASKS = saved
+    assert masked_pairs == base_pairs and base_pairs
+    assert masked_knn == base_knn and base_knn
+    # and the per-call parameter overrides the module default
+    param_pairs = {(r.doc_a, r.doc_b, r.jaccard)
+                   for r in minhash_lsh_pairs(docs,
+                                              carry_masks=True).collect()}
+    assert param_pairs == base_pairs

@@ -231,3 +231,48 @@ def test_denormalize_round_trip_identity(spark, center, spread, x):
     out = P.denormalize_predictions(preds, stats).collect()[0]
     tol = max(abs(x), 1.0) * 1e-12 + 1e-9
     assert abs(out.predicted_price - x) <= tol
+
+
+@given(vals=st.lists(st.floats(min_value=1.0, max_value=1e4,
+                               allow_nan=False),
+                     min_size=8, max_size=60))
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_holt_cv_sweep_matches_numpy_reference(spark, vals):
+    """The fold-scored sweep's integer error sums must equal a plain
+    NumPy re-implementation of the SAME contract (train-span fold,
+    test-span-only scoring, fixed-point accumulation) for arbitrary
+    series — the property the planted regime-change test can't cover."""
+    import numpy as np
+
+    from coinbase_data_pipeline_spark.operators import forecast as FC
+
+    df = spark.createDataFrame(
+        [("P", float(i), float(v)) for i, v in enumerate(vals)],
+        "product_id string, bucket_start double, close double")
+    got = {(r["alpha"], r["beta"]): (r["n_eval"],
+                                     round(r["mae"] * 1e6))
+           for r in FC.holt_cv_sweep(df).collect()}
+
+    y = np.array(vals, dtype=np.float64)
+    n = len(y)
+    want = {}
+    for a, b in FC.HOLT_SWEEP_GRID:
+        s, ne = 0, 0
+        for _, frac in FC.HOLT_CV_FOLDS:
+            n_train = int(np.floor(n * frac))
+            n_end = min(int(np.floor(n * (frac + 0.1))), n)
+            if n < 2 or n_end <= max(n_train, 1):
+                continue
+            lvl, tr = y[0], 0.0
+            for t in range(1, n_end):
+                pred = lvl + tr
+                if t >= n_train:
+                    s += int(np.floor(abs(y[t] - pred) * 1e6 + 0.5))
+                prev = lvl
+                lvl = a * y[t] + (1.0 - a) * pred
+                tr = b * (lvl - prev) + (1.0 - b) * tr
+            ne += n_end - max(n_train, 1)
+        if ne > 0:
+            want[(a, b)] = (ne, (2 * s + ne) // (2 * ne))
+    assert got == want
