@@ -468,14 +468,24 @@ def _bpe_pipeline(docs: DataFrame, merges: int, text_col: str):
     best_rows = []
     for r in range(1, merges + 1):
         idx = F.sequence(F.lit(1), F.size("syms") - 1)
-        pairs = (words.select(
-            "cnt",
-            F.explode(F.transform(
+        # guard fully-merged words: once a word collapses to ONE
+        # symbol (e.g. 's' + '</w>' merged in an earlier round),
+        # size-1 = 0 and Spark's sequence(1, 0) yields the DESCENDING
+        # [1, 0] — element_at(syms, 0) then throws
+        # INVALID_INDEX_OF_ZERO (found by tools/fuzz_parity.py; the
+        # fixed testdata never fully merges a word in 6 rounds, a
+        # real corpus with frequent short words does). A single-
+        # symbol word has no adjacent pairs — emit none, exactly
+        # what the oracle's generate_series(1, 0) = [] does.
+        pairs_arr = F.when(
+            F.size("syms") >= 2,
+            F.transform(
                 idx,
                 lambda i: F.struct(
                     F.element_at("syms", i).alias("a"),
-                    F.element_at("syms", i + F.lit(1)).alias("b"))))
-            .alias("p"))
+                    F.element_at("syms", i + F.lit(1)).alias("b")))
+        ).otherwise(F.array())
+        pairs = (words.select("cnt", F.explode(pairs_arr).alias("p"))
             .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
             .agg(F.sum("cnt").alias("pair_count")))
         best = (pairs.orderBy(F.col("pair_count").desc(), "a", "b")

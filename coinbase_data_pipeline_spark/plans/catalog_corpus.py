@@ -119,7 +119,13 @@ def q_text_normalize(spark, sf_dir):
 
 SQL_TEXT_NORMALIZE = f"""
 WITH normed AS (
-  SELECT doc_id, array_to_string({SQL_TOKS_ALL}, ' ') AS norm_text
+  -- COALESCE: DuckDB's array_to_string([]) is NULL where Spark's
+  -- array_join([]) is '' — a token-less doc (empty/whitespace/
+  -- non-alpha text) must normalize to the empty string on both
+  -- engines (found by tools/fuzz_parity.py; the fixed testdata has
+  -- no token-less docs)
+  SELECT doc_id, coalesce(array_to_string({SQL_TOKS_ALL}, ' '), '')
+           AS norm_text
   FROM documents
 )
 SELECT doc_id, norm_text,

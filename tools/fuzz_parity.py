@@ -1,0 +1,146 @@
+#!/usr/bin/env python3
+"""Fuzz the oracle-parity gate: regenerate the engine-specific tables
+(events / documents / embeddings) from a seeded RNG — honoring the
+testdata's CONTRACT invariants (globally unique event timestamps,
+non-negative user ids, the real event-type/lang domains, ts range
+inside the catalog's anchored constants like SCALE_SPLIT /
+RETENTION_CUTOFF) while randomizing everything else, including edge
+shapes the fixed testdata underrepresents (empty/whitespace/unicode
+docs, exact boilerplate families, near-dup perturbations, heavy-user
+skew, duplicate embedding vectors) — then run the FULL parity suite
+against the generated dir:
+
+    python tools/fuzz_parity.py --seed 7 --out /tmp/fuzz7
+    SPARK_GRAFT_PARITY_SF_DIR=/tmp/fuzz7 \
+        python -m pytest tests/test_oracle_parity.py -q
+
+TPC-H tables are symlinked from the base sf dir unchanged (their
+join-key structure is the spec, not a fuzz target).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+BASE = "/root/testdata/sf0.001"
+TPCH = ["region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem"]
+EVENT_TYPES = ["signup", "click", "purchase", "error", "view"]
+LANGS = ["en", "de", "es", "fr", "zh"]
+
+WORDS = ("the quick brown fox jumps over lazy dog data pipeline spark "
+         "candle market trade price volume signal model token corpus "
+         "dedup quality filter sample shard merge batch stream state "
+         "window join scan hash sort agg plan stage task core "
+         "один 数据 データناقل δέλτα ƒancy 🚀 <tag> &amp; \t quote\"s").split()
+
+
+def gen_events(rng: np.random.Generator, n: int) -> pa.Table:
+    # unique microsecond offsets over the SAME date window the
+    # catalog's anchored constants assume (2024-01-01 .. 2024-01-31)
+    span_us = 30 * 24 * 3600 * 1_000_000
+    off = rng.choice(span_us, size=n, replace=False).astype("int64")
+    off.sort()
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    ts = base + off.astype("timedelta64[us]")
+    # heavy-user skew: ~zipf over a small population plus one whale
+    users = rng.zipf(1.3, size=n) % 40
+    users[rng.random(n) < 0.15] = 7  # the whale
+    etypes = rng.choice(EVENT_TYPES, size=n,
+                        p=[0.1, 0.35, 0.15, 0.1, 0.3])
+    value = np.round(np.exp(rng.normal(3.0, 1.2, size=n)), 2) + 0.01
+    k = rng.integers(0, 100, size=n)
+    props = np.array([f'{{"k": {int(x)}}}' for x in k])
+    event_id = rng.permutation(n * 3)[:n].astype("int64")
+    return pa.table({
+        "event_id": event_id,
+        "ts": ts,
+        "user_id": users.astype("int64"),
+        "event_type": etypes,
+        "value": value,
+        "props": props,
+    })
+
+
+def gen_documents(rng: np.random.Generator, n: int) -> pa.Table:
+    texts: list[str] = []
+    fam = " ".join(rng.choice(WORDS, size=30))  # boilerplate family
+    for i in range(n):
+        r = rng.random()
+        if r < 0.02:
+            texts.append("")                     # empty
+        elif r < 0.04:
+            texts.append("   \t  ")              # whitespace-only
+        elif r < 0.20:
+            texts.append(fam)                    # exact family member
+        elif r < 0.30:
+            # near-dup: family text with a one-token perturbation
+            texts.append(fam + " " + str(rng.choice(WORDS)))
+        else:
+            ln = int(rng.integers(3, 120))
+            texts.append(" ".join(rng.choice(WORDS, size=ln)))
+    langs = rng.choice(LANGS, size=n)
+    sources = np.array([f"src{int(s)}" for s in rng.integers(0, 20,
+                                                             size=n)])
+    return pa.table({
+        "doc_id": pa.array(np.arange(n, dtype="int64")),
+        "text": pa.array(texts),
+        "lang": pa.array(langs),
+        "source": pa.array(sources),
+        "n_chars": pa.array(np.array([len(t) for t in texts],
+                                     dtype="int64")),
+    })
+
+
+def gen_embeddings(rng: np.random.Generator, n: int, dim: int = 64,
+                   with_zero: bool = False) -> pa.Table:
+    # cluster structure + exact duplicates (dedup targets)
+    centers = rng.normal(0, 1, size=(8, dim))
+    label = rng.integers(0, 8, size=n)
+    vecs = centers[label] + rng.normal(0, 0.3, size=(n, dim))
+    for i in range(0, n, 17):                    # exact duplicates
+        vecs[i] = vecs[(i + 1) % n]
+    if with_zero:
+        vecs[0] = 0.0                            # the norm-0 edge
+    arr = pa.array([v.astype("float32").tolist() for v in vecs],
+                   type=pa.list_(pa.float32()))
+    return pa.table({
+        "vec_id": pa.array(np.arange(n, dtype="int64")),
+        "embedding": arr,
+        "label": pa.array(label.astype("int32")),
+    })
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seed", type=int, default=7)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--n-events", type=int, default=1200)
+    ap.add_argument("--n-docs", type=int, default=400)
+    ap.add_argument("--n-vecs", type=int, default=120)
+    ap.add_argument("--zero-vector", action="store_true")
+    args = ap.parse_args()
+
+    rng = np.random.default_rng(args.seed)
+    os.makedirs(args.out, exist_ok=True)
+    for t in TPCH:
+        dst = os.path.join(args.out, f"{t}.parquet")
+        if not os.path.exists(dst):
+            os.symlink(os.path.join(BASE, f"{t}.parquet"), dst)
+    pq.write_table(gen_events(rng, args.n_events),
+                   os.path.join(args.out, "events.parquet"))
+    pq.write_table(gen_documents(rng, args.n_docs),
+                   os.path.join(args.out, "documents.parquet"))
+    pq.write_table(gen_embeddings(rng, args.n_vecs,
+                                  with_zero=args.zero_vector),
+                   os.path.join(args.out, "embeddings.parquet"))
+    print(f"fuzz tables written to {args.out} (seed {args.seed})")
+
+
+if __name__ == "__main__":
+    main()
