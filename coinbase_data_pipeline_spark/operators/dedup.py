@@ -730,7 +730,12 @@ def embedding_neighbor_stats_lsh(emb: DataFrame, *,
                       F.col("a_id").alias("b_id"), "cos"))
     return (mirrored
             .groupBy(F.col("a_id").alias("vec_id"))
-            .agg(F.sum((F.col("cos") >= threshold).cast("int"))
+            # COUNT, not SUM(cast): a zero-norm vector's cosines are
+            # all NULL (x/0 → NULL on both engines), and SUM over an
+            # all-NULL group is NULL where the count the contract
+            # wants — and the oracle computes — is 0 (found by
+            # tools/fuzz_parity.py --zero-vector)
+            .agg(F.count(F.when(F.col("cos") >= threshold, F.lit(1)))
                   .alias("near_dup_count"),
                  (F.round(F.max("cos"), 6) + F.lit(0.0))
                  .alias("max_cosine")))

@@ -1827,3 +1827,27 @@ def test_mask_mode_parity_on_real_corpus(spark):
                    for r in minhash_lsh_pairs(docs,
                                               carry_masks=True).collect()}
     assert param_pairs == base_pairs
+
+
+def test_embedding_stats_zero_norm_vector(spark):
+    """A zero-norm vector's cosines are NULL (x/0) on both engines;
+    its stats row — when LSH makes it anyone's candidate — must report
+    near_dup_count = 0 (count semantics), never NULL (the SUM-over-
+    all-NULL bug tools/fuzz_parity.py --zero-vector caught)."""
+    from coinbase_data_pipeline_spark.operators.dedup import (
+        embedding_neighbor_stats_lsh)
+
+    dim = 64
+    base = [[(1.0 if j == i % 3 else 0.1) for j in range(dim)]
+            for i in range(30)]
+    base[0] = [0.0] * dim                       # the zero vector
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(base)],
+        "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r
+           for r in embedding_neighbor_stats_lsh(emb).collect()}
+    assert out, "stats must be non-empty"
+    if 0 in out:                                # zero vec was a candidate
+        assert out[0]["near_dup_count"] == 0
+        assert out[0]["max_cosine"] is None
+    assert all(r["near_dup_count"] is not None for r in out.values())
