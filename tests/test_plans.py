@@ -381,3 +381,32 @@ def test_recent_predictions_cutoff_pushdown(spark, tmp_path):
               and "GreaterThanOrEqual" in ln]
     assert pushed, f"cutoff predicate not pushed to scan:\n{plan}"
     assert out.count() == 24  # cutoff-24h covers the whole day
+
+
+def test_service_health_join_is_broadcast(spark):
+    """The health join is O(products × models) rows by construction —
+    it must plan as a broadcast join, never a sort-merge exchange of
+    the (already partial-agged) store rollups."""
+    p = formatted_plan(spark, "service_health")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_predict_single_step_has_no_horizon_explode(spark):
+    """The horizon-1 specialization must compute ONE horizon — no
+    Generate (explode) node anywhere, unlike model_score's per-horizon
+    fan-out. This is what makes it a specialized plan rather than
+    six-then-filter."""
+    p = formatted_plan(spark, "predict_single_step")
+    assert "Generate" not in p
+
+
+def test_holt_cv_sweep_single_arrow_pass(spark):
+    """Folds × grid all evaluate inside ONE per-key Arrow recursion —
+    exactly one FlatMapGroupsInPandas subtree; a second one would mean
+    the argmin re-executed the sweep (the holt_param_sweep lesson).
+    Counted on the raw physical-plan tree (formatted mode prints every
+    node twice: once in the tree, once in the detail section)."""
+    df = ALL_QUERIES["holt_cv_sweep"](spark, SF)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert p.count("FlatMapGroupsInPandas") == 1
