@@ -131,22 +131,6 @@ def sketch(vec: Column, dim: int, planes: int = 8,
     return acc.cast("int")
 
 
-def _banded(df: DataFrame, dim: int, planes: int, bands: int) -> DataFrame:
-    """Explode each vector into `bands` (band, bucket) rows, one sketch
-    per band over its own plane family (OR-amplification)."""
-    vec = "cv" if "cv" in df.columns else "qv"
-    buckets = F.array(*[
-        F.struct(F.lit(b).alias("band"),
-                 sketch(F.col(vec), dim, planes, offset=b * planes)
-                 .alias("bucket"))
-        for b in range(bands)
-    ])
-    return (df.withColumn("_bb", F.explode(buckets))
-              .withColumn("band", F.col("_bb.band"))
-              .withColumn("bucket", F.col("_bb.bucket"))
-              .drop("_bb"))
-
-
 def ivf_topk(corpus: DataFrame, queries: DataFrame, *,
              id_col: str = "vec_id", vec_col: str = "embedding",
              label_col: str = "label", nprobe: int = 3,
@@ -205,25 +189,49 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, *,
 
     Scale path: the corpus-side shuffle key is (band, bucket) — the
     per-query candidate count is ~bands * corpus / 2^planes instead of
-    the full corpus; no cross join ever materializes. Recall vs
+    the full corpus; no cross join ever materializes. The candidate
+    stream carries BARE ids: each banded row holds its full per-band
+    bucket list (bands × 8 B) and a pair is kept only in its FIRST
+    matching band (_first_match_band — exactly-once without the
+    dropDuplicates shuffle this used in ≤r07), vectors re-attach
+    AFTER candidates (the minhash_lsh_pairs lesson — r08 migration,
+    A/B'd result-identical at sf0.1 with the 64-double payloads and
+    one exchange removed from the candidate stream). Recall vs
     :func:`brute_force_topk` is pytest-gated (tests/test_operators.py).
     """
-    from .dedup import cap_hot_buckets
+    from .dedup import _first_match_band, cap_hot_buckets
+
+    base = _corpus_side(corpus, id_col, vec_col)
+
+    def _svals(vc: str):
+        return [sketch(F.col(vc), dim, planes, offset=b * planes)
+                .alias(f"s{b}") for b in range(bands)]
 
     # corpus-side hot-bucket bound (keys = the join keys, so the
     # guard's exchange is the join's own); the query side is a small
     # broadcast relation and needs no cap
-    c = cap_hot_buckets(
-        _banded(_corpus_side(corpus, id_col, vec_col),
-                dim, planes, bands),
-        "nn_id", keys=("band", "bucket"))
-    q = _banded(_query_side(queries, id_col, vec_col),
-                dim, planes, bands)
-    # dedupe candidates that collide in several bands BEFORE the
-    # cosine: one score per (query, candidate) pair
-    cand = (c.join(F.broadcast(q), ["band", "bucket"])
-            .filter(F.col("query_id") != F.col("nn_id"))
-            .dropDuplicates(["query_id", "nn_id"]))
+    cband = (base.select("nn_id", *_svals("cv"))
+             .select("nn_id",
+                     *[F.col(f"s{b}").alias(f"a_s{b}")
+                       for b in range(bands)],
+                     F.posexplode(F.array(*[f"s{b}"
+                                            for b in range(bands)]))
+                     .alias("band", "bsig")))
+    cband = cap_hot_buckets(cband, "nn_id", keys=("band", "bsig"))
+    qside = _query_side(queries, id_col, vec_col)
+    qband = (qside.select("query_id", *_svals("qv"))
+             .select("query_id",
+                     *[F.col(f"s{b}").alias(f"b_s{b}")
+                       for b in range(bands)],
+                     F.posexplode(F.array(*[f"s{b}"
+                                            for b in range(bands)]))
+                     .alias("band", "bsig")))
+    cand_ids = (cband.join(F.broadcast(qband), ["band", "bsig"])
+                .filter(F.col("query_id") != F.col("nn_id"))
+                .filter(_first_match_band(bands))
+                .select("query_id", "nn_id"))
+    cand = (cand_ids.join(base, "nn_id")
+            .join(F.broadcast(qside), "query_id"))
     return _rerank(cand, k)
 
 
