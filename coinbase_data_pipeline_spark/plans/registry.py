@@ -81,12 +81,17 @@ _CHECK_FIRST = [
     # - horizon-1 read path (predictor.py:280 predict_single_step),
     #   numerically identical to model_score's h=1 rows.
     "predict_single_step",
-    # (c) round-8-changed plans
+    # (c) round-8-changed plans: the lazy-checkpoint dedup family, the
+    # carry_masks threading, the chunk-sort streaming fix — plus the
+    # fuzz-found fixes (bpe fully-merged-word guard, text_normalize
+    # oracle NULL→'' coalesce, dedup_embedding count semantics) and
+    # ann_lsh's first-match-band candidate migration.
     "streaming_model_score",
     "dedup_minhash_lsh", "dedup_simhash_pairs", "knn_graph",
     "dedup_embedding", "dedup_incremental",
     "dedup_components", "dedup_keep", "dedup_keep_best",
     "corpus_curation",
+    "bpe_train", "bpe_encode", "text_normalize", "ann_lsh",
     # (d) oldest-green-first refresh: the eleven r01 rows...
     "candle_parse", "macd_approx", "top_k", "dedup_exact",
     "prediction_horizon_eval", "scale_fit_transform",
@@ -102,10 +107,10 @@ _CHECK_FIRST = [
     "q12_priority_shipping", "q16_supplier_cnt", "q20_part_promotion",
     "q21_suppliers_kept_waiting",
     # ...then the oldest r02 analytics/time-series rows up to the
-    # driver's 50-slot window.
-    "clean_series", "candle_rollup", "grouped_scale", "candle_gaps",
-    "retention_cohorts", "bollinger", "stochastic",
-    "daily_active_users",
+    # driver's 50-slot window (the four r08-changed entries above
+    # displaced candle_gaps/retention_cohorts/bollinger/stochastic/
+    # daily_active_users — unchanged code, their r02 rows stand).
+    "clean_series", "candle_rollup", "grouped_scale",
 ]
 
 ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
