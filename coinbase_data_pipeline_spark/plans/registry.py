@@ -108,9 +108,9 @@ _CHECK_FIRST = [
     "q21_suppliers_kept_waiting",
     # ...then the oldest r02 analytics/time-series rows up to the
     # driver's 50-slot window (the four r08-changed entries above
-    # displaced candle_gaps/retention_cohorts/bollinger/stochastic/
+    # displaced retention_cohorts/bollinger/stochastic/
     # daily_active_users — unchanged code, their r02 rows stand).
-    "clean_series", "candle_rollup", "grouped_scale",
+    "clean_series", "candle_rollup", "grouped_scale", "candle_gaps",
 ]
 
 ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
