@@ -133,12 +133,24 @@ def main() -> None:
     ap.add_argument("--n-docs", type=int, default=400)
     ap.add_argument("--n-vecs", type=int, default=120)
     ap.add_argument("--zero-vector", action="store_true")
+    ap.add_argument("--tpch-sample", type=float, default=None,
+                    help="independently subsample each TPC-H table to "
+                         "this fraction (values stay in the original "
+                         "domain; referential gaps are fine — parity "
+                         "compares two engines over the SAME parquet, "
+                         "and missing parents exercise empty-group / "
+                         "outer-join / HAVING edges)")
     args = ap.parse_args()
 
     rng = np.random.default_rng(args.seed)
     os.makedirs(args.out, exist_ok=True)
     for t in TPCH:
         dst = os.path.join(args.out, f"{t}.parquet")
+        if args.tpch_sample is not None and t not in ("region", "nation"):
+            tab = pq.read_table(os.path.join(BASE, f"{t}.parquet"))
+            keep = rng.random(tab.num_rows) < args.tpch_sample
+            pq.write_table(tab.filter(pa.array(keep)), dst)
+            continue
         if not os.path.exists(dst):
             os.symlink(os.path.join(BASE, f"{t}.parquet"), dst)
     pq.write_table(gen_events(rng, args.n_events),
