@@ -181,7 +181,7 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, *,
 def lsh_topk(corpus: DataFrame, queries: DataFrame, *,
              id_col: str = "vec_id", vec_col: str = "embedding",
              dim: int = 64, planes: int = 8, bands: int = 4,
-             k: int = 5) -> DataFrame:
+             k: int = 5, carry_masks: bool | None = None) -> DataFrame:
     """Banded random-hyperplane ANN: a candidate pair is any (query,
     corpus) sharing a bucket in ANY of the `bands` independent
     sketches (OR-amplification → recall), each sketch AND-ing `planes`
@@ -198,8 +198,15 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, *,
     A/B'd result-identical at sf0.1 with the 64-double payloads and
     one exchange removed from the candidate stream). Recall vs
     :func:`brute_force_topk` is pytest-gated (tests/test_operators.py).
+
+    `carry_masks` follows the family contract (dedup.CARRY_MASKS):
+    without masks, a pair whose corpus row was capped out of the
+    FIRST signature-agreeing band is lost even if both sides survive
+    a later band; with masks the capped band no longer suppresses the
+    later emission (ADVICE r08 — only the corpus side is ever capped
+    here, so the query-side mask is a constant 0).
     """
-    from .dedup import _first_match_band, cap_hot_buckets
+    from .dedup import _first_match_band, _mask_cols, cap_hot_buckets
 
     base = _corpus_side(corpus, id_col, vec_col)
 
@@ -217,7 +224,9 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, *,
                      F.posexplode(F.array(*[f"s{b}"
                                             for b in range(bands)]))
                      .alias("band", "bsig")))
-    cband = cap_hot_buckets(cband, "nn_id", keys=("band", "bsig"))
+    am, bm = _mask_cols(carry_masks)
+    cband = cap_hot_buckets(cband, "nn_id", keys=("band", "bsig"),
+                            mask_col=am)
     qside = _query_side(queries, id_col, vec_col)
     qband = (qside.select("query_id", *_svals("qv"))
              .select("query_id",
@@ -226,9 +235,12 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, *,
                      F.posexplode(F.array(*[f"s{b}"
                                             for b in range(bands)]))
                      .alias("band", "bsig")))
+    if am:
+        # broadcast query side is never capped — its mask is 0
+        qband = qband.withColumn(bm, F.lit(0).cast("long"))
     cand_ids = (cband.join(F.broadcast(qband), ["band", "bsig"])
                 .filter(F.col("query_id") != F.col("nn_id"))
-                .filter(_first_match_band(bands))
+                .filter(_first_match_band(bands, am, bm))
                 .select("query_id", "nn_id"))
     cand = (cand_ids.join(base, "nn_id")
             .join(F.broadcast(qside), "query_id"))

@@ -35,7 +35,7 @@ from __future__ import annotations
 import os
 import shutil
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 
 def denormalize_predictions(preds: DataFrame, stats: DataFrame, *,
@@ -320,8 +320,17 @@ def service_health(preds: DataFrame, candles: DataFrame, *,
         F.max(actual_ts).alias("last_candle"))
     j = (cg.join(pg, key, "left")
          .crossJoin(F.broadcast(now)))
-    pred_age = F.expr("timestampdiff(MINUTE, last_prediction, _now)")
-    candle_age = F.expr("timestampdiff(MINUTE, last_candle, _now)")
+    # Ages count MINUTE-BOUNDARY crossings, not floor(elapsed/60s):
+    # both ends are date_trunc'd to the minute first, so Spark's
+    # timestampdiff (floor of elapsed seconds) and DuckDB's datediff
+    # (boundary crossings) agree even for sub-minute-aligned inputs
+    # (ADVICE r08 — in-domain 5-min candles never exposed the gap).
+    pred_age = F.expr("timestampdiff(MINUTE,"
+                      " date_trunc('minute', last_prediction),"
+                      " date_trunc('minute', _now))")
+    candle_age = F.expr("timestampdiff(MINUTE,"
+                        " date_trunc('minute', last_candle),"
+                        " date_trunc('minute', _now))")
     healthy = (F.coalesce(pred_age <= pred_max_age_minutes,
                           F.lit(False))
                & (candle_age <= candle_max_age_minutes))
@@ -337,3 +346,71 @@ def service_health(preds: DataFrame, candles: DataFrame, *,
         F.coalesce("pending_predictions", F.lit(0))
         .alias("pending_predictions"),
         healthy.alias("is_healthy"))
+
+
+def prediction_cadence(preds: DataFrame, *,
+                       key: str = "product_id",
+                       model_col: str = "model_version",
+                       pred_time_col: str = "origin_time",
+                       interval_minutes: int = 5,
+                       unique: bool = False) -> DataFrame:
+    """Cadence audit of the prediction loop — reference
+    prediction_service.py:244 ``prediction_worker`` (one prediction
+    per product every ``prediction_interval`` seconds, exponential
+    backoff on failure) and :373 ``force_prediction`` (out-of-cycle
+    immediate runs). service_health answers "is the latest prediction
+    fresh?"; this answers the operational question it cannot: did the
+    loop ACTUALLY fire every interval, and how often was it forced or
+    late?
+
+    Per (product, model): distinct prediction origins, the
+    inter-prediction-gap distribution split against the loop contract
+    (== interval → on-schedule, < interval → forced/out-of-cycle,
+    > interval → delayed: a backoff retry, an outage, or missing
+    input data), min/max observed gap, and ``cadence_ok`` (no gap
+    ever exceeded the contract; vacuously true with < 2 predictions —
+    no violation is observable).
+
+    Gaps count minute-boundary crossings (both ends minute-truncated,
+    the service_health discipline) so the audit is engine-independent
+    for sub-minute timestamps.
+
+    Scale shape: one distinct per (key, model, origin) — skipped when
+    the caller guarantees one row per origin via ``unique=True``, e.g.
+    by pre-filtering to a single horizon — then ONE lag window and its
+    groupBy on the same (key, model) partitioning: the aggregation
+    reuses the window's exchange, so the whole audit is a single
+    shuffle in the unique path regardless of store size."""
+    origins = preds.select(key, model_col, pred_time_col)
+    if not unique:
+        origins = origins.distinct()
+    w = Window.partitionBy(key, model_col).orderBy(pred_time_col)
+    gap = F.expr(
+        f"timestampdiff(MINUTE, date_trunc('minute', _prev),"
+        f" date_trunc('minute', {pred_time_col}))").cast("long")
+    gapped = (origins
+              .withColumn("_prev", F.lag(pred_time_col).over(w))
+              .withColumn("_gap", gap))
+    return (gapped.groupBy(key, model_col)
+            .agg(F.count(F.lit(1)).alias("n_predictions"),
+                 F.count("_gap").alias("n_intervals"),
+                 F.sum((F.col("_gap") == interval_minutes)
+                       .cast("long")).alias("on_schedule_intervals"),
+                 F.sum((F.col("_gap") < interval_minutes)
+                       .cast("long")).alias("forced_predictions"),
+                 F.sum((F.col("_gap") > interval_minutes)
+                       .cast("long")).alias("delayed_intervals"),
+                 F.min("_gap").alias("min_gap_minutes"),
+                 F.max("_gap").alias("max_gap_minutes"),
+                 F.coalesce(F.max("_gap") <= interval_minutes,
+                            F.lit(True)).alias("cadence_ok"))
+            .select(key, F.col(model_col).alias("model_name"),
+                    "n_predictions", "n_intervals",
+                    F.coalesce("on_schedule_intervals", F.lit(0))
+                    .alias("on_schedule_intervals"),
+                    F.coalesce("forced_predictions", F.lit(0))
+                    .alias("forced_predictions"),
+                    F.coalesce("delayed_intervals", F.lit(0))
+                    .alias("delayed_intervals"),
+                    "min_gap_minutes", "max_gap_minutes",
+                    "cadence_ok"))

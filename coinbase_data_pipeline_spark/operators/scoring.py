@@ -35,6 +35,10 @@ from pyspark.sql.types import (DoubleType, IntegerType, StringType,
 
 PRICE_SCALE = 1e6  # sliding_windows encodes prices as round(price*1e6)
 
+# the deterministic stub model's version tag — shared by every query
+# that labels rows of the predictions store
+MODEL_VERSION = "stub-linear-1"
+
 
 def stub_weights(seq_len: int, pred_len: int,
                  decay: float = 0.9) -> np.ndarray:
@@ -120,7 +124,7 @@ def score_windows(windows: DataFrame, *,
                   x_col: str = "x_sig", seq_len: int = 24,
                   pred_len: int = 6,
                   model: Callable[[np.ndarray], np.ndarray] | None = None,
-                  model_version: str = "stub-linear-1") -> DataFrame:
+                  model_version: str = MODEL_VERSION) -> DataFrame:
     """Apply `model` to every sliding window, one output row per
     (window, horizon) — the predictions-table shape
     (product_id, origin_time, horizon, predicted_price,

@@ -291,8 +291,10 @@ def q_funnel(spark, sf_dir):
          .filter(F.col("ts") > F.col("t_click"))
          .groupBy("user_id").agg(F.min("ts").alias("t_purchase")))
     return (v.agg(F.count(F.lit(1)).alias("step_view"))
-            .crossJoin(c.agg(F.count(F.lit(1)).alias("step_click")))
-            .crossJoin(p.agg(F.count(F.lit(1)).alias("step_purchase"))))
+            .crossJoin(F.broadcast(
+                c.agg(F.count(F.lit(1)).alias("step_click"))))
+            .crossJoin(F.broadcast(
+                p.agg(F.count(F.lit(1)).alias("step_purchase")))))
 
 
 SQL_FUNNEL = """

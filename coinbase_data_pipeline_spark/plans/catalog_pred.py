@@ -661,15 +661,19 @@ def _sql_service_health() -> str:
   FROM candles GROUP BY 1
 )
 SELECT cg.product_id, model_name, last_candle, last_prediction,
-       datediff('minute', last_candle, _now) AS candle_age_minutes,
-       datediff('minute', last_prediction, _now)
+       datediff('minute', date_trunc('minute', last_candle),
+                date_trunc('minute', _now)) AS candle_age_minutes,
+       datediff('minute', date_trunc('minute', last_prediction),
+                date_trunc('minute', _now))
          AS prediction_age_minutes,
        COALESCE(total_predictions, 0) AS total_predictions,
        COALESCE(scored_predictions, 0) AS scored_predictions,
        COALESCE(pending_predictions, 0) AS pending_predictions,
-       COALESCE(datediff('minute', last_prediction, _now)
+       COALESCE(datediff('minute', date_trunc('minute', last_prediction),
+                         date_trunc('minute', _now))
                   <= {HEALTH_PRED_MAX_MIN}, FALSE)
-         AND datediff('minute', last_candle, _now)
+         AND datediff('minute', date_trunc('minute', last_candle),
+                      date_trunc('minute', _now))
                <= {HEALTH_CANDLE_MAX_MIN} AS is_healthy
 FROM cg LEFT JOIN pg USING (product_id), nowt
 """
@@ -727,6 +731,72 @@ FROM xs
 
 # ---------------------------------------------------------- registry
 
+# --------------------------------------------------- cadence audit
+
+CADENCE_INTERVAL_MIN = 5
+
+
+def q_prediction_cadence(spark, sf_dir):
+    """Cadence audit of the prediction loop (prediction_service.py:244
+    prediction_worker's every-`prediction_interval` cycle + :373
+    force_prediction's out-of-cycle runs): per (product, model), the
+    inter-prediction-gap distribution vs the 5-minute loop contract —
+    on-schedule / forced (< interval) / delayed (> interval) interval
+    counts, min/max gap, cadence_ok. service_health says whether the
+    LATEST prediction is fresh; this says whether the loop ever
+    skipped a beat over the whole store.
+
+    Input is the prediction ORIGIN set — one row per (product, origin)
+    by construction (sliding_windows emits each complete window once),
+    identical to model_score's distinct origins but without paying the
+    scoring pass cadence never reads. unique=True therefore skips the
+    distinct, leaving ONE shuffle total (the lag window's, reused by
+    the groupBy)."""
+    win = WD.sliding_windows(candles(spark, sf_dir))
+    origins = win.select(
+        "product_id",
+        F.lit(SC.MODEL_VERSION).alias("model_version"),
+        F.col("bucket_start").alias("origin_time"))
+    return P.prediction_cadence(
+        origins, interval_minutes=CADENCE_INTERVAL_MIN, unique=True)
+
+
+def _sql_prediction_cadence() -> str:
+    from ..operators.scoring import MODEL_VERSION
+    from .catalog_ext import SQL_SLIDING_WINDOWS
+
+    iv = CADENCE_INTERVAL_MIN
+    return f"""
+WITH origins AS (
+  SELECT product_id, '{MODEL_VERSION}' AS model_name,
+         bucket_start AS origin_time
+  FROM ({SQL_SLIDING_WINDOWS}) sw
+), g AS (
+  SELECT product_id, model_name,
+         datediff('minute',
+                  date_trunc('minute',
+                             lag(origin_time) OVER (
+                               PARTITION BY product_id, model_name
+                               ORDER BY origin_time)),
+                  date_trunc('minute', origin_time)) AS gap
+  FROM origins
+)
+SELECT product_id, model_name,
+       count(*) AS n_predictions,
+       count(gap) AS n_intervals,
+       CAST(COALESCE(sum(CASE WHEN gap = {iv} THEN 1 END), 0)
+            AS BIGINT) AS on_schedule_intervals,
+       CAST(COALESCE(sum(CASE WHEN gap < {iv} THEN 1 END), 0)
+            AS BIGINT) AS forced_predictions,
+       CAST(COALESCE(sum(CASE WHEN gap > {iv} THEN 1 END), 0)
+            AS BIGINT) AS delayed_intervals,
+       min(gap) AS min_gap_minutes,
+       max(gap) AS max_gap_minutes,
+       COALESCE(max(gap) <= {iv}, TRUE) AS cadence_ok
+FROM g GROUP BY 1, 2
+"""
+
+
 SPARK_QUERIES_PRED = {
     "denormalize_predictions": q_denormalize_predictions,
     "prediction_retention": q_prediction_retention,
@@ -740,6 +810,7 @@ SPARK_QUERIES_PRED = {
     "holt_cv_sweep": q_holt_cv_sweep,
     "service_health": q_service_health,
     "predict_single_step": q_predict_single_step,
+    "prediction_cadence": q_prediction_cadence,
 }
 
 ORACLE_SQL_PRED = {
@@ -755,4 +826,5 @@ ORACLE_SQL_PRED = {
     "holt_cv_sweep": _sql_holt_cv_sweep(),
     "service_health": _sql_service_health(),
     "predict_single_step": _sql_predict_single_step(),
+    "prediction_cadence": _sql_prediction_cadence(),
 }

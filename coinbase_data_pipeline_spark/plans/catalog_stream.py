@@ -56,14 +56,30 @@ STRADDLER_UID = -2
 # streams through a fresh query + temp checkpoint, so the measured
 # part — trigger cycles, state folds, sink materialization — is
 # untouched. Dirs are removed at interpreter exit.
-_REPLAY_CACHE: dict[tuple[str, str], str] = {}
+_REPLAY_CACHE: dict[tuple, str] = {}
+
+
+def _source_fingerprint(sf_dir: str) -> tuple:
+    """Cheap content stamp of the sf_dir parquet tables: (path, size,
+    mtime_ns) of every data file. Part of the replay-cache key so an
+    in-process loop that REGENERATES the tables under the same path
+    (e.g. the fuzz harness writing new seeds into one dir) gets fresh
+    wire files instead of a silent stale replay (ADVICE r08)."""
+    out = []
+    for root, _dirs, files in os.walk(sf_dir):
+        for f in files:
+            if f.endswith((".parquet", ".csv")):
+                p = os.path.join(root, f)
+                st = os.stat(p)
+                out.append((p, st.st_size, st.st_mtime_ns))
+    return tuple(sorted(out))
 
 
 def _cached_replay_dir(tag: str, sf_dir: str,
                        build: Callable[[str], None]) -> str:
     import atexit
 
-    key = (tag, os.path.abspath(sf_dir))
+    key = (tag, os.path.abspath(sf_dir), _source_fingerprint(sf_dir))
     d = _REPLAY_CACHE.get(key)
     if d is not None and os.path.isdir(d):
         return d

@@ -1851,3 +1851,142 @@ def test_embedding_stats_zero_norm_vector(spark):
         assert out[0]["near_dup_count"] == 0
         assert out[0]["max_cosine"] is None
     assert all(r["near_dup_count"] is not None for r in out.values())
+
+
+def test_lsh_topk_carry_masks_recovers_capped_corpus_row(spark,
+                                                         monkeypatch):
+    """ADVICE r08: lsh_topk's first-matching-band emission loses a
+    (query, corpus) pair entirely when the corpus row was capped out
+    of the FIRST signature-agreeing band, even though both sides
+    survive a later band. With carry_masks the capped band no longer
+    suppresses the later emission — same contract the minhash/simhash/
+    knn_graph siblings already pin.
+
+    Geometry (dim=2, planes=1, bands=2 → band b's bucket is the sign
+    of dot(v, hyperplane_b)): the query and 6 targets sit in the
+    (+,+) region (agree with the query in BOTH bands); a 30-vector
+    flood sits in (+,-) (shares only the band-0 bucket). cap=8 on the
+    corpus side caps some targets out of band 0's 36-row bucket while
+    band 1's 6-row bucket keeps everyone."""
+    import numpy as np
+
+    import coinbase_data_pipeline_spark.operators.dedup as dd
+    from coinbase_data_pipeline_spark.operators.ann import (
+        hyperplane_values, lsh_topk)
+
+    h0 = np.array(hyperplane_values(2, 0))
+    h1 = np.array(hyperplane_values(2, 1))
+    rng = np.random.default_rng(7)
+    plus_plus, plus_minus = [], []
+    while len(plus_plus) < 7 or len(plus_minus) < 30:
+        v = rng.standard_normal(2)
+        s0, s1 = float(v @ h0) >= 0, float(v @ h1) >= 0
+        if s0 and s1 and len(plus_plus) < 7:
+            plus_plus.append(v)
+        elif s0 and not s1 and len(plus_minus) < 30:
+            plus_minus.append(v)
+    qvec = plus_plus[0]
+    targets = plus_plus[1:]            # ids 1000..1005
+    corpus_rows = ([(1000 + i, [float(x) for x in v])
+                    for i, v in enumerate(targets)]
+                   + [(i, [float(x) for x in v])
+                      for i, v in enumerate(plus_minus)])
+    corpus = spark.createDataFrame(
+        corpus_rows, "vec_id long, embedding array<double>")
+    queries = spark.createDataFrame(
+        [(9999, [float(x) for x in qvec])],
+        "vec_id long, embedding array<double>")
+
+    cap = 8
+    orig = dd.cap_hot_buckets
+
+    def small_cap(banded, id_col, keys=("band", "bsig"),
+                  cap_=None, **kw):
+        return orig(banded, id_col, keys=keys, cap=cap, **kw)
+
+    monkeypatch.setattr(dd, "cap_hot_buckets", small_cap)
+
+    kw = dict(dim=2, planes=1, bands=2, k=40)
+    maskless = {r["nn_id"] for r in
+                lsh_topk(corpus, queries, carry_masks=False,
+                         **kw).collect()}
+    masked_rows = lsh_topk(corpus, queries, carry_masks=True,
+                           **kw).collect()
+    masked = {r["nn_id"] for r in masked_rows}
+
+    target_ids = {1000 + i for i in range(len(targets))}
+    # precondition: the cap actually bit — maskless lost >=1 target
+    lost = target_ids - maskless
+    assert lost, "cap never bound: adjust ids/seed so a target is capped"
+    # the masked mode recovers every target via band 1 (6-row bucket,
+    # nobody capped there), each exactly once
+    assert target_ids <= masked
+    assert len(masked_rows) == len(masked)
+    # and masking only ADDS recall, never drops pairs
+    assert maskless <= masked
+
+
+def test_service_health_subminute_age_semantics(spark):
+    """ADVICE r08: ages must count minute-boundary crossings on
+    BOTH engines, independent of sub-minute alignment. A candle at
+    10:00:40 vs a now-anchor of 10:30:10 is 29.5 elapsed minutes but
+    crosses 30 minute boundaries — floor-of-elapsed (the old Spark
+    timestampdiff on raw values) says 29 and a 29-minute threshold
+    calls the product healthy; the boundary-crossing contract says
+    30 and does not."""
+    from datetime import datetime
+
+    from coinbase_data_pipeline_spark.operators.predictions import (
+        service_health)
+
+    candles = spark.createDataFrame(
+        [("AAA", datetime(2024, 1, 1, 10, 0, 40)),
+         ("NOW", datetime(2024, 1, 1, 10, 30, 10))],
+        "product_id string, bucket_start timestamp")
+    preds = spark.createDataFrame(
+        [("AAA", "m1", datetime(2024, 1, 1, 10, 0, 40),
+          datetime(2024, 1, 1, 10, 5, 40))],
+        "product_id string, model_version string, "
+        "origin_time timestamp, target_time timestamp")
+    out = {r["product_id"]: r
+           for r in service_health(preds, candles,
+                                   candle_max_age_minutes=29).collect()}
+    assert out["AAA"]["candle_age_minutes"] == 30
+    assert out["AAA"]["prediction_age_minutes"] == 30
+    assert not out["AAA"]["is_healthy"]
+
+
+def test_prediction_cadence_planted_gaps(spark):
+    """Cadence audit contract (prediction_service.py:244
+    prediction_worker + :373 force_prediction): a planted store with
+    one delayed gap (20 min — an outage/backoff span) and one forced
+    out-of-cycle run (2 min) must classify every interval, report the
+    max gap, and fail cadence_ok; a single-prediction product has no
+    observable interval and is vacuously on-contract."""
+    from datetime import datetime, timedelta
+
+    from coinbase_data_pipeline_spark.operators.predictions import (
+        prediction_cadence)
+
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+    mins = [0, 5, 10, 30, 32]     # 5, 5, 20(delayed), 2(forced)
+    rows = [("BTC", "m1", t0 + timedelta(minutes=m)) for m in mins]
+    rows += [("ETH", "m1", t0)]   # single prediction: vacuous
+    # duplicate horizons collapse through the default distinct path
+    preds = spark.createDataFrame(
+        rows * 2, "product_id string, model_version string, "
+                  "origin_time timestamp")
+    out = {r["product_id"]: r
+           for r in prediction_cadence(preds).collect()}
+    btc = out["BTC"]
+    assert btc["n_predictions"] == 5 and btc["n_intervals"] == 4
+    assert btc["on_schedule_intervals"] == 2
+    assert btc["delayed_intervals"] == 1
+    assert btc["forced_predictions"] == 1
+    assert btc["min_gap_minutes"] == 2
+    assert btc["max_gap_minutes"] == 20
+    assert not btc["cadence_ok"]
+    eth = out["ETH"]
+    assert eth["n_predictions"] == 1 and eth["n_intervals"] == 0
+    assert eth["max_gap_minutes"] is None
+    assert eth["cadence_ok"]
