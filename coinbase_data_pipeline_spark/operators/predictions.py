@@ -414,3 +414,49 @@ def prediction_cadence(preds: DataFrame, *,
                     .alias("delayed_intervals"),
                     "min_gap_minutes", "max_gap_minutes",
                     "cadence_ok"))
+
+
+# The engine's documented numeric-parity envelope (SURVEY §5, found by
+# the r08 fuzzer): beyond |price| ~1e6 the 6dp value-hash on EMA
+# recursion chains drifts one ULP and the fixed-point err²·1e4 BIGINT
+# bound in model_metrics can overflow. Real USD prices sit orders of
+# magnitude inside it; the input gate FLAGS breaches instead of
+# leaving the contract as documentation.
+VALUE_HASH_DOMAIN_MAX = 1_000_000.0
+
+
+def validate_input_report(candles: DataFrame, *,
+                          key: str = "product_id",
+                          price_cols: tuple[str, ...] = (
+                              "open", "high", "low", "close"),
+                          extra_cols: tuple[str, ...] = ("volume",),
+                          seq_len_min: int = 24) -> DataFrame:
+    """The predictor's input gate (predictor.py:346
+    validate_input_data) as a distributed per-product report: OHLCV
+    null counts, row count, the is_valid verdict (no nulls in the
+    required columns AND at least seq_len rows), and the
+    numeric-domain audit — n_out_of_domain counts price values with
+    |price| >= VALUE_HASH_DOMAIN_MAX, in_value_hash_domain is their
+    absence. One partial-agg shuffle; the reference's per-frame
+    pandas checks become a single grouped pass over every product."""
+    cols = [*price_cols, *extra_cols]
+    nulls = [F.sum(F.col(x).isNull().cast("long"))
+             .alias(f"n_null_{x}") for x in cols]
+    # per-column coalesce: an all-NULL price column must contribute 0,
+    # not NULL out the whole domain count
+    ood = [F.coalesce(F.sum((F.abs(F.col(x)) >= VALUE_HASH_DOMAIN_MAX)
+                            .cast("long")), F.lit(0))
+           for x in price_cols]
+    ood_sum = ood[0]
+    for o in ood[1:]:
+        ood_sum = ood_sum + o
+    g = candles.groupBy(key).agg(
+        F.count(F.lit(1)).alias("n_rows"), *nulls,
+        ood_sum.alias("n_out_of_domain"))
+    ok = F.lit(True)
+    for x in cols:
+        ok = ok & (F.col(f"n_null_{x}") == 0)
+    ok = ok & (F.col("n_rows") >= seq_len_min)
+    return (g.withColumn("is_valid", ok)
+            .withColumn("in_value_hash_domain",
+                        F.col("n_out_of_domain") == 0))

@@ -42,3 +42,60 @@ def sliding_windows(candles: DataFrame, *, key: str = "product_id",
         to_str("_x").alias("x_sig"),
         to_str("_y").alias("y_sig"),
     )
+
+
+def curriculum_feature_dropout(df: DataFrame, *,
+                               key: str = "product_id",
+                               ts: str = "bucket_start",
+                               features: tuple[str, ...] = (
+                                   "open", "high", "low", "close",
+                                   "volume"),
+                               epoch: int = 0,
+                               row_gate_pct: int = 50,
+                               drop_pct: int = 10) -> DataFrame:
+    """Deterministic train-time feature dropout — the last
+    data-shaping behavior of the reference's data loader with no named
+    query (Crypto-TS-Model-master/src/data_loader.py:215-231, step 6:
+    in train mode, with probability 0.5 per sample, zero each feature
+    independently with probability 0.1; ``set_epoch`` re-rolls the
+    masks every epoch).
+
+    The reference draws from ``random``/``np.random`` per __getitem__
+    call — irreproducible across workers and epochs. This variant is
+    the stratified_sample recipe instead: every gate is
+    hash60(key:epoch_seconds:epoch[, feature]) — a pure column
+    expression, so the SAME (row, feature, epoch) always masks the
+    same way on any partitioning, any engine, any retry (the property
+    a distributed training feed actually needs), and a new epoch
+    deterministically re-rolls every mask. The reference masks per
+    (window, feature); a window here is a contiguous row range, so the
+    relation-friendly formulation masks per (timestep row, feature) —
+    downstream sliding_windows composes the row masks into window
+    masks. The noise/warp curriculum steps (1-5) are torch-tensor
+    transforms on the training host, out of relational scope.
+
+    Output: the input rows with masked features (6dp-rounded first —
+    masked values must hash identically cross-engine), plus
+    ``dropout_applied`` (this row's 0.5 gate) and ``n_dropped``.
+    Everything stays inside whole-stage codegen; zero shuffles added.
+    """
+    from ..functions.text import hash60
+
+    kstr = F.concat(F.col(key).cast("string"), F.lit(":"),
+                    F.unix_timestamp(F.col(ts)).cast("string"),
+                    F.lit(f":e{int(epoch)}"))
+    applied = (hash60(kstr, "curr-row") % 100) < row_gate_pct
+    out = df
+    dropped_flags = []
+    for f in features:
+        rounded = F.round(F.col(f), 6) + F.lit(0.0)
+        dropped = applied & ((hash60(kstr, f"curr-f-{f}") % 100)
+                             < drop_pct)
+        out = out.withColumn(f, F.when(dropped, F.lit(0.0))
+                             .otherwise(rounded))
+        dropped_flags.append(dropped.cast("int"))
+    n_dropped = dropped_flags[0]
+    for d in dropped_flags[1:]:
+        n_dropped = n_dropped + d
+    return (out.withColumn("dropout_applied", applied)
+            .withColumn("n_dropped", n_dropped))

@@ -461,22 +461,14 @@ SEQ_LEN_MIN = 24
 
 def q_validate_input(spark, sf_dir):
     """The predictor's input gate (predictor.py:346
-    validate_input_data) as a distributed per-product report: OHLCV
-    null counts, row count, and the is_valid verdict (no nulls in the
-    required columns AND at least seq_len rows). One partial-agg
-    shuffle; the reference's per-frame pandas checks become a single
-    grouped pass over every product at once."""
-    c = candles(spark, sf_dir)
-    cols = ["open", "high", "low", "close", "volume"]
-    nulls = [F.sum(F.col(x).isNull().cast("long"))
-             .alias(f"n_null_{x}") for x in cols]
-    g = c.groupBy("product_id").agg(
-        F.count(F.lit(1)).alias("n_rows"), *nulls)
-    ok = F.lit(True)
-    for x in cols:
-        ok = ok & (F.col(f"n_null_{x}") == 0)
-    ok = ok & (F.col("n_rows") >= SEQ_LEN_MIN)
-    return g.withColumn("is_valid", ok)
+    validate_input_data) as a distributed per-product report — see
+    operators/predictions.py:validate_input_report. Round 9 adds the
+    numeric-domain audit: n_out_of_domain / in_value_hash_domain flag
+    prices outside the engine's documented value-hash envelope
+    (|price| >= 1e6, the r08 fuzzer finding), so the contract is
+    enforced where data enters, not just documented."""
+    return P.validate_input_report(candles(spark, sf_dir),
+                                   seq_len_min=SEQ_LEN_MIN)
 
 
 SQL_VALIDATE_INPUT = SQL_BASE + f"""
@@ -491,12 +483,22 @@ SELECT product_id, count(*) AS n_rows,
          AS n_null_close,
        CAST(sum(CASE WHEN volume IS NULL THEN 1 ELSE 0 END) AS BIGINT)
          AS n_null_volume,
+       CAST(sum(CASE WHEN abs(open)  >= 1000000 THEN 1 ELSE 0 END)
+          + sum(CASE WHEN abs(high)  >= 1000000 THEN 1 ELSE 0 END)
+          + sum(CASE WHEN abs(low)   >= 1000000 THEN 1 ELSE 0 END)
+          + sum(CASE WHEN abs(close) >= 1000000 THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_out_of_domain,
        (sum(CASE WHEN open IS NULL THEN 1 ELSE 0 END) = 0
         AND sum(CASE WHEN high IS NULL THEN 1 ELSE 0 END) = 0
         AND sum(CASE WHEN low IS NULL THEN 1 ELSE 0 END) = 0
         AND sum(CASE WHEN close IS NULL THEN 1 ELSE 0 END) = 0
         AND sum(CASE WHEN volume IS NULL THEN 1 ELSE 0 END) = 0
-        AND count(*) >= {SEQ_LEN_MIN}) AS is_valid
+        AND count(*) >= {SEQ_LEN_MIN}) AS is_valid,
+       (sum(CASE WHEN abs(open)  >= 1000000 THEN 1 ELSE 0 END)
+        + sum(CASE WHEN abs(high)  >= 1000000 THEN 1 ELSE 0 END)
+        + sum(CASE WHEN abs(low)   >= 1000000 THEN 1 ELSE 0 END)
+        + sum(CASE WHEN abs(close) >= 1000000 THEN 1 ELSE 0 END)
+          = 0) AS in_value_hash_domain
 FROM candles GROUP BY product_id
 """
 
@@ -731,6 +733,47 @@ FROM xs
 
 # ---------------------------------------------------------- registry
 
+# ------------------------------------------- curriculum feature dropout
+
+CURRICULUM_EPOCH = 3
+CURRICULUM_FEATURES = ("open", "high", "low", "close", "volume")
+
+
+def q_curriculum_dropout(spark, sf_dir):
+    """Deterministic train-time feature dropout over the candle
+    feature matrix (data_loader.py:215-231 step 6 + set_epoch; see
+    operators/windows.py:curriculum_feature_dropout for the
+    hash-gate reformulation): with p=0.5 per row (hash-gated), zero
+    each feature independently with p=0.1, masks re-rolled per epoch.
+    Pure column expressions — no shuffle beyond the candle build."""
+    c = candles(spark, sf_dir).select(
+        "product_id", "bucket_start", *CURRICULUM_FEATURES)
+    return WD.curriculum_feature_dropout(c, epoch=CURRICULUM_EPOCH)
+
+
+def _sql_curriculum_dropout() -> str:
+    from ..functions.text import sql_hash60
+
+    kstr = ("product_id || ':' || CAST(CAST(epoch(bucket_start) AS "
+            f"BIGINT) AS VARCHAR) || ':e{CURRICULUM_EPOCH}'")
+    applied = f"({sql_hash60(kstr, 'curr-row')} % 100) < 50"
+    masked, nd = [], []
+    for f in CURRICULUM_FEATURES:
+        drop = (f"({applied} AND "
+                f"({sql_hash60(kstr, f'curr-f-{f}')} % 100) < 10)")
+        masked.append(f"CASE WHEN {drop} THEN 0.0 "
+                      f"ELSE round({f}, 6) + 0 END AS {f}")
+        nd.append(f"CASE WHEN {drop} THEN 1 ELSE 0 END")
+    cols = ",\n       ".join(masked)
+    return SQL_BASE + f"""
+SELECT product_id, bucket_start,
+       {cols},
+       {applied} AS dropout_applied,
+       CAST({" + ".join(nd)} AS INTEGER) AS n_dropped
+FROM candles
+"""
+
+
 # --------------------------------------------------- cadence audit
 
 CADENCE_INTERVAL_MIN = 5
@@ -811,6 +854,7 @@ SPARK_QUERIES_PRED = {
     "service_health": q_service_health,
     "predict_single_step": q_predict_single_step,
     "prediction_cadence": q_prediction_cadence,
+    "curriculum_dropout": q_curriculum_dropout,
 }
 
 ORACLE_SQL_PRED = {
@@ -827,4 +871,5 @@ ORACLE_SQL_PRED = {
     "service_health": _sql_service_health(),
     "predict_single_step": _sql_predict_single_step(),
     "prediction_cadence": _sql_prediction_cadence(),
+    "curriculum_dropout": _sql_curriculum_dropout(),
 }

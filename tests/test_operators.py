@@ -1990,3 +1990,99 @@ def test_prediction_cadence_planted_gaps(spark):
     assert eth["n_predictions"] == 1 and eth["n_intervals"] == 0
     assert eth["max_gap_minutes"] is None
     assert eth["cadence_ok"]
+
+
+def test_curriculum_dropout_deterministic_and_epoch_rerolls(spark):
+    """data_loader.py:215-231 step 6 as a deterministic relation: the
+    mask is a pure function of (row key, feature, epoch) — identical
+    at any partitioning — a new epoch re-rolls it, a dropped cell is
+    exactly 0.0, an undropped cell is the 6dp-rounded input, and rows
+    outside the 0.5 row gate are untouched."""
+    from datetime import datetime, timedelta
+
+    from coinbase_data_pipeline_spark.operators.windows import (
+        curriculum_feature_dropout)
+
+    t0 = datetime(2024, 1, 1)
+    rows = [(f"P{i % 7}", t0 + timedelta(minutes=5 * i),
+             1.0 + i, 2.0 + i, 0.5 + i, 1.5 + i, 10.0 * i)
+            for i in range(400)]
+    schema = ("product_id string, bucket_start timestamp, "
+              "open double, high double, low double, close double, "
+              "volume double")
+    df1 = spark.createDataFrame(rows, schema)
+    df2 = spark.createDataFrame(rows, schema).repartition(13)
+
+    feats = ("open", "high", "low", "close", "volume")
+    e3a = {(r["product_id"], r["bucket_start"]): r
+           for r in curriculum_feature_dropout(df1, epoch=3).collect()}
+    e3b = {(r["product_id"], r["bucket_start"]): r
+           for r in curriculum_feature_dropout(df2, epoch=3).collect()}
+    e4 = {(r["product_id"], r["bucket_start"]): r
+          for r in curriculum_feature_dropout(df1, epoch=4).collect()}
+    base = {(p, t): dict(zip(feats, vals))
+            for p, t, *vals in rows}
+
+    assert e3a.keys() == e3b.keys() == e4.keys()
+    # partitioning-independence: identical masks
+    for k in e3a:
+        for f in feats:
+            assert e3a[k][f] == e3b[k][f]
+    # epoch re-roll: some mask differs between epochs 3 and 4
+    assert any(e3a[k][f] != e4[k][f] for k in e3a for f in feats)
+    n_rows_masked = 0
+    for k, r in e3a.items():
+        dropped = [f for f in feats
+                   if r[f] == 0.0 and base[k][f] != 0.0]
+        kept = [f for f in feats if r[f] != 0.0]
+        if not r["dropout_applied"]:
+            assert not dropped and r["n_dropped"] == 0
+        else:
+            n_rows_masked += 1
+            assert r["n_dropped"] == len(dropped)
+        for f in kept:
+            assert r[f] == round(base[k][f], 6)
+    # the 0.5 row gate actually splits the population both ways
+    assert 0 < n_rows_masked < len(e3a)
+    # and the 0.1 per-feature rate lands in a sane band over gated rows
+    total_dropped = sum(r["n_dropped"] for r in e3a.values())
+    assert 0 < total_dropped < 0.25 * 5 * n_rows_masked
+
+
+def test_validate_input_flags_out_of_domain_prices(spark):
+    """VERDICT r08 #4: the numeric-parity domain discovered by the
+    fuzzer (|price| < 1e6 — beyond it the 6dp value-hash drifts) is
+    enforced at the input gate: a planted out-of-domain row flips
+    in_value_hash_domain without touching is_valid (null/length
+    semantics unchanged), and an all-NULL price column contributes 0
+    to the domain count, not NULL."""
+    from datetime import datetime, timedelta
+
+    from coinbase_data_pipeline_spark.operators.predictions import (
+        validate_input_report)
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    for i in range(30):
+        ts = t0 + timedelta(minutes=5 * i)
+        rows.append(("OK", ts, 1.0, 2.0, 0.5, 1.5, 10.0))
+        # one price beyond the envelope at i==7
+        rows.append(("HOT", ts, 1.0,
+                     2_000_000.0 if i == 7 else 2.0, 0.5, 1.5, 10.0))
+        # open column entirely NULL, close out-of-domain once
+        rows.append(("NUL", ts, None, 2.0, 0.5,
+                     -1_000_000.0 if i == 3 else 1.5, 10.0))
+    c = spark.createDataFrame(
+        rows, "product_id string, bucket_start timestamp, "
+              "open double, high double, low double, close double, "
+              "volume double")
+    out = {r["product_id"]: r
+           for r in validate_input_report(c).collect()}
+    assert out["OK"]["is_valid"] and out["OK"]["in_value_hash_domain"]
+    assert out["OK"]["n_out_of_domain"] == 0
+    assert out["HOT"]["is_valid"]            # nulls/length still fine
+    assert not out["HOT"]["in_value_hash_domain"]
+    assert out["HOT"]["n_out_of_domain"] == 1
+    assert not out["NUL"]["is_valid"]        # null opens
+    assert out["NUL"]["n_out_of_domain"] == 1
+    assert not out["NUL"]["in_value_hash_domain"]
