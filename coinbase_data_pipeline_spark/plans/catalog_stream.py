@@ -33,6 +33,16 @@ _TMP_ROOT = os.path.join(os.path.dirname(os.path.dirname(
 # (tests/test_streaming_sinks.py::test_sessionize_replay_four_buckets).
 REPLAY_BUCKETS = 2
 
+# Optional NON-UNIFORM slice boundaries for the replay layout: a
+# sorted list of REPLAY_BUCKETS-1 fractions in (0, 1) of the stream's
+# time span. None (the bench/driver path) keeps the equal-width
+# slices. The streaming fuzz axis (tests/test_streaming_fuzz.py) sets
+# this to seeded random cut points so micro-batch BOUNDARIES — not
+# just the data — get permuted: the r08 chunk-accumulation bug
+# (streaming/pipelines.py cross-chunk sort) is the class this axis
+# catches mechanically.
+REPLAY_CUTS: list[float] | None = None
+
 # Sentinel user whose PLANTED sessions straddle every micro-batch
 # boundary (see _time_buckets straddle_user). Measurement that forced
 # this (r07): at sf0.001 the natural sessions are seconds-to-minutes
@@ -79,7 +89,11 @@ def _cached_replay_dir(tag: str, sf_dir: str,
                        build: Callable[[str], None]) -> str:
     import atexit
 
-    key = (tag, os.path.abspath(sf_dir), _source_fingerprint(sf_dir))
+    # layout globals key the cache too: a fuzz run that permutes the
+    # slice boundaries must never reuse a uniform-slice layout
+    key = (tag, os.path.abspath(sf_dir), _source_fingerprint(sf_dir),
+           REPLAY_BUCKETS,
+           tuple(REPLAY_CUTS) if REPLAY_CUTS is not None else None)
     d = _REPLAY_CACHE.get(key)
     if d is not None and os.path.isdir(d):
         return d
@@ -95,11 +109,17 @@ def _cached_replay_dir(tag: str, sf_dir: str,
 
 
 def _time_buckets(ev: DataFrame, ts_col: str, n: int, *,
-                  straddle_user: str | None = None) -> DataFrame:
-    """Assign each row its replay micro-batch: n equal TIME slices of
+                  straddle_user: str | None = None,
+                  cuts: list[float] | None = None) -> DataFrame:
+    """Assign each row its replay micro-batch: n TIME slices of
     [min ts, max ts] — one broadcast min/max aggregate, never a global
     sort. Shared by every stateful replay query so the pytest path can
     exercise more batch boundaries than the bench path.
+
+    With `cuts` (sorted n-1 span fractions in (0, 1)), the slice
+    boundaries sit at t0 + c·(t1−t0) instead of equal widths — the
+    seeded permutation axis: same rows, same contracts, arbitrary
+    micro-batch membership (bucket = #cuts at or below the row).
 
     With `straddle_user` (a LONG user-id column name), the output also
     carries STRADDLER_UID rows planted ±5 minutes around every
@@ -110,21 +130,42 @@ def _time_buckets(ev: DataFrame, ts_col: str, n: int, *,
     the result is projected to (straddle_user, ts_col, bucket)."""
     from ..functions.timeutil import epoch_seconds
 
+    if cuts is not None and len(cuts) != n - 1:
+        raise ValueError(f"cuts must hold n-1={n - 1} fractions, "
+                         f"got {len(cuts)}")
     bounds = ev.agg(
         epoch_seconds(F.min(ts_col)).alias("t0"),
         (epoch_seconds(F.max(ts_col)) + 1.0).alias("t1"))
+    span = F.col("t1") - F.col("t0")
+    elapsed = epoch_seconds(F.col(ts_col)) - F.col("t0")
+    if cuts is None:
+        bucket = F.floor(n * elapsed / span)
+    else:
+        bucket = F.lit(0).cast("long")
+        for c in cuts:
+            bucket = bucket + (elapsed >= F.lit(float(c)) * span) \
+                .cast("long")
     out = (ev.crossJoin(F.broadcast(bounds))
-           .withColumn("bucket", F.floor(
-               n * (epoch_seconds(F.col(ts_col)) - F.col("t0"))
-               / (F.col("t1") - F.col("t0"))))
+           .withColumn("bucket", bucket)
            .drop("t0", "t1"))
     if straddle_user is None:
         return out
-    width = (F.col("t1") - F.col("t0")) / n
-    boundary = (bounds
-                .select(F.explode(F.sequence(F.lit(1), F.lit(n - 1)))
-                        .alias("i"), "t0", "t1")
-                .withColumn("tb", F.col("t0") + F.col("i") * width))
+    if cuts is None:
+        width = (F.col("t1") - F.col("t0")) / n
+        boundary = (bounds
+                    .select(F.explode(F.sequence(F.lit(1),
+                                                 F.lit(n - 1)))
+                            .alias("i"), "t0", "t1")
+                    .withColumn("tb",
+                                F.col("t0") + F.col("i") * width))
+    else:
+        boundary = (bounds
+                    .select(F.posexplode(F.array(
+                        *[F.lit(float(c)) for c in cuts]))
+                        .alias("j", "c"), "t0", "t1")
+                    .withColumn("i", (F.col("j") + 1).cast("int"))
+                    .withColumn("tb", F.col("t0") + F.col("c")
+                                * (F.col("t1") - F.col("t0"))))
     strad = boundary.select(F.explode(F.array(
         F.struct((F.col("tb") - 300.0).alias("sec"),
                  (F.col("i") - 1).cast("long").alias("bucket")),
@@ -409,7 +450,8 @@ def _run_sessionize_replay(spark, sf_dir, *, n_buckets: int | None = None,
 
     def _build(d):
         ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
-        bucketed = _time_buckets(ev, "ts", n, straddle_user="user_id")
+        bucketed = _time_buckets(ev, "ts", n, straddle_user="user_id",
+                                 cuts=REPLAY_CUTS)
         _write_ordered_buckets(bucketed, "bucket", d, n)
         if watermark is not None:
             # sentinel batch LAST (explicitly latest mtime via
@@ -661,7 +703,8 @@ def q_streaming_kmv(spark, sf_dir):
 
     def _build(d):
         ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
-        bucketed = _time_buckets(ev, "ts", REPLAY_BUCKETS).select(
+        bucketed = _time_buckets(ev, "ts", REPLAY_BUCKETS,
+                                 cuts=REPLAY_CUTS).select(
             "user_id", "ts", "bucket")
         _write_ordered_buckets(bucketed, "bucket", d, REPLAY_BUCKETS)
         # sentinel LAST (strictly latest mtime): 30 days past max(ts)
@@ -782,7 +825,8 @@ def q_streaming_model_score(spark, sf_dir):
         "product_id", "bucket_start", "close")
 
     def _build(d):
-        bucketed = _time_buckets(c, "bucket_start", REPLAY_BUCKETS)
+        bucketed = _time_buckets(c, "bucket_start", REPLAY_BUCKETS,
+                                 cuts=REPLAY_CUTS)
         _write_ordered_buckets(bucketed, "bucket", d, REPLAY_BUCKETS)
 
     replay_dir = _cached_replay_dir("mscore", sf_dir, _build)
