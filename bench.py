@@ -173,6 +173,9 @@ HEADLINERS = [
     "holt_cv_sweep",
     "service_health",
     "predict_single_step",
+    # round-9 additions (cadence audit, curriculum dropout)
+    "prediction_cadence",
+    "curriculum_dropout",
 ]
 
 # Per-query repetitions; the reported time is the MIN across runs.

@@ -63,8 +63,10 @@ def curriculum_feature_dropout(df: DataFrame, *,
     The reference draws from ``random``/``np.random`` per __getitem__
     call — irreproducible across workers and epochs. This variant is
     the stratified_sample recipe instead: every gate is
-    hash60(key:epoch_seconds:epoch[, feature]) — a pure column
-    expression, so the SAME (row, feature, epoch) always masks the
+    hash60(key:epoch_micros:epoch[, feature]) — a pure column
+    expression (µs are exact integers on both engines — DuckDB
+    epoch_us — so the key never touches float formatting), so the
+    SAME (row, feature, epoch) always masks the
     same way on any partitioning, any engine, any retry (the property
     a distributed training feed actually needs), and a new epoch
     deterministically re-rolls every mask. The reference masks per
@@ -80,9 +82,10 @@ def curriculum_feature_dropout(df: DataFrame, *,
     Everything stays inside whole-stage codegen; zero shuffles added.
     """
     from ..functions.text import hash60
+    from ..functions.timeutil import epoch_micros
 
     kstr = F.concat(F.col(key).cast("string"), F.lit(":"),
-                    F.unix_timestamp(F.col(ts)).cast("string"),
+                    epoch_micros(F.col(ts)).cast("string"),
                     F.lit(f":e{int(epoch)}"))
     applied = (hash60(kstr, "curr-row") % 100) < row_gate_pct
     out = df

@@ -754,8 +754,8 @@ def q_curriculum_dropout(spark, sf_dir):
 def _sql_curriculum_dropout() -> str:
     from ..functions.text import sql_hash60
 
-    kstr = ("product_id || ':' || CAST(CAST(epoch(bucket_start) AS "
-            f"BIGINT) AS VARCHAR) || ':e{CURRICULUM_EPOCH}'")
+    kstr = ("product_id || ':' || CAST(epoch_us(bucket_start) "
+            f"AS VARCHAR) || ':e{CURRICULUM_EPOCH}'")
     applied = f"({sql_hash60(kstr, 'curr-row')} % 100) < 50"
     masked, nd = [], []
     for f in CURRICULUM_FEATURES:

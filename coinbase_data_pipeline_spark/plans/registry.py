@@ -53,64 +53,45 @@ for _part in _QUERY_PARTS:
 # CORRECTNESS_r01..r04.json and stays out of the window.  Driver rounds
 # r01..r04 map to the repo's work sessions 1..4 (one numbering scheme).
 #
-# ROUND-8 WINDOW (the rotation VERDICT r07 item #1 ordered): (a) the
-# two queries whose code changed after their latest driver rows —
-# streaming_upsert (sinks/tables.py marker atomicity, r07 change,
-# last row r06) and streaming_candles (r06 replay plumbing, row still
-# r02); (b) brand-new round-8 queries; (c) queries whose plans
-# changed in round 8 — the link-mode dedup family (lazy-checkpoint
-# rework of cap_hot_buckets/minhash_lsh_pairs_vs), the carry_masks
-# parameter threading through every banded join (default plan
-# identical, rows re-confirm the refactor is inert), and
-# streaming_model_score (cross-chunk sort fix, ADVICE r07); (d) the
-# remaining slots drain the OLDEST green rows first — the r01 ledger
-# entries, then the r02 TPC-H/analytics block. Everything else keeps
-# its green driver row from CORRECTNESS_r01..r07 on unchanged code.
+# ROUND-9 WINDOW (the consolidation rotation VERDICT r08 ordered):
+# (a) the two new round-9 queries — prediction_cadence (the
+# prediction_worker/force_prediction cadence audit) and
+# curriculum_dropout (the data loader's deterministic feature-dropout
+# relation); (b) every query whose plan or oracle changed in round 9 —
+# service_health (minute-truncated age semantics, ADVICE r08),
+# validate_input (numeric-domain audit columns), ann_lsh (carry_masks
+# threading through lsh_topk — default plan identical, the row
+# re-confirms the refactor is inert), funnel (broadcast hints), and
+# the three stateful replay layouts that now thread REPLAY_CUTS
+# through _time_buckets (default path plan-identical);
+# (c) the 26 stale r02/r03 rows VERDICT r08 listed — unchanged code,
+# five-to-six-round-old driver evidence, the only ledger gap left;
+# (d) the oldest r04 rows for the remaining slots. Everything else
+# keeps its green driver row from CORRECTNESS_r01..r08 on unchanged
+# code.
 _CHECK_FIRST = [
-    # (a) changed-after-row debt, oldest first
-    "streaming_candles", "streaming_upsert",
-    # (b) new round-8 queries:
-    # - walk-forward VALIDATION-scored Holt sweep (optimize_model.py
-    #   scores trials on a held-out split; holt_param_sweep was the
-    #   in-sample variant — pytest pins their argmin divergence).
-    "holt_cv_sweep",
-    # - service status/health report (prediction_service.py:324
-    #   _health_check + :353 get_status): per (product, model) ages
-    #   vs data-anchored now, scored/pending counts, is_healthy.
-    "service_health",
-    # - horizon-1 read path (predictor.py:280 predict_single_step),
-    #   numerically identical to model_score's h=1 rows.
-    "predict_single_step",
-    # (c) round-8-changed plans: the lazy-checkpoint dedup family, the
-    # carry_masks threading, the chunk-sort streaming fix — plus the
-    # fuzz-found fixes (bpe fully-merged-word guard, text_normalize
-    # oracle NULL→'' coalesce, dedup_embedding count semantics) and
-    # ann_lsh's first-match-band candidate migration.
-    "streaming_model_score",
-    "dedup_minhash_lsh", "dedup_simhash_pairs", "knn_graph",
-    "dedup_embedding", "dedup_incremental",
-    "dedup_components", "dedup_keep", "dedup_keep_best",
-    "corpus_curation",
-    "bpe_train", "bpe_encode", "text_normalize", "ann_lsh",
-    # (d) oldest-green-first refresh: the eleven r01 rows...
-    "candle_parse", "macd_approx", "top_k", "dedup_exact",
-    "prediction_horizon_eval", "scale_fit_transform",
-    "embedding_centroids", "lang_id", "quality_score", "token_count",
-    "doc_fingerprint",
-    # ...then the r02 TPC-H block (unchanged code, six-round-old
-    # evidence)...
-    "q4_order_priority", "q10_returned_items", "q14_promo_effect",
-    "q18_large_orders", "q8_market_share", "q9_product_profit",
-    "q13_customer_distribution", "q15_top_supplier",
-    "q17_small_quantity", "q22_global_sales_opportunity",
-    "q2_min_cost_supplier", "q11_important_stock",
-    "q12_priority_shipping", "q16_supplier_cnt", "q20_part_promotion",
-    "q21_suppliers_kept_waiting",
-    # ...then the oldest r02 analytics/time-series rows up to the
-    # driver's 50-slot window (the four r08-changed entries above
-    # displaced retention_cohorts/bollinger/stochastic/
-    # daily_active_users — unchanged code, their r02 rows stand).
-    "clean_series", "candle_rollup", "grouped_scale", "candle_gaps",
+    # (a) new round-9 queries
+    "prediction_cadence", "curriculum_dropout",
+    # (b) round-9-changed plans/oracles
+    "service_health", "validate_input", "ann_lsh", "funnel",
+    "streaming_sessionize", "streaming_kmv", "streaming_model_score",
+    # (c) the 26 stale r02/r03 rows (funnel already above): r02 first
+    "bollinger", "stochastic", "retention_cohorts",
+    "daily_active_users", "price_quantiles", "ngram_doc_frequency",
+    "candle_resample_salted", "event_type_pivot", "volume_rollup",
+    "tfidf_top_terms", "repetition_score", "doc_chunk",
+    # ...then r03
+    "sessionize", "range_join", "value_histogram", "max_drawdown",
+    "rolling_correlation", "candle_grid_fill", "multimodal_meta",
+    "multimodal_frames", "pii_scrub", "decontaminate",
+    "stratified_sample", "mixture_resample", "corpus_stats",
+    # (d) oldest r04 rows fill the remaining slots of the 50-window
+    "acf", "approx_quantiles_hist", "association_rules",
+    "bm25_search", "candle_patterns", "csv_ingest",
+    "dataset_manifest", "donchian_channel", "drawdown_durations",
+    "dsir_select", "dsir_weights", "embedding_quantize",
+    "fixed_k_sample", "gopher_quality", "hopping_volume",
+    "keltner_channel",
 ]
 
 ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

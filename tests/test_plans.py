@@ -410,3 +410,41 @@ def test_holt_cv_sweep_single_arrow_pass(spark):
     df = ALL_QUERIES["holt_cv_sweep"](spark, SF)
     p = df._jdf.queryExecution().executedPlan().toString()
     assert p.count("FlatMapGroupsInPandas") == 1
+
+
+def test_prediction_cadence_single_exchange(spark):
+    """The cadence audit's groupBy keys equal the lag window's
+    partition keys, so the aggregation must reuse the window's
+    exchange — exactly ONE Exchange in the whole plan (unique=True
+    path, the catalog configuration)."""
+    from datetime import datetime
+
+    from coinbase_data_pipeline_spark.operators.predictions import (
+        prediction_cadence)
+
+    preds = spark.createDataFrame(
+        [("A", "m", datetime(2024, 1, 1))],
+        "product_id string, model_version string, "
+        "origin_time timestamp")
+    out = prediction_cadence(preds, unique=True)
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert p.count("Exchange") == 1, p
+
+
+def test_curriculum_dropout_zero_exchanges(spark):
+    """Every dropout gate is a pure column expression — the masked
+    relation must add ZERO exchanges over its input (and no Python
+    UDF nodes: hash60 is md5/conv, JVM-side)."""
+    from datetime import datetime
+
+    from coinbase_data_pipeline_spark.operators.windows import (
+        curriculum_feature_dropout)
+
+    c = spark.createDataFrame(
+        [("A", datetime(2024, 1, 1), 1.0, 2.0, 0.5, 1.5, 10.0)],
+        "product_id string, bucket_start timestamp, open double, "
+        "high double, low double, close double, volume double")
+    out = curriculum_feature_dropout(c, epoch=3)
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p

@@ -108,6 +108,10 @@ PICKS = [
      "two partial-agg rollups + broadcast now; product-sized join"),
     ("predict_single_step",
      "single-horizon head over the window encoder; no h-explode"),
+    ("prediction_cadence",
+     "lag window + groupBy share ONE (product, model) exchange"),
+    ("curriculum_dropout",
+     "hash-gated masks: pure expressions, zero added exchanges"),
 ]
 
 
