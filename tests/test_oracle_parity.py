@@ -91,7 +91,28 @@ def test_oracle_parity(spark, name):
 
 def test_all_queries_have_rows(spark):
     """Every query must return rows at this scale — a 0-row result
-    passes 0==0 parity trivially, so emptiness is its own failure."""
+    passes 0==0 parity trivially, so emptiness is its own failure.
+
+    On a FUZZED dir (SPARK_GRAFT_PARITY_SF_DIR override) emptiness
+    can be legitimate data dependence — e.g. a 55% independent TPC-H
+    subsample breaks q5's four-table join chain, a 400-event corpus
+    has no 3-step event paths. There the contract weakens to
+    "emptiness must AGREE with the oracle": a one-sided 0 still
+    fails, an agreed 0 is recorded, the real-testdata gate stays
+    strict."""
+    fuzzed = "SPARK_GRAFT_PARITY_SF_DIR" in os.environ \
+        and not SF_DIR.startswith("/root/testdata/")
+    con = duck_con(SF_DIR) if fuzzed else None
+    agreed_empty = []
     for name, fn in SPARK_QUERIES.items():
         n = fn(spark, SF_DIR).count()
+        if n == 0 and fuzzed and name in ORACLE_SQL:
+            n_oracle = len(con.execute(ORACLE_SQL[name]).fetchall())
+            assert n_oracle == 0, (
+                f"{name}: Spark empty but oracle has {n_oracle} rows "
+                f"at {SF_DIR}")
+            agreed_empty.append(name)
+            continue
         assert n > 0, f"{name} returned 0 rows at {SF_DIR}"
+    if agreed_empty:
+        print(f"agreed-empty on fuzzed dir: {agreed_empty}")

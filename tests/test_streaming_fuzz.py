@@ -118,3 +118,29 @@ def test_model_score_split_invariant_any_boundary(spark, replay_layout,
     fuzzed = {tuple(r) for r in
               CS.q_streaming_model_score(spark, SF).collect()}
     assert fuzzed == baseline and len(fuzzed) > 1000
+
+
+@pytest.mark.parametrize("seed,n", [(21, 4), (22, 5)])
+def test_sessionize_watermark_complete_any_boundary(spark,
+                                                    replay_layout,
+                                                    seed, n):
+    """The watermarked path's stronger contract — event-time timeouts
+    flush EVERY tail, so the streamed result equals the COMPLETE batch
+    sessionization — must hold on permuted boundaries too: timeout
+    firing order interacts with which micro-batch advances the
+    watermark past each session's end + gap."""
+    from coinbase_data_pipeline_spark.operators.sessions import sessionize
+    from coinbase_data_pipeline_spark.plans import catalog_stream as CS
+
+    replay_layout(n, _seeded_cuts(seed, n))
+    raw = CS._run_sessionize_replay(spark, SF,
+                                    watermark="1 minute").collect()
+    streamed = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in raw if r.user_id not in (-1, CS.STRADDLER_UID)}
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    expected = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in sessionize(ev, user="user_id", ts="ts",
+                            gap_minutes=30).collect()}
+    assert streamed == expected and streamed
