@@ -102,3 +102,33 @@ def curriculum_feature_dropout(df: DataFrame, *,
         n_dropped = n_dropped + d
     return (out.withColumn("dropout_applied", applied)
             .withColumn("n_dropped", n_dropped))
+
+
+def window_origins(candles: DataFrame, *, key: str = "product_id",
+                   ts: str = "bucket_start", price: str = "close",
+                   seq_len: int = 24, pred_len: int = 6) -> DataFrame:
+    """The ORIGIN SET of :func:`sliding_windows` — (key, ts) of every
+    row whose full (seq_len, pred_len) window exists — without
+    materializing the window payloads: count(price) over the same
+    trailing/leading frames replaces collect_list (count and
+    collect_list drop NULLs identically, so membership matches
+    bit-for-bit; pytest-pinned equality).
+
+    For consumers that need only window MEMBERSHIP (the cadence
+    audit), the per-row seq_len+pred_len array build is pure waste —
+    the completeness filter references size(collect_list), so column
+    pruning cannot remove it. This relation keeps the one key
+    exchange and drops the array build. Measured honestly: at sf0.1
+    the A/B is a wash (1.18 vs 1.20s — the candle aggregation
+    dominates and the origin relation is only ~39k rows); the win is
+    the 30×8 B per-row window state this avoids carrying through the
+    sort at real row counts, not local seconds."""
+    wx = (Window.partitionBy(key).orderBy(ts)
+          .rowsBetween(-(seq_len - 1), 0))
+    wy = Window.partitionBy(key).orderBy(ts).rowsBetween(1, pred_len)
+    return (candles
+            .withColumn("_nx", F.count(price).over(wx))
+            .withColumn("_ny", F.count(price).over(wy))
+            .filter((F.col("_nx") == seq_len)
+                    & (F.col("_ny") == pred_len))
+            .select(key, ts))

@@ -790,16 +790,18 @@ def q_prediction_cadence(spark, sf_dir):
     skipped a beat over the whole store.
 
     Input is the prediction ORIGIN set — one row per (product, origin)
-    by construction (sliding_windows emits each complete window once),
-    identical to model_score's distinct origins but without paying the
-    scoring pass cadence never reads. unique=True therefore skips the
-    distinct, leaving ONE shuffle total (the lag window's, reused by
-    the groupBy)."""
-    win = WD.sliding_windows(candles(spark, sf_dir))
-    origins = win.select(
-        "product_id",
-        F.lit(SC.MODEL_VERSION).alias("model_version"),
-        F.col("bucket_start").alias("origin_time"))
+    by construction (window_origins emits each complete window once),
+    identical to model_score's distinct origins but paying neither the
+    scoring pass nor the window ARRAY build cadence never reads
+    (sliding_windows' collect_list payloads survive column pruning
+    because the completeness filter references them — window_origins
+    counts instead; pytest pins origin-set equality). unique=True
+    skips the distinct, so cadence adds ONE shuffle (its lag window,
+    reused by the groupBy) over the origin relation's key exchange."""
+    origins = (WD.window_origins(candles(spark, sf_dir))
+               .select("product_id",
+                       F.lit(SC.MODEL_VERSION).alias("model_version"),
+                       F.col("bucket_start").alias("origin_time")))
     return P.prediction_cadence(
         origins, interval_minutes=CADENCE_INTERVAL_MIN, unique=True)
 

@@ -2086,3 +2086,34 @@ def test_validate_input_flags_out_of_domain_prices(spark):
     assert not out["NUL"]["is_valid"]        # null opens
     assert out["NUL"]["n_out_of_domain"] == 1
     assert not out["NUL"]["in_value_hash_domain"]
+
+
+def test_window_origins_equals_sliding_windows_origins(spark):
+    """window_origins must emit exactly sliding_windows' (key, ts)
+    set — count(price) and collect_list drop NULLs identically — on
+    real data AND on a frame with planted NULL holes (where the two
+    formulations could diverge if nullity semantics slipped)."""
+    from datetime import datetime, timedelta
+
+    from coinbase_data_pipeline_spark.operators.windows import (
+        sliding_windows, window_origins)
+    from coinbase_data_pipeline_spark.plans.catalog import candles
+
+    c = candles(spark, "/root/testdata/sf0.001")
+    a = {(r[0], r[1]) for r in
+         sliding_windows(c).select("product_id",
+                                   "bucket_start").collect()}
+    b = {tuple(r) for r in window_origins(c).collect()}
+    assert a == b and a
+
+    t0 = datetime(2024, 1, 1)
+    rows = [("P", t0 + timedelta(minutes=5 * i),
+             None if i in (3, 40) else 1.0 + i)
+            for i in range(80)]
+    holes = spark.createDataFrame(
+        rows, "product_id string, bucket_start timestamp, close double")
+    a2 = {(r[0], r[1]) for r in
+          sliding_windows(holes).select("product_id",
+                                        "bucket_start").collect()}
+    b2 = {tuple(r) for r in window_origins(holes).collect()}
+    assert a2 == b2 and a2
