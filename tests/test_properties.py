@@ -276,3 +276,54 @@ def test_holt_cv_sweep_matches_numpy_reference(spark, vals):
         if ne > 0:
             want[(a, b)] = (ne, (2 * s + ne) // (2 * ne))
     assert got == want
+
+
+@given(mins=st.lists(
+    st.tuples(st.sampled_from(["A", "B"]), st.sampled_from(["m1", "m2"]),
+              st.integers(min_value=0, max_value=2000)),
+    min_size=1, max_size=60))
+@settings(**SETTINGS)
+def test_prediction_cadence_matches_model(spark, mins):
+    """prediction_cadence == per-group Python model: the interval
+    categories partition the lag gaps exactly (on_schedule + forced +
+    delayed == n_intervals == n_predictions − 1 after dedup), min/max
+    gaps agree, cadence_ok == (no gap > interval), vacuously true for
+    singleton groups."""
+    from collections import defaultdict
+    from datetime import datetime, timedelta
+
+    from coinbase_data_pipeline_spark.operators.predictions import (
+        prediction_cadence)
+
+    t0 = datetime(2024, 1, 1)
+    rows = [(k, m, t0 + timedelta(minutes=v)) for k, m, v in mins]
+    preds = spark.createDataFrame(
+        rows, "product_id string, model_version string, "
+              "origin_time timestamp")
+    out = {(r["product_id"], r["model_name"]): r
+           for r in prediction_cadence(preds, interval_minutes=5)
+           .collect()}
+
+    groups = defaultdict(set)
+    for k, m, v in mins:
+        groups[(k, m)].add(v)
+    assert set(out) == set(groups)
+    for g, vals in groups.items():
+        sv = sorted(vals)
+        gaps = [b - a for a, b in zip(sv, sv[1:])]
+        r = out[g]
+        assert r["n_predictions"] == len(sv)
+        assert r["n_intervals"] == len(gaps)
+        assert (r["on_schedule_intervals"] + r["forced_predictions"]
+                + r["delayed_intervals"]) == len(gaps)
+        assert r["on_schedule_intervals"] == sum(g2 == 5 for g2 in gaps)
+        assert r["forced_predictions"] == sum(g2 < 5 for g2 in gaps)
+        assert r["delayed_intervals"] == sum(g2 > 5 for g2 in gaps)
+        if gaps:
+            assert r["min_gap_minutes"] == min(gaps)
+            assert r["max_gap_minutes"] == max(gaps)
+            assert r["cadence_ok"] == (max(gaps) <= 5)
+        else:
+            assert r["min_gap_minutes"] is None
+            assert r["max_gap_minutes"] is None
+            assert r["cadence_ok"]
