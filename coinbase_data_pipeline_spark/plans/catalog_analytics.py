@@ -672,9 +672,15 @@ def q_event_paths(spark, sf_dir):
             F.slice(F.col("_seq"), i, PATH_N), ">"))).alias("path")))
     ranked = (paths.groupBy("path")
               .agg(F.count(F.lit(1)).alias("n_paths")))
+    # top-K FIRST (TakeOrderedAndProject — per-partition partial
+    # top-K, never a global sort), THEN rank the ≤K survivors: the
+    # old row_number-then-filter was an unpartitioned window over
+    # EVERY distinct path — single-partition at corpus scale (the
+    # one WindowExec warning the r09 driver sim surfaced)
+    top = ranked.orderBy(F.col("n_paths").desc(), "path") \
+                .limit(PATH_TOP)
     w = Window.orderBy(F.col("n_paths").desc(), F.col("path"))
-    return (ranked.withColumn("rank", F.row_number().over(w).cast("int"))
-            .filter(F.col("rank") <= PATH_TOP))
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))
 
 
 def _sql_event_paths() -> str:

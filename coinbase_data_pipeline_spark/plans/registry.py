@@ -72,9 +72,11 @@ for _part in _QUERY_PARTS:
 _CHECK_FIRST = [
     # (a) new round-9 queries
     "prediction_cadence", "curriculum_dropout",
-    # (b) round-9-changed plans/oracles
+    # (b) round-9-changed plans/oracles (event_paths: the top-K
+    # TakeOrdered rewrite of the old unpartitioned rank window)
     "service_health", "validate_input", "ann_lsh", "funnel",
     "streaming_sessionize", "streaming_kmv", "streaming_model_score",
+    "event_paths",
     # (c) the 26 stale r02/r03 rows (funnel already above): r02 first
     "bollinger", "stochastic", "retention_cohorts",
     "daily_active_users", "price_quantiles", "ngram_doc_frequency",
@@ -91,7 +93,8 @@ _CHECK_FIRST = [
     "dataset_manifest", "donchian_channel", "drawdown_durations",
     "dsir_select", "dsir_weights", "embedding_quantize",
     "fixed_k_sample", "gopher_quality", "hopping_volume",
-    "keltner_channel",
+    # (keltner_channel displaced by event_paths' changed-code slot;
+    # its r04 row stands on unchanged code)
 ]
 
 ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
