@@ -378,19 +378,22 @@ GROUP BY c_count
 
 
 def q15_top_supplier(spark, sf_dir):
-    """TPC-H Q15 shape: revenue view + argmax — the max is a window
-    over the aggregate (one pass), not a re-scan subquery."""
-    from pyspark.sql import Window
-
+    """TPC-H Q15 shape: revenue view + argmax — one aggregate pass,
+    scalar max broadcast back (never a re-scan subquery, never a
+    single-partition window)."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1997-01-01")
         & (F.col("l_shipdate") < "1997-04-01"))
     su = load_table(spark, sf_dir, "supplier")
     revenue = (li.groupBy("l_suppkey")
                .agg(F.round(F.sum(_rev()), RND).alias("total_revenue")))
-    top = (revenue.withColumn("_max", F.max("total_revenue").over(
-               Window.partitionBy()))
-           .filter(F.col("total_revenue") == F.col("_max")).drop("_max"))
+    # scalar max via broadcast crossJoin (house pattern) — the old
+    # empty-partition max window put the whole supplier aggregate in
+    # one WindowExec partition
+    mx = revenue.agg(F.max("total_revenue").alias("_max"))
+    top = (revenue.crossJoin(F.broadcast(mx))
+           .filter(F.col("total_revenue") == F.col("_max"))
+           .drop("_max"))
     return (top.join(su,
                      F.col("l_suppkey") == F.col("s_suppkey"))
             .select("s_suppkey", "s_name",
