@@ -21,10 +21,16 @@ fixed layouts happened not to produce.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pytest
 
-SF = "/root/testdata/sf0.001"
+# honors the parity suite's data-dir override so the two fuzz axes
+# COMPOSE: fuzzed DATA (tools/fuzz_parity.py output) × permuted
+# BOUNDARIES in one run
+SF = os.environ.get("SPARK_GRAFT_PARITY_SF_DIR",
+                    "/root/testdata/sf0.001")
 
 # (seed, n_slices) chosen so the axis covers 3/5/6-way splits the
 # fixed layouts never run; cut points are seeded per case below
