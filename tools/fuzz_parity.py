@@ -14,8 +14,19 @@ against the generated dir:
     SPARK_GRAFT_PARITY_SF_DIR=/tmp/fuzz7 \
         python -m pytest tests/test_oracle_parity.py -q
 
+The r09 gate's seed set (each a distinct axis): 7 (default), 1009
+(fresh), 4242 --zero-vector, 99 --n-events 400 --n-docs 25 --n-vecs
+30 (tiny corpus), 31 --tpch-sample 0.55 (referential gaps), 55
+--n-events 120 --n-docs 40 --n-vecs 40 (SPARSE: empty-window /
+empty-join regimes — two-sided-verified via the rows test's
+agreed-empty contract). The same env var also drives
+tests/test_streaming_fuzz.py, so data fuzz COMPOSES with micro-batch
+boundary permutation in one run.
+
 TPC-H tables are symlinked from the base sf dir unchanged (their
-join-key structure is the spec, not a fuzz target).
+join-key structure is the spec, not a fuzz target) — unless
+--tpch-sample independently subsamples each table, making referential
+gaps themselves the fuzz axis (empty groups, outer-join edges).
 """
 
 from __future__ import annotations
