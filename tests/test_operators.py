@@ -1801,16 +1801,20 @@ def test_mask_mode_parity_on_real_corpus(spark):
     the real sf0.001 corpus for the two consumers with the most
     band-filter surface, beyond the planted-clique tests."""
     import coinbase_data_pipeline_spark.operators.dedup as DD
-    from coinbase_data_pipeline_spark.operators.ann import knn_graph
+    from coinbase_data_pipeline_spark.operators.ann import (
+        knn_graph, lsh_topk)
     from coinbase_data_pipeline_spark.operators.dedup import (
         minhash_lsh_pairs)
 
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)   # the ann_lsh shape
     base_pairs = {(r.doc_a, r.doc_b, r.jaccard)
                   for r in minhash_lsh_pairs(docs).collect()}
     base_knn = {(r.vec_id, r.nn_id, r.rank)
                 for r in knn_graph(emb).collect()}
+    base_topk = {(r.query_id, r.nn_id, r.rank)
+                 for r in lsh_topk(emb, queries).collect()}
     saved = DD.CARRY_MASKS
     try:
         DD.CARRY_MASKS = True
@@ -1818,10 +1822,13 @@ def test_mask_mode_parity_on_real_corpus(spark):
                         for r in minhash_lsh_pairs(docs).collect()}
         masked_knn = {(r.vec_id, r.nn_id, r.rank)
                       for r in knn_graph(emb).collect()}
+        masked_topk = {(r.query_id, r.nn_id, r.rank)
+                       for r in lsh_topk(emb, queries).collect()}
     finally:
         DD.CARRY_MASKS = saved
     assert masked_pairs == base_pairs and base_pairs
     assert masked_knn == base_knn and base_knn
+    assert masked_topk == base_topk and base_topk
     # and the per-call parameter overrides the module default
     param_pairs = {(r.doc_a, r.doc_b, r.jaccard)
                    for r in minhash_lsh_pairs(docs,
