@@ -31,6 +31,11 @@ import pytest
 # BOUNDARIES in one run
 SF = os.environ.get("SPARK_GRAFT_PARITY_SF_DIR",
                     "/root/testdata/sf0.001")
+# non-vacuity (result must be non-empty / large) is a property of the
+# REAL testdata; on fuzzed dirs (e.g. the sparse seed, where
+# model_score is legitimately agreed-empty) only the INVARIANCE
+# contracts apply
+DEFAULT_DIR = SF == "/root/testdata/sf0.001"
 
 # (seed, n_slices) chosen so the axis covers 3/5/6-way splits the
 # fixed layouts never run; cut points are seeded per case below
@@ -88,7 +93,8 @@ def test_sessionize_straddlers_any_boundary(spark, replay_layout,
     expected = {
         (r.user_id, r.session_start, r.session_end, r.n_events)
         for r in batch if r is not last[r.user_id]}
-    assert streamed == expected and streamed
+    assert streamed == expected
+    assert streamed or not DEFAULT_DIR
 
     # one closed 2-event 600-second straddler session per interior
     # boundary, wherever the seeded cut landed
@@ -110,7 +116,8 @@ def test_kmv_split_invariant_any_boundary(spark, replay_layout,
     replay_layout(n, _seeded_cuts(seed, n))
     fuzzed = {tuple(r) for r in
               CS.q_streaming_kmv(spark, SF).collect()}
-    assert fuzzed == baseline and fuzzed
+    assert fuzzed == baseline
+    assert fuzzed or not DEFAULT_DIR
 
 
 @pytest.mark.parametrize("seed,n", CASES[2:])
@@ -123,7 +130,8 @@ def test_model_score_split_invariant_any_boundary(spark, replay_layout,
     replay_layout(n, _seeded_cuts(seed, n))
     fuzzed = {tuple(r) for r in
               CS.q_streaming_model_score(spark, SF).collect()}
-    assert fuzzed == baseline and len(fuzzed) > 1000
+    assert fuzzed == baseline
+    assert len(fuzzed) > 1000 or not DEFAULT_DIR
 
 
 @pytest.mark.parametrize("seed,n", [(21, 4), (22, 5)])
@@ -149,4 +157,5 @@ def test_sessionize_watermark_complete_any_boundary(spark,
         (r.user_id, r.session_start, r.session_end, r.n_events)
         for r in sessionize(ev, user="user_id", ts="ts",
                             gap_minutes=30).collect()}
-    assert streamed == expected and streamed
+    assert streamed == expected
+    assert streamed or not DEFAULT_DIR
