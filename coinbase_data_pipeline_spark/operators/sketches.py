@@ -86,7 +86,7 @@ def kmv_audience_overlap(events: DataFrame, *, type_a: str,
          .select(F.col("mins").alias("mins_a")))
     b = (sk.filter(F.col("audience") == type_b)
          .select(F.col("mins").alias("mins_b")))
-    row = a.crossJoin(b)  # 1×1: broadcast-scalar pattern
+    row = a.crossJoin(F.broadcast(b))  # 1×1: broadcast-scalar pattern
 
     def theta(mins: Column) -> Column:
         return F.when(F.size(mins) >= k,

@@ -76,7 +76,7 @@ _CHECK_FIRST = [
     # TakeOrdered rewrite of the old unpartitioned rank window)
     "service_health", "validate_input", "ann_lsh", "funnel",
     "streaming_sessionize", "streaming_kmv", "streaming_model_score",
-    "event_paths", "q15_top_supplier",
+    "event_paths", "q15_top_supplier", "kmv_set_ops",
     # (c) the 26 stale r02/r03 rows (funnel already above): r02 first
     "bollinger", "stochastic", "retention_cohorts",
     "daily_active_users", "price_quantiles", "ngram_doc_frequency",
@@ -92,9 +92,10 @@ _CHECK_FIRST = [
     "bm25_search", "candle_patterns", "csv_ingest",
     "dataset_manifest", "donchian_channel", "drawdown_durations",
     "dsir_select", "dsir_weights", "embedding_quantize",
-    "fixed_k_sample", "gopher_quality",
-    # (hopping_volume/keltner_channel displaced by the event_paths +
-    # q15 changed-code slots; their r04 rows stand on unchanged code)
+    "fixed_k_sample",
+    # (gopher_quality/hopping_volume/keltner_channel displaced by the
+    # event_paths/q15/kmv_set_ops changed-code slots; their r04 rows
+    # stand on unchanged code)
 ]
 
 ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
