@@ -158,3 +158,60 @@ def cms_heavy_hitters(docs: DataFrame, *, d: int = 4, w: int = 4096,
                     F.col("cms_est").cast("long").alias("cms_est"),
                     (F.col("cms_est") - F.col("n")).cast("long")
                     .alias("overestimate")))
+
+
+# ------------------------------------------- mergeable histogram quantiles
+
+def histogram_quantiles(df: DataFrame, group_cols: list[str], val: str,
+                        quantiles: list[float], bins: int) -> DataFrame:
+    """Approximate per-group quantiles from ONE equal-width-histogram
+    pass (the mergeable sketch a 100 TB scan can afford): per group,
+    min/max/count bound the bins; integer bin counts partial-aggregate
+    map-side; each requested quantile interpolates inside the first
+    bin whose cumulative count reaches ceil(q·n). Deterministic by
+    construction (integer counts + closed-form interpolation on
+    engine-identical min/max) — unlike t-digest it value-hashes
+    cross-engine, which is why plans/catalog_analytics.py's
+    approx_quantiles_hist can oracle-pin it exactly.
+
+    Consumers: approx_quantiles_hist (per-product price percentiles)
+    and rfm_scores' 100 TB threshold path (quintile cuts per metric).
+
+    Returns one row per (group, quantile): ``group_cols + [q, n,
+    estimate_raw]`` — the caller rounds/aliases (estimate_raw is the
+    unrounded interpolated value).
+    """
+    from pyspark.sql import Window
+
+    bounds = (df.groupBy(*group_cols)
+              .agg(F.min(val).alias("lo"), F.max(val).alias("hi"),
+                   F.count(F.lit(1)).alias("n")))
+    # hi == lo (degenerate one-value key) → everything in bin 0; the
+    # unguarded division would be NULL (ansi off) vs inf (DuckDB)
+    bin_expr = F.when(
+        F.col("hi") > F.col("lo"),
+        F.least(F.lit(bins - 1),
+                F.floor((F.col(val) - F.col("lo"))
+                        / (F.col("hi") - F.col("lo"))
+                        * bins).cast("int"))).otherwise(F.lit(0))
+    binned = (df.join(F.broadcast(bounds), group_cols)
+              .select(*group_cols, "lo", "hi", "n", bin_expr.alias("bin"))
+              .groupBy(*group_cols, "lo", "hi", "n", "bin")
+              .agg(F.count(F.lit(1)).alias("cnt")))
+    w = (Window.partitionBy(*group_cols).orderBy("bin")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    cum = binned.withColumn("cum", F.sum("cnt").over(w))
+    qlit = F.explode(F.array(*[F.lit(q) for q in quantiles])).alias("q")
+    with_q = cum.select("*", qlit)
+    target = F.greatest(F.lit(1), F.ceil(F.col("q") * F.col("n")))
+    hit = (with_q
+           .withColumn("target", target)
+           .filter((F.col("cum") >= F.col("target"))
+                   & (F.col("cum") - F.col("cnt") < F.col("target"))))
+    frac = ((F.col("target") - (F.col("cum") - F.col("cnt")))
+            .cast("double") / F.col("cnt"))
+    est = F.when(F.col("hi") > F.col("lo"),
+                 F.col("lo") + (F.col("bin") + frac)
+                 * (F.col("hi") - F.col("lo")) / bins) \
+           .otherwise(F.col("lo"))
+    return hit.select(*group_cols, "q", "n", est.alias("estimate_raw"))

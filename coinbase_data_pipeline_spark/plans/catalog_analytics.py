@@ -725,18 +725,40 @@ SQL_EVENT_PATHS = _sql_event_paths()
 
 # ------------------------------------------------------------------- RFM
 
-def q_rfm_scores(spark, sf_dir):
+RFM_THRESHOLD_BINS = 128
+
+
+def q_rfm_scores(spark, sf_dir, *, approx_thresholds: bool = False):
     """RFM customer segmentation over the event stream: per user,
     Recency (days since last purchase, vs the corpus max ts),
     Frequency (purchase count) and Monetary (2dp purchase value sum),
     each scored into quintiles — the classic lifecycle-marketing
-    table. ntile ties break on user_id so both engines bucket
-    identically; one user shuffle + a broadcast scalar max. The
-    quintile windows are global rankings over the user RELATION
-    (users ≪ events — already one aggregated row per user); at
-    100 TB user counts, swap ntile for broadcast approx-quantile
-    thresholds (the approx_quantiles_hist machinery)."""
+    table.
+
+    Default path (what the oracle pins): EXACT quintiles, but never
+    through ``ntile() OVER (ORDER BY ...)`` — an unpartitioned window
+    drags the whole user relation to one task at 10⁹ users. The three
+    metrics go to long format (user, metric, value — descending
+    metrics negated so every rank is ascending with the user_id
+    tiebreak), operators/ranking.py exact_group_ntile assigns tiles
+    via the salted-prefix-sum recipe (value-binned shards + partitioned
+    local ranks + broadcast shard offsets + ntile's closed-form
+    boundary arithmetic), and one pivot-back join restores the wide
+    shape. Bit-identical to the single-node ntile (ties break on
+    user_id in both engines), registry plan-audited to contain no
+    unpartitioned WindowExec.
+
+    ``approx_thresholds=True`` is the cheaper 100 TB variant when tile
+    EDGES may be approximate: quintile cut points from ONE mergeable
+    histogram pass (operators/sketches.py histogram_quantiles — the
+    approx_quantiles_hist machinery), broadcast, score = 1 + #cuts
+    strictly below the value. No ranking shuffle at all. Semantics
+    shift deliberately from rank-quintiles to VALUE-quintiles (equal
+    values always share a score — what ntile cannot give under ties);
+    pytest pins the structure (ties identical, metric-monotone) and
+    bounds each cut to one histogram bin of the exact percentile."""
     from ..functions.timeutil import epoch_micros
+    from ..operators.ranking import exact_group_ntile
 
     ev = load_table(spark, sf_dir, "events")
     p = ev.filter(F.col("event_type") == "purchase")
@@ -753,16 +775,47 @@ def q_rfm_scores(spark, sf_dir):
                      / F.lit(86400_000_000)).cast("int")
                     .alias("recency_days"),
                     "frequency", "monetary"))
-    def n5(c: str, desc: bool):
-        order = [F.col(c).desc(), "user_id"] if desc \
-            else [F.col(c), "user_id"]
-        return F.ntile(5).over(Window.orderBy(*order))
-
-    return base.select(
-        "user_id", "recency_days", "frequency", "monetary",
-        n5("recency_days", False).cast("int").alias("r_score"),
-        n5("frequency", True).cast("int").alias("f_score"),
-        n5("monetary", True).cast("int").alias("m_score"))
+    # long format; DESC metrics negated (exact: ints < 2^53, IEEE
+    # doubles) so every ntile runs ASC with the user_id tiebreak
+    long = base.select(
+        "user_id",
+        F.explode(F.array(
+            F.struct(F.lit("r").alias("m"),
+                     F.col("recency_days").cast("double").alias("v")),
+            F.struct(F.lit("f").alias("m"),
+                     (-F.col("frequency")).cast("double").alias("v")),
+            F.struct(F.lit("m").alias("m"),
+                     (-F.col("monetary")).alias("v")))).alias("mv")) \
+        .select("user_id", F.col("mv.m").alias("metric"),
+                F.col("mv.v").alias("val"))
+    if approx_thresholds:
+        from ..operators.sketches import histogram_quantiles
+        cuts = histogram_quantiles(long, ["metric"], "val",
+                                   [0.2, 0.4, 0.6, 0.8],
+                                   RFM_THRESHOLD_BINS)
+        thr = (cuts.groupBy("metric")
+               .agg(F.sort_array(F.collect_list("estimate_raw"))
+                    .alias("cuts")))
+        scored = (long.join(F.broadcast(thr), "metric")
+                  .select("user_id", "metric",
+                          (F.lit(1) + F.aggregate(
+                              "cuts", F.lit(0),
+                              lambda acc, c: acc + F.when(
+                                  F.col("val") > c, 1).otherwise(0)))
+                          .cast("int").alias("tile")))
+    else:
+        scored = exact_group_ntile(long, "metric", "val", "user_id",
+                                   n_tiles=5)
+    scores = scored.groupBy("user_id").agg(
+        F.max(F.when(F.col("metric") == "r", F.col("tile")))
+        .cast("int").alias("r_score"),
+        F.max(F.when(F.col("metric") == "f", F.col("tile")))
+        .cast("int").alias("f_score"),
+        F.max(F.when(F.col("metric") == "m", F.col("tile")))
+        .cast("int").alias("m_score"))
+    return (base.join(scores, "user_id")
+            .select("user_id", "recency_days", "frequency", "monetary",
+                    "r_score", "f_score", "m_score"))
 
 
 SQL_RFM_SCORES = """
@@ -941,44 +994,17 @@ def q_approx_quantiles_hist(spark, sf_dir):
     construction (integer bin counts + closed-form interpolation on
     engine-identical min/max), so unlike t-digest/HLL it value-hashes
     cross-engine. Accuracy pytest-bounded by one bin width vs exact
-    percentiles."""
+    percentiles. Core factored to operators/sketches.py
+    histogram_quantiles (shared with rfm_scores' threshold path)."""
+    from ..operators.sketches import histogram_quantiles
+
     ev = ticks(spark, sf_dir)
-    bounds = (ev.groupBy("product_id")
-              .agg(F.min("price").alias("lo"), F.max("price").alias("hi"),
-                   F.count(F.lit(1)).alias("n")))
-    # hi == lo (degenerate one-value key) → everything in bin 0; the
-    # unguarded division would be NULL (ansi off) vs inf (DuckDB)
-    bin_expr = F.when(
-        F.col("hi") > F.col("lo"),
-        F.least(F.lit(HQ_BINS - 1),
-                F.floor((F.col("price") - F.col("lo"))
-                        / (F.col("hi") - F.col("lo"))
-                        * HQ_BINS).cast("int"))).otherwise(F.lit(0))
-    binned = (ev.join(F.broadcast(bounds), "product_id")
-              .select("product_id", "lo", "hi", "n",
-                      bin_expr.alias("bin"))
-              .groupBy("product_id", "lo", "hi", "n", "bin")
-              .agg(F.count(F.lit(1)).alias("cnt")))
-    from pyspark.sql import Window
-    w = (Window.partitionBy("product_id").orderBy("bin")
-         .rowsBetween(Window.unboundedPreceding, 0))
-    cum = binned.withColumn("cum", F.sum("cnt").over(w))
-    qlit = F.explode(F.array(*[F.lit(q) for q in HQ_QUANTILES])).alias("q")
-    with_q = cum.select("*", qlit)
-    target = F.greatest(F.lit(1), F.ceil(F.col("q") * F.col("n")))
-    hit = (with_q
-           .withColumn("target", target)
-           .filter((F.col("cum") >= F.col("target"))
-                   & (F.col("cum") - F.col("cnt") < F.col("target"))))
-    frac = ((F.col("target") - (F.col("cum") - F.col("cnt")))
-            .cast("double") / F.col("cnt"))
-    est = F.when(F.col("hi") > F.col("lo"),
-                 F.col("lo") + (F.col("bin") + frac)
-                 * (F.col("hi") - F.col("lo")) / HQ_BINS) \
-           .otherwise(F.col("lo"))
-    return hit.select(
+    hq = histogram_quantiles(ev, ["product_id"], "price",
+                             HQ_QUANTILES, HQ_BINS)
+    return hq.select(
         "product_id", F.col("q").alias("quantile"), "n",
-        (F.round(est, 6) + F.lit(0.0)).alias("estimate"))
+        (F.round(F.col("estimate_raw"), 6) + F.lit(0.0))
+        .alias("estimate"))
 
 
 def _sql_hq() -> str:

@@ -448,3 +448,140 @@ def test_curriculum_dropout_zero_exchanges(spark):
     p = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in p, p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+# ---------------------------------------- registry-wide window audit
+
+# Unpartitioned windows Spark would plan as a SINGLE-partition sort —
+# allowed ONLY where the windowed relation is bounded by construction
+# (the r09 event_paths audit, made permanent and registry-wide after
+# it caught rfm_scores' ntile in r09's verdict).
+_BOUNDED_GLOBAL_WINDOWS = {
+    # final rank over the <= PATH_TOP TakeOrdered survivors
+    "event_paths",
+    # 64-row shard prefix sum (ZSPLITS) — layout.zorder_stats doc
+    "zorder_layout",
+    # vocab rank over <= VOCAB_K TakeOrdered survivors
+    "vocab_build",
+    "token_id_encode",
+}
+
+
+def _unpartitioned_window_specs(analyzed: str) -> list[str]:
+    """Every windowspecdefinition whose FIRST top-level argument is an
+    ordered expression (i.e. no partition columns precede the sort)."""
+    specs = []
+    for m in re.finditer(r"windowspecdefinition\(", analyzed):
+        start = m.end()
+        depth, i = 1, start
+        while depth and i < len(analyzed):
+            if analyzed[i] == "(":
+                depth += 1
+            elif analyzed[i] == ")":
+                depth -= 1
+            i += 1
+        specs.append(analyzed[start:i - 1])
+
+    def first_top_arg(spec: str) -> str:
+        d = 0
+        for j, ch in enumerate(spec):
+            if ch == "(":
+                d += 1
+            elif ch == ")":
+                d -= 1
+            elif ch == "," and d == 0:
+                return spec[:j]
+        return spec
+
+    return [s for s in specs
+            if re.search(r"\b(ASC|DESC) NULLS", first_top_arg(s))
+            or first_top_arg(s).startswith("specifiedwindowframe")]
+
+
+def test_no_unbounded_unpartitioned_windows(spark):
+    """No registry query may plan an unpartitioned window over an
+    unbounded relation (the single-task sort that killed rfm_scores'
+    ntile at 10⁹ users). Exceptions are the documented bounded-by-
+    construction sites — and each exception must actually still HAVE
+    its global window, so the allowlist can't rot into vacuity."""
+    offenders = {}
+    for name, fn in sorted(ALL_QUERIES.items()):
+        analyzed = fn(spark, SF)._jdf.queryExecution().analyzed().toString()
+        bad = _unpartitioned_window_specs(analyzed)
+        if bad:
+            offenders[name] = [s[:80] for s in bad]
+    unexpected = set(offenders) - _BOUNDED_GLOBAL_WINDOWS
+    assert not unexpected, \
+        f"unbounded unpartitioned windows: { {n: offenders[n] for n in unexpected} }"
+    stale_allowlist = _BOUNDED_GLOBAL_WINDOWS - set(offenders)
+    assert not stale_allowlist, \
+        f"allowlisted queries no longer have a global window: {stale_allowlist}"
+
+
+def test_rfm_threshold_path_contract(spark):
+    """The approx-threshold scale path scores by VALUE quantiles
+    (equal metric values always share a score — the semantics ntile
+    cannot give under ties), so the contract is: same users, scores in
+    [1,5], scores monotone in each metric with ties identical, and
+    every histogram cut within one bin width of the exact percentile
+    (the same accuracy bound approx_quantiles_hist carries)."""
+    from coinbase_data_pipeline_spark.plans.catalog_analytics import (
+        RFM_THRESHOLD_BINS, q_rfm_scores)
+
+    sf = "/root/testdata/sf0.001"
+    exact = {r["user_id"]: r for r in
+             q_rfm_scores(spark, sf).collect()}
+    approx = {r["user_id"]: r for r in
+              q_rfm_scores(spark, sf, approx_thresholds=True).collect()}
+    assert set(exact) == set(approx)
+    metric_of = {"r_score": ("recency_days", 1),
+                 "f_score": ("frequency", -1),
+                 "m_score": ("monetary", -1)}
+    import math
+    for col, (metric, sign) in metric_of.items():
+        rows = sorted(approx.values(),
+                      key=lambda r: (sign * r[metric], r["user_id"]))
+        prev_val, prev_score = None, 0
+        for r in rows:
+            assert 1 <= r[col] <= 5
+            v = sign * r[metric]
+            if prev_val is not None and v == prev_val:
+                assert r[col] == prev_score, (col, v)   # ties identical
+            else:
+                assert r[col] >= prev_score, (col, v)   # monotone
+            prev_val, prev_score = v, r[col]
+        # cut accuracy: each histogram quintile cut within one bin
+        # width of the exact percentile of the (signed) metric
+        vals = sorted(sign * r[metric] for r in approx.values())
+        binwidth = (vals[-1] - vals[0]) / RFM_THRESHOLD_BINS
+        from coinbase_data_pipeline_spark.operators.sketches import (
+            histogram_quantiles)
+        from coinbase_data_pipeline_spark.plans.catalog_analytics import (
+            load_table)
+        # recompute the cuts exactly as the plan does
+        long = (q_rfm_scores(spark, sf)
+                .select("user_id",
+                        (F.lit(sign) * F.col(metric)).cast("double")
+                        .alias("val"),
+                        F.lit("x").alias("metric")))
+        cuts = {r["q"]: r["estimate_raw"] for r in histogram_quantiles(
+            long, ["metric"], "val", [0.2, 0.4, 0.6, 0.8],
+            RFM_THRESHOLD_BINS).collect()}
+        n = len(vals)
+        for q, est in cuts.items():
+            target = max(1, math.ceil(q * n))
+            exact_pct = vals[target - 1]
+            assert abs(est - exact_pct) <= binwidth + 1e-9, \
+                (col, q, est, exact_pct, binwidth)
+
+
+def test_rfm_exact_path_plan_is_sharded(spark):
+    """rfm_scores' ranks must partition by (metric, shard) — the
+    salted-prefix-sum shape, not a global sort."""
+    df = ALL_QUERIES["rfm_scores"](spark, SF)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    specs = re.findall(r"row_number\(\).*?windowspecdefinition\(([^)]*)\)",
+                       analyzed)
+    assert specs, "no row_number window found in analyzed plan"
+    for spec in specs:
+        assert "_shard" in spec, spec
