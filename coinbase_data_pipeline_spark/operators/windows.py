@@ -73,8 +73,8 @@ def curriculum_feature_dropout(df: DataFrame, *,
     (window, feature); a window here is a contiguous row range, so the
     relation-friendly formulation masks per (timestep row, feature) —
     downstream sliding_windows composes the row masks into window
-    masks. The noise/warp curriculum steps (1-5) are torch-tensor
-    transforms on the training host, out of relational scope.
+    masks. The noise/mask/scale/warp curriculum steps (1-5) are the
+    sibling :func:`curriculum_augment`, same hash-gate recipe.
 
     Output: the input rows with masked features (6dp-rounded first —
     masked values must hash identically cross-engine), plus
@@ -132,3 +132,169 @@ def window_origins(candles: DataFrame, *, key: str = "product_id",
             .filter((F.col("_nx") == seq_len)
                     & (F.col("_ny") == pred_len))
             .select(key, ts))
+
+
+# ---------------------------------------------- curriculum augmentation
+
+TWO_PI = 6.283185307179586   # repr(2*math.pi) — same literal in SQL
+FULL60 = float(1 << 60)      # hash60's range, exactly representable
+AUG_STD_FLOOR = 1e-6         # reference's np.clip(std, 1e-6, None)
+
+
+def curriculum_progress(epoch: int, max_epoch: int = 100) -> float:
+    """Step 1 of the reference curriculum (data_loader.py:176-181):
+    progress ramps linearly to 1 over the first half of training."""
+    return min(1.0, epoch / (max_epoch * 0.5))
+
+
+def curriculum_augment(df: DataFrame, *,
+                       key: str = "product_id",
+                       ts: str = "bucket_start",
+                       features: tuple[str, ...] = (
+                           "open", "high", "low", "close", "volume"),
+                       close_feature: str = "close",
+                       epoch: int = 0,
+                       max_epoch: int = 100,
+                       seq_len: int = 24,
+                       neighborhood: int = 5) -> DataFrame:
+    """Deterministic train-time augmentation — curriculum steps 1-5 of
+    the reference's data loader (Crypto-TS-Model-master/src/
+    data_loader.py:176-214; step 6, feature dropout, is the sibling
+    :func:`curriculum_feature_dropout`):
+
+    1. epoch tracking: progress = min(1, epoch/(max_epoch/2)),
+       noise_level = 0.02·progress, mask_ratio = 0.15·progress;
+    2. local mean masking (p=0.5 per sample, span ≈ seq_len·mask_ratio
+       rows, replaced by the ±5-row local mean);
+    3. adaptive gaussian noise N(0, noise_level·std) with std clipped
+       ≥ 1e-6 and values clipped to ±3 std;
+    4. smart scaling (p=0.5): non-close features × U(0.9, 1.1);
+    5. time warping (p=0.3): linear interpolation at scale U(0.8, 1.2)
+       then truncate/edge-pad back to the original length.
+
+    The reference draws from ``random``/``np.random`` per __getitem__
+    — irreproducible across workers, epochs and retries. This variant
+    re-expresses every draw as the stratified_sample hash-gate recipe
+    (hash60 of key:epoch_micros:epoch with a per-step seed), so the
+    SAME (row, feature, epoch) always augments the same way on any
+    partitioning, any engine, any retry, and ``epoch`` re-rolls every
+    draw like the reference's ``set_epoch``. Per-sample draws become
+    per-row draws (a sample is a contiguous row range — the same
+    reformulation curriculum_feature_dropout pins): the mask gate is
+    p(0.5)·mask_ratio per row, scale factors draw per (row, feature),
+    and the warp draw is per KEY (the key's series is the sample).
+
+    Step-by-step relational semantics (each stage 6dp-snapped before
+    the next, so cross-engine float noise can't compound):
+
+    * mask: masked = ±`neighborhood`-row local mean when gated;
+    * noise: Box-Muller on two hash60 uniforms (u1 ∈ (0,1] so ln is
+      finite) × noise_level × trailing-`seq_len` window std of the
+      MASKED series (population std, like np.std), result clipped to
+      the window mean ± 3·std — the reference's [-3,3] clip on
+      standardized features re-expressed in raw units (clip compares
+      6dp-rounded values so engines can't disagree at the boundary);
+    * scale: × (0.9 + 0.2·u) per gated (row, non-close feature);
+    * warp: emitted as a SELECTION, not a gather — out_pos (this
+      row's 0-based position in its key), src_lo/src_hi/src_frac (the
+      two source positions and interpolation weight under
+      align_corners=False linear warp, truncated/edge-padded back to
+      the key's length). Downstream materializes the warped series
+      with one self-join on (key, position); keeping the relation
+      join-free is what lets the whole augment run as pure column
+      expressions over ONE per-key window partitioning.
+
+    Output: key, ts, augmented features (6dp), mask_applied,
+    scale_applied, warp_applied, warp_factor, out_pos, src_lo,
+    src_hi, src_frac.
+    """
+    from ..functions.text import hash60
+    from ..functions.timeutil import epoch_micros
+
+    progress = curriculum_progress(epoch, max_epoch)
+    noise_level = 0.02 * progress
+    mask_bp = int(round(0.15 * progress * 10000))  # mask_ratio in 1e-4
+
+    kstr = F.concat(F.col(key).cast("string"), F.lit(":"),
+                    epoch_micros(F.col(ts)).cast("string"),
+                    F.lit(f":e{int(epoch)}"))
+    kkey = F.concat(F.col(key).cast("string"), F.lit(f":e{int(epoch)}"))
+
+    def u01(seed: str, col=None, shift: int = 0) -> F.Column:
+        h = hash60(col if col is not None else kstr, seed)
+        return (h + F.lit(shift)).cast("double") / F.lit(FULL60)
+
+    wofs = Window.partitionBy(key).orderBy(ts)
+    wloc = wofs.rowsBetween(-neighborhood, neighborhood)
+    wstat = wofs.rowsBetween(-(seq_len - 1), 0)
+
+    mask_gate = ((hash60(kstr, "aug-mask-gate") % 100) < 50) & \
+        ((hash60(kstr, "aug-mask-row") % 10000) < mask_bp)
+    scale_gate = (hash60(kstr, "aug-scale-gate") % 100) < 50
+    warp_gate = (hash60(kkey, "aug-warp-gate") % 100) < 30
+    warp = F.lit(0.8) + F.lit(0.4) * u01("aug-warp-f", kkey)
+
+    out = df
+    snapped = {}
+    for f in features:
+        out = out.withColumn(f"_r_{f}", F.round(F.col(f), 6) + F.lit(0.0))
+        snapped[f] = f"_r_{f}"
+    out = out.withColumn("_mask", mask_gate)
+    for f in features:
+        local_mean = F.round(F.avg(snapped[f]).over(wloc), 6) + F.lit(0.0)
+        out = out.withColumn(
+            f"_m_{f}", F.when(F.col("_mask"), local_mean)
+            .otherwise(F.col(snapped[f])))
+    for f in features:
+        mean_w = F.avg(f"_m_{f}").over(wstat)
+        std_w = F.greatest(F.stddev_pop(f"_m_{f}").over(wstat),
+                           F.lit(AUG_STD_FLOOR))
+        z = (F.sqrt(F.lit(-2.0) * F.log(u01(f"aug-n1-{f}", shift=1)))
+             * F.cos(F.lit(TWO_PI) * u01(f"aug-n2-{f}")))
+        x1 = F.round(F.col(f"_m_{f}")
+                     + F.lit(noise_level) * std_w * z, 6) + F.lit(0.0)
+        lo = F.round(mean_w - F.lit(3.0) * std_w, 6) + F.lit(0.0)
+        hi = F.round(mean_w + F.lit(3.0) * std_w, 6) + F.lit(0.0)
+        clipped = F.when(x1 > hi, hi).when(x1 < lo, lo).otherwise(x1)
+        out = out.withColumn(f"_n_{f}", clipped)
+    out = out.withColumn("_scale", scale_gate)
+    aug_cols = []
+    for f in features:
+        if f == close_feature:
+            aug = F.col(f"_n_{f}")
+        else:
+            sf = F.lit(0.9) + F.lit(0.2) * u01(f"aug-scale-{f}")
+            aug = F.when(F.col("_scale"),
+                         F.round(F.col(f"_n_{f}") * sf, 6) + F.lit(0.0)) \
+                .otherwise(F.col(f"_n_{f}"))
+        aug_cols.append(aug.alias(f))
+    # ---- warp selection (per-key draw; same window partitioning)
+    t_n = F.count(F.lit(1)).over(Window.partitionBy(key))
+    out_pos = F.row_number().over(wofs) - F.lit(1)
+    out = (out.withColumn("_T", t_n)
+           .withColumn("out_pos", out_pos.cast("int"))
+           .withColumn("_warp_on", warp_gate)
+           .withColumn("_warp", warp))
+    new_t = F.greatest(F.lit(1), F.floor(F.col("_T") * F.col("_warp")))
+    out_eff = F.least(F.col("out_pos").cast("long"), new_t - F.lit(1))
+    s = F.when(F.col("_warp_on"),
+               (out_eff.cast("double") + F.lit(0.5)) / F.col("_warp")
+               - F.lit(0.5)) \
+        .otherwise(F.col("out_pos").cast("double"))
+    s_c = F.greatest(F.lit(0.0),
+                     F.least(s, (F.col("_T") - F.lit(1)).cast("double")))
+    src_lo = F.floor(s_c).cast("int")
+    return out.select(
+        key, ts, *aug_cols,
+        F.col("_mask").alias("mask_applied"),
+        F.col("_scale").alias("scale_applied"),
+        F.col("_warp_on").alias("warp_applied"),
+        (F.round(F.when(F.col("_warp_on"), F.col("_warp"))
+                 .otherwise(F.lit(1.0)), 6) + F.lit(0.0))
+        .alias("warp_factor"),
+        "out_pos",
+        src_lo.alias("src_lo"),
+        F.least(src_lo + F.lit(1), (F.col("_T") - F.lit(1)).cast("int"))
+        .alias("src_hi"),
+        (F.round(s_c - src_lo.cast("double"), 6) + F.lit(0.0))
+        .alias("src_frac"))

@@ -774,6 +774,136 @@ FROM candles
 """
 
 
+# ------------------------------------------- curriculum augmentation
+
+def q_curriculum_augment(spark, sf_dir):
+    """Curriculum steps 1-5 of the reference's data loader
+    (data_loader.py:176-214) as ONE deterministic relation over the
+    candle feature matrix: epoch-ramped constants, hash-gated local-
+    mean masking, Box-Muller gaussian noise scaled by the trailing
+    window std (clipped to ±3σ), smart scaling of non-close features,
+    and the time-warp SELECTION (out_pos → src_lo/src_hi/src_frac
+    under align_corners=False linear interpolation). See
+    operators/windows.py:curriculum_augment for the full per-step
+    reformulation contract. Pure column expressions over one per-key
+    window partitioning — a single exchange beyond the candle build;
+    set_epoch's re-roll is the `epoch` constant (pytest pins
+    determinism and the epoch re-roll)."""
+    c = candles(spark, sf_dir).select(
+        "product_id", "bucket_start", *CURRICULUM_FEATURES)
+    return WD.curriculum_augment(c, epoch=CURRICULUM_EPOCH)
+
+
+def _sql_curriculum_augment() -> str:
+    from ..functions.text import sql_hash60
+    from ..operators.windows import (AUG_STD_FLOOR, FULL60, TWO_PI,
+                                     curriculum_progress)
+
+    ep = CURRICULUM_EPOCH
+    progress = curriculum_progress(ep)
+    nl = 0.02 * progress
+    mask_bp = int(round(0.15 * progress * 10000))
+    kstr = ("product_id || ':' || CAST(epoch_us(bucket_start) "
+            f"AS VARCHAR) || ':e{ep}'")
+    kkey = f"product_id || ':e{ep}'"
+
+    def u01(seed: str, key: str = kstr, shift: int = 0) -> str:
+        return (f"(CAST(({sql_hash60(key, seed)}) + {shift} AS DOUBLE)"
+                f" / {FULL60!r})")
+
+    mask_gate = (f"(({sql_hash60(kstr, 'aug-mask-gate')} % 100) < 50 "
+                 f"AND ({sql_hash60(kstr, 'aug-mask-row')} % 10000) "
+                 f"< {mask_bp})")
+    scale_gate = f"(({sql_hash60(kstr, 'aug-scale-gate')} % 100) < 50)"
+    warp_gate = f"(({sql_hash60(kkey, 'aug-warp-gate')} % 100) < 30)"
+    warp = f"(0.8 + 0.4 * {u01('aug-warp-f', kkey)})"
+
+    fs = CURRICULUM_FEATURES
+    snap = ",\n         ".join(
+        f"round({f}, 6) + 0 AS r_{f}" for f in fs)
+    masked = ",\n         ".join(
+        f"CASE WHEN mask_applied THEN round(avg(r_{f}) OVER wloc, 6) + 0 "
+        f"ELSE r_{f} END AS m_{f}" for f in fs)
+    stats = ",\n         ".join(
+        f"avg(m_{f}) OVER wstat AS mu_{f},\n         "
+        f"greatest(stddev_pop(m_{f}) OVER wstat, {AUG_STD_FLOOR!r}) "
+        f"AS sd_{f}" for f in fs)
+    noise1 = ",\n         ".join(
+        f"round(m_{f} + {nl!r} * sd_{f} * "
+        f"(sqrt(-2.0 * ln({u01(f'aug-n1-{f}', shift=1)})) "
+        f"* cos({TWO_PI!r} * {u01(f'aug-n2-{f}')})), 6) + 0 AS x1_{f},"
+        f"\n         round(mu_{f} - 3.0 * sd_{f}, 6) + 0 AS lo_{f},"
+        f"\n         round(mu_{f} + 3.0 * sd_{f}, 6) + 0 AS hi_{f}"
+        for f in fs)
+    clipped = ",\n         ".join(
+        f"CASE WHEN x1_{f} > hi_{f} THEN hi_{f} "
+        f"WHEN x1_{f} < lo_{f} THEN lo_{f} ELSE x1_{f} END AS n_{f}"
+        for f in fs)
+    scaled = ",\n       ".join(
+        f"n_{f} AS {f}" if f == "close" else
+        f"CASE WHEN scale_applied THEN round(n_{f} * "
+        f"(0.9 + 0.2 * {u01(f'aug-scale-{f}')}), 6) + 0 "
+        f"ELSE n_{f} END AS {f}" for f in fs)
+    return SQL_BASE + f"""
+, snapped AS (
+  SELECT product_id, bucket_start,
+         {snap}
+  FROM candles
+), masked AS (
+  SELECT product_id, bucket_start,
+         {mask_gate} AS mask_applied,
+         {masked}
+  FROM snapped
+  WINDOW wloc AS (PARTITION BY product_id ORDER BY bucket_start
+                  ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING)
+), stats AS (
+  SELECT *,
+         {stats},
+         CAST(count(*) OVER (PARTITION BY product_id) AS BIGINT) AS t_n,
+         CAST(row_number() OVER (PARTITION BY product_id
+                                 ORDER BY bucket_start) - 1
+              AS BIGINT) AS pos
+  FROM masked
+  WINDOW wstat AS (PARTITION BY product_id ORDER BY bucket_start
+                   ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+), noise1 AS (
+  SELECT *,
+         {noise1}
+  FROM stats
+), noised AS (
+  SELECT *,
+         {clipped},
+         {scale_gate} AS scale_applied,
+         {warp_gate} AS warp_applied,
+         {warp} AS warp_raw
+  FROM noise1
+), warped AS (
+  SELECT *,
+         CASE WHEN warp_applied THEN
+           (least(pos, greatest(1, CAST(floor(t_n * warp_raw)
+                                        AS BIGINT)) - 1) + 0.5)
+             / warp_raw - 0.5
+         ELSE CAST(pos AS DOUBLE) END AS s_raw
+  FROM noised
+), sel AS (
+  SELECT *,
+         greatest(0.0, least(s_raw, CAST(t_n - 1 AS DOUBLE))) AS s_c
+  FROM warped
+)
+SELECT product_id, bucket_start,
+       {scaled},
+       mask_applied, scale_applied, warp_applied,
+       round(CASE WHEN warp_applied THEN warp_raw ELSE 1.0 END, 6) + 0
+         AS warp_factor,
+       CAST(pos AS INT) AS out_pos,
+       CAST(floor(s_c) AS INT) AS src_lo,
+       least(CAST(floor(s_c) AS INT) + 1, CAST(t_n - 1 AS INT))
+         AS src_hi,
+       round(s_c - floor(s_c), 6) + 0 AS src_frac
+FROM sel
+"""
+
+
 # --------------------------------------------------- cadence audit
 
 CADENCE_INTERVAL_MIN = 5
@@ -857,6 +987,7 @@ SPARK_QUERIES_PRED = {
     "predict_single_step": q_predict_single_step,
     "prediction_cadence": q_prediction_cadence,
     "curriculum_dropout": q_curriculum_dropout,
+    "curriculum_augment": q_curriculum_augment,
 }
 
 ORACLE_SQL_PRED = {
@@ -874,4 +1005,5 @@ ORACLE_SQL_PRED = {
     "predict_single_step": _sql_predict_single_step(),
     "prediction_cadence": _sql_prediction_cadence(),
     "curriculum_dropout": _sql_curriculum_dropout(),
+    "curriculum_augment": _sql_curriculum_augment(),
 }

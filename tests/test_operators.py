@@ -2124,3 +2124,67 @@ def test_window_origins_equals_sliding_windows_origins(spark):
                                         "bucket_start").collect()}
     b2 = {tuple(r) for r in window_origins(holes).collect()}
     assert a2 == b2 and a2
+
+
+def test_curriculum_augment_deterministic_and_epoch_rerolls(spark):
+    """data_loader.py:176-214 steps 1-5 as a deterministic relation:
+    every draw is a pure function of (row key, feature, epoch) —
+    identical at any partitioning; a new epoch re-rolls; epoch 0 turns
+    steps 2-3 into a no-op (progress 0 → no mask, zero noise) while
+    the warp (not progress-scaled in the reference) still draws; the
+    warp selection is a valid align_corners=False mapping."""
+    from datetime import datetime, timedelta
+
+    from coinbase_data_pipeline_spark.operators.windows import (
+        curriculum_augment)
+
+    t0 = datetime(2024, 1, 1)
+    rows = [(f"P{i % 7}", t0 + timedelta(minutes=5 * i),
+             1.0 + i, 2.0 + i, 0.5 + i, 1.5 + i, 10.0 * i)
+            for i in range(400)]
+    schema = ("product_id string, bucket_start timestamp, "
+              "open double, high double, low double, close double, "
+              "volume double")
+    df1 = spark.createDataFrame(rows, schema)
+    df2 = spark.createDataFrame(rows, schema).repartition(13)
+
+    feats = ("open", "high", "low", "close", "volume")
+    key = lambda r: (r["product_id"], r["bucket_start"])  # noqa: E731
+    e3a = {key(r): r for r in curriculum_augment(df1, epoch=3).collect()}
+    e3b = {key(r): r for r in curriculum_augment(df2, epoch=3).collect()}
+    e4 = {key(r): r for r in curriculum_augment(df1, epoch=4).collect()}
+    e0 = {key(r): r for r in curriculum_augment(df1, epoch=0).collect()}
+    assert e3a.keys() == e3b.keys() == e4.keys() == e0.keys()
+    out_cols = [*feats, "mask_applied", "scale_applied", "warp_applied",
+                "warp_factor", "out_pos", "src_lo", "src_hi", "src_frac"]
+    # partitioning-independence: every output cell identical
+    for k in e3a:
+        for c in out_cols:
+            assert e3a[k][c] == e3b[k][c], (k, c)
+    # epoch re-roll: some augmented value differs between epochs 3, 4
+    assert any(e3a[k][f] != e4[k][f] for k in e3a for f in feats)
+    base = {(p, t): dict(zip(feats, vals)) for p, t, *vals in rows}
+    t_per_key = {}
+    for (p, _t) in e3a:
+        t_per_key[p] = t_per_key.get(p, 0) + 1
+    for k, r in e0.items():
+        # epoch 0: no mask, zero noise; close is never scaled
+        assert not r["mask_applied"]
+        assert r["close"] == round(base[k]["close"], 6)
+        if not r["scale_applied"]:
+            for f in feats:
+                assert r[f] == round(base[k][f], 6), (k, f)
+    saw_warp = saw_identity = False
+    for k, r in e3a.items():
+        T = t_per_key[k[0]]
+        assert 0 <= r["src_lo"] <= r["src_hi"] <= T - 1
+        assert 0.0 <= r["src_frac"] < 1.0
+        assert 0 <= r["out_pos"] <= T - 1
+        if r["warp_applied"]:
+            saw_warp = True
+            assert 0.8 <= r["warp_factor"] <= 1.2
+        else:
+            saw_identity = True
+            assert r["warp_factor"] == 1.0
+            assert r["src_lo"] == r["out_pos"] and r["src_frac"] == 0.0
+    assert saw_warp and saw_identity, "warp gate never exercised a side"
