@@ -2188,3 +2188,178 @@ def test_curriculum_augment_deterministic_and_epoch_rerolls(spark):
             assert r["warp_factor"] == 1.0
             assert r["src_lo"] == r["out_pos"] and r["src_frac"] == 0.0
     assert saw_warp and saw_identity, "warp gate never exercised a side"
+
+
+def _stub_torch_module():
+    """A minimal torch stand-in implementing exactly the surface
+    real_model touches (load / no_grad / as_tensor / float32 and the
+    tensor's unsqueeze/detach/cpu/numpy) so the checkpoint->score
+    path runs in this torch-less container. With a real torch on the
+    path the test uses it instead."""
+    import contextlib
+    import pickle
+    import types
+
+    import numpy as np
+
+    class _T:
+        def __init__(self, a):
+            self.a = np.asarray(a)
+
+        def unsqueeze(self, dim):
+            return _T(np.expand_dims(self.a, dim))
+
+        def detach(self):
+            return self
+
+        def cpu(self):
+            return self
+
+        def numpy(self):
+            return self.a
+
+    m = types.ModuleType("torch")
+    m.float32 = np.float32
+    m.load = lambda path, map_location=None: pickle.load(
+        open(path, "rb"))
+    m.no_grad = contextlib.nullcontext
+    m.as_tensor = lambda x, dtype=None: _T(
+        np.asarray(x, dtype=dtype or np.float64))
+    m._T = _T
+    return m
+
+
+def test_real_model_checkpoint_seam(spark, tmp_path):
+    """The production torch path (scoring.real_model) must load a
+    checkpoint in the reference's format — {'model_state_dict': ...,
+    'config': ...} with OptimizedLSTMAttentionModel-shaped tensors
+    (optimize_model.py:83-130: input_proj Linear(enc_in, d_model) +
+    LSTM(d_model, d_model, 2 layers) + a pred_len head) — through
+    strict-then-lenient load_state_dict + eval, and score windows
+    through the SAME score_windows mapInPandas plan as the stub head.
+    Skips only if neither a real torch nor the stand-in applies."""
+    import pickle
+    import sys
+
+    import numpy as np
+
+    try:
+        import torch  # noqa: F401
+        has_torch = True
+    except ImportError:
+        has_torch = False
+        sys.modules["torch"] = _stub_torch_module()
+    try:
+        from coinbase_data_pipeline_spark.operators import scoring as SC
+
+        d_model, enc_in, seq_len, pred_len = 8, 1, 24, 6
+        rng = np.random.RandomState(7)
+        sd = {
+            # reference layer names/shapes (optimize_model.py:95-110)
+            "input_proj.0.weight": rng.randn(d_model, enc_in),
+            "input_proj.0.bias": rng.randn(d_model),
+            "input_proj.1.weight": np.ones(d_model),
+            "input_proj.1.bias": np.zeros(d_model),
+            "lstm.weight_ih_l0": rng.randn(4 * d_model, d_model),
+            "lstm.weight_hh_l0": rng.randn(4 * d_model, d_model),
+            "lstm.bias_ih_l0": rng.randn(4 * d_model),
+            "lstm.bias_hh_l0": rng.randn(4 * d_model),
+            "lstm.weight_ih_l1": rng.randn(4 * d_model, d_model),
+            "lstm.weight_hh_l1": rng.randn(4 * d_model, d_model),
+            "output_proj.weight": rng.randn(pred_len, d_model),
+            "output_proj.bias": rng.randn(pred_len),
+        }
+        config = {"model": {"model_type": "lstm", "seq_len": seq_len,
+                            "pred_len": pred_len, "enc_in": enc_in,
+                            "d_model": d_model}}
+        ckpt_path = tmp_path / "epoch_7.pt"
+        with open(ckpt_path, "wb") as fh:
+            pickle.dump({"model_state_dict":
+                         {k: np.asarray(v) for k, v in sd.items()},
+                         "config": config, "epoch": 7}, fh)
+
+        class StubNet:
+            """Linear read-out over the reference-shaped weights:
+            mean-pool the input projection, then the output head."""
+
+            def __init__(self, cfg):
+                assert cfg["model"]["d_model"] == d_model
+
+            def load_state_dict(self, state, strict=True):
+                expect = set(sd)
+                got = set(state)
+                if strict and got != expect:
+                    raise RuntimeError("state mismatch")
+                self.w_in = np.asarray(state["input_proj.0.weight"],
+                                       dtype=np.float64)
+                self.b_in = np.asarray(state["input_proj.0.bias"],
+                                       dtype=np.float64)
+                self.w_out = np.asarray(state["output_proj.weight"],
+                                        dtype=np.float64)
+                self.b_out = np.asarray(state["output_proj.bias"],
+                                        dtype=np.float64)
+                assert self.w_in.shape == (d_model, enc_in)
+                assert self.w_out.shape == (pred_len, d_model)
+                return [], []
+
+            def eval(self):
+                self.evaled = True
+                return self
+
+            def __call__(self, t):
+                # duck-typed both ways: real tensors and the stand-in
+                # both expose detach/cpu/numpy, and the output wrapper
+                # below satisfies real_model's detach().cpu().numpy()
+                x = np.asarray(t.detach().cpu().numpy(),
+                               dtype=np.float64)
+                n, s, e = x.shape            # (n, seq_len, enc_in)
+                proj = x @ self.w_in.T + self.b_in     # (n, s, d)
+                pooled = proj.mean(axis=1)             # (n, d)
+                out = pooled @ self.w_out.T + self.b_out
+
+                class _Out:
+                    def __init__(self, a):
+                        self.a = a
+
+                    def detach(self):
+                        return self
+
+                    def cpu(self):
+                        return self
+
+                    def numpy(self):
+                        return self.a
+
+                return _Out(out)
+
+        mdl = SC.real_model(str(ckpt_path), model_factory=StubNet)
+        # direct contract: (n, seq_len) -> (n, pred_len), deterministic
+        x = rng.rand(5, seq_len)
+        p1, p2 = mdl(x), mdl(x)
+        assert p1.shape == (5, pred_len)
+        assert np.array_equal(p1, p2) and np.isfinite(p1).all()
+
+        # the same checkpoint through the production score_windows plan
+        from datetime import datetime
+        sig = ",".join(str(int((100 + i) * SC.PRICE_SCALE))
+                       for i in range(seq_len))
+        win = spark.createDataFrame(
+            [("BTC-USD", datetime(2024, 1, 1), sig)],
+            "product_id string, bucket_start timestamp, x_sig string")
+        rows = SC.score_windows(win, model=mdl,
+                                model_version="ckpt-epoch7").collect()
+        assert len(rows) == pred_len
+        assert {r["horizon"] for r in rows} == set(range(1, pred_len + 1))
+        assert all(np.isfinite(r["predicted_price"]) for r in rows)
+        assert rows[0]["model_version"] == "ckpt-epoch7"
+
+        # lenient fallback: an extra key trips strict, must still load
+        with open(ckpt_path, "wb") as fh:
+            pickle.dump({"model_state_dict": {**sd, "extra.junk":
+                                              np.zeros(1)},
+                         "config": config}, fh)
+        mdl2 = SC.real_model(str(ckpt_path), model_factory=StubNet)
+        assert np.array_equal(mdl2(x), p1)
+    finally:
+        if not has_torch:
+            sys.modules.pop("torch", None)
