@@ -181,11 +181,16 @@ def streaming_sessionize(events: DataFrame, *, user: str = "user_id",
             # grow again — flush it and drop the state row
             flushed = [state.get] if state.exists else []
             state.remove()
-            yield emit(flushed)
+            if flushed:
+                yield emit(flushed)
             return
-        times = []  # epoch microseconds
+        times = []  # epoch microseconds (vectorized: ns int64 -> µs;
+        # a per-row Python loop here was the dominant per-group cost;
+        # the explicit datetime64[ns] view pins the unit the old
+        # per-value `.value` reads guaranteed)
         for pdf in pdfs:
-            times.extend(int(v.value) // 1000 for v in pdf[ts])
+            ns = pdf[ts].to_numpy(dtype="datetime64[ns]")
+            times.extend((ns.astype("int64") // 1000).tolist())
         prev = state.get if state.exists else None
         closed, new_state = fold_session_times(times, prev,
                                                gap_s * 1_000_000)
@@ -199,7 +204,11 @@ def streaming_sessionize(events: DataFrame, *, user: str = "user_id",
                 state.setTimeoutTimestamp(
                     max(end_ms + gap_s * 1000,
                         state.getCurrentWatermarkMs() + 1))
-        yield emit(closed)
+        # most groups close nothing in a given trigger: constructing
+        # (and Arrow-shipping) an empty frame per group is pure
+        # overhead, and yielding zero frames is part of the API
+        if closed:
+            yield emit(closed)
 
     if watermark is not None:
         events = events.withWatermark(ts, watermark)
@@ -243,17 +252,45 @@ class _stream_conf:
         self.spark.conf.set(self.KEY, self.prev)
 
 
+class _no_data_conf:
+    """Temporarily disable trailing no-data micro-batches for a replay
+    run whose OUTPUT provably doesn't depend on them — i.e. no
+    event-time timeout / state-eviction flush feeds the sink (complete-
+    mode aggregates, stateless appends, NoTimeout applyInPandasWithState,
+    unwatermarked joins). A no-data trigger is a full engine cycle
+    (~0.6-0.8 s of pure fixed cost per replay at bench scale); the
+    watermark-timeout queries — where that cycle IS the flush — keep
+    the default. Restored afterward either way."""
+
+    KEY = "spark.sql.streaming.noDataMicroBatches.enabled"
+
+    def __init__(self, spark: SparkSession, enabled: bool):
+        self.spark = spark
+        self.enabled = enabled
+
+    def __enter__(self):
+        self.prev = self.spark.conf.get(self.KEY)
+        self.spark.conf.set(self.KEY, str(self.enabled).lower())
+
+    def __exit__(self, *exc):
+        self.spark.conf.set(self.KEY, self.prev)
+
+
 def run_to_memory(df: DataFrame, *, name: str | None = None,
                   output_mode: str = "complete",
-                  progress_out: list | None = None) -> str:
+                  progress_out: list | None = None,
+                  no_data_batches: bool = True) -> str:
     """Execute a streaming DataFrame to completion (availableNow) into
     an in-memory sink; returns the sink table name. The table stays
     queryable after the stream stops. If `progress_out` is given, the
     per-micro-batch progress dicts (including `stateOperators` rows
     added/removed/total — the bounded-state evidence) are appended to
-    it."""
+    it. ``no_data_batches=False`` opts out of the trailing no-data
+    trigger — callers may pass it ONLY when the sink output is
+    independent of timeout/eviction flushes (see _no_data_conf)."""
     name = name or f"stream_{uuid.uuid4().hex[:12]}"
-    with _stream_conf(df.sparkSession):
+    with _stream_conf(df.sparkSession), \
+            _no_data_conf(df.sparkSession, no_data_batches):
         q = (df.writeStream.format("memory").queryName(name)
              .outputMode(output_mode)
              .trigger(availableNow=True)
@@ -274,7 +311,8 @@ def run_file_candle_pipeline(spark: SparkSession, json_dir: str,
     raw = file_ticker_source(spark, json_dir)
     parsed = ticker_pipeline(raw)
     candles = streaming_candles(parsed, freq=freq, watermark=None)
-    name = run_to_memory(candles, output_mode="complete")
+    name = run_to_memory(candles, output_mode="complete",
+                         no_data_batches=False)
     return spark.table(name)
 
 
@@ -292,7 +330,8 @@ def run_file_corpus_pipeline(spark: SparkSession, json_dir: str,
     training-data pipeline runs the moment documents land."""
     raw = (spark.readStream.schema(schema)
            .option("maxFilesPerTrigger", max_files).json(json_dir))
-    name = run_to_memory(scorer(raw), output_mode="append")
+    name = run_to_memory(scorer(raw), output_mode="append",
+                         no_data_batches=False)
     return spark.table(name)
 
 
@@ -315,7 +354,7 @@ def run_file_dedup_pipeline(spark: SparkSession, json_dir: str, *,
     raw = (spark.readStream.schema(schema)
            .option("maxFilesPerTrigger", max_files).json(json_dir))
     name = run_to_memory(raw.dropDuplicates(list(key_cols)),
-                         output_mode="append")
+                         output_mode="append", no_data_batches=False)
     return spark.table(name)
 
 
@@ -343,7 +382,8 @@ def run_file_dedup_watermark_pipeline(spark: SparkSession, json_dir: str,
     deduped = (raw.withWatermark(ts_col, delay)
                .dropDuplicatesWithinWatermark(list(key_cols)))
     name = run_to_memory(deduped, output_mode="append",
-                         progress_out=progress_out)
+                         progress_out=progress_out,
+                         no_data_batches=False)
     return spark.table(name)
 
 
@@ -396,7 +436,8 @@ def run_file_touch_join_pipeline(spark: SparkSession, json_dir: str, *,
          .select("purchase_id", F.col("p_user").alias("user_id"),
                  "p_ts", "touch_type", "touch_ts"))
     name = run_to_memory(j, output_mode="append",
-                         progress_out=progress_out)
+                         progress_out=progress_out,
+                         no_data_batches=False)
     return spark.table(name)
 
 
@@ -422,7 +463,8 @@ def run_file_hopping_pipeline(spark: SparkSession, json_dir: str, *,
                      F.col("w.start").alias("window_start"),
                      F.col("w.end").alias("window_end"),
                      "n_ticks", "high", "low")
-    name = run_to_memory(out, output_mode="complete")
+    name = run_to_memory(out, output_mode="complete",
+                         no_data_batches=False)
     return spark.table(name)
 
 
@@ -467,7 +509,8 @@ def streaming_kmv_sketch(events: DataFrame, *, day: str = "day",
             return
         hashes = set()
         for pdf in pdfs:
-            hashes.update(int(h) for h in pdf[hash_col])
+            # tolist() materializes Python ints in one C pass
+            hashes.update(pdf[hash_col].to_numpy().tolist())
         if state.exists:
             hashes.update(state.get[0])
         mins = sorted(hashes)[:k]
@@ -478,7 +521,7 @@ def streaming_kmv_sketch(events: DataFrame, *, day: str = "day",
                       + day_us) // 1000
         state.setTimeoutTimestamp(
             max(day_end_ms, state.getCurrentWatermarkMs() + 1))
-        yield pd.DataFrame(columns=[day, "n_tracked", "kth_hash"])
+        # nothing to emit while the day is open — yield no frame
 
     return (events.withWatermark(ts, watermark)
             .groupBy(day)
@@ -574,7 +617,9 @@ def run_file_upsert_pipeline(spark: SparkSession, json_dir: str,
         F.col("volume").cast("double").alias("volume"))
     writer = candle_upsert_batch_writer(store_root, freq=freq,
                                         volume="volume")
-    with _stream_conf(spark):
+    with _stream_conf(spark), _no_data_conf(spark, False):
+        # no timeout semantics here, and an empty trailing delta would
+        # still pay a full store read+rewrite cycle in the writer
         q = (parsed.writeStream.foreachBatch(writer)
              .trigger(availableNow=True)
              .option("checkpointLocation",
@@ -671,11 +716,9 @@ def streaming_model_score(stream: DataFrame, *, key: str = "product_id",
                     "model_version": model_version,
                 }))
             buf = full[-(seq_len - 1):]
-        state.update(([int(v) for v in buf],))
-        if frames:
-            yield from frames
-        else:
-            yield pd.DataFrame(columns=cols)
+        state.update((buf.tolist(),))
+        # groups completing no window this trigger emit no frame
+        yield from frames
 
     return (stream.groupBy(key).applyInPandasWithState(
         _fold, outputStructType=out_schema,

@@ -159,3 +159,29 @@ def test_sessionize_watermark_complete_any_boundary(spark,
                             gap_minutes=30).collect()}
     assert streamed == expected
     assert streamed or not DEFAULT_DIR
+
+
+def test_time_buckets_rejects_bad_cuts(spark):
+    """_time_buckets must fail loudly on malformed cut lists (ADVICE
+    r09): wrong arity, out-of-range, or non-increasing — each of
+    which would otherwise silently break the straddler/watermark
+    contracts."""
+    from datetime import datetime
+
+    import pytest as _pytest
+
+    from coinbase_data_pipeline_spark.plans import catalog_stream as CS
+
+    ev = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1)), (2, datetime(2024, 1, 2))],
+        "user_id long, ts timestamp")
+    with _pytest.raises(ValueError, match="n-1"):
+        CS._time_buckets(ev, "ts", 4, cuts=[0.5])
+    with _pytest.raises(ValueError, match="inside"):
+        CS._time_buckets(ev, "ts", 3, cuts=[0.0, 0.5])
+    with _pytest.raises(ValueError, match="inside"):
+        CS._time_buckets(ev, "ts", 3, cuts=[0.5, 1.0])
+    with _pytest.raises(ValueError, match="increasing"):
+        CS._time_buckets(ev, "ts", 3, cuts=[0.6, 0.4])
+    with _pytest.raises(ValueError, match="increasing"):
+        CS._time_buckets(ev, "ts", 3, cuts=[0.5, 0.5])
