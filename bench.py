@@ -176,6 +176,8 @@ HEADLINERS = [
     # round-9 additions (cadence audit, curriculum dropout)
     "prediction_cadence",
     "curriculum_dropout",
+    # round-10 addition (data-loader curriculum steps 1-5)
+    "curriculum_augment",
 ]
 
 # Per-query repetitions; the reported time is the MIN across runs.

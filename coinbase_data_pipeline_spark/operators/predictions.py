@@ -377,7 +377,11 @@ def prediction_cadence(preds: DataFrame, *,
 
     Scale shape: one distinct per (key, model, origin) — skipped when
     the caller guarantees one row per origin via ``unique=True``, e.g.
-    by pre-filtering to a single horizon — then ONE lag window and its
+    by pre-filtering to a single horizon. ``unique=True`` TRUSTS that
+    guarantee: duplicate (key, model, origin) rows are not detected —
+    each duplicate inflates n_predictions by one and surfaces as a
+    forced_predictions count with gap 0 (ADVICE r09; pytest-pinned in
+    test_operators). Then ONE lag window and its
     groupBy on the same (key, model) partitioning: the aggregation
     reuses the window's exchange, so the whole audit is a single
     shuffle in the unique path regardless of store size."""

@@ -75,12 +75,43 @@ _REPLAY_CACHE: dict[tuple, str] = {}
 _STATIC_MODEL_CACHE: dict[tuple, list] = {}
 
 
+# _source_fingerprint memo (ADVICE r09): the recursive walk re-ran on
+# every replay-query invocation. The full fingerprint is cached per
+# sf_dir behind a TOP-LEVEL scandir signature — every in-repo table
+# writer (the driver's testdata, the fuzz harness's pyarrow writes, a
+# Spark save) creates/replaces top-level <table>.parquet entries or
+# adds uniquely-named part files under them (bumping the table dir's
+# mtime), so a coarse-signature change is exactly "tables were
+# regenerated". Only a writer that rewrites a NESTED file in place
+# under an identical name would slip past; none exists here.
+_FP_MEMO: dict[str, tuple[tuple, tuple]] = {}
+
+
+def _coarse_sig(sf_dir: str) -> tuple:
+    out = []
+    try:
+        with os.scandir(sf_dir) as it:
+            for e in it:
+                st = e.stat()
+                out.append((e.name, e.is_dir(), st.st_size,
+                            st.st_mtime_ns))
+    except FileNotFoundError:
+        pass
+    return tuple(sorted(out))
+
+
 def _source_fingerprint(sf_dir: str) -> tuple:
     """Cheap content stamp of the sf_dir parquet tables: (path, size,
     mtime_ns) of every data file. Part of the replay-cache key so an
     in-process loop that REGENERATES the tables under the same path
     (e.g. the fuzz harness writing new seeds into one dir) gets fresh
-    wire files instead of a silent stale replay (ADVICE r08)."""
+    wire files instead of a silent stale replay (ADVICE r08).
+    Memoized per sf_dir behind a top-level scandir signature."""
+    key = os.path.abspath(sf_dir)
+    coarse = _coarse_sig(key)
+    hit = _FP_MEMO.get(key)
+    if hit is not None and hit[0] == coarse:
+        return hit[1]
     out = []
     for root, _dirs, files in os.walk(sf_dir):
         for f in files:
@@ -88,7 +119,9 @@ def _source_fingerprint(sf_dir: str) -> tuple:
                 p = os.path.join(root, f)
                 st = os.stat(p)
                 out.append((p, st.st_size, st.st_mtime_ns))
-    return tuple(sorted(out))
+    fp = tuple(sorted(out))
+    _FP_MEMO[key] = (coarse, fp)
+    return fp
 
 
 def _cached_replay_dir(tag: str, sf_dir: str,

@@ -53,49 +53,53 @@ for _part in _QUERY_PARTS:
 # CORRECTNESS_r01..r04.json and stays out of the window.  Driver rounds
 # r01..r04 map to the repo's work sessions 1..4 (one numbering scheme).
 #
-# ROUND-9 WINDOW (the consolidation rotation VERDICT r08 ordered):
-# (a) the two new round-9 queries — prediction_cadence (the
-# prediction_worker/force_prediction cadence audit) and
-# curriculum_dropout (the data loader's deterministic feature-dropout
-# relation); (b) every query whose plan or oracle changed in round 9 —
-# service_health (minute-truncated age semantics, ADVICE r08),
-# validate_input (numeric-domain audit columns), ann_lsh (carry_masks
-# threading through lsh_topk — default plan identical, the row
-# re-confirms the refactor is inert), funnel (broadcast hints), and
-# the three stateful replay layouts that now thread REPLAY_CUTS
-# through _time_buckets (default path plan-identical);
-# (c) the 26 stale r02/r03 rows VERDICT r08 listed — unchanged code,
-# five-to-six-round-old driver evidence, the only ledger gap left;
-# (d) the oldest r04 rows for the remaining slots. Everything else
-# keeps its green driver row from CORRECTNESS_r01..r08 on unchanged
-# code.
+# ROUND-10 WINDOW (the backlog-retirement rotation VERDICT r09 #1
+# ordered): (a) the one new round-10 query — curriculum_augment (the
+# data loader's train-mode curriculum steps 1-5 as one deterministic
+# relation); (b) every query whose COMPUTE changed in round 10 —
+# rfm_scores (distributed sharded-prefix-sum ntile replacing the
+# unpartitioned window, VERDICT r09 #2), approx_quantiles_hist (core
+# factored to operators/sketches.histogram_quantiles, shared with
+# rfm's threshold path — plan-identical intent, the row confirms it),
+# streaming_classifier_scores (train-once weight cache replacing the
+# per-run/per-trigger retrain), streaming_model_score (alignment gate
+# now derived from the prediction sink via dense_rank instead of
+# re-running the batch candle agg);
+# (c) the 21 remaining stale r04 rows, then (d) 24 of the 25 stale
+# r05 rows — unchanged code, five-round-old driver evidence; this
+# retires the whole r04/r05 backlog but one: q6_forecast_revenue
+# (single-table filter+agg, the simplest plan in the repo, in-repo
+# oracle-parity-tested every pytest run) waits one round for the slot
+# arithmetic — 1 + 4 + 21 + 25 would be 51.
+# The other streaming queries also pass through round-10-touched
+# infra (pipelines.py vectorized folds, no_data_batches opt-out) with
+# output-neutral intent; they hold r07-r09 driver rows and were
+# re-verified in-round on the changed code by the composed fuzz
+# matrix (test_streaming_fuzz: 6 data seeds x boundary permutations,
+# 66/66 oracle-green at sf0.01) — next rotation re-slots them.
 _CHECK_FIRST = [
-    # (a) new round-9 queries
-    "prediction_cadence", "curriculum_dropout",
-    # (b) round-9-changed plans/oracles (event_paths: the top-K
-    # TakeOrdered rewrite of the old unpartitioned rank window)
-    "service_health", "validate_input", "ann_lsh", "funnel",
-    "streaming_sessionize", "streaming_kmv", "streaming_model_score",
-    "event_paths", "q15_top_supplier", "kmv_set_ops",
-    # (c) the 26 stale r02/r03 rows (funnel already above): r02 first
-    "bollinger", "stochastic", "retention_cohorts",
-    "daily_active_users", "price_quantiles", "ngram_doc_frequency",
-    "candle_resample_salted", "event_type_pivot", "volume_rollup",
-    "tfidf_top_terms", "repetition_score", "doc_chunk",
-    # ...then r03
-    "sessionize", "range_join", "value_histogram", "max_drawdown",
-    "rolling_correlation", "candle_grid_fill", "multimodal_meta",
-    "multimodal_frames", "pii_scrub", "decontaminate",
-    "stratified_sample", "mixture_resample", "corpus_stats",
-    # (d) oldest r04 rows fill the remaining slots of the 50-window
-    "acf", "approx_quantiles_hist", "association_rules",
-    "bm25_search", "candle_patterns", "csv_ingest",
-    "dataset_manifest", "donchian_channel", "drawdown_durations",
-    "dsir_select", "dsir_weights", "embedding_quantize",
-    "fixed_k_sample",
-    # (gopher_quality/hopping_volume/keltner_channel displaced by the
-    # event_paths/q15/kmv_set_ops changed-code slots; their r04 rows
-    # stand on unchanged code)
+    # (a) new round-10 query
+    "curriculum_augment",
+    # (b) round-10-changed plans
+    "rfm_scores", "approx_quantiles_hist",
+    "streaming_classifier_scores", "streaming_model_score",
+    # (c) stale r04 rows (rfm_scores already above)
+    "gopher_quality", "hopping_volume", "keltner_channel",
+    "kmv_distinct_users", "mfi", "pivot_points", "pq_encode",
+    "price_anomalies", "purchase_attribution", "quality_classifier",
+    "quality_classifier_scores", "quantile_transform",
+    "return_moments", "rolling_beta", "sales_cube", "sales_rollup",
+    "seasonality_profile", "session_window_agg", "token_entropy",
+    "trend_decompose", "volume_profile",
+    # (d) stale r05 rows (all but q6_forecast_revenue, see above)
+    "ann_ivf", "ann_ivfpq", "ann_pq", "bloom_semi_join",
+    "boilerplate_ngrams", "cluster_quality_profile",
+    "cross_sectional_rank", "dedup_containment", "dedup_spans",
+    "dedup_tfidf_cosine", "grouped_scale_full", "heavy_hitters_cms",
+    "kmv_weekly_merge", "model_score", "perplexity_proxy",
+    "pmi_collocations", "q19_discounted_revenue", "q7_volume_shipping",
+    "returns_correlation", "semantic_dedup", "token_id_encode",
+    "token_packing", "vocab_build", "vwap",
 ]
 
 ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -115,8 +119,8 @@ for _name in _CHECK_FIRST:
 for _name, _fn in _MERGED.items():
     if _name not in ALL_QUERIES and _name in ALL_ORACLES:
         ALL_QUERIES[_name] = _fn
-# ...and rows-only queries (approx_distinct_users, ann_ivf — the two
-# with no oracle by declared design) sit STRUCTURALLY last — they can
+# ...and rows-only queries (approx_distinct_users — the one with no
+# oracle by declared design) sit STRUCTURALLY last — they can
 # never occupy a slot in the driver's first-50 window regardless of
 # catalog ordering.
 for _name, _fn in _MERGED.items():

@@ -4,6 +4,8 @@ semantics, EWM agreement with pandas."""
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd
 import pytest
 
@@ -1999,6 +2001,35 @@ def test_prediction_cadence_planted_gaps(spark):
     assert eth["cadence_ok"]
 
 
+def test_prediction_cadence_unique_trusts_caller(spark):
+    """unique=True documents a TRUSTED one-row-per-origin contract
+    (ADVICE r09): duplicate (key, model, origin) rows are not
+    detected — each one inflates n_predictions and surfaces as a
+    forced_predictions interval with gap 0. This pins that failure
+    shape so a consumer debugging a surprise forced count finds the
+    contract, and so a future safety net changing it shows up here."""
+    from datetime import datetime, timedelta
+
+    from coinbase_data_pipeline_spark.operators.predictions import (
+        prediction_cadence)
+
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+    rows = [("BTC", "m1", t0 + timedelta(minutes=m)) for m in (0, 5)]
+    dup = rows + [rows[0]]        # violated contract: origin 0 twice
+    preds = spark.createDataFrame(
+        dup, "product_id string, model_version string, "
+             "origin_time timestamp")
+    out = prediction_cadence(preds, unique=True).collect()[0]
+    assert out["n_predictions"] == 3          # inflated by the dup
+    assert out["n_intervals"] == 2
+    assert out["forced_predictions"] == 1     # the gap-0 interval
+    assert out["min_gap_minutes"] == 0
+    # the same store through the default path collapses the dup
+    clean = prediction_cadence(preds).collect()[0]
+    assert clean["n_predictions"] == 2
+    assert clean["forced_predictions"] == 0
+
+
 def test_curriculum_dropout_deterministic_and_epoch_rerolls(spark):
     """data_loader.py:215-231 step 6 as a deterministic relation: the
     mask is a pure function of (row key, feature, epoch) — identical
@@ -2363,3 +2394,39 @@ def test_real_model_checkpoint_seam(spark, tmp_path):
     finally:
         if not has_torch:
             sys.modules.pop("torch", None)
+
+
+def test_source_fingerprint_memo(tmp_path, monkeypatch):
+    """The replay-cache fingerprint memoizes the recursive walk behind
+    a top-level scandir signature (ADVICE r09): an unchanged dir must
+    not re-walk; any top-level write — a regenerated table file OR new
+    part files under a table dir (which bump the dir's mtime) — must
+    recompute, because a stale fingerprint means a silent stale replay
+    (the ADVICE r08 bug class)."""
+    import coinbase_data_pipeline_spark.plans.catalog_stream as cs
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    (d / "events.parquet").write_bytes(b"v1")
+    sub = d / "documents.parquet"
+    sub.mkdir()
+    (sub / "part-0001.parquet").write_bytes(b"p1")
+
+    walks = []
+    real_walk = cs.os.walk
+    monkeypatch.setattr(cs.os, "walk",
+                        lambda p: walks.append(p) or real_walk(p))
+    fp1 = cs._source_fingerprint(str(d))
+    fp2 = cs._source_fingerprint(str(d))
+    assert fp2 == fp1 and len(walks) == 1      # memo hit, no re-walk
+
+    # top-level file regenerated (the fuzz-harness shape)
+    os.utime(d / "events.parquet", ns=(1, 2_000_000_000))
+    fp3 = cs._source_fingerprint(str(d))
+    assert len(walks) == 2 and fp3 != fp1
+
+    # a NEW part file under a table dir bumps the dir mtime -> rewalk
+    (sub / "part-0002.parquet").write_bytes(b"p2")
+    fp4 = cs._source_fingerprint(str(d))
+    assert len(walks) == 3 and fp4 != fp3
+    assert any(p[0].endswith("part-0002.parquet") for p in fp4)

@@ -313,6 +313,89 @@ def streaming_state_curve(spark, mult: int) -> dict[str, tuple]:
     return out
 
 
+TPCH_MULTS = (1, 2, 4, 10)   # 10x of sf0.1 == the sf1 row volume
+TPCH_QUERIES = ("q5_local_supplier", "q8_market_share",
+                "q9_product_profit", "q21_suppliers_kept_waiting")
+
+
+def _tpch_scaled_dir(spark, mult: int) -> str:
+    """Materialize a referentially-consistent mult× copy of the sf0.1
+    TPC-H tables under /tmp (VERDICT r09 #7: probe AQE's runtime join
+    sizing at sf1 volume, not just the plan-audited hints). Scaling
+    follows TPC-H SF semantics: lineitem/orders/customer/supplier/part
+    replicate with per-copy key OFFSETS (joins match within a copy
+    only — selectivities unchanged, result volume linear), nation and
+    region stay fixed. Offsets shift every key column consistently so
+    each copy is a disjoint, internally-consistent TPC-H instance."""
+    import os
+    import uuid
+
+    out = os.path.join("/tmp", f"tpch-probe-{mult}x-{uuid.uuid4().hex[:8]}")
+    t = {n: load_table(spark, SF_DIR, n)
+         for n in ("lineitem", "orders", "customer", "supplier",
+                   "part", "nation", "region")}
+    # key strides: one past each table's max key, read once
+    strides = {
+        "ok": t["orders"].agg(F.max("o_orderkey")).collect()[0][0] + 1,
+        "ck": t["customer"].agg(F.max("c_custkey")).collect()[0][0] + 1,
+        "sk": t["supplier"].agg(F.max("s_suppkey")).collect()[0][0] + 1,
+        "pk": t["part"].agg(F.max("p_partkey")).collect()[0][0] + 1,
+    }
+
+    def rep(df, shifts: dict[str, str]):
+        parts = [df]
+        for i in range(1, mult):
+            cols = [(F.col(c) + i * strides[s]).alias(c)
+                    if c in shifts else F.col(c)
+                    for c, s in ((c, shifts.get(c)) for c in df.columns)]
+            parts.append(df.select(*cols))
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        return u
+
+    rep(t["lineitem"], {"l_orderkey": "ok", "l_partkey": "pk",
+                        "l_suppkey": "sk"}) \
+        .write.parquet(os.path.join(out, "lineitem.parquet"))
+    rep(t["orders"], {"o_orderkey": "ok", "o_custkey": "ck"}) \
+        .write.parquet(os.path.join(out, "orders.parquet"))
+    rep(t["customer"], {"c_custkey": "ck"}) \
+        .write.parquet(os.path.join(out, "customer.parquet"))
+    rep(t["supplier"], {"s_suppkey": "sk"}) \
+        .write.parquet(os.path.join(out, "supplier.parquet"))
+    rep(t["part"], {"p_partkey": "pk"}) \
+        .write.parquet(os.path.join(out, "part.parquet"))
+    t["nation"].write.parquet(os.path.join(out, "nation.parquet"))
+    t["region"].write.parquet(os.path.join(out, "region.parquet"))
+    return out
+
+
+def tpch_times(spark, mult: int) -> dict[str, tuple]:
+    """Wall time of the four heaviest TPC-H join pipelines on a mult×
+    materialized dataset, run EXACTLY as the registry serves them
+    (fresh parquet scans — pushdown, AQE runtime sizing, and broadcast
+    decisions all in play). Flat-to-linear growth is the evidence that
+    AQE keeps the SF-proportional joins correctly sized when the
+    build sides outgrow their sf0.1 footprint."""
+    import shutil
+
+    from coinbase_data_pipeline_spark.plans.registry import ALL_QUERIES
+
+    d = _tpch_scaled_dir(spark, mult)
+    out: dict[str, tuple] = {}
+    try:
+        for name in TPCH_QUERIES:
+            t0 = time.time()
+            df = ALL_QUERIES[name](spark, d)
+            row = df.agg(F.count(F.lit(1)).alias("n"),
+                         F.bit_xor(F.xxhash64(*df.columns)).alias("h")
+                         ).collect()[0]
+            out[name] = (round(time.time() - t0, 2), int(row["n"]))
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
 def main() -> None:
     spark = get_spark("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
@@ -434,6 +517,38 @@ def main() -> None:
                  / candle_results[MULTIPLES[0]][name][0])
         lines.append(f"| {name} | " + " | ".join(cells)
                      + f" | {ratio:.1f}x ({MULTIPLES[-1]}x/1x) |")
+
+    tpch_results = {m: tpch_times(spark, m) for m in TPCH_MULTS}
+    lines += [
+        "",
+        "## TPC-H join pipelines at sf1 volume (AQE runtime sizing)",
+        "",
+        "The four heaviest multi-join queries on materialized",
+        "referentially-consistent multiples of the sf0.1 tables",
+        "(per-copy key offsets; nation/region fixed, per TPC-H SF",
+        "semantics) — 10x is the sf1 row volume (6M lineitem). Run",
+        "exactly as the registry serves them, from fresh parquet",
+        "scans, so AQE's RUNTIME join sizing — not just the",
+        "plan-audited broadcast hints — is what's measured. The",
+        "claim: flat-to-linear wall; a broadcast side outgrowing its",
+        "threshold or a shuffle join mis-sized at 10x would show as a",
+        "super-linear knee. (volume) = result rows; timing includes",
+        "scan+shuffle+agg of the full pipeline, single-run.",
+        "",
+        "| query | " + " | ".join(f"{m}x sec (rows)"
+                                  for m in TPCH_MULTS)
+        + " | 10x/1x |",
+        "|---|" + "---|" * (len(TPCH_MULTS) + 1),
+    ]
+    for name in TPCH_QUERIES:
+        cells = []
+        for m in TPCH_MULTS:
+            t, rows = tpch_results[m][name]
+            cells.append(f"{t:.1f} ({rows:,})")
+        ratio = (tpch_results[TPCH_MULTS[-1]][name][0]
+                 / tpch_results[TPCH_MULTS[0]][name][0])
+        lines.append(f"| {name} | " + " | ".join(cells)
+                     + f" | {ratio:.1f}x |")
 
     with open("SCALING.md", "w") as f:
         f.write("\n".join(lines) + "\n")
