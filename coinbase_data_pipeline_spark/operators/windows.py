@@ -156,7 +156,8 @@ def curriculum_augment(df: DataFrame, *,
                        epoch: int = 0,
                        max_epoch: int = 100,
                        seq_len: int = 24,
-                       neighborhood: int = 5) -> DataFrame:
+                       neighborhood: int = 5,
+                       draw_partitions: int | None = None) -> DataFrame:
     """Deterministic train-time augmentation — curriculum steps 1-5 of
     the reference's data loader (Crypto-TS-Model-master/src/
     data_loader.py:176-214; step 6, feature dropout, is the sibling
@@ -228,53 +229,113 @@ def curriculum_augment(df: DataFrame, *,
     wloc = wofs.rowsBetween(-neighborhood, neighborhood)
     wstat = wofs.rowsBetween(-(seq_len - 1), 0)
 
-    mask_gate = ((hash60(kstr, "aug-mask-gate") % 100) < 50) & \
-        ((hash60(kstr, "aug-mask-row") % 10000) < mask_bp)
-    scale_gate = (hash60(kstr, "aug-scale-gate") % 100) < 50
-    warp_gate = (hash60(kkey, "aug-warp-gate") % 100) < 30
-    warp = F.lit(0.8) + F.lit(0.4) * u01("aug-warp-f", kkey)
-
     out = df
     snapped = {}
     for f in features:
         out = out.withColumn(f"_r_{f}", F.round(F.col(f), 6) + F.lit(0.0))
         snapped[f] = f"_r_{f}"
-    out = out.withColumn("_mask", mask_gate)
+
+    # ---- draw stage: EVERY md5 draw materialized pre-window --------
+    # The md5+conv draws dominate this operator's cost (~12/row), and
+    # the per-key window stage that used to host them is tiny at test
+    # SF, so AQE coalesces it to ONE task — serializing all hash work.
+    # Three structural fixes, all bit-identical to the inline form:
+    # * the draw keys (_k/_kk) are built once; every hash60 concats
+    #   just its seed onto an attribute instead of rebuilding
+    #   key:micros:e{epoch} per draw;
+    # * each draw is aliased once and CONSUMED as an attribute —
+    #   CollapseProject never re-inlines a multi-use non-cheap alias,
+    #   so the old plan's 3x re-evaluation of each Box-Muller draw
+    #   inside the clip CASE is gone;
+    # * with draw_partitions=N the draw stage runs behind a PINNED
+    #   repartition(N, key, ts) (AQE does not coalesce user-pinned
+    #   counts), parallelizing the hash work N-way while the window
+    #   stage that follows is pure arithmetic. Draws are per-row
+    #   deterministic, so partitioning cannot change values. Test-SF
+    #   entry points pass defaultParallelism (7.4s -> 2.5s at sf0.1);
+    #   at scale leave None — input partitions are already fat, and
+    #   the extra exchange would just double this operator's shuffle.
+    if draw_partitions:
+        out = out.repartition(draw_partitions, F.col(key), F.col(ts))
+    out = out.withColumn("_k", kstr).withColumn("_kk", kkey)
+    kcol, kkcol = F.col("_k"), F.col("_kk")
+    out = (out
+           .withColumn("_mask",
+                       ((hash60(kcol, "aug-mask-gate") % 100) < 50)
+                       & ((hash60(kcol, "aug-mask-row") % 10000)
+                          < mask_bp))
+           .withColumn("_scale",
+                       (hash60(kcol, "aug-scale-gate") % 100) < 50)
+           .withColumn("_warp_on",
+                       (hash60(kkcol, "aug-warp-gate") % 100) < 30)
+           .withColumn("_warp", F.lit(0.8)
+                       + F.lit(0.4) * u01("aug-warp-f", kkcol)))
     for f in features:
-        local_mean = F.round(F.avg(snapped[f]).over(wloc), 6) + F.lit(0.0)
         out = out.withColumn(
-            f"_m_{f}", F.when(F.col("_mask"), local_mean)
-            .otherwise(F.col(snapped[f])))
+            f"_z_{f}",
+            F.sqrt(F.lit(-2.0) * F.log(u01(f"aug-n1-{f}", kcol,
+                                           shift=1)))
+            * F.cos(F.lit(TWO_PI) * u01(f"aug-n2-{f}", kcol)))
+        if f != close_feature:
+            out = out.withColumn(
+                f"_sf_{f}", F.lit(0.9)
+                + F.lit(0.2) * u01(f"aug-scale-{f}", kcol))
+    out = out.drop("_k", "_kk")
+
+    # ---- window stage: pure arithmetic over the per-key ordering ---
+    # Batched selects, not withColumn chains: all same-frame window
+    # expressions land in ONE projection, so CollapseWindow keeps them
+    # in a single Window pass (the chained form left 8 Window nodes —
+    # one partition pass each; this form plans 1 wloc + 1 wstat pass).
+    out = out.select(
+        "*",
+        *[F.when(F.col("_mask"),
+                 F.round(F.avg(snapped[f]).over(wloc), 6) + F.lit(0.0))
+          .otherwise(F.col(snapped[f])).alias(f"_m_{f}")
+          for f in features])
+    stat_cols = []
     for f in features:
-        mean_w = F.avg(f"_m_{f}").over(wstat)
-        std_w = F.greatest(F.stddev_pop(f"_m_{f}").over(wstat),
-                           F.lit(AUG_STD_FLOOR))
-        z = (F.sqrt(F.lit(-2.0) * F.log(u01(f"aug-n1-{f}", shift=1)))
-             * F.cos(F.lit(TWO_PI) * u01(f"aug-n2-{f}")))
-        x1 = F.round(F.col(f"_m_{f}")
-                     + F.lit(noise_level) * std_w * z, 6) + F.lit(0.0)
-        lo = F.round(mean_w - F.lit(3.0) * std_w, 6) + F.lit(0.0)
-        hi = F.round(mean_w + F.lit(3.0) * std_w, 6) + F.lit(0.0)
-        clipped = F.when(x1 > hi, hi).when(x1 < lo, lo).otherwise(x1)
-        out = out.withColumn(f"_n_{f}", clipped)
-    out = out.withColumn("_scale", scale_gate)
+        stat_cols.append(F.avg(f"_m_{f}").over(wstat).alias(f"_mu_{f}"))
+        stat_cols.append(
+            F.greatest(F.stddev_pop(f"_m_{f}").over(wstat),
+                       F.lit(AUG_STD_FLOOR)).alias(f"_sd_{f}"))
+    out = out.select("*", *stat_cols)
+    bound_cols = []
+    for f in features:
+        bound_cols.append(
+            (F.round(F.col(f"_m_{f}") + F.lit(noise_level)
+                     * F.col(f"_sd_{f}") * F.col(f"_z_{f}"), 6)
+             + F.lit(0.0)).alias(f"_x1_{f}"))
+        bound_cols.append(
+            (F.round(F.col(f"_mu_{f}") - F.lit(3.0) * F.col(f"_sd_{f}"),
+                     6) + F.lit(0.0)).alias(f"_lo_{f}"))
+        bound_cols.append(
+            (F.round(F.col(f"_mu_{f}") + F.lit(3.0) * F.col(f"_sd_{f}"),
+                     6) + F.lit(0.0)).alias(f"_hi_{f}"))
+    out = out.select("*", *bound_cols)
+
+    def _clip(f: str) -> F.Column:
+        x1, lo, hi = (F.col(f"_x1_{f}"), F.col(f"_lo_{f}"),
+                      F.col(f"_hi_{f}"))
+        return F.when(x1 > hi, hi).when(x1 < lo, lo).otherwise(x1)
+
+    out = out.select("*", *[_clip(f).alias(f"_n_{f}")
+                            for f in features])
     aug_cols = []
     for f in features:
         if f == close_feature:
             aug = F.col(f"_n_{f}")
         else:
-            sf = F.lit(0.9) + F.lit(0.2) * u01(f"aug-scale-{f}")
             aug = F.when(F.col("_scale"),
-                         F.round(F.col(f"_n_{f}") * sf, 6) + F.lit(0.0)) \
+                         F.round(F.col(f"_n_{f}") * F.col(f"_sf_{f}"),
+                                 6) + F.lit(0.0)) \
                 .otherwise(F.col(f"_n_{f}"))
         aug_cols.append(aug.alias(f))
     # ---- warp selection (per-key draw; same window partitioning)
     t_n = F.count(F.lit(1)).over(Window.partitionBy(key))
     out_pos = F.row_number().over(wofs) - F.lit(1)
     out = (out.withColumn("_T", t_n)
-           .withColumn("out_pos", out_pos.cast("int"))
-           .withColumn("_warp_on", warp_gate)
-           .withColumn("_warp", warp))
+           .withColumn("out_pos", out_pos.cast("int")))
     new_t = F.greatest(F.lit(1), F.floor(F.col("_T") * F.col("_warp")))
     out_eff = F.least(F.col("out_pos").cast("long"), new_t - F.lit(1))
     s = F.when(F.col("_warp_on"),

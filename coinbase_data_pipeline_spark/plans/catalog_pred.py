@@ -791,7 +791,12 @@ def q_curriculum_augment(spark, sf_dir):
     determinism and the epoch re-roll)."""
     c = candles(spark, sf_dir).select(
         "product_id", "bucket_start", *CURRICULUM_FEATURES)
-    return WD.curriculum_augment(c, epoch=CURRICULUM_EPOCH)
+    # test-SF entry point: pin the draw stage's parallelism (AQE
+    # coalesces the tiny per-key window shuffle to one task, which
+    # would serialize the md5 draw work — see the operator docstring)
+    return WD.curriculum_augment(
+        c, epoch=CURRICULUM_EPOCH,
+        draw_partitions=spark.sparkContext.defaultParallelism)
 
 
 def _sql_curriculum_augment() -> str:

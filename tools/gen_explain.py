@@ -112,6 +112,10 @@ PICKS = [
      "lag window + groupBy share ONE (product, model) exchange"),
     ("curriculum_dropout",
      "hash-gated masks: pure expressions, zero added exchanges"),
+    ("curriculum_augment",
+     "pinned draw stage parallelizes md5 draws; window stage arithmetic-only"),
+    ("rfm_scores",
+     "exact distributed ntile: r-sharded windows + broadcast offsets"),
 ]
 
 
