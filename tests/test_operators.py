@@ -2430,3 +2430,76 @@ def test_source_fingerprint_memo(tmp_path, monkeypatch):
     fp4 = cs._source_fingerprint(str(d))
     assert len(walks) == 3 and fp4 != fp3
     assert any(p[0].endswith("part-0002.parquet") for p in fp4)
+
+
+def test_curriculum_augment_warp_matches_numpy(spark):
+    """The warp SELECTION columns must reproduce the reference's
+    np.interp time-warp (data_loader.py:205-214: linear interpolation
+    at scale U(0.8,1.2) under align_corners=False, truncated /
+    edge-padded back to length T) — checked against an independent
+    numpy implementation per warped key, not just bounds: src_lo /
+    src_hi / src_frac equal the numpy mapping exactly, and
+    materializing the warped series through the documented
+    (key, position) self-join interpolation matches numpy's gather to
+    6dp."""
+    from datetime import datetime, timedelta
+
+    import numpy as np
+
+    from coinbase_data_pipeline_spark.operators.windows import (
+        curriculum_augment)
+
+    t0 = datetime(2024, 1, 1)
+    rows = [(f"K{i % 11}", t0 + timedelta(minutes=5 * i),
+             1.0 + 0.3 * i, 2.0 + 0.2 * i, 0.5 + 0.1 * i,
+             1.5 + 0.25 * i, 10.0 * (i + 1))
+            for i in range(550)]
+    schema = ("product_id string, bucket_start timestamp, "
+              "open double, high double, low double, close double, "
+              "volume double")
+    out = curriculum_augment(
+        spark.createDataFrame(rows, schema), epoch=5).collect()
+
+    by_key: dict = {}
+    for r in out:
+        by_key.setdefault(r["product_id"], []).append(r)
+    saw_warped = 0
+    for k, rs in by_key.items():
+        rs.sort(key=lambda r: r["out_pos"])
+        T = len(rs)
+        if not rs[0]["warp_applied"]:
+            continue
+        saw_warped += 1
+        # reproduce the UNROUNDED warp draw independently (the output
+        # column warp_factor is 6dp-rounded; the engine maps with the
+        # raw draw): hash60 = first 15 hex digits of md5, as the
+        # operators' shared recipe defines it
+        import hashlib
+
+        from coinbase_data_pipeline_spark.operators.windows import FULL60
+        h = int(hashlib.md5(
+            f"aug-warp-f:{k}:e5".encode()).hexdigest()[:15], 16)
+        w = 0.8 + 0.4 * (h / FULL60)
+        assert abs(round(w, 6) - rs[0]["warp_factor"]) < 1e-12
+        # independent numpy mapping (the reference's semantics)
+        new_t = max(1, int(np.floor(T * w)))
+        out_eff = np.minimum(np.arange(T), new_t - 1)
+        s = np.clip((out_eff + 0.5) / w - 0.5, 0.0, T - 1.0)
+        lo = np.floor(s).astype(int)
+        hi = np.minimum(lo + 1, T - 1)
+        frac = s - lo
+        for i, r in enumerate(rs):
+            assert r["src_lo"] == lo[i] and r["src_hi"] == hi[i], (k, i)
+            assert abs(r["src_frac"] - round(float(frac[i]), 6)) < 1e-12
+        # materialize the warped series exactly as a downstream
+        # consumer would (gather on position, linear blend) and
+        # compare to numpy's gather over the augmented values
+        for f in ("open", "close", "volume"):
+            v = np.array([r[f] for r in rs])
+            engine = np.array([
+                rs[i]["src_frac"] * v[rs[i]["src_hi"]]
+                + (1.0 - rs[i]["src_frac"]) * v[rs[i]["src_lo"]]
+                for i in range(T)])
+            ref = frac * v[hi] + (1.0 - frac) * v[lo]
+            assert np.allclose(engine, ref, atol=1e-6), (k, f)
+    assert saw_warped >= 1, "no key drew the warp gate — enlarge keys"

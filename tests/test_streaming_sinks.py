@@ -880,3 +880,47 @@ def test_streaming_model_score_split_invariant(spark):
 
     four, two = run(4), run(2)
     assert four == two and len(four) > 1000
+
+
+def test_static_model_cache_train_once_and_invalidate(spark, tmp_path,
+                                                      monkeypatch):
+    """The streaming classifier's train-once weight cache must (a)
+    train exactly once for repeated serve runs on unchanged tables,
+    and (b) RETRAIN when the tables under the same path are
+    regenerated — a stale hit would silently serve another corpus's
+    weights (the ADVICE r08 stale-replay bug class, now for model
+    state). Also integration-tests the _source_fingerprint memo:
+    the regeneration is a top-level file touch."""
+    import os
+    import shutil
+
+    import coinbase_data_pipeline_spark.operators.textstats as TS
+    import coinbase_data_pipeline_spark.plans.catalog_stream as CS
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    shutil.copy("/root/testdata/sf0.001/documents.parquet",
+                d / "documents.parquet")
+
+    calls = []
+    real = TS.quality_classifier
+
+    def counting(*a, **k):
+        calls.append(1)
+        return real(*a, **k)
+
+    monkeypatch.setattr(TS, "quality_classifier", counting)
+
+    def run():
+        df = CS.q_streaming_classifier_scores(spark, str(d))
+        return sorted(tuple(r) for r in df.collect())
+
+    r1 = run()
+    assert calls == [1] and r1
+    r2 = run()                       # unchanged tables: cache hit
+    assert calls == [1] and r2 == r1
+    # regenerate in place (same bytes, new mtime): must retrain —
+    # same corpus, so the weights and scores come back identical
+    os.utime(d / "documents.parquet")
+    r3 = run()
+    assert calls == [1, 1] and r3 == r1
