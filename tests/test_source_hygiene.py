@@ -42,3 +42,37 @@ def test_epoch_conversions_go_through_timeutil():
         "raw timestamp→seconds conversion outside functions/timeutil "
         "(use epoch_seconds — NTZ-safe, fractional):\n"
         + "\n".join(offenders))
+
+
+def test_cross_joins_are_broadcast_hinted():
+    """Every crossJoin in the engine is a broadcast-hinted 1-row
+    scalar join (the house pattern for joining a scalar aggregate
+    back onto a relation). An unhinted crossJoin risks planning a
+    real cartesian product — at cluster scale that's the difference
+    between shipping one row and shuffling the world. If a new site
+    genuinely needs a multi-row cross product, it belongs in a
+    bucketed/banded operator, not a raw crossJoin; if the hint just
+    moved to another line, keep it on the call line so this gate can
+    see it."""
+    bad = []
+    for p in sorted(PKG.rglob("*.py")):
+        for i, line in enumerate(p.read_text().splitlines(), 1):
+            if "crossJoin(" in line and "broadcast" not in line:
+                bad.append(f"{p.relative_to(PKG)}:{i}: {line.strip()}")
+    assert not bad, "unhinted crossJoin sites:\n" + "\n".join(bad)
+
+
+def test_no_row_at_a_time_python_udfs():
+    """The engine's only Python-side compute is Arrow-batched
+    (pandas_udf / applyInPandas / mapInPandas / applyInPandasWithState)
+    for the inherently-recursive families. Row-at-a-time F.udf is
+    banned from the hot path wholesale: it serializes every row
+    through pickle one at a time (10-100x slower than Arrow batches)
+    and breaks whole-stage codegen around the call site."""
+    banned = re.compile(r"(?<!pandas_)\budf\s*\(")
+    bad = []
+    for p in sorted(PKG.rglob("*.py")):
+        for i, line in enumerate(p.read_text().splitlines(), 1):
+            if banned.search(line) and "pandas_udf" not in line:
+                bad.append(f"{p.relative_to(PKG)}:{i}: {line.strip()}")
+    assert not bad, "row-at-a-time udf sites:\n" + "\n".join(bad)
