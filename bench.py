@@ -176,8 +176,10 @@ HEADLINERS = [
     # round-9 additions (cadence audit, curriculum dropout)
     "prediction_cadence",
     "curriculum_dropout",
-    # round-10 addition (data-loader curriculum steps 1-5)
+    # round-10 additions (data-loader curriculum steps 1-5; per-source
+    # quality cap / domain balancing)
     "curriculum_augment",
+    "source_cap",
 ]
 
 # Per-query repetitions; the reported time is the MIN across runs.

@@ -110,6 +110,44 @@ def quality_score(docs: DataFrame, *, id_col: str = "doc_id",
         F.round(qc["quality"], 6).alias("quality"))
 
 
+def source_cap(docs: DataFrame, k: int, *, id_col: str = "doc_id",
+               source_col: str = "source",
+               text_col: str = "text") -> DataFrame:
+    """Per-source quality cap — domain balancing: keep each source's
+    k highest-quality documents (the standard web-corpus move for
+    stopping one crawl domain from dominating the mixture; the
+    rate-based complement is mixture_resample, the uniform complement
+    fixed_k_sample). Ranking key is the 6dp-rounded blended quality
+    (engine-identical by construction — the oracled quality_score
+    expression) with id tiebreak, so the kept set is deterministic
+    across runs, engines and retries.
+
+    Scale shape: ONE scan (quality computed inline, no self-join),
+    then row_number + rank-filter, which Spark compiles to a PARTIAL
+    WindowGroupLimit below the source exchange (plan-audited in
+    tests/test_plans.py): every map task pre-prunes to its local
+    top-k per source before shuffling, so a mega-source ships
+    O(k · map_partitions) rows — never its full row count — and the
+    final per-source sort ranks survivors only. fixed_k_sample's
+    hash-gate prefilter doesn't transfer here (quality is not
+    uniform); the group-limit pushdown gives the same bound without
+    a prefilter."""
+    from pyspark.sql import Window
+
+    if k <= 0:
+        raise ValueError("k must be positive")
+    qc = quality_columns(text_col)
+    base = spread_scan(docs).select(
+        F.col(source_col), F.col(id_col),
+        (F.round(qc["quality"], 6) + F.lit(0.0)).alias("quality"))
+    w = Window.partitionBy(source_col).orderBy(
+        F.col("quality").desc(), F.col(id_col))
+    return (base.withColumn("src_rank",
+                            F.row_number().over(w).cast("int"))
+            .filter(F.col("src_rank") <= k)
+            .select(source_col, id_col, "quality", "src_rank"))
+
+
 def token_count_cols(text_col: str = "text"):
     """(ws_tokens, bpe_tokens) expressions — shared by the batch
     token_count operator and the streaming ingest scorer."""

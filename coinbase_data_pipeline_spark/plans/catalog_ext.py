@@ -693,6 +693,35 @@ FROM m
 """
 
 
+SRC_CAP_K = 150
+
+
+def q_source_cap(spark, sf_dir):
+    """Domain balancing: each source keeps its SRC_CAP_K
+    highest-quality docs (quality desc, doc_id tiebreak — both
+    engine-identical). The cap BITES at sf0.01+ (sources carry more
+    than K docs) and passes everything through at sf0.001, so parity
+    exercises both regimes. Beyond-reference LLM-pipeline family
+    (the per-source cap every web-corpus mixture applies); rate and
+    uniform complements: mixture_resample, fixed_k_sample."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TS.source_cap(docs, SRC_CAP_K)
+
+
+SQL_SOURCE_CAP = f"""
+WITH q AS ({SQL_QUALITY}),
+ranked AS (
+  SELECT d.source, q.doc_id, q.quality,
+         CAST(row_number() OVER (PARTITION BY d.source
+                                 ORDER BY q.quality DESC, q.doc_id)
+              AS INT) AS src_rank
+  FROM q JOIN documents d USING (doc_id)
+)
+SELECT source, doc_id, quality, src_rank
+FROM ranked WHERE src_rank <= {SRC_CAP_K}
+"""
+
+
 def q_token_count(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     out = TS.token_count(docs)
@@ -1690,6 +1719,7 @@ SPARK_QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_dedup": q_semantic_dedup,
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
+    "source_cap": q_source_cap,
     "token_count": q_token_count,
     "doc_fingerprint": q_doc_fingerprint,
     "repetition_score": q_repetition_score,
@@ -1732,6 +1762,7 @@ ORACLE_SQL_EXT: dict[str, str] = {
     "semantic_dedup": _sql_semantic_dedup(),
     "lang_id": _sql_lang_id(),
     "quality_score": SQL_QUALITY,
+    "source_cap": SQL_SOURCE_CAP,
     "token_count": SQL_TOKEN_COUNT,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "repetition_score": SQL_REPETITION,

@@ -2503,3 +2503,39 @@ def test_curriculum_augment_warp_matches_numpy(spark):
             ref = frac * v[hi] + (1.0 - frac) * v[lo]
             assert np.allclose(engine, ref, atol=1e-6), (k, f)
     assert saw_warped >= 1, "no key drew the warp gate — enlarge keys"
+
+
+def test_source_cap_semantics(spark):
+    """Per-source quality cap: keeps each source's k highest-quality
+    docs by (6dp quality desc, doc_id asc) — planted corpus where one
+    source has more docs than k (cap bites, and the LOW-quality doc
+    is the one dropped), another has fewer (all kept), and two docs
+    tie on quality (id breaks the tie). Partitioning-independent."""
+    from coinbase_data_pipeline_spark.operators.textstats import (
+        source_cap)
+
+    good = ("the of and to in is was he for on are as with "
+            "his they at be this have from " * 4)   # stopword-rich
+    bad = "zzz qqq xxx"                             # short, no stops
+    rows = [
+        ("A", 1, good), ("A", 2, good), ("A", 3, bad),
+        ("B", 4, good),
+    ]
+    docs = spark.createDataFrame(
+        [(s, i, t) for s, i, t in rows],
+        "source string, doc_id long, text string")
+    out = {r["doc_id"]: r for r in source_cap(docs, 2).collect()}
+    # source A: cap bites — doc 3 (low quality) dropped; tie between
+    # docs 1 and 2 (identical text) broken by id
+    assert set(out) == {1, 2, 4}
+    assert out[1]["src_rank"] == 1 and out[2]["src_rank"] == 2
+    assert out[4]["src_rank"] == 1
+    assert out[1]["quality"] > 0.5
+    # partitioning-independence
+    out13 = {r["doc_id"]: r
+             for r in source_cap(docs.repartition(13), 2).collect()}
+    assert {k: (v["src_rank"], v["quality"]) for k, v in out.items()} \
+        == {k: (v["src_rank"], v["quality"]) for k, v in out13.items()}
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        source_cap(docs, 0)

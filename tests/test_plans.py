@@ -585,3 +585,25 @@ def test_rfm_exact_path_plan_is_sharded(spark):
     assert specs, "no row_number window found in analyzed plan"
     for spec in specs:
         assert "_shard" in spec, spec
+
+
+def test_source_cap_partial_group_limit_below_exchange(spark):
+    """Domain balancing must pre-prune on the MAP side: the rank
+    filter compiles to a PARTIAL WindowGroupLimit BELOW the source
+    exchange (plus the Final above it), so a mega-source ships
+    O(k x map_partitions) rows instead of its full row count. This is
+    the property that makes the bare rank window safe at scale where
+    fixed_k_sample needed a hash-gate prefilter (quality is not
+    uniform, so no gate exists here)."""
+    df = ALL_QUERIES["source_cap"](spark, SF)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    lines = p.splitlines()
+    partial = [i for i, l in enumerate(lines)
+               if "WindowGroupLimit" in l and "Partial" in l]
+    final = [i for i, l in enumerate(lines)
+             if "WindowGroupLimit" in l and "Final" in l]
+    exch = [i for i, l in enumerate(lines)
+            if "Exchange hashpartitioning(source" in l]
+    assert partial and final and exch, p
+    # plan prints top-down: Final above the exchange, Partial below
+    assert final[0] < exch[0] < partial[0], p
