@@ -180,6 +180,7 @@ HEADLINERS = [
     # quality cap / domain balancing)
     "curriculum_augment",
     "source_cap",
+    "epoch_shuffle",
 ]
 
 # Per-query repetitions; the reported time is the MIN across runs.

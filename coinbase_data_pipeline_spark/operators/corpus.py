@@ -706,3 +706,39 @@ def fixed_k_sample(docs: DataFrame, k: int = 20, *,
                             F.row_number().over(w).cast("int"))
             .filter(F.col("sample_rank") <= k)
             .select(stratum_col, id_col, "sample_rank"))
+
+
+def epoch_shuffle(docs: DataFrame, epoch: int, *,
+                  id_col: str = "doc_id",
+                  shards: int = 1024) -> DataFrame:
+    """Deterministic per-epoch global shuffle order — the reference
+    data loader's ``DataLoader(shuffle=True)`` re-shuffle
+    (Crypto-TS-Model-master/src/train.py dataloader setup) as a
+    relation: epoch_pos is the doc's 1-based position in a
+    permutation that is a pure function of (id, epoch). The same
+    epoch yields the same order on any engine, partitioning or
+    retry (the reference's torch RNG draw is none of those), and a
+    new epoch re-rolls the whole permutation — set_epoch as a column
+    constant, completing the loader behaviors alongside
+    curriculum_augment (steps 1-5) and curriculum_feature_dropout
+    (step 6).
+
+    Scale shape: sort key is hash60(id:e{epoch}) — uniform over the
+    60-bit space, so the :func:`..operators.ranking.exact_group_rank`
+    equal-width shards are balanced BY CONSTRUCTION (the skew caveat
+    that applies to value-ranked inputs vanishes on a hash key).
+    One (group, shard) exchange ranks everything; no unpartitioned
+    window, no global sort. A trainer materializes epoch order by
+    sorting each shard-sized slice on (epoch_pos) — or just reads
+    shards in shard order, which IS the permutation order.
+    """
+    from .ranking import exact_group_rank
+
+    key = F.concat(F.col(id_col).cast("string"), F.lit(f":e{int(epoch)}"))
+    base = docs.select(
+        F.col(id_col),
+        hash60(key, "eshuf").alias("shuffle_key"),
+        F.lit(1).alias("_g"))
+    ranked = exact_group_rank(base, "_g", "shuffle_key", id_col,
+                              shards=shards, out="epoch_pos")
+    return ranked.select(id_col, "shuffle_key", "epoch_pos")

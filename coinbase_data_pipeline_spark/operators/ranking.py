@@ -43,19 +43,17 @@ from pyspark.sql import DataFrame, Window, functions as F
 NTILE_SHARDS = 1024
 
 
-def exact_group_ntile(df: DataFrame, group: str, val: str, tiebreak: str,
-                      *, n_tiles: int, shards: int = NTILE_SHARDS,
-                      out: str = "tile") -> DataFrame:
-    """Exact ``ntile(n_tiles) OVER (PARTITION BY group ORDER BY val,
-    tiebreak)`` — distributed per the module doc. `val` must be
-    non-null and (val, tiebreak) must be unique within a group (ties
-    in `val` break on `tiebreak`, so cross-engine determinism needs a
-    unique tiebreak — the same contract the single-node ntile query
-    had). Descending metrics: pass the negated value (exact for ints
-    < 2^53 and for IEEE doubles).
-
-    Returns the input columns + `out` (int tile in [1, n_tiles]).
-    """
+def exact_group_rank(df: DataFrame, group: str, val: str, tiebreak: str,
+                     *, shards: int = NTILE_SHARDS,
+                     out: str = "_rank") -> DataFrame:
+    """Exact ``row_number() OVER (PARTITION BY group ORDER BY val,
+    tiebreak)`` without an unpartitioned window — steps 1-4 of the
+    module recipe (shard by equal-width value bin, rank per shard,
+    add broadcast shard offsets). Same contracts as
+    :func:`exact_group_ntile` (non-null val, unique (val, tiebreak)
+    per group). Returns the input columns + `out` (long, 1-based)
+    plus the `_n` group count (callers needing closed-form boundary
+    arithmetic, like ntile, read it; drop it otherwise)."""
     bounds = df.groupBy(group).agg(
         F.min(val).alias("_lo"), F.max(val).alias("_hi"),
         F.count(F.lit(1)).alias("_n"))
@@ -80,8 +78,27 @@ def exact_group_ntile(df: DataFrame, group: str, val: str, tiebreak: str,
             Window.partitionBy(group).orderBy("_shard")
             .rowsBetween(Window.unboundedPreceding, -1)),
             F.lit(0)).alias("_off"))
-    ranked = (ranked.join(F.broadcast(offs), [group, "_shard"])
-              .withColumn("_rank", F.col("_off") + F.col("_lrank")))
+    return (ranked.join(F.broadcast(offs), [group, "_shard"])
+            .withColumn(out, (F.col("_off") + F.col("_lrank"))
+                        .cast("long"))
+            .drop("_lo", "_hi", "_shard", "_lrank", "_off"))
+
+
+def exact_group_ntile(df: DataFrame, group: str, val: str, tiebreak: str,
+                      *, n_tiles: int, shards: int = NTILE_SHARDS,
+                      out: str = "tile") -> DataFrame:
+    """Exact ``ntile(n_tiles) OVER (PARTITION BY group ORDER BY val,
+    tiebreak)`` — distributed per the module doc. `val` must be
+    non-null and (val, tiebreak) must be unique within a group (ties
+    in `val` break on `tiebreak`, so cross-engine determinism needs a
+    unique tiebreak — the same contract the single-node ntile query
+    had). Descending metrics: pass the negated value (exact for ints
+    < 2^53 and for IEEE doubles).
+
+    Returns the input columns + `out` (int tile in [1, n_tiles]).
+    """
+    ranked = exact_group_rank(df, group, val, tiebreak, shards=shards,
+                              out="_rank")
     # ntile(P) closed form (layout.zorder_stats'): the first
     # r = N % P tiles hold q+1 rows (q = N div P); ceil-div via
     # (a + b - 1) div b (all terms positive)
@@ -94,5 +111,4 @@ def exact_group_ntile(df: DataFrame, group: str, val: str, tiebreak: str,
                   F.expr("(_rank + _q) div (_q + 1)")).otherwise(
                   F.col("_r") + F.expr("(_rank - _big + _q - 1) div _q"))
                   .cast("int")))
-    return ranked.drop("_lo", "_hi", "_n", "_shard", "_lrank",
-                       "_off", "_rank", "_q", "_r", "_big")
+    return ranked.drop("_n", "_rank", "_q", "_r", "_big")

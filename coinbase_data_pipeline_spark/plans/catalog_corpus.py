@@ -1121,6 +1121,36 @@ WHERE cms_est >= {CMS_MIN_SHARE!r} * CAST(total AS DOUBLE)
 
 # ----------------------------------------------------------------- registry
 
+
+
+EPOCH_SHUFFLE_EPOCH = 2
+
+
+def q_epoch_shuffle(spark, sf_dir):
+    """The data loader's per-epoch shuffle as a relation (train.py's
+    DataLoader(shuffle=True) re-shuffle, made deterministic): global
+    permutation position per doc for EPOCH_SHUFFLE_EPOCH, via the
+    distributed exact ranker on a uniform hash key (balanced shards
+    by construction — no unpartitioned window, no global sort).
+    Completes the loader family: curriculum_augment (steps 1-5),
+    curriculum_dropout (step 6), epoch_shuffle (the batch order)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return CP.epoch_shuffle(docs, EPOCH_SHUFFLE_EPOCH)
+
+
+SQL_EPOCH_SHUFFLE = f"""
+WITH h AS (
+  SELECT doc_id,
+         {sql_hash60(f"CAST(doc_id AS VARCHAR) || ':e{EPOCH_SHUFFLE_EPOCH}'", "eshuf")} AS shuffle_key
+  FROM documents
+)
+SELECT doc_id, shuffle_key,
+       CAST(row_number() OVER (ORDER BY shuffle_key, doc_id)
+            AS BIGINT) AS epoch_pos
+FROM h
+"""
+
+
 SPARK_QUERIES_CORPUS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_chunk": q_doc_chunk,
     "token_packing": q_token_packing,
@@ -1146,6 +1176,7 @@ SPARK_QUERIES_CORPUS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_entropy": q_token_entropy,
     "bm25_search": q_bm25_search,
     "fixed_k_sample": q_fixed_k_sample,
+    "epoch_shuffle": q_epoch_shuffle,
     "pmi_collocations": q_pmi_collocations,
     "heavy_hitters_cms": q_heavy_hitters_cms,
 }
@@ -1175,6 +1206,7 @@ ORACLE_SQL_CORPUS: dict[str, str] = {
     "token_entropy": SQL_TOKEN_ENTROPY,
     "bm25_search": SQL_BM25_SEARCH,
     "fixed_k_sample": SQL_FIXED_K_SAMPLE,
+    "epoch_shuffle": SQL_EPOCH_SHUFFLE,
     "pmi_collocations": SQL_PMI_COLLOCATIONS,
     "heavy_hitters_cms": SQL_HEAVY_HITTERS_CMS,
 }

@@ -2539,3 +2539,30 @@ def test_source_cap_semantics(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         source_cap(docs, 0)
+
+
+def test_epoch_shuffle_permutation_and_reroll(spark):
+    """epoch_shuffle must emit an exact 1..N permutation (the batch
+    order of one epoch), identical at any partitioning, re-rolled by
+    epoch (set_epoch semantics), and consistent with its own
+    shuffle_key order (epoch_pos is the rank of (shuffle_key, id))."""
+    from coinbase_data_pipeline_spark.operators.corpus import (
+        epoch_shuffle)
+
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(777)], "doc_id long, text string")
+    e2 = {r["doc_id"]: (r["epoch_pos"], r["shuffle_key"])
+          for r in epoch_shuffle(docs, 2).collect()}
+    assert sorted(p for p, _ in e2.values()) == list(range(1, 778))
+    # rank consistency with the key order
+    order = sorted(e2, key=lambda d: (e2[d][1], d))
+    assert [e2[d][0] for d in order] == list(range(1, 778))
+    # partitioning independence
+    e2b = {r["doc_id"]: (r["epoch_pos"], r["shuffle_key"])
+           for r in epoch_shuffle(docs.repartition(17), 2).collect()}
+    assert e2 == e2b
+    # epoch re-roll: a different epoch is a different permutation
+    e3 = {r["doc_id"]: r["epoch_pos"]
+          for r in epoch_shuffle(docs, 3).collect()}
+    assert sorted(e3.values()) == list(range(1, 778))
+    assert any(e3[d] != e2[d][0] for d in e2)
