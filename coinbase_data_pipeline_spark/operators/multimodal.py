@@ -76,17 +76,201 @@ def _parse_header(payload: bytes) -> dict:
     return out
 
 
-def real_decode(payload: bytes):  # pragma: no cover - env-gated
-    """Decode actual media bytes (JPEG/WAV/MP4). STUB: the codec
-    libraries are not installed in this environment."""
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+# PNG filter-type byte per scanline (spec §9): 0 none, 1 sub, 2 up,
+# 3 average, 4 Paeth.
+
+
+def _png_unfilter(raw: bytes, width: int, height: int,
+                  bpp: int) -> bytearray:
+    """Reverse PNG scanline filtering — the spec algorithm, stdlib
+    only."""
+    stride = width * bpp
+    out = bytearray()
+    prev = bytearray(stride)
+    pos = 0
+    for _ in range(height):
+        ftype = raw[pos]
+        line = bytearray(raw[pos + 1:pos + 1 + stride])
+        pos += 1 + stride
+        if ftype == 1:                                  # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif ftype == 2:                                # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:                                # Average
+            for i in range(stride):
+                left = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + (left + prev[i]) // 2) & 0xFF
+        elif ftype == 4:                                # Paeth
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if pa <= pb and pa <= pc else (
+                    b if pb <= pc else c)
+                line[i] = (line[i] + pr) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"PNG filter type {ftype}")
+        out += line
+        prev = line
+    return out
+
+
+def _decode_png(payload: bytes) -> dict:
+    """Real PNG decode, stdlib only (zlib inflate + spec unfiltering):
+    8-bit greyscale / RGB / RGBA, non-interlaced — the formats a
+    training-data scrape overwhelmingly contains. Color collapses to
+    integer BT.601 luma so downstream raster ops see one channel."""
+    import zlib
+
+    if payload[:8] != PNG_MAGIC:
+        raise ValueError("not a PNG")
+    pos, width, height, depth, color = 8, None, None, None, None
+    idat = b""
+    while pos < len(payload):
+        (length,), ctype = struct.unpack(">I", payload[pos:pos + 4]), \
+            payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + length]
+        pos += 12 + length                     # len + type + crc
+        if ctype == b"IHDR":
+            width, height, depth, color, _comp, _filt, ilace = \
+                struct.unpack(">IIBBBBB", data)
+            if depth != 8 or ilace != 0 or color not in (0, 2, 6):
+                raise NotImplementedError(
+                    f"PNG depth={depth} color={color} interlace="
+                    f"{ilace}: only 8-bit gray/RGB/RGBA progressive-"
+                    "free PNGs decode stdlib-side; install PIL for "
+                    "the rest")
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    bpp = {0: 1, 2: 3, 6: 4}[color]
+    px = _png_unfilter(zlib.decompress(idat), width, height, bpp)
+    if bpp > 1:                                 # integer BT.601 luma
+        px = bytes((299 * px[i] + 587 * px[i + 1] + 114 * px[i + 2]
+                    + 500) // 1000
+                   for i in range(0, len(px), bpp))
+    return {"kind": "image", "width": width, "height": height,
+            "pixels": bytes(px)}
+
+
+def _decode_wav(payload: bytes) -> dict:
+    """Real WAV/PCM decode via the stdlib ``wave`` module; samples
+    collapse to u8 (16-bit PCM keeps the high byte, offset to
+    unsigned) to match the internal audio raster."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload)) as w:
+        rate = w.getframerate()
+        n = w.getnframes()
+        sw = w.getsampwidth()
+        ch = w.getnchannels()
+        frames = w.readframes(n)
+    if sw == 1:
+        samples = frames[::ch]
+    elif sw == 2:
+        # little-endian s16 -> high byte + 128 (u8 midrise)
+        samples = bytes((frames[i * 2 * ch + 1] + 128) & 0xFF
+                        for i in range(n))
+    else:
+        raise NotImplementedError(f"WAV sample width {sw}")
+    return {"kind": "audio", "sample_rate": rate,
+            "samples": bytes(samples)}
+
+
+def real_decode(payload: bytes) -> dict:
+    """Decode ACTUAL media bytes into the raster dict the internal
+    operators consume — the production seam between scraped bytes and
+    the IMG1/AUD1/VID1 pipeline.
+
+    Stdlib-real today: PNG (zlib inflate + spec unfiltering,
+    :func:`_decode_png`) and WAV PCM (:func:`_decode_wav`) — both
+    exercised by pytest on genuine files built in-test. Formats that
+    need a codec library (JPEG, MP4, OGG, …) fall through to PIL when
+    installed, else raise NotImplementedError naming the dependency —
+    the only env-gated branch left.
+    """
+    if payload[:8] == PNG_MAGIC:
+        return _decode_png(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return _decode_wav(payload)
     try:
-        import PIL.Image  # noqa: F401
+        import PIL.Image
     except ImportError as e:
         raise NotImplementedError(
-            "real media decode requires PIL/ffmpeg/librosa; this "
-            "environment ships none — use the deterministic fake "
-            "format (encode_image/encode_video/encode_audio)") from e
-    raise NotImplementedError("wire real decoder here")
+            "non-PNG/WAV media decode requires PIL/ffmpeg/librosa; "
+            "this environment ships none — PNG and WAV decode "
+            "stdlib-side, or use the deterministic fake format "
+            "(encode_image/encode_video/encode_audio)") from e
+    import io  # pragma: no cover - env-gated (PIL absent here)
+    img = PIL.Image.open(io.BytesIO(payload)).convert("L")
+    return {"kind": "image", "width": img.width, "height": img.height,
+            "pixels": img.tobytes()}
+
+
+def ingest_media(df: DataFrame, *, id_col: str = "media_id",
+                 payload_col: str = "payload") -> DataFrame:
+    """Transcode REAL media bytes (PNG/WAV/...) into the internal
+    raster wire format, partition-parallel — the ingest edge of the
+    multimodal pipeline: after this one mapInPandas pass, every
+    downstream operator (decode_metadata, image_resize, frame_sample)
+    runs unchanged on scraped-from-the-web inputs.
+
+    Scale: decode cost is per-payload CPU inside the Arrow batch
+    stream; bytes never visit the driver. Partition by size upstream
+    exactly as for :func:`decode_metadata`."""
+
+    def _ingest(batches: Iterator) -> Iterator:
+        import pandas as pd
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                d = real_decode(bytes(payload))
+                if d["kind"] == "image":
+                    enc = encode_image(d["width"], d["height"],
+                                       d["pixels"])
+                else:
+                    enc = encode_audio(d["sample_rate"], d["samples"])
+                rows.append({"media_id": mid, "payload": enc})
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in MEDIA_SCHEMA])
+
+    return df.select(id_col, payload_col).mapInPandas(
+        _ingest, schema=MEDIA_SCHEMA)
+
+
+def assemble_video(frames: DataFrame, *, id_col: str = "media_id",
+                   idx_col: str = "frame_idx",
+                   payload_col: str = "payload") -> DataFrame:
+    """Assemble per-frame REAL images (e.g. a PNG sequence — the form
+    frame dumps arrive in when no container codec is available) into
+    one internal VID1 payload per media id: real_decode each frame,
+    order by frame index, concatenate. The inverse seam of
+    :func:`frame_sample`; applyInPandas groups one video's frames
+    into one task."""
+
+    def _assemble(pdf):
+        import pandas as pd
+        pdf = pdf.sort_values(idx_col)
+        decoded = [real_decode(bytes(p)) for p in pdf[payload_col]]
+        w, h = decoded[0]["width"], decoded[0]["height"]
+        if any(d["width"] != w or d["height"] != h for d in decoded):
+            raise ValueError("frame dimensions differ within a video")
+        payload = encode_video(w, h, [d["pixels"] for d in decoded])
+        return pd.DataFrame(
+            [{"media_id": pdf[id_col].iloc[0], "payload": payload}],
+            columns=[f.name for f in MEDIA_SCHEMA])
+
+    return (frames.select(id_col, idx_col, payload_col)
+            .groupBy(id_col).applyInPandas(_assemble,
+                                           schema=MEDIA_SCHEMA))
 
 
 # ------------------------------------------------------------- operators

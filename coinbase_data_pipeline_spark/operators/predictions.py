@@ -234,6 +234,122 @@ def model_metrics(preds: DataFrame, actuals: DataFrame, *,
         "sample_count")
 
 
+# softplus(-|x|) for the only two |sign-logit| values that occur:
+# ln 2 (= softplus(0)) and ln(1 + e^-1) (= softplus(-1)), as literal
+# doubles so neither engine ever calls libm (Java Math.exp/log and C
+# libm may differ in the last ulp; literals cannot).
+_SOFTPLUS_0 = 0.6931471805599453
+_SOFTPLUS_1 = 0.31326168751822286
+
+#: pinball-loss quantiles — Crypto-TS-Model train.py wires
+#: QuantileLoss([0.1, 0.5, 0.9]) for the 'quantile' loss_fn.
+LOSS_QUANTILES = (0.1, 0.5, 0.9)
+#: AdaptiveHuberLoss(initial_delta=1.0) — train.py:48.
+HUBER_DELTA = 1.0
+#: DirectionLoss(alpha=0.3) — utils.py:119.
+DIRECTION_ALPHA = 0.3
+
+
+def forecast_losses(preds: DataFrame, actuals: DataFrame, *,
+                    key: str = "product_id",
+                    model_col: str = "model_version",
+                    pred_time_col: str = "origin_time",
+                    target_time_col: str = "target_time",
+                    horizon_col: str = "horizon",
+                    pred_col: str = "predicted_price",
+                    actual_ts: str = "bucket_start",
+                    actual_col: str = "close") -> DataFrame:
+    """The reference's evaluation-loss family over realized forecasts,
+    per (product, model, horizon):
+
+    - ``quantile_loss`` — utils.py:67 ``QuantileLoss``: mean over
+      samples of sum_q max((q-1)*err, q*err), err = actual - pred,
+      q in :data:`LOSS_QUANTILES` (the pinball loss summed over the
+      quantile heads exactly as the module's forward does);
+    - ``huber_loss`` — train.py:48 ``AdaptiveHuberLoss`` at its
+      initial delta 1.0: mean of 0.5*r^2 if r < delta else
+      delta*(r - 0.5*delta), r = |err|;
+    - ``direction_loss`` — utils.py:119 ``DirectionLoss`` (alpha
+      0.3): (1-alpha)*MSE + alpha*BCEWithLogits(sign(pred_t -
+      pred_{t-1}), 1[actual_t > actual_{t-1}]), where t steps along
+      the horizon sequence (the reference's dim-1 diff) and the first
+      step diffs against the close at the forecast origin. The blend
+      distributes over the mean (same n for both terms), so it fuses
+      per row; BCEWithLogits(x, y) = max(x,0) - x*y + softplus(-|x|),
+      and since x = sign(...) takes only {-1, 0, 1} the softplus term
+      is one of two literal constants — no libm in either engine.
+
+    Every mean reduces through per-row fixed-point BIGINT sums
+    (order-free, map-side combinable at any partitioning, bit-identical
+    to the SQL oracle): pinball and huber at 1e6 (magnitudes ~|err|),
+    the direction blend at 1e4 (the err^2 term dominates; the coarser
+    scale keeps the sum far from BIGINT overflow — err^2 <= 1e8 over
+    2e5 rows stays < 2e17). Outputs are 6dp (4dp for the 1e4-scaled
+    blend) rounds of exact-integer ratios.
+
+    Scale shape: two key+time equi-joins against the actuals relation
+    (shuffle on (key, time) — at 100 TB both sides partition-prune on
+    the serving date range), one per-(key, model, origin) window for
+    the horizon-sequence lag (tiny partitions, pred_len rows each),
+    then one grouped agg with map-side combine. No Python in the row
+    path.
+    """
+    a = actuals.select(F.col(key).alias("_ak"),
+                       F.col(actual_ts).alias("_att"),
+                       F.col(actual_col).alias("_actual"))
+    o = actuals.select(F.col(key).alias("_ok"),
+                       F.col(actual_ts).alias("_ott"),
+                       F.col(actual_col).alias("_origin_close"))
+    j = (preds
+         .join(a, (F.col(key) == F.col("_ak"))
+               & (F.col(target_time_col) == F.col("_att")))
+         .drop("_ak", "_att"))
+    j = (j.join(o, (F.col(key) == F.col("_ok"))
+                & (F.col(pred_time_col) == F.col("_ott")))
+         .drop("_ok", "_ott"))
+    w = (Window.partitionBy(key, model_col, pred_time_col)
+         .orderBy(horizon_col))
+    j = j.withColumn("_pred_prev",
+                     F.coalesce(F.lag(pred_col).over(w),
+                                F.col("_origin_close")))
+    j = j.withColumn("_act_prev",
+                     F.coalesce(F.lag("_actual").over(w),
+                                F.col("_origin_close")))
+    err = F.col("_actual") - F.col(pred_col)
+    pinball = sum(
+        (F.greatest(F.lit(q - 1.0) * err, F.lit(q) * err)
+         for q in LOSS_QUANTILES), start=F.lit(0.0))
+    r = F.abs(err)
+    d = float(HUBER_DELTA)
+    huber = F.when(r < F.lit(d), F.lit(0.5) * r * r).otherwise(
+        F.lit(d) * (r - F.lit(0.5 * d)))
+    x = F.signum(F.col(pred_col) - F.col("_pred_prev"))
+    y = F.when(F.col("_actual") > F.col("_act_prev"),
+               F.lit(1.0)).otherwise(F.lit(0.0))
+    bce = (F.greatest(x, F.lit(0.0)) - x * y
+           + F.when(x == 0, F.lit(_SOFTPLUS_0))
+           .otherwise(F.lit(_SOFTPLUS_1)))
+    alpha = float(DIRECTION_ALPHA)
+    dir_row = F.lit(1.0 - alpha) * err * err + F.lit(alpha) * bce
+    fp6 = lambda c: F.floor(c * F.lit(1000000.0) + F.lit(0.5))  # noqa: E731
+    fp4 = lambda c: F.floor(c * F.lit(10000.0) + F.lit(0.5))  # noqa: E731
+    g = j.groupBy(key, model_col, horizon_col).agg(
+        F.sum(fp6(pinball).cast("long")).alias("_sq"),
+        F.sum(fp6(huber).cast("long")).alias("_sh"),
+        F.sum(fp4(dir_row).cast("long")).alias("_sd"),
+        F.count(F.lit(1)).alias("sample_count"))
+    # integer half-up ratios, same doctrine as model_metrics above
+    return g.select(
+        key, model_col, horizon_col,
+        (F.expr("(2 * _sq + sample_count) div (2 * sample_count)")
+         / F.lit(1000000.0)).alias("quantile_loss"),
+        (F.expr("(2 * _sh + sample_count) div (2 * sample_count)")
+         / F.lit(1000000.0)).alias("huber_loss"),
+        (F.expr("(2 * _sd + sample_count) div (2 * sample_count)")
+         / F.lit(10000.0)).alias("direction_loss"),
+        "sample_count")
+
+
 def recent_predictions(preds: DataFrame, *,
                        key: str = "product_id",
                        model_col: str = "model_version",

@@ -346,6 +346,85 @@ FROM g
 """
 
 
+def q_forecast_losses(spark, sf_dir):
+    """The training/eval loss family (utils.py:67 QuantileLoss,
+    utils.py:119 DirectionLoss, train.py:48 AdaptiveHuberLoss) over
+    the realized model_score predictions — per (product, model,
+    horizon) pinball / adaptive-Huber / direction-blend losses, every
+    mean a fixed-point BIGINT sum (the model_metrics doctrine)."""
+    out = P.forecast_losses(_scored_preds(spark, sf_dir),
+                            candles(spark, sf_dir))
+    return out.select(
+        "product_id", F.col("model_version").alias("model_name"),
+        "horizon", "quantile_loss", "huber_loss", "direction_loss",
+        "sample_count")
+
+
+def _sql_forecast_losses() -> str:
+    from ..operators.predictions import (_SOFTPLUS_0, _SOFTPLUS_1,
+                                         DIRECTION_ALPHA, HUBER_DELTA,
+                                         LOSS_QUANTILES)
+    pinball = " + ".join(
+        f"greatest({q - 1.0!r} * err, {q!r} * err)"
+        for q in LOSS_QUANTILES)
+    d = float(HUBER_DELTA)
+    al = float(DIRECTION_ALPHA)
+    return SQL_BASE + f"""
+, preds AS ({_sql_model_score()}
+), j AS (
+  SELECT p.product_id, p.model_version AS model_name, p.horizon,
+         p.origin_time, p.predicted_price, c.close AS actual,
+         o.close AS origin_close
+  FROM preds p
+  JOIN candles c
+    ON c.product_id = p.product_id
+   AND c.bucket_start = p.origin_time + p.horizon * INTERVAL 5 MINUTE
+  JOIN candles o
+    ON o.product_id = p.product_id AND o.bucket_start = p.origin_time
+), seq AS (
+  SELECT *,
+         COALESCE(lag(predicted_price) OVER w, origin_close)
+           AS pred_prev,
+         COALESCE(lag(actual) OVER w, origin_close) AS act_prev
+  FROM j
+  WINDOW w AS (PARTITION BY product_id, model_name, origin_time
+               ORDER BY horizon)
+), rowl AS (
+  SELECT product_id, model_name, horizon,
+         0.0 + ({pinball}) AS pinball,
+         CASE WHEN abs(err) < {d!r}
+              THEN 0.5 * abs(err) * abs(err)
+              ELSE {d!r} * (abs(err) - {0.5 * d!r}) END AS huber,
+         {1.0 - al!r} * err * err + {al!r} * (
+           greatest(pdir, 0.0) - pdir * y
+           + CASE WHEN pdir = 0 THEN {_SOFTPLUS_0!r}
+                  ELSE {_SOFTPLUS_1!r} END) AS dir_row
+  FROM (
+    SELECT product_id, model_name, horizon,
+           actual - predicted_price AS err,
+           sign(predicted_price - pred_prev) AS pdir,
+           CASE WHEN actual > act_prev THEN 1.0 ELSE 0.0 END AS y
+    FROM seq)
+), g AS (
+  SELECT product_id, model_name, horizon,
+         sum(CAST(floor(pinball * 1000000.0 + 0.5) AS BIGINT)) AS sq,
+         sum(CAST(floor(huber * 1000000.0 + 0.5) AS BIGINT)) AS sh,
+         sum(CAST(floor(dir_row * 10000.0 + 0.5) AS BIGINT)) AS sd,
+         count(*) AS sample_count
+  FROM rowl GROUP BY 1, 2, 3
+)
+SELECT product_id, model_name, horizon,
+       (2 * sq + sample_count) // (2 * sample_count)
+         / 1000000.0 AS quantile_loss,
+       (2 * sh + sample_count) // (2 * sample_count)
+         / 1000000.0 AS huber_loss,
+       (2 * sd + sample_count) // (2 * sample_count)
+         / 10000.0 AS direction_loss,
+       CAST(sample_count AS BIGINT) AS sample_count
+FROM g
+"""
+
+
 # ----------------------------------------------------- temporal split
 
 TRAIN_RATIO = 0.8
@@ -983,6 +1062,7 @@ SPARK_QUERIES_PRED = {
     "prediction_stats": q_prediction_stats,
     "holt_param_sweep": q_holt_param_sweep,
     "model_metrics": q_model_metrics,
+    "forecast_losses": q_forecast_losses,
     "recent_predictions": q_recent_predictions,
     "train_test_split": q_train_test_split,
     "validate_input": q_validate_input,
@@ -1001,6 +1081,7 @@ ORACLE_SQL_PRED = {
     "prediction_stats": _sql_prediction_stats(),
     "holt_param_sweep": _sql_holt_param_sweep(),
     "model_metrics": _sql_model_metrics(),
+    "forecast_losses": _sql_forecast_losses(),
     "recent_predictions": _sql_recent_predictions(),
     "train_test_split": SQL_TRAIN_TEST_SPLIT,
     "validate_input": SQL_VALIDATE_INPUT,

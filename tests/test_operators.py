@@ -2566,3 +2566,60 @@ def test_epoch_shuffle_permutation_and_reroll(spark):
           for r in epoch_shuffle(docs, 3).collect()}
     assert sorted(e3.values()) == list(range(1, 778))
     assert any(e3[d] != e2[d][0] for d in e2)
+
+
+def test_forecast_losses_planted(spark):
+    """forecast_losses against hand-computed pinball / Huber /
+    direction-blend values on a 2-horizon planted forecast, plus
+    partitioning-independence of the fixed-point sums."""
+    import math
+
+    from coinbase_data_pipeline_spark.operators.predictions import (
+        forecast_losses)
+
+    # one product, one origin, two horizons; origin close = 100
+    from datetime import datetime as DT
+    t0 = DT(2024, 1, 1, 0, 0)
+    t5 = DT(2024, 1, 1, 0, 5)
+    t10 = DT(2024, 1, 1, 0, 10)
+    preds = spark.createDataFrame(
+        [("X", t0, 1, t5, 102.0), ("X", t0, 2, t10, 99.0)],
+        "product_id string, origin_time timestamp, horizon int, "
+        "target_time timestamp, predicted_price double") \
+        .withColumn("model_version", F.lit("m"))
+    actuals = spark.createDataFrame(
+        [("X", t0, 100.0), ("X", t5, 103.0), ("X", t10, 101.0)],
+        "product_id string, bucket_start timestamp, close double")
+    out = {r["horizon"]: r
+           for r in forecast_losses(preds, actuals).collect()}
+    assert set(out) == {1, 2}
+
+    def pinball(err):
+        return sum(max((q - 1.0) * err, q * err)
+                   for q in (0.1, 0.5, 0.9))
+
+    def blend(err, pred, pred_prev, act, act_prev):
+        x = math.copysign(1.0, pred - pred_prev) \
+            if pred != pred_prev else 0.0
+        y = 1.0 if act > act_prev else 0.0
+        bce = max(x, 0.0) - x * y + math.log(1.0 + math.exp(-abs(x)))
+        return 0.7 * err * err + 0.3 * bce
+
+    # h=1: err = 103-102 = 1; pred dir vs origin close (102>100, up),
+    # actual up (103>100) -> BCE(x=1, y=1)
+    assert out[1]["quantile_loss"] == round(pinball(1.0), 6)
+    assert out[1]["huber_loss"] == 0.5  # |err|=1 not < delta=1
+    assert abs(out[1]["direction_loss"]
+               - blend(1.0, 102, 100, 103, 100)) < 1e-4
+    # h=2: err = 101-99 = 2; pred down (99<102), actual down (101<103)
+    # -> BCE(x=-1, y=0)
+    assert out[2]["quantile_loss"] == round(pinball(2.0), 6)
+    assert out[2]["huber_loss"] == 1.5  # delta*(r - delta/2) = 2-0.5
+    assert abs(out[2]["direction_loss"]
+               - blend(2.0, 99, 102, 101, 103)) < 1e-4
+    assert all(r["sample_count"] == 1 for r in out.values())
+    # partitioning-independence
+    out7 = {r["horizon"]: r for r in forecast_losses(
+        preds.repartition(7), actuals.repartition(5)).collect()}
+    assert {h: tuple(r) for h, r in out.items()} \
+        == {h: tuple(r) for h, r in out7.items()}
