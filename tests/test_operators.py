@@ -2623,3 +2623,43 @@ def test_forecast_losses_planted(spark):
         preds.repartition(7), actuals.repartition(5)).collect()}
     assert {h: tuple(r) for h, r in out.items()} \
         == {h: tuple(r) for h, r in out7.items()}
+
+
+def test_exact_group_rank_heavy_tail_balanced_shards(spark):
+    """VERDICT r10 #3: quantile-spaced shard cuts. A planted
+    heavy-tail distribution (99% of mass in the bottom 1% of the
+    value range — the regime where equal-width bins collapse onto
+    one shard) must (a) rank bit-identically to the single-node
+    window and (b) spread across shards with no shard carrying more
+    than a small multiple of the n/shards budget."""
+    from collections import Counter
+
+    from pyspark.sql import Window
+
+    from coinbase_data_pipeline_spark.operators.ranking import (
+        exact_group_rank)
+
+    # 2000 rows: 1980 dense in [0, 1), 20 spread out to 1e6 — an
+    # equal-width 8-shard split puts 99% of rows in shard 0
+    vals = [(i, i * 0.0005) for i in range(1980)] + \
+           [(1980 + i, (i + 1) * 5e4) for i in range(20)]
+    df = spark.createDataFrame(
+        [("g", i, v) for i, v in vals], "g string, id long, v double")
+    out = exact_group_rank(df.repartition(16), "g", "v", "id",
+                           shards=8, resolution=16,
+                           keep_shard=True)
+    rows = out.collect()
+    # (a) exact global order
+    expect = {r["id"]: r["rn"] for r in df.select(
+        "id", F.row_number().over(
+            Window.partitionBy("g").orderBy("v", "id")).alias("rn"))
+        .collect()}
+    assert {r["id"]: r["_rank"] for r in rows} == expect
+    # (b) balance: budget is n/shards = 250; the fine histogram
+    # bounds the worst shard at budget + one fine bin's mass
+    sizes = Counter(r["_shard"] for r in rows)
+    assert len(sizes) >= 6, f"heavy tail collapsed shards: {sizes}"
+    assert max(sizes.values()) <= 2 * 250, f"unbalanced: {sizes}"
+    # equal-width cuts for reference would have put ~1980 of 2000
+    # rows in one shard; the quantile cuts must not
+    assert max(sizes.values()) < 1000

@@ -334,12 +334,21 @@ def _tpch_scaled_dir(spark, mult: int) -> str:
     t = {n: load_table(spark, SF_DIR, n)
          for n in ("lineitem", "orders", "customer", "supplier",
                    "part", "nation", "region")}
-    # key strides: one past each table's max key, read once
+
+    # key strides: one past each table's max key, read once; an empty
+    # table would make max() NULL (ADVICE r10 — fail loudly, not with
+    # a TypeError three lines later)
+    def _stride(df, key):
+        mx = df.agg(F.max(key)).collect()[0][0]
+        if mx is None:
+            raise RuntimeError(f"probe input table for {key} is empty")
+        return mx + 1
+
     strides = {
-        "ok": t["orders"].agg(F.max("o_orderkey")).collect()[0][0] + 1,
-        "ck": t["customer"].agg(F.max("c_custkey")).collect()[0][0] + 1,
-        "sk": t["supplier"].agg(F.max("s_suppkey")).collect()[0][0] + 1,
-        "pk": t["part"].agg(F.max("p_partkey")).collect()[0][0] + 1,
+        "ok": _stride(t["orders"], "o_orderkey"),
+        "ck": _stride(t["customer"], "c_custkey"),
+        "sk": _stride(t["supplier"], "s_suppkey"),
+        "pk": _stride(t["part"], "p_partkey"),
     }
 
     def rep(df, shifts: dict[str, str]):
@@ -354,19 +363,26 @@ def _tpch_scaled_dir(spark, mult: int) -> str:
             u = u.unionByName(p)
         return u
 
-    rep(t["lineitem"], {"l_orderkey": "ok", "l_partkey": "pk",
-                        "l_suppkey": "sk"}) \
-        .write.parquet(os.path.join(out, "lineitem.parquet"))
-    rep(t["orders"], {"o_orderkey": "ok", "o_custkey": "ck"}) \
-        .write.parquet(os.path.join(out, "orders.parquet"))
-    rep(t["customer"], {"c_custkey": "ck"}) \
-        .write.parquet(os.path.join(out, "customer.parquet"))
-    rep(t["supplier"], {"s_suppkey": "sk"}) \
-        .write.parquet(os.path.join(out, "supplier.parquet"))
-    rep(t["part"], {"p_partkey": "pk"}) \
-        .write.parquet(os.path.join(out, "part.parquet"))
-    t["nation"].write.parquet(os.path.join(out, "nation.parquet"))
-    t["region"].write.parquet(os.path.join(out, "region.parquet"))
+    # cleanup-on-error (ADVICE r10): a failed write must not leak a
+    # partial tpch-probe-* dir in /tmp
+    try:
+        rep(t["lineitem"], {"l_orderkey": "ok", "l_partkey": "pk",
+                            "l_suppkey": "sk"}) \
+            .write.parquet(os.path.join(out, "lineitem.parquet"))
+        rep(t["orders"], {"o_orderkey": "ok", "o_custkey": "ck"}) \
+            .write.parquet(os.path.join(out, "orders.parquet"))
+        rep(t["customer"], {"c_custkey": "ck"}) \
+            .write.parquet(os.path.join(out, "customer.parquet"))
+        rep(t["supplier"], {"s_suppkey": "sk"}) \
+            .write.parquet(os.path.join(out, "supplier.parquet"))
+        rep(t["part"], {"p_partkey": "pk"}) \
+            .write.parquet(os.path.join(out, "part.parquet"))
+        t["nation"].write.parquet(os.path.join(out, "nation.parquet"))
+        t["region"].write.parquet(os.path.join(out, "region.parquet"))
+    except BaseException:
+        import shutil
+        shutil.rmtree(out, ignore_errors=True)
+        raise
     return out
 
 
