@@ -537,20 +537,22 @@ def _run_sessionize_replay(spark, sf_dir, *, n_buckets: int | None = None,
         ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
         bucketed = _time_buckets(ev, "ts", n, straddle_user="user_id",
                                  cuts=REPLAY_CUTS)
-        _write_ordered_buckets(bucketed, "bucket", d, n)
         if watermark is not None:
-            # sentinel batch LAST (explicitly latest mtime via
-            # _stamp_new_files): 30 days past max(ts) > every
-            # session_end + gap. If FileStreamSource mis-ordered it
-            # FIRST, the watermark would jump ahead and drop the
-            # entire replay as late data (a loud, not silent,
-            # failure mode).
-            stamped = {os.path.join(d, f) for f in os.listdir(d)}
+            # sentinel rides IN the last data bucket (VERDICT r10 #5:
+            # one fewer full trigger cycle per replay): 30 days past
+            # max(ts) > every session_end + gap. Watermarks advance at
+            # batch BOUNDARIES, so nothing sharing the sentinel's
+            # batch is late, and the trailing no-data micro-batch —
+            # which watermark-timeout replays keep enabled precisely
+            # because that cycle IS the flush — fires every timeout
+            # under the advanced watermark. Output identical to the
+            # old separate-sentinel-batch layout (oracle-pinned).
             sentinel = ev.agg(
                 F.lit(-1).cast("long").alias("user_id"),
-                (F.max("ts") + F.expr("INTERVAL 30 DAYS")).alias("ts"))
-            sentinel.coalesce(1).write.mode("append").parquet(d)
-            _stamp_new_files(d, stamped, 10, ".parquet")
+                (F.max("ts") + F.expr("INTERVAL 30 DAYS")).alias("ts"),
+                F.lit(n - 1).alias("bucket"))
+            bucketed = bucketed.unionByName(sentinel)
+        _write_ordered_buckets(bucketed, "bucket", d, n)
 
     # bucket count and watermark mode change the dir CONTENT → they
     # key the cache
@@ -592,10 +594,11 @@ def q_streaming_sessionize(spark, sf_dir):
 def q_streaming_sessionize_watermark(spark, sf_dir):
     """The PRODUCTION sessionize path (watermark + EventTimeTimeout),
     oracle-checked: same ordered micro-batches as
-    streaming_sessionize, plus a far-future sentinel event in a fifth
-    batch that pushes the watermark past every open session's
-    end + gap — the event-time timeouts fire, every tail session is
-    FLUSHED downstream and its state row removed. The streamed result
+    streaming_sessionize, plus a far-future sentinel event riding in
+    the LAST data batch that pushes the watermark past every open
+    session's end + gap — the trailing no-data micro-batch then fires
+    the event-time timeouts, every tail session is FLUSHED downstream
+    and its state row removed. The streamed result
     (sentinel user excluded) must therefore equal the COMPLETE batch
     sessionization — tails included — which is strictly stronger than
     the unwatermarked query's all-but-last contract, and it proves
@@ -773,8 +776,9 @@ def q_streaming_kmv(spark, sf_dir):
     """KMV cardinality sketch maintained ON THE STREAM: per-day k-min
     state (a fixed k·8-byte array per day — sketch-bounded, not
     key-bounded) folded across time-ordered micro-batches via
-    applyInPandasWithState; a far-future sentinel batch pushes the
-    watermark past every day's end, the event-time timeouts fire and
+    applyInPandasWithState; a far-future sentinel riding in the last
+    data batch pushes the watermark past every day's end, the
+    trailing no-data micro-batch fires the event-time timeouts and
     each day's FINAL sketch is flushed. The emitted (n_tracked,
     kth_hash) state is exact integers; the estimate math runs
     JVM-side here with the same expression as the batch
@@ -792,15 +796,16 @@ def q_streaming_kmv(spark, sf_dir):
         bucketed = _time_buckets(ev, "ts", REPLAY_BUCKETS,
                                  cuts=REPLAY_CUTS).select(
             "user_id", "ts", "bucket")
-        _write_ordered_buckets(bucketed, "bucket", d, REPLAY_BUCKETS)
-        # sentinel LAST (strictly latest mtime): 30 days past max(ts)
-        # > every day end, so every real day's timeout fires
-        stamped = {os.path.join(d, f) for f in os.listdir(d)}
+        # sentinel rides IN the last data bucket (VERDICT r10 #5 —
+        # see _run_sessionize_replay): 30 days past max(ts) > every
+        # day end; the trailing no-data micro-batch fires every
+        # day's timeout under the advanced watermark
         sentinel = ev.agg(F.lit(-1).cast("long").alias("user_id"),
                           (F.max("ts") + F.expr("INTERVAL 30 DAYS"))
-                          .alias("ts"))
-        sentinel.coalesce(1).write.mode("append").parquet(d)
-        _stamp_new_files(d, stamped, 10, ".parquet")
+                          .alias("ts"),
+                          F.lit(REPLAY_BUCKETS - 1).alias("bucket"))
+        _write_ordered_buckets(bucketed.unionByName(sentinel),
+                               "bucket", d, REPLAY_BUCKETS)
 
     replay_dir = _cached_replay_dir("kmv", sf_dir, _build)
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts")

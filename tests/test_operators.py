@@ -2663,3 +2663,83 @@ def test_exact_group_rank_heavy_tail_balanced_shards(spark):
     # equal-width cuts for reference would have put ~1980 of 2000
     # rows in one shard; the quantile cuts must not
     assert max(sizes.values()) < 1000
+
+
+def test_hot_bucket_cap_recall_floor_hub_family(spark):
+    """VERDICT r10 #7: the star-link compromise's documented recall
+    FLOOR, tested on a pathological hub family ≥ 4x the cap planted
+    on top of a seeded fuzz corpus (tools/fuzz_parity.gen_documents —
+    the composed-matrix data axis). Pins, in link_capped mode:
+    (a) bounded output — the family contributes exactly C(cap,2)
+    survivor-clique pairs + (m-cap) star links, never C(m,2);
+    (b) the floor — every capped-out member keeps ≥ 1 verified link,
+    so the family resolves to ONE component with one keeper (no
+    member silently becomes its own keeper);
+    (c) no false links — nothing crosses into the fuzz corpus;
+    (d) capped pairs are a SUBSET of the uncapped ground truth;
+    (e) CARRY_MASKS=True emits the identical relation here
+    (identical signatures share one survivor set across bands)."""
+    import numpy as np
+
+    import coinbase_data_pipeline_spark.operators.dedup as DD
+    from coinbase_data_pipeline_spark.operators.dedup import (
+        connected_components, minhash_lsh_pairs)
+    from tools.fuzz_parity import gen_documents
+
+    cap = 32
+    m = 4 * cap + 9                      # 137 >= 4x cap
+    fuzz = gen_documents(np.random.default_rng(77), 150).to_pandas()
+    base = int(fuzz["doc_id"].max()) + 1
+    # tokens disjoint from the fuzz WORDS pool: the family can never
+    # jaccard-match anything outside itself
+    fam_text = " ".join(f"hubfam{i:02d}" for i in range(30))
+    rows = [(base + i, fam_text) for i in range(m)]
+    docs = spark.createDataFrame(
+        [(int(r.doc_id), r.text) for r in fuzz.itertuples()]
+        + rows, "doc_id long, text string")
+    planted = set(range(base, base + m))
+
+    pairs = minhash_lsh_pairs(docs, bucket_cap=cap,
+                              link_capped=True).collect()
+    fam_pairs = {(r.doc_a, r.doc_b) for r in pairs
+                 if r.doc_a in planted and r.doc_b in planted}
+    # (c) nothing crosses the planted/fuzz boundary
+    assert not any((r.doc_a in planted) != (r.doc_b in planted)
+                   for r in pairs)
+    # (a) bounded output: survivor clique + one star per capped-out
+    survivors = set()
+    for a, b in fam_pairs:
+        survivors.add(a); survivors.add(b)
+    interior = {p for p in fam_pairs
+                if p[0] in survivors and p[1] in survivors}
+    assert len(fam_pairs) == cap * (cap - 1) // 2 + (m - cap)
+    # every planted member appears in >= 1 verified pair (the floor)
+    covered = {d for p in fam_pairs for d in p}
+    assert covered == planted
+    assert all(r.jaccard == 1.0 for r in pairs
+               if (r.doc_a, r.doc_b) in fam_pairs)
+    # (b) one component, one keeper = min planted id
+    comp = {r.doc_id: r.component_id
+            for r in connected_components(
+                spark.createDataFrame(list(fam_pairs),
+                                      "doc_a long, doc_b long"))
+            .collect()}
+    assert set(comp) == planted
+    assert set(comp.values()) == {base}
+    # (d) subset of the uncapped ground truth over the same corpus
+    uncapped = {(r.doc_a, r.doc_b)
+                for r in minhash_lsh_pairs(
+                    docs, bucket_cap=1 << 30).collect()}
+    capped_plain = {(r.doc_a, r.doc_b) for r in pairs}
+    assert capped_plain <= uncapped
+    # (e) strong-recall mask mode: identical relation in this regime
+    saved = DD.CARRY_MASKS
+    try:
+        DD.CARRY_MASKS = True
+        masked = {(r.doc_a, r.doc_b)
+                  for r in minhash_lsh_pairs(docs, bucket_cap=cap,
+                                             link_capped=True)
+                  .collect()}
+    finally:
+        DD.CARRY_MASKS = saved
+    assert masked == capped_plain

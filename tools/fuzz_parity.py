@@ -23,6 +23,13 @@ agreed-empty contract). The same env var also drives
 tests/test_streaming_fuzz.py, so data fuzz COMPOSES with micro-batch
 boundary permutation in one run.
 
+One axis deliberately does NOT live here: a hub family ABOVE
+BUCKET_CAP (the capped-recall regime). The parity gate's SQL oracles
+are cap-free by contract, so an above-cap corpus would mismatch by
+design; that regime's recall floor is pinned instead by composing
+gen_documents (seed 77) with a planted >= 4x-cap family in
+tests/test_operators.py::test_hot_bucket_cap_recall_floor_hub_family.
+
 TPC-H tables are symlinked from the base sf dir unchanged (their
 join-key structure is the spec, not a fuzz target) — unless
 --tpch-sample independently subsamples each table, making referential

@@ -21,9 +21,17 @@ from coinbase_data_pipeline_spark.sources.tables import load_table
 
 SF_DIR = "/root/testdata/sf0.1"
 MULTIPLES = (1, 2, 4)
+# The 100-TB-critical LLM-dedup/ANN plans get a deeper 10x axis
+# (VERDICT r10 #6): their sub-quadratic claims (banded LSH buckets,
+# Σn_c² cluster pair space, capped hot buckets) are measured, not
+# argued, past the 4x corpus.
+DEEP_MULT = 10
+DEEP_OPS = ("dedup_minhash_lsh", "dedup_containment", "knn_graph",
+            "semantic_dedup")
 
 
-def corpus_times(spark, mult: int) -> dict[str, float]:
+def corpus_times(spark, mult: int,
+                 only: tuple[str, ...] | None = None) -> dict[str, float]:
     docs = load_table(spark, SF_DIR, "documents")
     n = docs.count()
     parts = [docs]
@@ -81,6 +89,15 @@ def corpus_times(spark, mult: int) -> dict[str, float]:
         ("dedup_containment", lambda: DD.containment_pairs(corpus)),
         ("dedup_tfidf_cosine", lambda: DD.tfidf_cosine_pairs(corpus)),
         ("knn_graph", lambda: ANN.knn_graph(ecorpus)),
+        # SemDeDup's published scale contract: cluster count GROWS
+        # with the corpus (~100k clusters at web scale), keeping the
+        # within-cluster pair space Σn_c² ≈ n²/k linear in n — so the
+        # probe scales k with the multiple, exactly what a deployment
+        # would tune
+        ("semantic_dedup",
+         lambda: DD.semantic_dedup_pairs(ecorpus, k=8 * mult,
+                                         iterations=2,
+                                         threshold=0.4)),
         ("bpe_train", lambda: CP.bpe_train(corpus)),
         ("quality_classifier",
          lambda: TS.quality_classifier(corpus)[1]),
@@ -118,8 +135,11 @@ def corpus_times(spark, mult: int) -> dict[str, float]:
          F.sum("n")),
     ]:
         name, fn = entry[0], entry[1]
+        if only is not None and name not in only:
+            continue
         vol = entry[2] if len(entry) > 2 else None
-        max_mult = entry[3] if len(entry) > 3 else max(MULTIPLES)
+        max_mult = entry[3] if len(entry) > 3 else (
+            DEEP_MULT if name in DEEP_OPS else max(MULTIPLES))
         if mult > max_mult:
             continue
         t0 = time.time()
@@ -473,6 +493,39 @@ def main() -> None:
         ratio = results[hi][name][0] / results[lo][name][0]
         lines.append(f"| {name} | " + " | ".join(cells)
                      + f" | {ratio:.1f}x ({hi}x/{lo}x) |")
+
+    deep = corpus_times(spark, DEEP_MULT, only=DEEP_OPS)
+    lines += [
+        "",
+        f"## LLM-dedup/ANN family at {DEEP_MULT}x docs "
+        "(sub-quadratic evidence)",
+        "",
+        "The 100-TB-critical dedup/similarity plans probed past the",
+        "4x corpus (VERDICT r10 #6): banded-minhash bucketing,",
+        "containment's rarest-shingle buckets, knn's LSH candidate",
+        "space, and SemDeDup's Σn_c² cluster pair space (k scales",
+        "with the corpus — 8·mult clusters — per the paper's recipe,",
+        "so pair space stays ~linear). An all-pairs formulation is",
+        "quadratic: 10x docs → 100x wall. Sub-quadratic here means",
+        "wall/1x far under (10x)² = 100x and tracking the OUTPUT",
+        "volume curve (replicated corpora inflate true near-dup",
+        "pairs superlinearly by construction — see the capped-bucket",
+        "regime notes above). Single-run wall, local[32].",
+        "",
+        "| operator | 1x sec (volume) | 4x sec (volume) | "
+        f"{DEEP_MULT}x sec (volume) | {DEEP_MULT}x/1x wall |",
+        "|---|---|---|---|---|",
+    ]
+    for name in DEEP_OPS:
+        c1 = results[1].get(name)
+        c4 = results[4].get(name)
+        cd = deep.get(name)
+        def _cell(c):
+            return f"{c[0]:.1f} ({c[1]:,})" if c else "—"
+        ratio = (f"{cd[0] / c1[0]:.1f}x"
+                 if (c1 and cd and c1[0] > 0) else "—")
+        lines.append(f"| {name} | {_cell(c1)} | {_cell(c4)} | "
+                     f"{_cell(cd)} | {ratio} |")
 
     stream_results = {m: streaming_state_curve(spark, m)
                       for m in MULTIPLES}
