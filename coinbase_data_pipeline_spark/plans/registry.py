@@ -46,60 +46,52 @@ for _part in _QUERY_PARTS:
     _MERGED.update(_part)
 
 # The external correctness driver hashes the FIRST 50 keys of `queries()`
-# in insertion order.  Rotation policy, by construction each round:
-# (a) queries with NO driver row on current code go first, oldest debt
-# first; (b) queries whose implementation or oracle changed this round
-# go next; (c) everything else keeps its earlier green row on record in
-# CORRECTNESS_r01..r04.json and stays out of the window.  Driver rounds
-# r01..r04 map to the repo's work sessions 1..4 (one numbering scheme).
+# in insertion order.  STANDING ROTATION RULE (VERDICT r10 #8, also
+# emitted into SURVEY §4 by tools/gen_index.py, which prints the
+# due-for-rotation list on every regen): each round's window is
+# (a) queries with NO driver row ever, (b) queries whose compute or
+# oracle changed this round, (c) everything else OLDEST-EVIDENCE-
+# FIRST — so no oracle-paired query's driver evidence ages past 4
+# rounds. Driver rounds r01..r04 map to the repo's work sessions 1..4
+# (one numbering scheme).
 #
-# ROUND-10 WINDOW (the backlog-retirement rotation VERDICT r09 #1
-# ordered): (a) the one new round-10 query — curriculum_augment (the
-# data loader's train-mode curriculum steps 1-5 as one deterministic
-# relation); (b) every query whose COMPUTE changed in round 10 —
-# rfm_scores (distributed sharded-prefix-sum ntile replacing the
-# unpartitioned window, VERDICT r09 #2), approx_quantiles_hist (core
-# factored to operators/sketches.histogram_quantiles, shared with
-# rfm's threshold path — plan-identical intent, the row confirms it),
-# streaming_classifier_scores (train-once weight cache replacing the
-# per-run/per-trigger retrain), streaming_model_score (alignment gate
-# now derived from the prediction sink via dense_rank instead of
-# re-running the batch candle agg);
-# (c) the 21 remaining stale r04 rows, then (d) 24 of the 25 stale
-# r05 rows — unchanged code, five-round-old driver evidence; this
-# retires the whole r04/r05 backlog but one: q6_forecast_revenue
-# (single-table filter+agg, the simplest plan in the repo, in-repo
-# oracle-parity-tested every pytest run) waits one round for the slot
-# arithmetic — 1 + 4 + 21 + 25 would be 51.
-# The other streaming queries also pass through round-10-touched
-# infra (pipelines.py vectorized folds, no_data_batches opt-out) with
-# output-neutral intent; they hold r07-r09 driver rows and were
-# re-verified in-round on the changed code by the composed fuzz
-# matrix (test_streaming_fuzz: 6 data seeds x boundary permutations,
-# 66/66 oracle-green at sf0.01) — next rotation re-slots them.
+# ROUND-11 WINDOW: (a) epoch_shuffle + source_cap (landed after the
+# r10 window was fixed — judge-verified hash-green in r10, still
+# driver-rowless) and forecast_losses (new this round: the reference's
+# QuantileLoss / DirectionLoss / AdaptiveHuber eval family);
+# (b) compute changed in round 11 — rfm_scores + epoch_shuffle ride
+# operators/ranking.py's quantile-spaced two-level shard cuts
+# (bit-identical intent; the rows confirm it), and
+# streaming_sessionize_watermark + streaming_kmv replays now carry
+# the watermark sentinel inside the last data bucket (one fewer
+# trigger cycle; flush semantics unchanged);
+# (c) q6_forecast_revenue (r05 — the oldest evidence on record), the
+# 19 r06 rows, then 24 of the 35 remaining r07 rows alphabetically;
+# the 11 r07 leftovers + the r08 block rotate in r12.
 _CHECK_FIRST = [
-    # (a) new round-10 query
-    "curriculum_augment",
-    # (b) round-10-changed plans
-    "rfm_scores", "approx_quantiles_hist",
-    "streaming_classifier_scores", "streaming_model_score",
-    # (c) stale r04 rows (rfm_scores already above)
-    "gopher_quality", "hopping_volume", "keltner_channel",
-    "kmv_distinct_users", "mfi", "pivot_points", "pq_encode",
-    "price_anomalies", "purchase_attribution", "quality_classifier",
-    "quality_classifier_scores", "quantile_transform",
-    "return_moments", "rolling_beta", "sales_cube", "sales_rollup",
-    "seasonality_profile", "session_window_agg", "token_entropy",
-    "trend_decompose", "volume_profile",
-    # (d) stale r05 rows (all but q6_forecast_revenue, see above)
-    "ann_ivf", "ann_ivfpq", "ann_pq", "bloom_semi_join",
-    "boilerplate_ngrams", "cluster_quality_profile",
-    "cross_sectional_rank", "dedup_containment", "dedup_spans",
-    "dedup_tfidf_cosine", "grouped_scale_full", "heavy_hitters_cms",
-    "kmv_weekly_merge", "model_score", "perplexity_proxy",
-    "pmi_collocations", "q19_discounted_revenue", "q7_volume_shipping",
-    "returns_correlation", "semantic_dedup", "token_id_encode",
-    "token_packing", "vocab_build", "vwap",
+    # (a) never-slotted + new
+    "epoch_shuffle", "source_cap", "forecast_losses",
+    # (b) round-11-changed compute (epoch_shuffle already above)
+    "rfm_scores", "streaming_sessionize_watermark", "streaming_kmv",
+    # (c) oldest evidence first: r05
+    "q6_forecast_revenue",
+    # r06 rows
+    "ann_bruteforce", "ann_range_search", "asof_join",
+    "dedup_exact_docs", "dedup_ngram_jaccard", "dedup_simhash",
+    "doc_pagerank", "forecast_metrics", "graph_triangles",
+    "graph_triangles_approx", "heikin_ashi", "kmeans_assign",
+    "naive_forecast", "q1_pricing_summary", "q3_shipping_priority",
+    "q5_local_supplier", "sliding_windows", "volatility_rmse",
+    "zorder_layout",
+    # r07 rows (first 24 alphabetically; the rest rotate in r12)
+    "atr", "available_products", "candle_resample", "candle_upsert",
+    "data_availability", "denormalize_predictions", "ewm_indicators",
+    "holt_param_sweep", "holt_winters", "holt_winters_seasonal",
+    "latest_n_per_key", "log_returns", "minmax_scale",
+    "model_metrics", "momentum", "obv", "prediction_retention",
+    "prediction_stats", "price_features", "recent_predictions",
+    "robust_scale", "rsi", "streaming_corpus_scores",
+    "streaming_dedup",
 ]
 
 ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
