@@ -181,6 +181,9 @@ HEADLINERS = [
     "curriculum_augment",
     "source_cap",
     "epoch_shuffle",
+    # round-11 addition (training/eval loss family: pinball, adaptive
+    # Huber, direction blend)
+    "forecast_losses",
 ]
 
 # Per-query repetitions; the reported time is the MIN across runs.

@@ -115,7 +115,10 @@ PICKS = [
     ("curriculum_augment",
      "pinned draw stage parallelizes md5 draws; window stage arithmetic-only"),
     ("rfm_scores",
-     "exact distributed ntile: r-sharded windows + broadcast offsets"),
+     "exact distributed ntile: quantile-cut shards + broadcast offsets"),
+    ("forecast_losses",
+     "two key+time equi-joins, tiny horizon-lag window, one "
+     "map-combinable fixed-point agg"),
 ]
 
 
