@@ -724,9 +724,11 @@ def epoch_shuffle(docs: DataFrame, epoch: int, *,
     (step 6).
 
     Scale shape: sort key is hash60(id:e{epoch}) — uniform over the
-    60-bit space, so the :func:`..operators.ranking.exact_group_rank`
-    equal-width shards are balanced BY CONSTRUCTION (the skew caveat
-    that applies to value-ranked inputs vanishes on a hash key).
+    60-bit space, so :func:`..operators.ranking.exact_group_rank`'s
+    level-1 equal-width bins are balanced BY CONSTRUCTION and the
+    adaptive level-2 zoom is skipped (resolution2=1 — one fewer
+    aggregate pass over the corpus; the skew machinery exists for
+    value-ranked inputs, not hash keys).
     One (group, shard) exchange ranks everything; no unpartitioned
     window, no global sort. A trainer materializes epoch order by
     sorting each shard-sized slice on (epoch_pos) — or just reads
@@ -740,5 +742,6 @@ def epoch_shuffle(docs: DataFrame, epoch: int, *,
         hash60(key, "eshuf").alias("shuffle_key"),
         F.lit(1).alias("_g"))
     ranked = exact_group_rank(base, "_g", "shuffle_key", id_col,
-                              shards=shards, out="epoch_pos")
+                              shards=shards, resolution2=1,
+                              out="epoch_pos")
     return ranked.select(id_col, "shuffle_key", "epoch_pos")

@@ -109,16 +109,27 @@ def exact_group_rank(df: DataFrame, group: str, val: str, tiebreak: str,
                         / (F.col("_hi") - F.col("_lo"))
                         * fine).cast("int"))).otherwise(F.lit(0))
     j = j.withColumn("_b1", fbin)
-    b1stats = (j.groupBy(group, "_b1")
-               .agg(F.min(val).alias("_blo"), F.max(val).alias("_bhi")))
-    j = j.join(F.broadcast(b1stats), [group, "_b1"])
-    sbin = F.when(
-        F.col("_bhi") > F.col("_blo"),
-        F.least(F.lit(resolution2 - 1),
-                F.floor((F.col(val) - F.col("_blo"))
-                        / (F.col("_bhi") - F.col("_blo"))
-                        * resolution2).cast("int"))).otherwise(F.lit(0))
-    j = j.withColumn("_b2", sbin)
+    if resolution2 > 1:
+        b1stats = (j.groupBy(group, "_b1")
+                   .agg(F.min(val).alias("_blo"),
+                        F.max(val).alias("_bhi")))
+        j = j.join(F.broadcast(b1stats), [group, "_b1"])
+        sbin = F.when(
+            F.col("_bhi") > F.col("_blo"),
+            F.least(F.lit(resolution2 - 1),
+                    F.floor((F.col(val) - F.col("_blo"))
+                            / (F.col("_bhi") - F.col("_blo"))
+                            * resolution2).cast("int"))) \
+            .otherwise(F.lit(0))
+        j = j.withColumn("_b2", sbin).drop("_blo", "_bhi")
+    else:
+        # resolution2=1: SKIP the level-2 stats pass entirely — the
+        # right call when the caller KNOWS the sort key is uniform
+        # (e.g. epoch_shuffle's hash key), where level-1 equal-width
+        # bins are already balanced and the adaptive zoom would be a
+        # pure extra aggregate over the big relation. Output is
+        # identical either way (cuts only move rows between shards).
+        j = j.withColumn("_b2", F.lit(0))
     hist = (j.groupBy(group, "_n", "_b1", "_b2")
             .agg(F.count(F.lit(1)).alias("_cnt")))
     # mass strictly before this sub-bin — a per-group prefix sum over
@@ -148,8 +159,7 @@ def exact_group_rank(df: DataFrame, group: str, val: str, tiebreak: str,
               .withColumn("_lrank", lrank)
               .withColumn(out, (F.col("_off") + F.col("_lrank"))
                           .cast("long"))
-              .drop("_lo", "_hi", "_b1", "_b2", "_blo", "_bhi",
-                    "_lrank", "_off"))
+              .drop("_lo", "_hi", "_b1", "_b2", "_lrank", "_off"))
     # keep_shard: balance observability (audits/tests read the shard
     # histogram; production plans drop it)
     return ranked if keep_shard else ranked.drop("_shard")

@@ -1066,3 +1066,53 @@ def test_static_model_cache_train_once_and_invalidate(spark, tmp_path,
     os.utime(d / "documents.parquet")
     r3 = run()
     assert calls == [1, 1] and r3 == r1
+
+
+def test_real_decode_rgba_and_stereo_wav():
+    """Edge formats of the stdlib codecs: RGBA (alpha ignored, luma
+    from RGB) and 2-channel WAV (channel 0 kept)."""
+    import io
+    import wave
+
+    from coinbase_data_pipeline_spark.operators.multimodal import (
+        real_decode)
+
+    # RGBA 2x1: red opaque, green transparent — alpha must not shift
+    # the luma arithmetic
+    rgba = bytes([255, 0, 0, 255, 0, 255, 0, 0])
+    d = real_decode(_make_png(2, 1, rgba, color_type=6))
+    assert d["pixels"] == bytes([(299 * 255 + 500) // 1000,
+                                 (587 * 255 + 500) // 1000])
+
+    # stereo 16-bit WAV: left channel u8 values survive, right is
+    # dropped
+    left = [10, 128, 200, 255]
+    right = [1, 2, 3, 4]
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        frames = b"".join(
+            int((l - 128) << 8).to_bytes(2, "little", signed=True)
+            + int((r - 128) << 8).to_bytes(2, "little", signed=True)
+            for l, r in zip(left, right))
+        w.writeframes(frames)
+    d = real_decode(buf.getvalue())
+    assert d["kind"] == "audio" and d["sample_rate"] == 16000
+    assert d["samples"] == bytes(left)
+
+    # unsupported PNG shapes fail loudly, not silently
+    import pytest as _pt
+    import struct as _st
+    import zlib as _zl
+
+    def chunk(ctype, data):
+        crc = _zl.crc32(ctype + data) & 0xFFFFFFFF
+        return _st.pack(">I", len(data)) + ctype + data \
+            + _st.pack(">I", crc)
+    ihdr16 = _st.pack(">IIBBBBB", 2, 1, 16, 0, 0, 0, 0)  # 16-bit
+    png16 = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr16)
+             + chunk(b"IEND", b""))
+    with _pt.raises(NotImplementedError):
+        real_decode(png16)
