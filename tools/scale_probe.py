@@ -527,13 +527,17 @@ def main() -> None:
         lines.append(f"| {name} | {_cell(c1)} | {_cell(c4)} | "
                      f"{_cell(cd)} | {ratio} |")
 
+    # bounded-state evidence gets the same 10x depth as the dedup/ANN
+    # axis: state is the thing that kills a streaming job at scale
+    stream_mults = MULTIPLES + (DEEP_MULT,)
     stream_results = {m: streaming_state_curve(spark, m)
-                      for m in MULTIPLES}
+                      for m in stream_mults}
     lines += [
         "",
         "## Streaming state-size curve (bounded-state evidence)",
         "",
-        "Event stream replayed at 1x/2x/4x (user/event ids shifted",
+        "Event stream replayed at 1x/2x/4x/10x (user/event ids",
+        "shifted",
         "per copy — distinct keys scale, the time axis does not);",
         "cells read peak / removed (state rows) over the replay's",
         "micro-batches, from stateOperators progress. The claims:",
@@ -549,12 +553,12 @@ def main() -> None:
         "test_streaming_dedup_watermark_evicts_state).",
         "",
         "| query | " + " | ".join(
-            f"{m}x in-rows → peak/removed" for m in MULTIPLES) + " |",
-        "|---|" + "---|" * len(MULTIPLES),
+            f"{m}x in-rows → peak/removed" for m in stream_mults) + " |",
+        "|---|" + "---|" * len(stream_mults),
     ]
-    for name in stream_results[MULTIPLES[0]]:
+    for name in stream_results[stream_mults[0]]:
         cells = []
-        for m in MULTIPLES:
+        for m in stream_mults:
             n_in, batches, peak, removed = stream_results[m][name]
             cells.append(f"{n_in:,} → {peak:,}/{removed:,}")
         lines.append(f"| {name} | " + " | ".join(cells) + " |")
