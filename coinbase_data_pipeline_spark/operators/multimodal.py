@@ -260,6 +260,15 @@ def assemble_video(frames: DataFrame, *, id_col: str = "media_id",
         import pandas as pd
         pdf = pdf.sort_values(idx_col)
         decoded = [real_decode(bytes(p)) for p in pdf[payload_col]]
+        # a non-image payload (e.g. WAV bytes in the frame set) must
+        # fail with a diagnosable error naming the frame, not a
+        # KeyError('width') from the dimension reads below
+        for d, (mid, idx) in zip(decoded,
+                                 zip(pdf[id_col], pdf[idx_col])):
+            if d["kind"] != "image":
+                raise ValueError(
+                    f"frame {idx} of media {mid} decoded as "
+                    f"{d['kind']!r}, not an image")
         w, h = decoded[0]["width"], decoded[0]["height"]
         if any(d["width"] != w or d["height"] != h for d in decoded):
             raise ValueError("frame dimensions differ within a video")

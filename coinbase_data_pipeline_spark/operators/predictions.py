@@ -241,12 +241,19 @@ def model_metrics(preds: DataFrame, actuals: DataFrame, *,
 _SOFTPLUS_0 = 0.6931471805599453
 _SOFTPLUS_1 = 0.31326168751822286
 
-#: pinball-loss quantiles — Crypto-TS-Model train.py wires
-#: QuantileLoss([0.1, 0.5, 0.9]) for the 'quantile' loss_fn.
+#: Loss constants below are the reference modules' SIGNATURE DEFAULTS
+#: — the only concrete instantiations in its source — not a claim
+#: about a tuned live run: the reference's active wiring is
+#: AdaptiveHuberLoss(initial_delta=config.huber_delta) with config
+#: default 0.5, immediately auto-adjusted to the 0.8 error quantile;
+#: QuantileLoss([0.1, 0.5, 0.9]) appears only in a commented-out
+#: block (train.py:484); DirectionLoss is wired at weight 0.0.
+#: Callers needing a tuned delta pass ``huber_delta`` explicitly.
+#: pinball-loss quantiles — utils.py QuantileLoss's default heads.
 LOSS_QUANTILES = (0.1, 0.5, 0.9)
-#: AdaptiveHuberLoss(initial_delta=1.0) — train.py:48.
+#: AdaptiveHuberLoss class default delta — train.py:48.
 HUBER_DELTA = 1.0
-#: DirectionLoss(alpha=0.3) — utils.py:119.
+#: DirectionLoss class default alpha — utils.py:119.
 DIRECTION_ALPHA = 0.3
 
 
@@ -258,25 +265,35 @@ def forecast_losses(preds: DataFrame, actuals: DataFrame, *,
                     horizon_col: str = "horizon",
                     pred_col: str = "predicted_price",
                     actual_ts: str = "bucket_start",
-                    actual_col: str = "close") -> DataFrame:
+                    actual_col: str = "close",
+                    huber_delta: float = HUBER_DELTA) -> DataFrame:
     """The reference's evaluation-loss family over realized forecasts,
     per (product, model, horizon):
 
     - ``quantile_loss`` — utils.py:67 ``QuantileLoss``: mean over
       samples of sum_q max((q-1)*err, q*err), err = actual - pred,
       q in :data:`LOSS_QUANTILES` (the pinball loss summed over the
-      quantile heads exactly as the module's forward does);
-    - ``huber_loss`` — train.py:48 ``AdaptiveHuberLoss`` at its
-      initial delta 1.0: mean of 0.5*r^2 if r < delta else
+      quantile heads as the module's forward does — note the heads
+      are the class defaults; see the constants block);
+    - ``huber_loss`` — train.py:48 ``AdaptiveHuberLoss`` at its CLASS
+      DEFAULT delta (``huber_delta`` parameter, default 1.0 — the
+      live wiring auto-tunes delta per epoch, which a fixed-point
+      oracle can't chase): mean of 0.5*r^2 if r < delta else
       delta*(r - 0.5*delta), r = |err|;
-    - ``direction_loss`` — utils.py:119 ``DirectionLoss`` (alpha
-      0.3): (1-alpha)*MSE + alpha*BCEWithLogits(sign(pred_t -
-      pred_{t-1}), 1[actual_t > actual_{t-1}]), where t steps along
-      the horizon sequence (the reference's dim-1 diff) and the first
-      step diffs against the close at the forecast origin. The blend
-      distributes over the mean (same n for both terms), so it fuses
-      per row; BCEWithLogits(x, y) = max(x,0) - x*y + softplus(-|x|),
-      and since x = sign(...) takes only {-1, 0, 1} the softplus term
+    - ``direction_loss`` — adapted from utils.py:119
+      ``DirectionLoss`` (alpha 0.3): (1-alpha)*MSE +
+      alpha*BCEWithLogits(sign(pred_t - pred_{t-1}),
+      1[actual_t > actual_{t-1}]), t stepping along the horizon
+      sequence. TWO DELIBERATE DEPARTURES from DirectionLoss.forward,
+      not a reproduction of it: (1) the torch module diffs within the
+      prediction sequence only (pred_len-1 BCE terms); here the first
+      step diffs against the close at the forecast origin, adding an
+      h=1 direction term the serving store can actually grade.
+      (2) torch averages MSE and BCE separately over different
+      counts; here both terms share n, so the blend distributes over
+      one mean and fuses per row (map-side combinable).
+      BCEWithLogits(x, y) = max(x,0) - x*y + softplus(-|x|), and
+      since x = sign(...) takes only {-1, 0, 1} the softplus term
       is one of two literal constants — no libm in either engine.
 
     Every mean reduces through per-row fixed-point BIGINT sums
@@ -320,7 +337,7 @@ def forecast_losses(preds: DataFrame, actuals: DataFrame, *,
         (F.greatest(F.lit(q - 1.0) * err, F.lit(q) * err)
          for q in LOSS_QUANTILES), start=F.lit(0.0))
     r = F.abs(err)
-    d = float(HUBER_DELTA)
+    d = float(huber_delta)
     huber = F.when(r < F.lit(d), F.lit(0.5) * r * r).otherwise(
         F.lit(d) * (r - F.lit(0.5 * d)))
     x = F.signum(F.col(pred_col) - F.col("_pred_prev"))

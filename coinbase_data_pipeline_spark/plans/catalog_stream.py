@@ -356,14 +356,17 @@ SELECT event_id, product_id, ROUND(price, 6) + 0 AS price FROM ticks
 
 
 def q_streaming_late_candles(spark, sf_dir):
-    """Cross-batch LATE-DATA equivalence: on-time ticks stream first
-    (many files → several micro-batches at maxFilesPerTrigger=16),
-    then the late stragglers (event_id % 23 == 0 — the same split the
-    batch candle_upsert query uses) land in strictly later batches,
-    forcing the streaming aggregation to UPDATE windows it already
-    emitted. With no watermark nothing may drop, so the final state
-    must equal the batch recompute over all ticks — the streaming
-    twin of candle_upsert's incremental-equals-batch contract."""
+    """Cross-batch LATE-DATA equivalence: on-time ticks stream in the
+    FIRST micro-batch (16 files at maxFilesPerTrigger=16), then the
+    late stragglers (event_id % 23 == 0 — the same split the batch
+    candle_upsert query uses) land in a strictly later batch, forcing
+    the streaming aggregation to UPDATE windows it already emitted.
+    With no watermark nothing may drop, so the final state must equal
+    the batch recompute over all ticks — the streaming twin of
+    candle_upsert's incremental-equals-batch contract. (The late→
+    on-time cross-batch update is the load-bearing boundary; a third
+    on-time-only batch bought no extra coverage at a full trigger
+    cycle of fixed cost per replay — see the r12 replay profile.)"""
     def _build(d):
         t = ticks(spark, sf_dir)
         on_time = ticker_wire_json(t.filter(F.col("event_id") % 23 != 0))
@@ -372,7 +375,7 @@ def q_streaming_late_candles(spark, sf_dir):
         # FileStreamSource processes oldest-first, so the stragglers
         # arrive after every on-time batch (mtime order survives
         # cache reuse)
-        on_time.repartition(32).write.mode("overwrite").text(d)
+        on_time.repartition(16).write.mode("overwrite").text(d)
         late.coalesce(1).write.mode("append").text(d)
 
     replay_dir = _cached_replay_dir("late", sf_dir, _build)
@@ -566,8 +569,12 @@ def _run_sessionize_replay(spark, sf_dir, *, n_buckets: int | None = None,
     sessions = streaming_sessionize(stream, gap_minutes=30,
                                     **({} if watermark is None
                                        else {"watermark": watermark}))
+    # 16 state partitions: applyInPandasWithState triggers are bound
+    # by parallelizable per-group Python work (measured sweep: 16 beat
+    # 8 by ~20% and 2 by ~2.2× on this replay), unlike JVM state ops
     name = run_to_memory(sessions, output_mode="append",
-                         no_data_batches=watermark is not None)
+                         no_data_batches=watermark is not None,
+                         shuffle_partitions=16)
     return spark.table(name)
 
 
@@ -819,7 +826,8 @@ def q_streaming_kmv(spark, sf_dir):
         "ts")
     sketches = streaming_kmv_sketch(hashed, k=KMV_K,
                                     watermark="1 hour")
-    name = run_to_memory(sketches, output_mode="append")
+    name = run_to_memory(sketches, output_mode="append",
+                         shuffle_partitions=16)
     out = spark.table(name)
     # drop the sentinel's own day (its timeout never fires, but
     # guard against it ever being emitted); real days all precede
@@ -845,9 +853,9 @@ def q_streaming_upsert(spark, sf_dir):
     keyed candles store (spark_processor.py:158-168's
     writeStream.foreachBatch(… Cassandra write), with the Cassandra
     table played by sinks/tables.merge_upsert keyed
-    (product_id, start_time)). On-time ticks stream first across
-    several micro-batches; the late stragglers (event_id % 23 — the
-    same split as batch candle_upsert) land in a strictly later batch
+    (product_id, start_time)). On-time ticks stream in the first
+    micro-batch; the late stragglers (event_id % 23 — the same split
+    as batch candle_upsert) land in a strictly later batch
     and must MERGE into buckets the store already holds. The oracle
     is the batch full recompute over all ticks, shared verbatim with
     candle_upsert: stream-maintained store state must be
@@ -869,9 +877,12 @@ def q_streaming_upsert(spark, sf_dir):
         on_time = wire.filter(F.col("event_id") % LATE_MOD != 0)
         late = wire.filter(F.col("event_id") % LATE_MOD == 0)
         stamped: set[str] = set()
-        # 4 on-time files at maxFilesPerTrigger=2 → 2 micro-batches
-        # before the late file arrives in its own, strictly later one
-        on_time.repartition(4).write.mode("overwrite").json(d)
+        # 2 on-time files at maxFilesPerTrigger=2 → one on-time merge
+        # cycle before the late file arrives in its own, strictly
+        # later one; the store-already-holds-the-bucket merge is the
+        # load-bearing boundary, and each extra cycle is a full store
+        # read+merge+swap of fixed cost (r12 replay profile)
+        on_time.repartition(2).write.mode("overwrite").json(d)
         _stamp_new_files(d, stamped, 0, ".json")
         late.coalesce(1).write.mode("append").json(d)
         _stamp_new_files(d, stamped, 5, ".json")
@@ -907,8 +918,6 @@ def q_streaming_model_score(spark, sf_dir):
     targets exist (its y-window gate), so the streamed result keeps
     origins with at least pred_len later candles — in production the
     tail origins' predictions simply wait for their targets."""
-    from pyspark.sql import Window
-
     from ..streaming.pipelines import run_to_memory, streaming_model_score
     from .catalog import candles
 
@@ -933,19 +942,31 @@ def q_streaming_model_score(spark, sf_dir):
         F.round(F.col("close") * 1e6).cast("long").alias("p6"))
     preds = streaming_model_score(quant)
     name = run_to_memory(preds, output_mode="append",
-                         no_data_batches=False)
+                         no_data_batches=False,
+                         shuffle_partitions=16)
     # Alignment gate, derived from the SINK: batch model_score only
     # scores origins with >= pred_len later candles. Origins are the
     # row-suffix of each product's candle series (rows seq_len..n), so
-    # that gate is exactly "drop each product's LAST 6 origins" — a
-    # dense_rank over the small prediction sink, instead of re-running
-    # the whole batch candle aggregation every serve run (~1.5 s of
-    # bench wall for a relation the stream already materialized).
-    wr = Window.partitionBy("product_id") \
-        .orderBy(F.col("origin_time").desc())
-    return (spark.table(name)
-            .withColumn("_dr", F.dense_rank().over(wr))
-            .filter(F.col("_dr") > 6)
+    # that gate is exactly "drop each product's LAST 6 origins": keep
+    # origin <= the 7th-LARGEST distinct origin per product. The
+    # cutoff comes from a map-side-combinable collect_set aggregate
+    # (one row per product), broadcast back — the old dense_rank
+    # formulation shuffle-sorted the whole 6-horizon-wide sink every
+    # serve run for the same answer. Products with <= 6 distinct
+    # origins have no 7th origin (element_at → NULL, the <= filter is
+    # never true), dropping them entirely — exactly dense_rank > 6.
+    sink = spark.table(name)
+    cutoff = (sink.groupBy("product_id")
+              .agg(F.element_at(
+                  F.sort_array(F.collect_set("origin_time"), False),
+                  7).alias("_cut"))
+              # renamed key: both join sides descend from the same
+              # sink relation, and a same-name equi-join on a
+              # self-join lineage is ambiguous to the analyzer
+              .select(F.col("product_id").alias("_pid"), "_cut"))
+    return (sink.join(F.broadcast(cutoff),
+                      F.col("product_id") == F.col("_pid"))
+            .filter(F.col("origin_time") <= F.col("_cut"))
             .select("product_id", "origin_time", "horizon",
                     (F.round("predicted_price", 6) + F.lit(0.0))
                     .alias("predicted_price"), "model_version"))

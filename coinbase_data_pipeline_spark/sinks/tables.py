@@ -53,7 +53,8 @@ def read_table(spark: SparkSession, root: str, table: str) -> DataFrame:
 def merge_upsert(spark: SparkSession, df: DataFrame, root: str,
                  table: str, *, seq_col: str | None = None,
                  current: DataFrame | None = None,
-                 commit_marks: list[str] | None = None) -> None:
+                 commit_marks: list[str] | None = None,
+                 unique_keys: bool = False) -> None:
     """Cassandra-style upsert: new rows replace existing rows with the
     same primary key; everything else is preserved.
 
@@ -68,6 +69,15 @@ def merge_upsert(spark: SparkSession, df: DataFrame, root: str,
     this cycle (the foreachBatch writer does — saves one store read
     per micro-batch); when omitted, the store is read here.
 
+    `unique_keys=True`: the caller GUARANTEES `df` carries at most one
+    row per primary key (e.g. it is the output of a groupBy on the
+    keys). The merge then runs as a broadcast anti-join on the key set
+    (current rows not replaced, unioned with the replacements) instead
+    of a row_number window over the full union — no per-key sort, and
+    the stored side never shuffles. Semantics are identical for
+    key-unique input; intra-batch duplicates would BOTH survive, so
+    the flag must not be combined with seq_col or non-unique input.
+
     `commit_marks`: names to record under the table's `_applied/`
     metadata dir IN THE SAME directory swap that publishes the data —
     the foreachBatch writer passes its batch id here so data and
@@ -76,28 +86,43 @@ def merge_upsert(spark: SparkSession, df: DataFrame, root: str,
     re-delivered batch id can never double-merge. Existing marks are
     carried forward into every new staging dir. Spark ignores the
     underscore-prefixed dir when reading the table."""
+    if unique_keys and seq_col is not None:
+        raise ValueError("unique_keys declares no intra-batch "
+                         "duplicates; seq_col is for resolving them")
     keys = list(TABLE_KEYS[table])
     path = _path(root, table)
-    new = df.withColumn("_pri", F.lit(1))
-    if os.path.exists(path):
-        if current is None:
-            current = spark.read.parquet(path)
-        current = current.withColumn("_pri", F.lit(0))
-        # the ingest-sequence column may be new to the stored table —
-        # backfill it as NULL (sorts last) so the union stays STRICT:
-        # any other schema drift must fail loudly, not merge as NULLs
-        if seq_col is not None and seq_col not in current.columns:
-            current = current.withColumn(
-                seq_col, F.lit(None).cast(new.schema[seq_col].dataType))
-        combined = current.unionByName(new)
+    if unique_keys:
+        if os.path.exists(path):
+            if current is None:
+                current = spark.read.parquet(path)
+            kept = current.join(F.broadcast(df.select(*keys).distinct()),
+                                keys, "left_anti")
+            merged = kept.unionByName(df)
+        else:
+            merged = df
     else:
-        combined = new
-    order = [F.col("_pri").desc()]
-    if seq_col is not None:
-        order.append(F.col(seq_col).desc_nulls_last())
-    w = Window.partitionBy(*keys).orderBy(*order)
-    merged = (combined.withColumn("_rn", F.row_number().over(w))
-              .filter(F.col("_rn") == 1).drop("_rn", "_pri"))
+        new = df.withColumn("_pri", F.lit(1))
+        if os.path.exists(path):
+            if current is None:
+                current = spark.read.parquet(path)
+            current = current.withColumn("_pri", F.lit(0))
+            # the ingest-sequence column may be new to the stored
+            # table — backfill it as NULL (sorts last) so the union
+            # stays STRICT: any other schema drift must fail loudly,
+            # not merge as NULLs
+            if seq_col is not None and seq_col not in current.columns:
+                current = current.withColumn(
+                    seq_col,
+                    F.lit(None).cast(new.schema[seq_col].dataType))
+            combined = current.unionByName(new)
+        else:
+            combined = new
+        order = [F.col("_pri").desc()]
+        if seq_col is not None:
+            order.append(F.col(seq_col).desc_nulls_last())
+        w = Window.partitionBy(*keys).orderBy(*order)
+        merged = (combined.withColumn("_rn", F.row_number().over(w))
+                  .filter(F.col("_rn") == 1).drop("_rn", "_pri"))
 
     staging = f"{path}.staging-{uuid.uuid4().hex[:8]}"
     # co-locate each product before the partitioned write: one file

@@ -167,14 +167,21 @@ def streaming_sessionize(events: DataFrame, *, user: str = "user_id",
     state_schema = "start long, end long, n long"
 
     def _fold(key, pdfs, state):
+        import numpy as np
         import pandas as pd
 
         def emit(sessions):
-            return pd.DataFrame(
-                [(key[0], pd.Timestamp(s, unit="us"),
-                  pd.Timestamp(e, unit="us"), c) for s, e, c in sessions],
-                columns=[user, "session_start", "session_end",
-                         "n_events"])
+            # columnar construction: the flush trigger calls emit once
+            # per timed-out user, so per-row pd.Timestamp boxing was a
+            # measured per-group cost at scale (datetime64[us] keeps
+            # the exact microsecond values the boxed path produced)
+            arr = np.asarray(sessions, dtype=np.int64).reshape(-1, 3)
+            return pd.DataFrame({
+                user: np.full(len(arr), key[0], dtype=np.int64),
+                "session_start": arr[:, 0].astype("datetime64[us]"),
+                "session_end": arr[:, 1].astype("datetime64[us]"),
+                "n_events": arr[:, 2],
+            })
 
         if state.hasTimedOut:
             # watermark passed end+gap: the open session can never
@@ -241,12 +248,13 @@ class _stream_conf:
 
     KEY = "spark.sql.shuffle.partitions"
 
-    def __init__(self, spark: SparkSession):
+    def __init__(self, spark: SparkSession, n: int | None = None):
         self.spark = spark
+        self.n = STREAM_SHUFFLE_PARTITIONS if n is None else n
 
     def __enter__(self):
         self.prev = self.spark.conf.get(self.KEY)
-        self.spark.conf.set(self.KEY, str(STREAM_SHUFFLE_PARTITIONS))
+        self.spark.conf.set(self.KEY, str(self.n))
 
     def __exit__(self, *exc):
         self.spark.conf.set(self.KEY, self.prev)
@@ -279,7 +287,8 @@ class _no_data_conf:
 def run_to_memory(df: DataFrame, *, name: str | None = None,
                   output_mode: str = "complete",
                   progress_out: list | None = None,
-                  no_data_batches: bool = True) -> str:
+                  no_data_batches: bool = True,
+                  shuffle_partitions: int | None = None) -> str:
     """Execute a streaming DataFrame to completion (availableNow) into
     an in-memory sink; returns the sink table name. The table stays
     queryable after the stream stops. If `progress_out` is given, the
@@ -287,9 +296,15 @@ def run_to_memory(df: DataFrame, *, name: str | None = None,
     added/removed/total — the bounded-state evidence) are appended to
     it. ``no_data_batches=False`` opts out of the trailing no-data
     trigger — callers may pass it ONLY when the sink output is
-    independent of timeout/eviction flushes (see _no_data_conf)."""
+    independent of timeout/eviction flushes (see _no_data_conf).
+    ``shuffle_partitions`` overrides STREAM_SHUFFLE_PARTITIONS for
+    this run — the applyInPandasWithState replays pass a HIGHER count
+    because their per-trigger cost is dominated by parallelizable
+    per-group Python work, where pure-JVM state ops are dominated by
+    per-partition state-store commits and want FEWER (measured sweep
+    in SCALING.md's replay-profile section)."""
     name = name or f"stream_{uuid.uuid4().hex[:12]}"
-    with _stream_conf(df.sparkSession), \
+    with _stream_conf(df.sparkSession, shuffle_partitions), \
             _no_data_conf(df.sparkSession, no_data_batches):
         q = (df.writeStream.format("memory").queryName(name)
              .outputMode(output_mode)
@@ -435,9 +450,16 @@ def run_file_touch_join_pipeline(spark: SparkSession, json_dir: str, *,
     j = (p.join(t, cond, "inner")
          .select("purchase_id", F.col("p_user").alias("user_id"),
                  "p_ts", "touch_type", "touch_ts"))
+    # 4 partitions: a stream-stream join keeps FOUR state stores per
+    # partition (left/right × keyToNumValues/keyWithIndexToValue), so
+    # per-partition commit fanout dominates this all-JVM single
+    # trigger at replay scale (measured: 4 beat 8 by ~20%); a
+    # production deployment with large join state would size this to
+    # cluster width instead — results are partitioning-invariant
     name = run_to_memory(j, output_mode="append",
                          progress_out=progress_out,
-                         no_data_batches=False)
+                         no_data_batches=False,
+                         shuffle_partitions=4)
     return spark.table(name)
 
 
@@ -575,21 +597,25 @@ def candle_upsert_batch_writer(store_root: str, *,
         delta = candle_state(batch, volume=volume, freq=freq)
         stored = None
         if os.path.exists(table_path):
-            # one materialized read per cycle, shared by the merge
-            # input and the upsert's current-state side (both plans
-            # would otherwise re-scan the store)
-            stored = read_table(spark, store_root,
-                                "candles").localCheckpoint(eager=True)
+            # the store is scanned by both the merge input and the
+            # upsert's kept-rows side; both scans execute inside the
+            # staging-write job, strictly before the directory swap,
+            # so a plain (lazy, page-cached) re-read is safe and the
+            # old eager localCheckpoint was a full extra job per cycle
+            stored = read_table(spark, store_root, "candles")
             state = stored.withColumnRenamed("start_time", "bucket_start")
             replacement = candle_merge_partials(
                 state, delta, volume=volume is not None)
         else:
             replacement = delta
+        # replacement is key-unique by construction (groupBy on the
+        # primary key inside candle_state/candle_merge_partials), so
+        # the upsert runs as a broadcast anti-join — no window sort
         merge_upsert(
             spark,
             replacement.withColumnRenamed("bucket_start", "start_time"),
             store_root, "candles", current=stored,
-            commit_marks=[str(batch_id)])
+            commit_marks=[str(batch_id)], unique_keys=True)
 
     return apply_batch
 
