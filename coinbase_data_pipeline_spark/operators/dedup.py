@@ -472,24 +472,46 @@ def ngram_jaccard_pairs(docs: DataFrame, *, id_col: str = "doc_id",
                         threshold: float = 0.9) -> DataFrame:
     """Exact n-gram-set Jaccard pairs above threshold.
 
-    |a∩b|/|a∪b| ≥ t forces |a|/|b| ∈ [t, 1/t], so candidates are
-    LENGTH-BUCKETED on a log scale: bucket = floor(ln(n) / ln(1/t)),
-    i.e. bucket width exactly one allowed size ratio (~10.5% at
-    t=0.9). A qualifying pair's ln-sizes differ by ≤ ln(1/t) = one
-    bucket width, so it lands within one bucket of its partner —
-    the explode spans {k-2 .. k+2} (±2, not ±1: at ratio EXACTLY t,
-    e.g. sizes 90/100 at t=0.9, the scaled difference is 1.0 ± ulp
-    and float jitter can straddle two boundaries). One side joins at
-    its own bucket, the other explodes, making candidate generation a
-    hash equi-join (never a nested-loop/cartesian plan) that LOSES NO
-    PAIR: the output is bit-identical to the all-pairs formulation,
-    which is why the plain all-pairs SQL stays the oracle. Versus
-    power-of-two octaves the candidate space shrinks with the bucket
-    width (~4× fewer joined rows on a log-uniform size profile) —
-    bucketing is Spark-side only, so the tightening never touches
-    oracle semantics. The even-tighter-candidate path for unknown
-    corpora is :func:`minhash_lsh_pairs` (probabilistic bands); this
-    operator is the exact method.
+    Candidate generation is a LOSSLESS prefix-prefix filter (the
+    All-Pairs/PPJoin family — the :func:`containment_pairs` recipe,
+    symmetric version). Under a global total order on grams
+    (ascending document frequency, ties by hash — rarest first, the
+    standard candidate-minimizing order), a doc's PREFIX is its first
+    p = n − ⌈t·n⌉ + 1 grams. The prefix lemma: J(A,B) ≥ t implies
+    |A∩B| ≥ ⌈t/(1+t)·(na+nb)⌉ = α ≥ ⌈t·max(na,nb)⌉ (since
+    J ≤ min/max), and any pair with |A∩B| ≥ α must share a gram
+    within BOTH prefixes of length n − α + 1 ≤ p — so joining prefix
+    grams against prefix grams loses no pair, and the plain all-pairs
+    SQL stays the oracle. This replaced the earlier log-length
+    bucketing (r12): length buckets are CONTENT-BLIND, so their
+    candidate space is Θ(Σ_bucket n_b²) — quadratic in corpus size
+    at equal-length profiles — while prefix buckets are content-keyed
+    and grow with true-duplicate density (measured two-decade curve
+    in SCALING.md).
+
+    Exactly-once emission without a global dropDuplicates: every
+    banded row carries its doc's ordered prefix array (~p × 8 B — the
+    token arrays still attach only after candidates are final), and a
+    pair is kept only at the globally SMALLEST shared prefix gram
+    (`array_intersect` preserves left-array order). At that row no
+    earlier gram of either doc is shared (a shared earlier gram would
+    be in both prefixes — contradiction with minimality), so the
+    PPJoin positional bound |A∩B| ≤ 1 + min(na−i−1, nb−j−1) is valid
+    and prunes candidates that could never reach α. Both pruning
+    bounds use conservative integer arithmetic (t floored to 1e-6
+    rational — never drops a true pair, no float-boundary trims); the
+    float size-ratio predicate `n·t ≤ m` stays IEEE-exact because the
+    oracle applies the same expression, making it output semantics,
+    not an optimization. Gram keys are hash60 LONGs; losslessness of
+    the pigeonhole needs gram↔hash injectivity on the corpus, so the
+    df aggregate also carries min/max gram string per hash (min≠max ⟺
+    two distinct grams collided) and raises (executor-side
+    `raise_error`, no extra job) on a collision
+    — probability ~(distinct grams)²/2⁶¹, never observed; the failure
+    mode is a loud error, not a silently wrong pair list. The
+    probabilistic (sub-verify-cost) path for unknown corpora remains
+    :func:`minhash_lsh_pairs`; this operator is the exact method, and
+    its verify stage is irreducibly output-bound.
     """
     if not 0.0 < threshold < 1.0:
         raise ValueError(f"threshold must be in (0, 1), got {threshold}")
@@ -501,32 +523,93 @@ def ngram_jaccard_pairs(docs: DataFrame, *, id_col: str = "doc_id",
     # union 0 → jaccard 0; excluding them is output-identical
     base = base.filter(F.col("n") > 0)
     # parallelize shingling past the scan's input splits (see
-    # minhash_lsh_pairs)
+    # minhash_lsh_pairs). Deliberately NOT checkpointed, unlike
+    # containment_pairs: its three consumers re-tokenize, but plain
+    # token_set is scan-cheap (no n-gram shingling) and the eager
+    # materialization costs more than the recompute at every measured
+    # scale (sf0.1: 6.8s with vs 5.1s without)
     base = _dense_spread(base, F.col(id_col))
-    import math
-    inv_width = 1.0 / math.log(1.0 / threshold)
-    bucket = F.floor(F.log(F.col("n").cast("double")) * F.lit(inv_width)) \
-              .cast("long")
-    # candidate generation over BARE (id, size) rows — token arrays
-    # attach after the pair stream is final, exactly as in
-    # minhash_lsh_pairs; dragging arrays through the bucket join is
-    # what would hurt
-    a = base.select(F.col(id_col).alias("doc_a"),
-                    F.col("n").alias("na"), bucket.alias("bk"))
-    b = (base.select(F.col(id_col).alias("doc_b"),
-                     F.col("n").alias("nb"), bucket.alias("_k"))
-         .withColumn("bk", F.explode(F.array(
-             F.col("_k") - 2, F.col("_k") - 1, F.col("_k"),
-             F.col("_k") + 1, F.col("_k") + 2)))
-         .drop("_k"))
-    # each qualifying pair matches on exactly ONE exploded bucket row,
-    # so no post-join dedup is needed
-    cand_ids = (a.join(b, ["bk"])
-                .filter((F.col("doc_a") < F.col("doc_b"))
+
+    # t floored to an exact ≤-rational with a 1e6 denominator: bound
+    # arithmetic stays in LONGs (n ≤ ~1e6 tokens ⇒ products ≤ ~1e12,
+    # no overflow) and t' ≤ t guarantees every bound is conservative
+    t_num, t_den = int(threshold * 1_000_000), 1_000_000
+
+    grams = (base.select(F.col(id_col).alias("a_id"), "n",
+                         F.explode("toks").alias("_g"))
+             .select("a_id", "n", "_g",
+                     hash60(F.col("_g"), "njac").alias("g_h")))
+    # df per gram hash + the injectivity guard (see docstring): _df is
+    # true document frequency because token sets are distinct per doc.
+    # Collision test is min(gram) != max(gram) within the hash group —
+    # equivalent to "≥ 2 distinct" but map-side combinable without
+    # count_distinct's expand (~0.5s cheaper at sf0.1)
+    dfc = (grams.groupBy("g_h")
+           .agg(F.count(F.lit(1)).alias("_df"),
+                F.min("_g").alias("_g0"), F.max("_g").alias("_g1")))
+    guard = F.when(
+        F.col("_g0") != F.col("_g1"),
+        F.raise_error(F.concat(
+            F.lit("hash60 collision on gram hash "), F.col("g_h"),
+            F.lit(" — prefix filter unsound for this corpus")))
+        .cast("long")).otherwise(F.col("_df"))
+    ranked = grams.join(dfc, "g_h").select(
+        "a_id", "n", "g_h", guard.alias("_df"))
+    # per-doc gram list in the global (df, hash) order; prefix = first
+    # n − ⌈t·n⌉ + 1 entries (⌈⌉ via negated floor-div, exact integers)
+    required = -F.floor(F.lit(-t_num) * F.col("n") / F.lit(t_den))
+    sorted_h = F.transform(
+        F.array_sort(F.collect_list(F.struct(F.col("_df").alias("d"),
+                                             F.col("g_h").alias("h")))),
+        lambda s: s["h"])
+    pref = (ranked.groupBy("a_id")
+            .agg(F.first("n").alias("n"), sorted_h.alias("sorted"))
+            .select("a_id", "n",
+                    F.slice("sorted", F.lit(1),
+                            F.col("n") - required + 1).alias("pref")))
+    a = pref.select(F.col("a_id"), F.col("n").alias("na"),
+                    F.col("pref").alias("pa"),
+                    F.posexplode("pref").alias("i", "g_h"))
+    b = a.select(F.col("a_id").alias("b_id"), F.col("na").alias("nb"),
+                 F.col("pa").alias("pb"), F.col("i").alias("j"), "g_h")
+    # positional bound: at the first shared gram (positions i, j in
+    # the global order) nothing earlier on either side is shared, so
+    # |A∩B| ≤ 1 + min(remaining) — keep only pairs where that can
+    # still reach α = ⌈t/(1+t)·(na+nb)⌉
+    ubound = F.lit(1) + F.least(F.col("na") - F.col("i") - 1,
+                                F.col("nb") - F.col("j") - 1)
+    # exactly-once: keep the pair only at its globally SMALLEST shared
+    # prefix gram m. Scalar short-circuits cover the hot cases so the
+    # O(p²) array_intersect runs only on the residue:
+    # - pa[0] == pb[0]: that gram is shared and nothing orders below
+    #   it on either side, so m = pa[0] — keep iff i == 0 (then also
+    #   j == 0). On a duplicate FAMILY (identical prefix arrays —
+    #   the emission-dominant case) every row takes this branch.
+    # - i == 0 (g is A's absolute first): any shared prefix gram is
+    #   ≥ pa[0] = g and m ≤ g (g is shared), so m = g — keep.
+    #   Symmetric for j == 0. At most one row per pair can satisfy
+    #   these (two distinct "minimum shared" grams is a
+    #   contradiction), so emission stays exactly-once.
+    # - otherwise: array_intersect preserves left order; its head is m.
+    first_match = (
+        F.when(F.col("pa")[0] == F.col("pb")[0],
+               (F.col("i") == 0) & (F.col("j") == 0))
+        .when((F.col("i") == 0) | (F.col("j") == 0), F.lit(True))
+        .otherwise(F.col("g_h") == F.array_intersect("pa", "pb")[0]))
+    cand_ids = (a.join(b, "g_h")
+                .filter((F.col("a_id") < F.col("b_id"))
+                        # oracle-semantic IEEE ratio predicate (the
+                        # all-pairs SQL applies the identical float
+                        # expression — this is output semantics)
                         & (F.col("na") * F.lit(threshold) <= F.col("nb"))
-                        & (F.col("nb") * F.lit(threshold) <= F.col("na")))
-                .select("doc_a", "doc_b"))
-    # spread the verify stage across the cluster (the bucket join
+                        & (F.col("nb") * F.lit(threshold) <= F.col("na"))
+                        & (ubound * F.lit(t_num + t_den)
+                           >= (F.col("na") + F.col("nb"))
+                           * F.lit(t_num)))
+                .filter(first_match)
+                .select(F.col("a_id").alias("doc_a"),
+                        F.col("b_id").alias("doc_b")))
+    # spread the verify stage across the cluster (the prefix join
     # alone keeps the scan's partitioning)
     cand_ids = _dense_spread(cand_ids, F.col("doc_a"), F.col("doc_b"))
     pairs = (cand_ids

@@ -2743,3 +2743,78 @@ def test_hot_bucket_cap_recall_floor_hub_family(spark):
     finally:
         DD.CARRY_MASKS = saved
     assert masked == capped_plain
+
+
+def test_ngram_jaccard_prefix_filter_matches_bruteforce(spark):
+    """The r12 prefix-prefix candidate generation (PPJoin family) must
+    be output-identical to the all-pairs formulation — including the
+    exact size-ratio boundary (9-subset-of-10: J = 0.9 exactly and
+    10*0.9 rounds to exactly 9.0 in doubles, so the ratio predicate
+    keeps it — on both engines, same IEEE arithmetic) and a duplicate
+    family, where the first-match emission must produce each pair
+    exactly once."""
+    import random
+    import re
+
+    from coinbase_data_pipeline_spark.operators.dedup import (
+        ngram_jaccard_pairs)
+
+    def alpha(i):
+        s = ""
+        i += 1
+        while i:
+            i, r = divmod(i - 1, 26)
+            s = chr(97 + r) + s
+        return s
+
+    for seed in (3, 11):
+        rng = random.Random(seed)
+        # pure-alpha vocab: digits would be stripped by the tokenizer,
+        # collapsing every token to the same letter
+        vocab = [f"tok{alpha(i)}" for i in range(rng.choice([15, 40]))]
+        docs = [(i, " ".join(rng.sample(vocab,
+                                        rng.randint(1, min(len(vocab),
+                                                           25)))))
+                for i in range(80)]
+        # duplicate family: every pair must appear exactly once
+        fam_text = " ".join(rng.sample(vocab, min(len(vocab), 12)))
+        docs += [(5000 + i, fam_text) for i in range(rng.randint(5, 25))]
+        # exact-boundary pair (see docstring)
+        docs += [(900, " ".join(vocab[:9])), (901, " ".join(vocab[:10]))]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = sorted((r.doc_a, r.doc_b, r.jaccard)
+                     for r in ngram_jaccard_pairs(df).collect())
+        assert len(got) == len(set(got)), "duplicate pair emitted"
+
+        tok = {i: set(x for x in re.split("[^a-z]+", t.lower()) if x)
+               for i, t in docs}
+        th = 0.9
+        ref = sorted(
+            (a, b, round(len(tok[a] & tok[b]) / len(tok[a] | tok[b]), 6))
+            for a in tok for b in tok
+            if a < b and tok[a] and tok[b]
+            and len(tok[a]) * th <= len(tok[b])
+            and len(tok[b]) * th <= len(tok[a])
+            and round(len(tok[a] & tok[b])
+                      / len(tok[a] | tok[b]), 6) >= th)
+        assert got == ref
+        # the boundary pair must be INCLUDED at exactly J = 0.9
+        assert any({a, b} == {900, 901} and j == 0.9
+                   for a, b, j in got)
+
+
+def test_ngram_jaccard_prefix_candidates_content_keyed(spark):
+    """Scale contract of the r12 prefix filter: equal-LENGTH but
+    content-disjoint docs must generate zero candidate pairs (length
+    bucketing would join all of them), i.e. candidate volume tracks
+    shared-content density, not the size histogram."""
+    from coinbase_data_pipeline_spark.operators.dedup import (
+        ngram_jaccard_pairs)
+
+    # 60 docs, all exactly 8 tokens, pairwise-disjoint vocabularies
+    # (pure-alpha tokens — the tokenizer strips digits)
+    docs = [(i, " ".join(
+        f"{chr(97 + i // 26)}{chr(97 + i % 26)}tok{chr(97 + j)}"
+        for j in range(8))) for i in range(60)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    assert ngram_jaccard_pairs(df).count() == 0
