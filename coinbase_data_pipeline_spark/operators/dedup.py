@@ -553,7 +553,12 @@ def ngram_jaccard_pairs(docs: DataFrame, *, id_col: str = "doc_id",
             F.lit("hash60 collision on gram hash "), F.col("g_h"),
             F.lit(" — prefix filter unsound for this corpus")))
         .cast("long")).otherwise(F.col("_df"))
-    ranked = grams.join(dfc, "g_h").select(
+    # shuffle_hash hints on every corpus-scale build side (df table,
+    # prefix streams, array-carrying attaches): compressed-text size
+    # estimates understate these by orders of magnitude and the static
+    # planner would BROADCAST them — fine at 5k docs, driver OOM at
+    # sf1-scale (see containment_pairs, same guard, r12 probe)
+    ranked = grams.join(dfc.hint("shuffle_hash"), "g_h").select(
         "a_id", "n", "g_h", guard.alias("_df"))
     # per-doc gram list in the global (df, hash) order; prefix = first
     # n − ⌈t·n⌉ + 1 entries (⌈⌉ via negated floor-div, exact integers)
@@ -596,7 +601,7 @@ def ngram_jaccard_pairs(docs: DataFrame, *, id_col: str = "doc_id",
                (F.col("i") == 0) & (F.col("j") == 0))
         .when((F.col("i") == 0) | (F.col("j") == 0), F.lit(True))
         .otherwise(F.col("g_h") == F.array_intersect("pa", "pb")[0]))
-    cand_ids = (a.join(b, "g_h")
+    cand_ids = (a.hint("shuffle_hash").join(b, "g_h")
                 .filter((F.col("a_id") < F.col("b_id"))
                         # oracle-semantic IEEE ratio predicate (the
                         # all-pairs SQL applies the identical float
@@ -609,16 +614,18 @@ def ngram_jaccard_pairs(docs: DataFrame, *, id_col: str = "doc_id",
                 .filter(first_match)
                 .select(F.col("a_id").alias("doc_a"),
                         F.col("b_id").alias("doc_b")))
-    # spread the verify stage across the cluster (the prefix join
-    # alone keeps the scan's partitioning)
-    cand_ids = _dense_spread(cand_ids, F.col("doc_a"), F.col("doc_b"))
+    # no _dense_spread here: the shuffle_hash attach joins below
+    # already shuffle the candidate stream by doc_a / doc_b — an
+    # explicit repartition first would be a third, wasted shuffle
     pairs = (cand_ids
              .join(base.select(F.col(id_col).alias("doc_a"),
                                F.col("toks").alias("atoks"),
-                               F.col("n").alias("na")), "doc_a")
+                               F.col("n").alias("na"))
+                   .hint("shuffle_hash"), "doc_a")
              .join(base.select(F.col(id_col).alias("doc_b"),
                                F.col("toks").alias("btoks"),
-                               F.col("n").alias("nb")), "doc_b"))
+                               F.col("n").alias("nb"))
+                   .hint("shuffle_hash"), "doc_b"))
     # shingle sets are distinct → |a∩b| = na + nb - |a∪b| exactly;
     # one O(n) array op per pair instead of intersect + union
     union = F.size(F.array_union("atoks", "btoks")).cast("double")
@@ -1148,25 +1155,37 @@ def containment_pairs(docs: DataFrame, *, n: int = 3,
     grams = (base.select("a_id", "sz", F.explode("g").alias("_gram"))
              .select("a_id", "sz",
                      hash60(F.col("_gram"), "cont").alias("gram_h")))
+    # CORPUS-SCALE relations (the df table, the full gram stream, the
+    # array-carrying attach sides) carry explicit shuffle_hash hints:
+    # the static planner sizes them from compressed-parquet text
+    # estimates, which understate exploded gram relations by orders of
+    # magnitude — at sf1-scale (500k docs) it picked BROADCAST for all
+    # four and OOMed an 8g driver (r12 two-decade probe). AQE cannot
+    # demote a statically-planned broadcast, so the guard must be in
+    # the plan. shuffle_hash keeps the hash-join shape (no sort)
+    # without the driver-resident build.
     dfc = grams.groupBy("gram_h").agg(F.count(F.lit(1)).alias("_df"))
     wd = Window.partitionBy("a_id").orderBy("_df", "gram_h")
-    ranked = (grams.join(dfc, "gram_h")
+    ranked = (grams.join(dfc.hint("shuffle_hash"), "gram_h")
               .withColumn("_rn", F.row_number().over(wd)))
     # required shared = ceil(t * |A|), exactly, in integers
     required = -F.floor(F.lit(-t_num) * F.col("sz") / F.lit(t_den))
     prefix = ranked.filter(F.col("_rn") <= F.col("sz") - required + 1)
-    cand = (prefix.select("a_id", "gram_h")
+    cand = (prefix.select("a_id", "gram_h").hint("shuffle_hash")
             .join(grams.select(F.col("a_id").alias("b_id"), "gram_h"),
                   "gram_h")
             .filter(F.col("a_id") != F.col("b_id"))
             .select("a_id", "b_id")
             .dropDuplicates(["a_id", "b_id"]))
-    cand = _dense_spread(cand, F.col("a_id"), F.col("b_id"))
+    # no _dense_spread: dropDuplicates already shuffled by the pair
+    # key and the shuffle_hash attaches below re-shuffle by a_id/b_id
     withg = (cand
              .join(base.select("a_id", F.col("g").alias("ga"),
-                               F.col("sz").alias("na")), "a_id")
+                               F.col("sz").alias("na"))
+                   .hint("shuffle_hash"), "a_id")
              .join(base.select(F.col("a_id").alias("b_id"),
-                               F.col("g").alias("gb")), "b_id"))
+                               F.col("g").alias("gb"))
+                   .hint("shuffle_hash"), "b_id"))
     c = (F.size(F.array_intersect("ga", "gb")).cast("double")
          / F.col("na"))
     return (withg

@@ -69,21 +69,30 @@ for _part in _QUERY_PARTS:
 # hash-verified identical in-session), streaming_touch_join (4 state
 # partitions), streaming_upsert (one on-time cycle + the late cycle;
 # anti-join merge path), streaming_late_candles (one on-time batch +
-# the late batch — in the r07 block below);
+# the late batch — in the r07 block below); dedup_ngram_jaccard
+# (candidate generation rewritten from length buckets to the lossless
+# prefix-prefix filter — output-identical by construction, 36-config
+# fuzz + sf0.001/0.01 hash parity in-session, but the driver gate is
+# the evidence that counts); dedup_containment (corpus-scale join
+# sides now shuffle_hash-hinted after the two-decade probe OOMed the
+# statically-planned broadcasts at 500k docs — output unchanged, plan
+# changed);
 # (c) the 11 r07 rows (exactly 5 rounds old — the amended bound's
-# worst case), then 34 of the remaining 45 r08 rows alphabetically;
-# the 11 r08 leftovers rotate in r13 at age 5.
+# worst case), then 32 of the remaining 45 r08 rows alphabetically;
+# the 13 r08 leftovers rotate in r13 at age 5.
 _CHECK_FIRST = [
-    # (b) round-12-changed compute (replay fixed-cost work)
+    # (b) round-12-changed compute (replay fixed-cost work + the
+    # ngram prefix-filter rewrite)
     "streaming_sessionize", "streaming_sessionize_watermark",
     "streaming_kmv", "streaming_model_score", "streaming_upsert",
+    "dedup_ngram_jaccard", "dedup_containment",
     # (c) oldest evidence first: the r07 block (includes the
     # r12-changed streaming_late_candles and streaming_touch_join)
     "streaming_dedup_watermark", "streaming_hopping",
     "streaming_late_candles", "streaming_touch_join", "ticker_parse",
     "time_features", "time_range_fetch", "train_test_split",
     "volatility", "volume_features", "walk_forward_splits",
-    # r08 rows (first 34 alphabetically; the 11 leftovers rotate r13)
+    # r08 rows (first 32 alphabetically; the 13 leftovers rotate r13)
     "bpe_encode", "bpe_train", "candle_gaps", "candle_parse",
     "candle_rollup", "clean_series", "corpus_curation",
     "dedup_components", "dedup_embedding", "dedup_exact",
@@ -95,7 +104,6 @@ _CHECK_FIRST = [
     "q11_important_stock", "q12_priority_shipping",
     "q13_customer_distribution", "q14_promo_effect",
     "q16_supplier_cnt", "q17_small_quantity", "q18_large_orders",
-    "q20_part_promotion", "q21_suppliers_kept_waiting",
 ]
 
 ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

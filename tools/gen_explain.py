@@ -27,7 +27,8 @@ PICKS = [
     ("candle_upsert",
      "incremental merge: broadcast semi/anti split, batch-sized work"),
     ("dedup_ngram_jaccard",
-     "log-size-bucket equi-join candidates, exact verify after"),
+     "prefix-prefix equi-join candidates (rarest-gram order), "
+     "exact verify after"),
     ("decontaminate",
      "broadcast eval n-gram set, one shuffle on the corpus key"),
     ("token_packing",

@@ -455,10 +455,11 @@ def main() -> None:
         "which is why those volume columns grow far slower than the",
         "corpus and wall stays flat-to-sublinear — the skew guard",
         "doing exactly its 100 TB job. dedup_ngram_jaccard's LOSSLESS",
-        "log-length bucketing is uncapped by design, so its row shows",
-        "the true output curve (~14x pairs at 4x input) and wall",
-        "tracks it — the exact-verify stage's irreducible per-pair",
-        "work. Growth beyond the volume curve in ANY row would",
+        "prefix-prefix filter (r12, replacing log-length buckets) is",
+        "uncapped by design, so its row shows the true output curve",
+        "(~14x pairs at 4x input) and wall tracks it — the",
+        "exact-verify stage's irreducible per-pair work. Growth",
+        "beyond the volume curve in ANY row would",
         "indicate a candidate-generation blow-up; the",
         "bucketed-not-all-pairs evidence is (a) the plan audits (no",
         "CartesianProduct/BroadcastNestedLoopJoin anywhere in the",
@@ -623,8 +624,26 @@ def main() -> None:
         lines.append(f"| {name} | " + " | ".join(cells)
                      + f" | {ratio:.1f}x |")
 
+    # preserve marker-delimited appendix blocks other tools maintain
+    # (streaming profile, two-decade curve): regenerating the core
+    # tables must not destroy their evidence
+    import re
+
+    appendices = []
+    try:
+        with open("SCALING.md") as f:
+            prev = f.read()
+        for m in re.finditer(r"<!-- ([a-z_]+):start -->", prev):
+            end = f"<!-- {m.group(1)}:end -->"
+            if end in prev:
+                appendices.append(
+                    prev[m.start():prev.index(end) + len(end)])
+    except OSError:
+        pass
     with open("SCALING.md", "w") as f:
         f.write("\n".join(lines) + "\n")
+        for block in appendices:
+            f.write("\n" + block + "\n")
     print("\n".join(lines))
 
 
