@@ -200,9 +200,12 @@ RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 # carry both raw and calibration-normalized totals and a
 # round-over-round delta survives a noisy neighbor: r11 burned its
 # headline on an unattributable +28% that judge re-benching traced to
-# sandbox load. CAL_REF_SEC is the min-of-5 reading on the idle r12
-# build machine (local[32]; 8B xxhash64 rows ran 1.543-1.632 s there,
-# a ±3% spread); normalized = raw × CAL_REF_SEC / cal.
+# sandbox load. CAL_REF_SEC is a FIXED SCALE ANCHOR (the first r12
+# min-of-5 reading), not an idle floor: within r12 alone the same
+# workload read 1.05-1.63 s across sessions (the hypervisor's
+# effective CPU speed swings ±25%, which is exactly the envelope that
+# made r10→r11 per-query deltas unattributable); normalized =
+# raw × CAL_REF_SEC / cal puts every round on this common scale.
 CAL_ROWS = 8_000_000_000
 CAL_REF_SEC = 1.543
 

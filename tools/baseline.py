@@ -141,8 +141,25 @@ def write_md(path: str, out: dict) -> None:
         rows = "—" if r["rows"] is None else str(r["rows"])
         lines.append(f"| {name} | {sec} | {rows} | {r['note']} |")
     lines.append("")
+    # preserve marker-delimited appendix blocks (the higher-cap
+    # readings from tools/baseline_recap.py) across full regens
+    import re
+
+    appendices = []
+    try:
+        with open(path) as f:
+            prev = f.read()
+        for m in re.finditer(r"<!-- ([a-z_]+):start -->", prev):
+            end = f"<!-- {m.group(1)}:end -->"
+            if end in prev:
+                appendices.append(
+                    prev[m.start():prev.index(end) + len(end)])
+    except OSError:
+        pass
     with open(path, "w") as f:
         f.write("\n".join(lines))
+        for block in appendices:
+            f.write("\n" + block + "\n")
 
 
 if __name__ == "__main__":

@@ -458,7 +458,15 @@ def main() -> None:
         "prefix-prefix filter (r12, replacing log-length buckets) is",
         "uncapped by design, so its row shows the true output curve",
         "(~14x pairs at 4x input) and wall tracks it — the",
-        "exact-verify stage's irreducible per-pair work. Growth",
+        "exact-verify stage's irreducible per-pair work. The",
+        "containment/ngram rows also carry the r12 no-broadcast tax:",
+        "their corpus-scale join sides are shuffle_hash-hinted (the",
+        "statically-planned broadcasts OOM at 500k docs — see the",
+        "two-decade appendix), so on THIS replicated corpus — where",
+        "copies share gram hashes and the un-hinted plan could still",
+        "broadcast at 10x — they read ~3x slower than the r11 cells;",
+        "the appendix's content-disjoint curve is the",
+        "scale-representative one. Growth",
         "beyond the volume curve in ANY row would",
         "indicate a candidate-generation blow-up; the",
         "bucketed-not-all-pairs evidence is (a) the plan audits (no",
