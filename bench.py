@@ -209,6 +209,20 @@ RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 CAL_ROWS = 8_000_000_000
 CAL_REF_SEC = 1.543
 
+# Second calibration axis (r12, after two back-to-back idle runs at
+# EQUAL cpu-calibration readings — 1.254 vs 1.272 s — still differed
+# 12% in total, uniformly across 94/150 queries): the cpu probe is
+# embarrassingly parallel whole-stage codegen with no exchange, so it
+# is blind to drift in the shuffle machinery (serialization, local
+# shuffle disk, task scheduling waves). This probe shuffles 30M
+# all-distinct keys (~no map-side combine — a real exchange write +
+# fetch + hash-agg), sized ~1.5 s. SHUF_REF_SEC is the same fixed
+# scale-anchor convention as CAL_REF_SEC: the first r12 min-of-5
+# reading, not an idle floor. Two factors bracket a reported delta:
+# code-attributable change should survive BOTH normalizations.
+SHUF_ROWS = 30_000_000
+SHUF_REF_SEC = 1.542
+
 
 def _calibrate(spark, runs: int = 3) -> float:
     best = None
@@ -216,6 +230,19 @@ def _calibrate(spark, runs: int = 3) -> float:
         t0 = time.perf_counter()
         (spark.range(CAL_ROWS)
          .agg(F.bit_xor(F.xxhash64("id"))).collect())
+        el = time.perf_counter() - t0
+        best = el if best is None else min(best, el)
+    return best
+
+
+def _calibrate_shuffle(spark, runs: int = 3) -> float:
+    best = None
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        (spark.range(SHUF_ROWS)
+         .select(F.xxhash64("id").alias("k"), F.col("id").alias("v"))
+         .groupBy("k").agg(F.sum("v").alias("s"))
+         .agg(F.bit_xor(F.xxhash64("k", "s"))).collect())
         el = time.perf_counter() - t0
         best = el if best is None else min(best, el)
     return best
@@ -249,6 +276,7 @@ def main() -> None:
     _sh.rmtree(_d, ignore_errors=True)
 
     cal_before = _calibrate(spark)
+    shuf_before = _calibrate_shuffle(spark)
 
     times: dict[str, float] = {}
     spreads: dict[str, dict[str, float]] = {}
@@ -282,6 +310,7 @@ def main() -> None:
               file=sys.stderr)
 
     cal_after = _calibrate(spark)
+    shuf_after = _calibrate_shuffle(spark)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     streaming_sec = round(sum(v for k, v in times.items()
@@ -292,6 +321,8 @@ def main() -> None:
     # delta is attributable to code, not neighbors
     cal = round((cal_before + cal_after) / 2, 3)
     load = cal / CAL_REF_SEC
+    shuf = round((shuf_before + shuf_after) / 2, 3)
+    shuf_load = shuf / SHUF_REF_SEC
     detail = {
         "metric": "headline_queries_total",
         "value": total,
@@ -309,6 +340,12 @@ def main() -> None:
         "host_load_factor": round(load, 3),
         "value_normalized": round(total / load, 3),
         "streaming_sec_normalized": round(streaming_sec / load, 3),
+        "calibration_shuffle_sec": shuf,
+        "calibration_shuffle_before_sec": round(shuf_before, 3),
+        "calibration_shuffle_after_sec": round(shuf_after, 3),
+        "calibration_shuffle_ref_sec": SHUF_REF_SEC,
+        "shuffle_load_factor": round(shuf_load, 3),
+        "value_normalized_shuffle": round(total / shuf_load, 3),
         "spreads": spreads,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
