@@ -346,6 +346,8 @@ def main() -> None:
         "calibration_shuffle_ref_sec": SHUF_REF_SEC,
         "shuffle_load_factor": round(shuf_load, 3),
         "value_normalized_shuffle": round(total / shuf_load, 3),
+        "streaming_sec_normalized_shuffle": round(
+            streaming_sec / shuf_load, 3),
         "spreads": spreads,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
