@@ -478,6 +478,17 @@ def main() -> None:
         "cells; the first heavy row pays session JIT).",
         "Regenerate: `PYTHONPATH=. python tools/scale_probe.py`.",
         "",
+        "TWO-DECADE (100x) APPENDICES below, one per operator",
+        "family, each maintained by its own tool and preserved",
+        "across regens: scale_decades (dedup, token-disjoint",
+        "corpus), ann_decades (embedding family, sign-flip",
+        "orthogonal copies), text_decades (corpus statistics,",
+        "vocabulary grows 100x), tpch_decades (join pipelines at",
+        "SF10 volume), events_decades (sessionize/funnel/cohort/",
+        "RFM at 10M events + forecast at 900 keys), stream_decades",
+        "(streaming state at 10M events), streaming_profile (the",
+        "r12 replay-cost breakdown).",
+        "",
         "The (volume) column is output rows, except doc_pagerank",
         "(total degree = 2x edges — wall is edge-bound, output is",
         "node-sized) and graph_triangles (total per-node triangle",
@@ -637,9 +648,15 @@ def main() -> None:
     # tables must not destroy their evidence
     import re
 
+    # anchor to the repo root (same fix as gen_index, ADVICE r11):
+    # a cwd-relative open from outside the repo would silently
+    # regenerate a SCALING.md with every appendix dropped
+    import os
+    scaling_path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "SCALING.md")
     appendices = []
     try:
-        with open("SCALING.md") as f:
+        with open(scaling_path) as f:
             prev = f.read()
         for m in re.finditer(r"<!-- ([a-z_]+):start -->", prev):
             end = f"<!-- {m.group(1)}:end -->"
@@ -648,7 +665,7 @@ def main() -> None:
                     prev[m.start():prev.index(end) + len(end)])
     except OSError:
         pass
-    with open("SCALING.md", "w") as f:
+    with open(scaling_path, "w") as f:
         f.write("\n".join(lines) + "\n")
         for block in appendices:
             f.write("\n" + block + "\n")
