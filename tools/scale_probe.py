@@ -486,8 +486,9 @@ def main() -> None:
         "vocabulary grows 100x), tpch_decades (join pipelines at",
         "SF10 volume), events_decades (sessionize/funnel/cohort/",
         "RFM at 10M events + forecast at 900 keys), stream_decades",
-        "(streaming state at 10M events), streaming_profile (the",
-        "r12 replay-cost breakdown).",
+        "(streaming state at 10M events), graph_decades (components/",
+        "pagerank/triangles over the near-dup graph at 500k docs),",
+        "streaming_profile (the r12 replay-cost breakdown).",
         "",
         "The (volume) column is output rows, except doc_pagerank",
         "(total degree = 2x edges — wall is edge-bound, output is",
