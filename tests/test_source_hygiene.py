@@ -76,3 +76,27 @@ def test_no_row_at_a_time_python_udfs():
             if banned.search(line) and "pandas_udf" not in line:
                 bad.append(f"{p.relative_to(PKG)}:{i}: {line.strip()}")
     assert not bad, "row-at-a-time udf sites:\n" + "\n".join(bad)
+
+
+def test_scaling_decade_appendices_intact():
+    """SCALING.md's marker-delimited appendices ARE the engine's
+    scale evidence: eight per-family 100x curves plus the streaming
+    profile, each maintained by its own tools/*_decades.py (or
+    profile) script and preserved across tools/scale_probe.py regens
+    by a marker regex. A typo'd or unbalanced marker would make the
+    next regen silently drop that family's evidence, so the contract
+    is pinned here: every expected appendix present, every start
+    marker balanced by its end marker, end after start."""
+    scaling = (pathlib.Path(__file__).parent.parent / "SCALING.md"
+               ).read_text()
+    expected = {"streaming_profile", "scale_decades", "ann_decades",
+                "text_decades", "tpch_decades", "events_decades",
+                "stream_decades", "graph_decades"}
+    # the same regex scale_probe.py uses for preservation
+    found = set(re.findall(r"<!-- ([a-z_]+):start -->", scaling))
+    missing = expected - found
+    assert not missing, f"appendices missing from SCALING.md: {missing}"
+    for name in sorted(found):
+        start = scaling.index(f"<!-- {name}:start -->")
+        end = scaling.find(f"<!-- {name}:end -->")
+        assert end > start, f"appendix {name} has no end marker"
