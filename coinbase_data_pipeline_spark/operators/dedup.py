@@ -38,6 +38,45 @@ def _dense_spread(df: DataFrame, *cols) -> DataFrame:
     return df.repartition(parts, *cols)
 
 
+# Adaptive broadcast guard for the prefix-filter operators
+# (ngram_jaccard_pairs, containment_pairs). Their join build sides —
+# the df table, the prefix/gram streams, the gram-array attach sides —
+# are EXPLODED relations the static planner sizes from compressed-
+# parquet text estimates, understating them by orders of magnitude:
+# at 500k docs it picked BROADCAST for all of them and OOMed an 8g
+# driver (r12 two-decade probe), and AQE cannot demote a statically
+# planned broadcast. The r12 fix hinted them all shuffle_hash, which
+# is safe at every scale but taxes the small-corpus case ~1s per
+# query (sf0.1 A/B, min-of-3 interleaved: containment 8.8s broadcast
+# vs 9.9s hinted) where broadcast was never dangerous. This guard
+# makes the choice from MEASURED bytes instead of either constant:
+# one octet_length aggregate over the text column (~0.08s at sf0.1 —
+# a single-column scan, negligible against the pipeline it guards)
+# decides per invocation. The largest build side is the gram-array
+# attach relation, a small multiple of raw text bytes (~3x shingle
+# overlap + per-row overhead), so 16 MB of text keeps every build
+# side well under ~100 MB built — comfortably inside default driver/
+# executor sizing — while the 100x probe corpus (~150 MB text) takes
+# the shuffle_hash path by two orders of magnitude. Join strategy
+# only; output is engine-identical either way (hash-checked in the
+# A/B above).
+BROADCAST_SAFE_TEXT_BYTES = 16 * 1024 * 1024
+
+
+def _corpus_join_hint(docs: DataFrame, text_col: str) -> str | None:
+    """'shuffle_hash' when the corpus is too large for its exploded
+    gram relations to broadcast safely, else None (let the static
+    planner broadcast). See BROADCAST_SAFE_TEXT_BYTES."""
+    total = docs.agg(
+        F.sum(F.octet_length(F.col(text_col).cast("string")))).collect()[0][0]
+    return None if (total or 0) <= BROADCAST_SAFE_TEXT_BYTES \
+        else "shuffle_hash"
+
+
+def _maybe_hint(df: DataFrame, mode: str | None) -> DataFrame:
+    return df.hint(mode) if mode else df
+
+
 def exact_dedup(docs: DataFrame, *, id_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:
     """Exact duplicate grouping on normalized text: per doc, its
@@ -553,12 +592,13 @@ def ngram_jaccard_pairs(docs: DataFrame, *, id_col: str = "doc_id",
             F.lit("hash60 collision on gram hash "), F.col("g_h"),
             F.lit(" — prefix filter unsound for this corpus")))
         .cast("long")).otherwise(F.col("_df"))
-    # shuffle_hash hints on every corpus-scale build side (df table,
-    # prefix streams, array-carrying attaches): compressed-text size
-    # estimates understate these by orders of magnitude and the static
-    # planner would BROADCAST them — fine at 5k docs, driver OOM at
-    # sf1-scale (see containment_pairs, same guard, r12 probe)
-    ranked = grams.join(dfc.hint("shuffle_hash"), "g_h").select(
+    # corpus-scale build sides (df table, prefix streams, array-
+    # carrying attaches) must not be statically broadcast at scale —
+    # fine at 5k docs, driver OOM at sf1-scale (r12 probe). The hint
+    # is chosen from measured text bytes (see _corpus_join_hint):
+    # broadcast where it is provably safe, shuffle_hash beyond.
+    hint = _corpus_join_hint(docs, text_col)
+    ranked = grams.join(_maybe_hint(dfc, hint), "g_h").select(
         "a_id", "n", "g_h", guard.alias("_df"))
     # per-doc gram list in the global (df, hash) order; prefix = first
     # n − ⌈t·n⌉ + 1 entries (⌈⌉ via negated floor-div, exact integers)
@@ -601,7 +641,7 @@ def ngram_jaccard_pairs(docs: DataFrame, *, id_col: str = "doc_id",
                (F.col("i") == 0) & (F.col("j") == 0))
         .when((F.col("i") == 0) | (F.col("j") == 0), F.lit(True))
         .otherwise(F.col("g_h") == F.array_intersect("pa", "pb")[0]))
-    cand_ids = (a.hint("shuffle_hash").join(b, "g_h")
+    cand_ids = (_maybe_hint(a, hint).join(b, "g_h")
                 .filter((F.col("a_id") < F.col("b_id"))
                         # oracle-semantic IEEE ratio predicate (the
                         # all-pairs SQL applies the identical float
@@ -614,18 +654,19 @@ def ngram_jaccard_pairs(docs: DataFrame, *, id_col: str = "doc_id",
                 .filter(first_match)
                 .select(F.col("a_id").alias("doc_a"),
                         F.col("b_id").alias("doc_b")))
-    # no _dense_spread here: the shuffle_hash attach joins below
-    # already shuffle the candidate stream by doc_a / doc_b — an
-    # explicit repartition first would be a third, wasted shuffle
+    # no _dense_spread here: the hinted attach joins below already
+    # shuffle the candidate stream by doc_a / doc_b (when not
+    # broadcast) — an explicit repartition first would be a third,
+    # wasted shuffle
     pairs = (cand_ids
-             .join(base.select(F.col(id_col).alias("doc_a"),
-                               F.col("toks").alias("atoks"),
-                               F.col("n").alias("na"))
-                   .hint("shuffle_hash"), "doc_a")
-             .join(base.select(F.col(id_col).alias("doc_b"),
-                               F.col("toks").alias("btoks"),
-                               F.col("n").alias("nb"))
-                   .hint("shuffle_hash"), "doc_b"))
+             .join(_maybe_hint(
+                 base.select(F.col(id_col).alias("doc_a"),
+                             F.col("toks").alias("atoks"),
+                             F.col("n").alias("na")), hint), "doc_a")
+             .join(_maybe_hint(
+                 base.select(F.col(id_col).alias("doc_b"),
+                             F.col("toks").alias("btoks"),
+                             F.col("n").alias("nb")), hint), "doc_b"))
     # shingle sets are distinct → |a∩b| = na + nb - |a∪b| exactly;
     # one O(n) array op per pair instead of intersect + union
     union = F.size(F.array_union("atoks", "btoks")).cast("double")
@@ -1156,36 +1197,40 @@ def containment_pairs(docs: DataFrame, *, n: int = 3,
              .select("a_id", "sz",
                      hash60(F.col("_gram"), "cont").alias("gram_h")))
     # CORPUS-SCALE relations (the df table, the full gram stream, the
-    # array-carrying attach sides) carry explicit shuffle_hash hints:
-    # the static planner sizes them from compressed-parquet text
+    # array-carrying attach sides) must not be statically broadcast at
+    # scale: the planner sizes them from compressed-parquet text
     # estimates, which understate exploded gram relations by orders of
     # magnitude — at sf1-scale (500k docs) it picked BROADCAST for all
     # four and OOMed an 8g driver (r12 two-decade probe). AQE cannot
     # demote a statically-planned broadcast, so the guard must be in
-    # the plan. shuffle_hash keeps the hash-join shape (no sort)
-    # without the driver-resident build.
+    # the plan; shuffle_hash keeps the hash-join shape (no sort)
+    # without the driver-resident build. The hint is chosen from
+    # MEASURED text bytes (_corpus_join_hint): broadcast where it is
+    # provably safe, shuffle_hash beyond.
+    hint = _corpus_join_hint(docs, text_col)
     dfc = grams.groupBy("gram_h").agg(F.count(F.lit(1)).alias("_df"))
     wd = Window.partitionBy("a_id").orderBy("_df", "gram_h")
-    ranked = (grams.join(dfc.hint("shuffle_hash"), "gram_h")
+    ranked = (grams.join(_maybe_hint(dfc, hint), "gram_h")
               .withColumn("_rn", F.row_number().over(wd)))
     # required shared = ceil(t * |A|), exactly, in integers
     required = -F.floor(F.lit(-t_num) * F.col("sz") / F.lit(t_den))
     prefix = ranked.filter(F.col("_rn") <= F.col("sz") - required + 1)
-    cand = (prefix.select("a_id", "gram_h").hint("shuffle_hash")
+    cand = (_maybe_hint(prefix.select("a_id", "gram_h"), hint)
             .join(grams.select(F.col("a_id").alias("b_id"), "gram_h"),
                   "gram_h")
             .filter(F.col("a_id") != F.col("b_id"))
             .select("a_id", "b_id")
             .dropDuplicates(["a_id", "b_id"]))
     # no _dense_spread: dropDuplicates already shuffled by the pair
-    # key and the shuffle_hash attaches below re-shuffle by a_id/b_id
+    # key and the hinted attaches below re-shuffle by a_id/b_id (when
+    # not broadcast)
     withg = (cand
-             .join(base.select("a_id", F.col("g").alias("ga"),
-                               F.col("sz").alias("na"))
-                   .hint("shuffle_hash"), "a_id")
-             .join(base.select(F.col("a_id").alias("b_id"),
-                               F.col("g").alias("gb"))
-                   .hint("shuffle_hash"), "b_id"))
+             .join(_maybe_hint(
+                 base.select("a_id", F.col("g").alias("ga"),
+                              F.col("sz").alias("na")), hint), "a_id")
+             .join(_maybe_hint(
+                 base.select(F.col("a_id").alias("b_id"),
+                             F.col("g").alias("gb")), hint), "b_id"))
     c = (F.size(F.array_intersect("ga", "gb")).cast("double")
          / F.col("na"))
     return (withg

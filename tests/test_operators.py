@@ -2818,3 +2818,41 @@ def test_ngram_jaccard_prefix_candidates_content_keyed(spark):
         for j in range(8))) for i in range(60)]
     df = spark.createDataFrame(docs, "doc_id long, text string")
     assert ngram_jaccard_pairs(df).count() == 0
+
+
+def test_corpus_join_hint_is_size_adaptive(spark, monkeypatch):
+    """The r12 broadcast guard for the prefix-filter operators decides
+    the join strategy from MEASURED corpus text bytes, not estimates:
+    small corpora keep the planner's broadcast (the static estimate is
+    safe there and ~1s faster at sf0.1), large ones force shuffle_hash
+    (the static planner under-sizes exploded gram relations by ~50x
+    and a statically planned broadcast OOMs the driver at 500k docs —
+    AQE cannot demote it). Both modes must be output-identical."""
+    from coinbase_data_pipeline_spark.operators import dedup as dd
+    from coinbase_data_pipeline_spark.operators.dedup import (
+        _corpus_join_hint, containment_pairs, ngram_jaccard_pairs)
+
+    docs = [(i, " ".join(f"tok{chr(97 + (i + j) % 7)}" for j in range(6)))
+            for i in range(40)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    # tiny corpus: measured bytes under the threshold -> no hint
+    assert _corpus_join_hint(df, "text") is None
+    # beyond the measured threshold -> shuffle_hash, regardless of
+    # what the static planner would estimate
+    monkeypatch.setattr(dd, "BROADCAST_SAFE_TEXT_BYTES", 0)
+    assert _corpus_join_hint(df, "text") == "shuffle_hash"
+
+    # with the guard engaged, no corpus-scale build side may plan as
+    # a broadcast join; the candidate/attach joins hash-join shuffled
+    for fn in (ngram_jaccard_pairs, containment_pairs):
+        out_guarded = fn(df)
+        plan = out_guarded._jdf.queryExecution().executedPlan().toString()
+        assert "ShuffledHashJoin" in plan, plan
+        assert "BroadcastHashJoin" not in plan, plan
+        rows_guarded = sorted(map(tuple, out_guarded.collect()))
+        monkeypatch.setattr(dd, "BROADCAST_SAFE_TEXT_BYTES",
+                            16 * 1024 * 1024)
+        rows_bcast = sorted(map(tuple, fn(df).collect()))
+        monkeypatch.setattr(dd, "BROADCAST_SAFE_TEXT_BYTES", 0)
+        assert rows_guarded == rows_bcast and rows_guarded
