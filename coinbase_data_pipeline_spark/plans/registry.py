@@ -74,9 +74,10 @@ for _part in _QUERY_PARTS:
 # prefix-prefix filter — output-identical by construction, 36-config
 # fuzz + sf0.001/0.01 hash parity in-session, but the driver gate is
 # the evidence that counts); dedup_containment (corpus-scale join
-# sides now shuffle_hash-hinted after the two-decade probe OOMed the
-# statically-planned broadcasts at 500k docs — output unchanged, plan
-# changed);
+# sides guarded from static broadcast after the two-decade probe
+# OOMed them at 500k docs — since session 3 via the measured-bytes
+# _corpus_join_hint, broadcast under 16 MB of text, shuffle_hash
+# beyond — output unchanged, plan changed);
 # (c) the 11 r07 rows (exactly 5 rounds old — the amended bound's
 # worst case), then 32 of the remaining 45 r08 rows alphabetically;
 # the 13 r08 leftovers rotate in r13 at age 5.
