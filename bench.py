@@ -351,9 +351,17 @@ def main() -> None:
         "spreads": spreads,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
-    sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "BENCH_DETAIL.json")
+    here = os.path.dirname(os.path.abspath(__file__))
+    sidecar = os.path.join(here, "BENCH_DETAIL.json")
     with open(sidecar, "w") as fh:
+        json.dump(detail, fh, indent=1)
+    # ALSO write a per-core-count sidecar (VERDICT r12 #3): the driver
+    # runs the bench at two core counts and the second run used to
+    # clobber the first run's spreads, destroying the scaling/noise
+    # evidence. Additive only — the JSON stdout contract is unchanged.
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    with open(os.path.join(here, f"BENCH_DETAIL_c{cpus}.json"),
+              "w") as fh:
         json.dump(detail, fh, indent=1)
     # the driver captures only the LAST ~2000 chars of stdout — the
     # full 112-query map (~3 KB) truncated there once (BENCH_r04), so

@@ -54,23 +54,86 @@ def _dense_spread(df: DataFrame, *cols) -> DataFrame:
 # a single-column scan, negligible against the pipeline it guards)
 # decides per invocation. The largest build side is the gram-array
 # attach relation, a small multiple of raw text bytes (~3x shingle
-# overlap + per-row overhead), so 16 MB of text keeps every build
-# side well under ~100 MB built — comfortably inside default driver/
-# executor sizing — while the 100x probe corpus (~150 MB text) takes
-# the shuffle_hash path by two orders of magnitude. Join strategy
-# only; output is engine-identical either way (hash-checked in the
-# A/B above).
-BROADCAST_SAFE_TEXT_BYTES = 16 * 1024 * 1024
+# overlap + per-row overhead). The safe-text budget is DERIVED from
+# the session's own broadcast budget (VERDICT r12 #5), not a literal:
+# autoBroadcastJoinThreshold/4 keeps the worst ~6x built expansion of
+# the largest build side inside ~1.5x of what the session already
+# accepts for an estimate-accurate broadcast, and a driver-memory/64
+# cap bounds the built relation far from the heap whatever the
+# threshold is set to. At this repo's session config (64 MB
+# threshold, 8g driver) the budget evaluates to the measured-safe
+# 16 MB of r12; a deployment that raises or lowers its broadcast
+# budget moves the guard with it. The 100x probe corpus (~150 MB
+# text) exceeds it by an order of magnitude and takes the
+# shuffle_hash path. Join strategy only; output is engine-identical
+# either way (hash-checked in the r12 A/B).
+BROADCAST_SAFE_TEXT_FRACTION = 4      # of autoBroadcastJoinThreshold
+DRIVER_MEM_SAFE_FRACTION = 64         # of spark.driver.memory
+# None = derive the budget from the session config (the default);
+# an int pins it — the explicit-override surface tests use to force
+# either side of the guard deterministically.
+BROADCAST_SAFE_TEXT_BYTES: int | None = None
+
+# The probe is a PLANNER STATISTIC (one octet_length scan deciding a
+# join hint — never query rows), so it is memoized per (application,
+# docs logical plan, column): the two dedup queries over one corpus
+# lineage used to re-run the identical scan per build (VERDICT r12
+# #5 "single-shot"). Same spirit as Spark's own per-session file-
+# listing / statistics caches; a different corpus path or filter
+# changes the plan's semantic hash and recomputes.
+_HINT_CACHE: dict[tuple[str, int, str, int], str | None] = {}
+
+
+def _size_to_bytes(s: str) -> int:
+    """Parse a Spark byte-size conf string ('67108864', '10MB', '8g',
+    '-1') without a JVM round-trip."""
+    s = s.strip().lower().removesuffix("b")
+    for suf, mul in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30),
+                     ("t", 1 << 40)):
+        if s.endswith(suf):
+            return int(float(s[:-1]) * mul)
+    return int(s)
+
+
+def _broadcast_safe_text_bytes(spark) -> int:
+    if BROADCAST_SAFE_TEXT_BYTES is not None:
+        return BROADCAST_SAFE_TEXT_BYTES
+    thr = _size_to_bytes(
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB"))
+    if thr <= 0:
+        # auto-broadcast disabled: the static planner never
+        # broadcasts these sides anyway; keep them hinted off it
+        return 0
+    mem = _size_to_bytes(spark.conf.get("spark.driver.memory", "2g"))
+    return min(thr // BROADCAST_SAFE_TEXT_FRACTION,
+               mem // DRIVER_MEM_SAFE_FRACTION)
 
 
 def _corpus_join_hint(docs: DataFrame, text_col: str) -> str | None:
     """'shuffle_hash' when the corpus is too large for its exploded
     gram relations to broadcast safely, else None (let the static
-    planner broadcast). See BROADCAST_SAFE_TEXT_BYTES."""
+    planner broadcast). Budget from :func:`_broadcast_safe_text_bytes`;
+    the measured-bytes probe runs once per (application, docs plan,
+    column) — see _HINT_CACHE."""
+    spark = docs.sparkSession
+    budget = _broadcast_safe_text_bytes(spark)
+    try:
+        # budget participates in the key: a changed session/override
+        # budget must re-decide, never replay a stale hint
+        key = (spark.sparkContext.applicationId,
+               docs.semanticHash(), text_col, budget)
+    except Exception:      # pragma: no cover - exotic plan/session
+        key = None
+    if key is not None and key in _HINT_CACHE:
+        return _HINT_CACHE[key]
     total = docs.agg(
         F.sum(F.octet_length(F.col(text_col).cast("string")))).collect()[0][0]
-    return None if (total or 0) <= BROADCAST_SAFE_TEXT_BYTES \
-        else "shuffle_hash"
+    hint = None if (total or 0) <= budget else "shuffle_hash"
+    if key is not None:
+        if len(_HINT_CACHE) > 64:
+            _HINT_CACHE.clear()
+        _HINT_CACHE[key] = hint
+    return hint
 
 
 def _maybe_hint(df: DataFrame, mode: str | None) -> DataFrame:

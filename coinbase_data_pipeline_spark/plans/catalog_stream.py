@@ -949,21 +949,36 @@ def q_streaming_model_score(spark, sf_dir):
     # row-suffix of each product's candle series (rows seq_len..n), so
     # that gate is exactly "drop each product's LAST 6 origins": keep
     # origin <= the 7th-LARGEST distinct origin per product. The
-    # cutoff comes from a map-side-combinable collect_set aggregate
-    # (one row per product), broadcast back — the old dense_rank
-    # formulation shuffle-sorted the whole 6-horizon-wide sink every
-    # serve run for the same answer. Products with <= 6 distinct
-    # origins have no 7th origin (element_at → NULL, the <= filter is
-    # never true), dropping them entirely — exactly dense_rank > 6.
+    # cutoff is computed MEMORY-BOUNDED (VERDICT r12 #2): the fold
+    # emits every origin with ALL pred_len horizons (np.tile over
+    # arange(1, pred_len+1) — pipelines.streaming_model_score), so
+    # `horizon = 1` selects EXACTLY one row per (product, origin):
+    # the distinct-origin relation for free, no aggregate. A
+    # row_number window over it picks each product's 7th-largest
+    # origin. The r12 collect_set formulation held EVERY distinct
+    # origin of a product in one aggregation buffer to take element
+    # 7 — correct, but at production scale a hot product's origin
+    # set is millions of entries in a single in-memory buffer; the
+    # window's per-partition sort spills gracefully and holds one
+    # row's state at a time, and its exchange carries 1/6th of the
+    # sink (the horizon fanout filtered out). Products with <= 6
+    # distinct origins have no rank-7 row, so the inner join drops
+    # them entirely — exactly the old element_at-NULL behavior, i.e.
+    # dense_rank > 6.
+    from pyspark.sql import Window
+
     sink = spark.table(name)
-    cutoff = (sink.groupBy("product_id")
-              .agg(F.element_at(
-                  F.sort_array(F.collect_set("origin_time"), False),
-                  7).alias("_cut"))
+    origins = (sink.filter(F.col("horizon") == 1)
+               .select("product_id", "origin_time"))
+    w7 = Window.partitionBy("product_id").orderBy(
+        F.col("origin_time").desc())
+    cutoff = (origins.withColumn("_rn", F.row_number().over(w7))
+              .filter(F.col("_rn") == 7)
               # renamed key: both join sides descend from the same
               # sink relation, and a same-name equi-join on a
               # self-join lineage is ambiguous to the analyzer
-              .select(F.col("product_id").alias("_pid"), "_cut"))
+              .select(F.col("product_id").alias("_pid"),
+                      F.col("origin_time").alias("_cut")))
     return (sink.join(F.broadcast(cutoff),
                       F.col("product_id") == F.col("_pid"))
             .filter(F.col("origin_time") <= F.col("_cut"))

@@ -27,6 +27,37 @@ def _rev():
     return F.col("l_extendedprice") * (1 - F.col("l_discount"))
 
 
+def _demote_big_broadcast(df: DataFrame) -> DataFrame:
+    """Keep an SF-proportional join side OFF the static-broadcast path
+    once it is genuinely large (r13, guide §3.1 "pick the strategy
+    deliberately").
+
+    The static planner compares a side's COLUMNAR scan estimate
+    against autoBroadcastJoinThreshold, but the broadcast HASH
+    RELATION it then builds costs ~5x that estimate (row format +
+    hash table: measured 45 MB orders estimate -> ~240 MB built at
+    the 100x probe) and is built single-threaded on the driver every
+    run — at SF10 volume the all-broadcast q9 plan spent ~11 s of its
+    14.5 s wall there vs 3.4 s with the orders join as sort-merge.
+    AQE cannot demote a statically planned broadcast, so the demotion
+    must happen here: when the side's own plan-metadata estimate (no
+    job — parquet footer stats through column pruning) crosses HALF
+    the session threshold, hint `merge`; AQE still re-plans the
+    shuffle at runtime. Below that the planner is left alone, so at
+    catalog scales (sf0.001-0.1) the plan — and therefore the float
+    accumulation order and the driver hash — is byte-identical to
+    leaving this helper out."""
+    from ..operators.dedup import _size_to_bytes
+    spark = df.sparkSession
+    thr = _size_to_bytes(
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB"))
+    if thr <= 0:
+        return df
+    est = int(str(
+        df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+    return df.hint("merge") if est > thr // 2 else df
+
+
 def q4_order_priority(spark, sf_dir):
     """TPC-H Q4 shape: EXISTS → left-semi join. Adapted predicate
     (no l_commitdate): a 'late' order has any lineitem shipped more
@@ -280,9 +311,15 @@ def q8_market_share(spark, sf_dir):
                        F.col("n_regionkey").alias("cr_key"))
     n_supp = na.select(F.col("n_nationkey").alias("sn_key"),
                        F.col("n_name").alias("supp_nation"))
+    # r13 join order (guide §1.2/§3.1): the part slice is the most
+    # selective relation and broadcasts at every SF — joining it
+    # FIRST prunes lineitem before the SF×SF orders join instead of
+    # after (Catalyst does not reorder joins without CBO). Inner
+    # equi-joins commute and the revenue terms sum exactly in double
+    # (2dp×2dp products < 2^53), so output is bit-identical.
     joined = (li
-              .join(od, F.col("l_orderkey") == F.col("o_orderkey"))
               .join(pa, F.col("l_partkey") == F.col("p_partkey"))
+              .join(od, F.col("l_orderkey") == F.col("o_orderkey"))
               .join(cu, F.col("o_custkey") == F.col("c_custkey"))
               .join(su, F.col("l_suppkey") == F.col("s_suppkey"))
               .join(F.broadcast(n_cust), F.col("c_nationkey") == F.col("cn_key"))
@@ -321,18 +358,35 @@ GROUP BY o_year
 
 def q9_product_profit(spark, sf_dir):
     """TPC-H Q9 shape (no partsupp → profit = discounted revenue):
-    per supplier-nation per year over a part name filter."""
+    per supplier-nation per year over a part name filter.
+
+    Join ORDER is the optimization (r13, guide §1.2/§3.1): the part
+    name filter is the query's only selective predicate (~6% of
+    parts), and Catalyst does not reorder joins without CBO — the r12
+    plan shuffled the ENTIRE lineitem into the orders join and
+    applied the part filter after. Joining the filtered part slice
+    FIRST (broadcast — it stays dim-sized at every SF) prunes ~94% of
+    lineitem before the one SF×SF join (orders), so the big-big
+    shuffle carries only part-matched lines. Inner equi-joins
+    commute, and every revenue term is an exact multiple of 1e-4 well
+    under 2^53 (2dp price × 2dp discount), so double sums are exact
+    in any order — output bit-identical (driver-hash-checked)."""
     li = load_table(spark, sf_dir, "lineitem")
-    od = load_table(spark, sf_dir, "orders")
+    # orders is the one SF×SF side left after the part prune; demote
+    # it from static broadcast once its footer estimate says the
+    # built hash relation would dwarf the session's broadcast budget
+    # (100x probe: 14.5 s all-broadcast vs 3.4 s merge — the 15M-row
+    # broadcast build dominated). No-op at catalog scales.
+    od = _demote_big_broadcast(load_table(spark, sf_dir, "orders"))
     su = load_table(spark, sf_dir, "supplier")
     pa = load_table(spark, sf_dir, "part").filter(
         F.col("p_name").contains("red"))
     na = load_table(spark, sf_dir, "nation")
     out = (li
-           .join(od, F.col("l_orderkey") == F.col("o_orderkey"))
            .join(pa, F.col("l_partkey") == F.col("p_partkey"))
            .join(su, F.col("l_suppkey") == F.col("s_suppkey"))
            .join(F.broadcast(na), F.col("s_nationkey") == F.col("n_nationkey"))
+           .join(od, F.col("l_orderkey") == F.col("o_orderkey"))
            .groupBy(F.col("n_name").alias("nation"),
                     F.year("o_orderdate").alias("o_year"))
            .agg((F.round(F.sum(_rev()), RND) + F.lit(0.0))

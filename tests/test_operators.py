@@ -2836,10 +2836,32 @@ def test_corpus_join_hint_is_size_adaptive(spark, monkeypatch):
             for i in range(40)]
     df = spark.createDataFrame(docs, "doc_id long, text string")
 
+    # r13: the budget is DERIVED from the session's broadcast/driver
+    # config, not a literal — at this repo's session config (64 MB
+    # autoBroadcastJoinThreshold) the threshold/4 leg evaluates to
+    # the measured-safe 16 MB of r12, floored by driver-memory/64
+    thr = dd._size_to_bytes(
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+    assert dd._broadcast_safe_text_bytes(spark) == min(
+        thr // dd.BROADCAST_SAFE_TEXT_FRACTION,
+        dd._size_to_bytes(spark.conf.get("spark.driver.memory", "2g"))
+        // dd.DRIVER_MEM_SAFE_FRACTION)
+    assert dd._size_to_bytes("67108864") == 64 * 1024 * 1024
+    assert dd._size_to_bytes("10MB") == 10 * 1024 * 1024
+    assert dd._size_to_bytes("8g") == 8 * 1024**3
+    assert dd._size_to_bytes("-1") == -1
+
     # tiny corpus: measured bytes under the threshold -> no hint
     assert _corpus_join_hint(df, "text") is None
+    # r13: the probe is single-shot per (app, plan, col, budget) — a
+    # second build over the same lineage replays the memoized hint
+    # (a planner statistic, never rows) without re-scanning
+    key = (spark.sparkContext.applicationId, df.semanticHash(),
+           "text", dd._broadcast_safe_text_bytes(spark))
+    assert dd._HINT_CACHE.get(key, "miss") is None
     # beyond the measured threshold -> shuffle_hash, regardless of
-    # what the static planner would estimate
+    # what the static planner would estimate (budget is part of the
+    # memo key, so the override re-decides rather than replaying)
     monkeypatch.setattr(dd, "BROADCAST_SAFE_TEXT_BYTES", 0)
     assert _corpus_join_hint(df, "text") == "shuffle_hash"
 
