@@ -58,53 +58,47 @@ for _part in _QUERY_PARTS:
 # r01..r04 map to the repo's work sessions 1..4 (one numbering
 # scheme).
 #
-# ROUND-12 WINDOW: (a) none — every oracle-paired query has a driver
-# row as of r11;
-# (b) compute changed in round 12 — the streaming replay fixed-cost
-# work (VERDICT r11 #1): streaming_sessionize +
-# streaming_sessionize_watermark (columnar emit, 16 state
-# partitions), streaming_kmv + streaming_model_score (16 state
-# partitions; model_score also swaps its serve-side alignment gate
-# from a full-sink dense_rank to a collect_set cutoff join —
-# hash-verified identical in-session), streaming_touch_join (4 state
-# partitions), streaming_upsert (one on-time cycle + the late cycle;
-# anti-join merge path), streaming_late_candles (one on-time batch +
-# the late batch — in the r07 block below); dedup_ngram_jaccard
-# (candidate generation rewritten from length buckets to the lossless
-# prefix-prefix filter — output-identical by construction, 36-config
-# fuzz + sf0.001/0.01 hash parity in-session, but the driver gate is
-# the evidence that counts); dedup_containment (corpus-scale join
-# sides guarded from static broadcast after the two-decade probe
-# OOMed them at 500k docs — since session 3 via the measured-bytes
-# _corpus_join_hint, broadcast under 16 MB of text, shuffle_hash
-# beyond — output unchanged, plan changed);
-# (c) the 11 r07 rows (exactly 5 rounds old — the amended bound's
-# worst case), then 32 of the remaining 45 r08 rows alphabetically;
-# the 13 r08 leftovers rotate in r13 at age 5.
+# ROUND-13 WINDOW: (a) none — every oracle-paired query has a driver
+# row;
+# (b) compute or plan changed in round 13 (optimization round 2):
+# streaming_model_score (serve-gate cutoff: per-product unbounded
+# collect_set → horizon=1 filter + row_number window with
+# WindowGroupLimit pushdown — hash-identical at sf0.1, VERDICT r12
+# #1), streaming_touch_join (stream-stream join state partitions
+# derived from defaultParallelism instead of the constant 4 — same
+# value at local[32], VERDICT r12 #4), q9_product_profit +
+# q8_market_share (selective part join moved BEFORE the SF×SF orders
+# join; q9 additionally demotes orders from static broadcast via a
+# plan-metadata size guard that is a no-op at catalog scales —
+# hash-identical at sf0.1 and 100×, VERDICT r12 #7),
+# dedup_ngram_jaccard + dedup_containment (_corpus_join_hint budget
+# now derived from session config and memoized per plan lineage —
+# same decision at every catalog scale, VERDICT r12 #5);
+# (c) the 11 remaining r08 rows (exactly 5 rounds old — the bound's
+# worst case; q8/q9 of that block are already in (b)), then the
+# first 33 of the 46 r09 rows alphabetically; the 13 r09 leftovers
+# (q15_top_supplier … volume_rollup) rotate r14 at age 5.
 _CHECK_FIRST = [
-    # (b) round-12-changed compute (replay fixed-cost work + the
-    # ngram prefix-filter rewrite)
-    "streaming_sessionize", "streaming_sessionize_watermark",
-    "streaming_kmv", "streaming_model_score", "streaming_upsert",
+    # (b) round-13-changed compute/plans
+    "streaming_model_score", "streaming_touch_join",
+    "q9_product_profit", "q8_market_share",
     "dedup_ngram_jaccard", "dedup_containment",
-    # (c) oldest evidence first: the r07 block (includes the
-    # r12-changed streaming_late_candles and streaming_touch_join)
-    "streaming_dedup_watermark", "streaming_hopping",
-    "streaming_late_candles", "streaming_touch_join", "ticker_parse",
-    "time_features", "time_range_fetch", "train_test_split",
-    "volatility", "volume_features", "walk_forward_splits",
-    # r08 rows (first 32 alphabetically; the 13 leftovers rotate r13)
-    "bpe_encode", "bpe_train", "candle_gaps", "candle_parse",
-    "candle_rollup", "clean_series", "corpus_curation",
-    "dedup_components", "dedup_embedding", "dedup_exact",
-    "dedup_incremental", "dedup_keep", "dedup_keep_best",
-    "dedup_minhash_lsh", "dedup_simhash_pairs", "doc_fingerprint",
-    "embedding_centroids", "grouped_scale", "holt_cv_sweep",
-    "knn_graph", "lang_id", "macd_approx", "predict_single_step",
-    "prediction_horizon_eval", "q10_returned_items",
-    "q11_important_stock", "q12_priority_shipping",
-    "q13_customer_distribution", "q14_promo_effect",
-    "q16_supplier_cnt", "q17_small_quantity", "q18_large_orders",
+    # (c) oldest evidence first: the 11 r08 leftovers
+    "q20_part_promotion", "q21_suppliers_kept_waiting",
+    "q22_global_sales_opportunity", "q2_min_cost_supplier",
+    "q4_order_priority", "quality_score", "scale_fit_transform",
+    "streaming_candles", "text_normalize", "token_count", "top_k",
+    # r09 rows (first 33 alphabetically; the 13 leftovers rotate r14)
+    "acf", "ann_lsh", "association_rules", "bm25_search", "bollinger",
+    "candle_grid_fill", "candle_patterns", "candle_resample_salted",
+    "corpus_stats", "csv_ingest", "curriculum_dropout",
+    "daily_active_users", "dataset_manifest", "decontaminate",
+    "doc_chunk", "donchian_channel", "drawdown_durations",
+    "dsir_select", "dsir_weights", "embedding_quantize", "event_paths",
+    "event_type_pivot", "fixed_k_sample", "funnel", "kmv_set_ops",
+    "max_drawdown", "mixture_resample", "multimodal_frames",
+    "multimodal_meta", "ngram_doc_frequency", "pii_scrub",
+    "prediction_cadence", "price_quantiles",
 ]
 
 ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

@@ -38,12 +38,32 @@ def ensure_runtime_conf(spark: SparkSession) -> None:
         pass  # conf locked down → session.py defaults already apply
 
 
+# Inferred parquet schemas, per (application, path) — the metadata a
+# catalog/metastore would hold. A bare `spark.read.parquet(path)`
+# re-reads the footer to infer the schema on EVERY call (~150 ms
+# warm, measured r13); a catalog query builder calls load_table 1-4
+# times, so schema inference alone was a large slice of the
+# per-query fixed cost (guide §6: listing/footer work is driver-side
+# planning overhead). Metadata only — never rows; a different path
+# (new sf dir, probe dir) misses and re-infers.
+_SCHEMA_CACHE: dict[tuple[str, str], "object"] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one table. Plain parquet scan → Catalyst gets full pushdown."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     ensure_runtime_conf(spark)
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    key = (spark.sparkContext.applicationId, path)
+    cached = _SCHEMA_CACHE.get(key)
+    if cached is not None:
+        df = spark.read.schema(cached).parquet(path)
+    else:
+        df = spark.read.parquet(path)
+        if len(_SCHEMA_CACHE) > 256:
+            _SCHEMA_CACHE.clear()
+        _SCHEMA_CACHE[key] = df.schema
     if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
         # TIMESTAMP(NANOS) read as long (nanosAsLong): integer-divide to
         # microseconds — lossless for this data and bit-identical to
