@@ -315,8 +315,9 @@ def q8_market_share(spark, sf_dir):
     # selective relation and broadcasts at every SF — joining it
     # FIRST prunes lineitem before the SF×SF orders join instead of
     # after (Catalyst does not reorder joins without CBO). Inner
-    # equi-joins commute and the revenue terms sum exactly in double
-    # (2dp×2dp products < 2^53), so output is bit-identical.
+    # equi-joins commute (same row multiset into the aggregate);
+    # outputs hash-verified identical to the r12 plan at sf0.1 and
+    # 100×, oracle parity green at sf0.001/sf0.01.
     joined = (li
               .join(pa, F.col("l_partkey") == F.col("p_partkey"))
               .join(od, F.col("l_orderkey") == F.col("o_orderkey"))
@@ -367,10 +368,12 @@ def q9_product_profit(spark, sf_dir):
     applied the part filter after. Joining the filtered part slice
     FIRST (broadcast — it stays dim-sized at every SF) prunes ~94% of
     lineitem before the one SF×SF join (orders), so the big-big
-    shuffle carries only part-matched lines. Inner equi-joins
-    commute, and every revenue term is an exact multiple of 1e-4 well
-    under 2^53 (2dp price × 2dp discount), so double sums are exact
-    in any order — output bit-identical (driver-hash-checked)."""
+    shuffle carries only part-matched lines. Inner equi-joins commute
+    (same row multiset into the aggregate); the 6dp-rounded sums were
+    hash-verified identical to the r12 plan at sf0.1 AND the 100×
+    probe, and oracle parity re-ran green at sf0.001/sf0.01 — the
+    checked guarantee, since double summation order is not exact for
+    2dp×2dp terms."""
     li = load_table(spark, sf_dir, "lineitem")
     # orders is the one SF×SF side left after the part prune; demote
     # it from static broadcast once its footer estimate says the
