@@ -74,6 +74,9 @@ for _part in _QUERY_PARTS:
 # dedup_ngram_jaccard + dedup_containment (_corpus_join_hint budget
 # now derived from session config and memoized per plan lineage —
 # same decision at every catalog scale, VERDICT r12 #5);
+# q21_suppliers_kept_waiting also changed (countDistinct Expand ×3
+# removed via per-(order,supplier) pre-aggregation — all-integer,
+# hash-identical at 100×; listed in the r08 block below);
 # (c) the 11 remaining r08 rows (exactly 5 rounds old — the bound's
 # worst case; q8/q9 of that block are already in (b)), then the
 # first 33 of the 46 r09 rows alphabetically; the 13 r09 leftovers

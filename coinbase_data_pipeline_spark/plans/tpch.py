@@ -749,13 +749,27 @@ def q21_suppliers_kept_waiting(spark, sf_dir):
     od = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderstatus") == "F")
     li = load_table(spark, sf_dir, "lineitem")
-    late = F.col("l_shipdate") > (F.col("o_orderdate")
-                                  + F.expr("INTERVAL 60 DAYS"))
-    per_order = (li.join(od, F.col("l_orderkey") == F.col("o_orderkey"))
+    # r13 (§2.3 shuffle fewer bytes): the two countDistincts over the
+    # joined relation planned as an Expand ×3 — every joined row
+    # shuffled three times into the per-order aggregate. But `late`
+    # compares l_shipdate against a threshold CONSTANT within the
+    # order (o_orderdate + 60d), so a supplier has a late line iff
+    # its MAX ship date is late — pre-aggregate lineitem to one row
+    # per (order, supplier) BEFORE the join (map-side combinable; no
+    # Expand anywhere), and the per-order pass becomes plain
+    # count/sum/max over supplier rows. All-integer pipeline —
+    # exactly equivalent by set semantics, no float-order exposure;
+    # the join output is already partitioned by l_orderkey, so the
+    # final groupBy adds no exchange.
+    per_supp = (li.groupBy("l_orderkey", "l_suppkey")
+                .agg(F.max("l_shipdate").alias("_max_ship")))
+    late = F.col("_max_ship") > (F.col("o_orderdate")
+                                 + F.expr("INTERVAL 60 DAYS"))
+    per_order = (per_supp
+                 .join(od, F.col("l_orderkey") == F.col("o_orderkey"))
                  .groupBy("l_orderkey")
-                 .agg(F.countDistinct("l_suppkey").alias("nsupp"),
-                      F.countDistinct(
-                          F.when(late, F.col("l_suppkey"))).alias("nlate"),
+                 .agg(F.count(F.lit(1)).alias("nsupp"),
+                      F.sum(late.cast("int")).alias("nlate"),
                       F.max(F.when(late, F.col("l_suppkey")))
                        .alias("late_supp"))
                  .filter((F.col("nsupp") >= 2) & (F.col("nlate") == 1)))
